@@ -1,0 +1,362 @@
+"""K-Means dataflow operators, Spark-first (SURVEY.md §2.2, O1-O10).
+
+The reference implements Lloyd's algorithm as a Flink bulk iteration over
+2-D points with broadcast centroids (``KMeans.java:148-236``).  Here each
+step is an independent, composable DataFrame operator:
+
+* :func:`assign_points` — O1/O7 nearest-centroid assignment.  The k
+  centroids are embedded as a literal array-of-structs and the argmin is
+  ``array_min`` over ``(dist², id)`` structs: a *narrow* map with zero
+  shuffle and full whole-stage codegen — the Spark analogue of Flink's
+  map-with-broadcast (``KMeans.java:264-290``), and the plan that
+  survives a 100 TB scan (no N×k materialization, no exchange).
+* :func:`assign_points_join` — same semantics via an explicit broadcast
+  join + per-key min, for when the centroid side is too large to inline.
+* :func:`update_centroids` — O3/O4 grouped partial-sum + mean
+  (``KMeans.java:311-336``): one hash-partition exchange on the cluster
+  id with map-side partial aggregation (Catalyst's HashAggregate
+  partial→final mirrors Flink's combiner insertion).
+* :func:`objective_from_assigned` / :func:`objective` — O9/O10 WCSS.
+* :func:`moved_centroids` — O6 convergence join+filter
+  (``KMeans.java:169-181``).
+* :func:`lloyd` — O5 bulk iteration as a driver loop: the k-row centroid
+  state collects to the driver each superstep and re-enters the next
+  plan as literals (exactly MLlib's internal collect+broadcast pattern).
+
+Semantic fine print preserved from the reference (SURVEY.md §3.4):
+
+* Tie-break: strict ``<`` scan (``KMeans.java:281``) ⇒ lowest centroid id
+  wins ties.  ``(dist², id)`` struct ordering reproduces this (argmin over
+  d² equals argmin over d).
+* Empty clusters vanish from the next round (groupBy emits no row —
+  drop-semantics, unlike MLlib which keeps the stale center).
+* Assignment against an empty centroid set yields cluster ``-1``
+  (``KMeans.java:277-287``).
+* WCSS sums *squared* Euclidean distance (``KMeans.java:357``); the
+  convergence epsilon compares *plain* Euclidean distance
+  (``KMeans.java:179``).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from collections.abc import Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+Centroid = tuple[int, float, float]  # (id, x, y)
+
+
+# ---------------------------------------------------------------------------
+# O1 / O7 — nearest-centroid assignment
+# ---------------------------------------------------------------------------
+
+
+def squared_distance(x: Column, y: Column, cx: float, cy: float) -> Column:
+    """Squared Euclidean distance from (x, y) to a constant (cx, cy)."""
+    dx = x - F.lit(float(cx))
+    dy = y - F.lit(float(cy))
+    return dx * dx + dy * dy
+
+
+def assign_points(
+    points: DataFrame,
+    centroids: Sequence[Centroid],
+    x: str = "x",
+    y: str = "y",
+    cluster_col: str = "cluster",
+    dist2_col: str | None = None,
+) -> DataFrame:
+    """Assign each point to its nearest centroid (O1/O7).
+
+    Centroids enter the plan as a literal array of ``(dist², id)``
+    structs; ``array_min``'s lexicographic struct ordering gives the
+    argmin with the reference's lowest-id tie-break.  Narrow map — no
+    join, no shuffle, whole-stage codegen.
+
+    An empty centroid sequence assigns cluster ``-1`` to every point
+    (``KMeans.java:277-287``).
+    """
+    out_cols = [F.col(c) for c in points.columns]
+    if not centroids:
+        out = points.select(*out_cols, F.lit(-1).alias(cluster_col))
+        if dist2_col:
+            out = out.withColumn(dist2_col, F.lit(None).cast("double"))
+        return out
+
+    candidates = F.array(
+        *[
+            F.struct(
+                squared_distance(F.col(x), F.col(y), cx, cy).alias("dist2"),
+                F.lit(int(cid)).alias("cluster"),
+            )
+            for cid, cx, cy in centroids
+        ]
+    )
+    best = F.array_min(candidates)
+    cols = [*out_cols, best["cluster"].alias(cluster_col)]
+    if dist2_col:
+        cols.append(best["dist2"].alias(dist2_col))
+    return points.select(*cols)
+
+
+def assign_points_join(
+    points: DataFrame,
+    centroids: DataFrame,
+    point_id: str = "point_id",
+    x: str = "x",
+    y: str = "y",
+    centroid_id: str = "id",
+    cluster_col: str = "cluster",
+    dist2_col: str | None = None,
+) -> DataFrame:
+    """O1 via explicit broadcast cross-join + per-point min-struct agg.
+
+    Same semantics as :func:`assign_points` for callers whose centroid
+    set is a DataFrame (or too large to inline as literals).  The big
+    side streams through a BroadcastNestedLoopJoin; the per-point argmin
+    is ``min(struct(dist², id))`` — a hash aggregation, no sort.
+    """
+    cdf = F.broadcast(
+        centroids.select(
+            F.col(centroid_id).alias("_cid"),
+            F.col(x).alias("_cx"),
+            F.col(y).alias("_cy"),
+        )
+    )
+    dx = F.col(x) - F.col("_cx")
+    dy = F.col(y) - F.col("_cy")
+    scored = points.crossJoin(cdf).withColumn(
+        "_cand", F.struct((dx * dx + dy * dy).alias("dist2"), F.col("_cid").alias("cluster"))
+    )
+    keep = [c for c in points.columns if c != point_id]
+    agg = scored.groupBy(point_id).agg(
+        *[F.first(c).alias(c) for c in keep], F.min("_cand").alias("_best")
+    )
+    cols = [F.col(point_id), *[F.col(c) for c in keep], F.col("_best.cluster").alias(cluster_col)]
+    if dist2_col:
+        cols.append(F.col("_best.dist2").alias(dist2_col))
+    return agg.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# O3 / O4 — grouped partial-sum + mean projection
+# ---------------------------------------------------------------------------
+
+
+def update_centroids(
+    assigned: DataFrame,
+    cluster_col: str = "cluster",
+    x: str = "x",
+    y: str = "y",
+    count_col: str | None = "n",
+) -> DataFrame:
+    """Recompute centroids as per-cluster means (O2+O3+O4).
+
+    ``groupBy(cluster).agg(sum, sum, count)`` then the mean projection
+    ``Σ/n`` (``KMeans.java:311-336``).  Catalyst plans this as partial →
+    exchange(hash by cluster) → final HashAggregate — the map-side
+    combine Flink gets from its combinable ReduceFunction, for free.
+    Clusters with zero assigned points emit no row (drop-semantics).
+    """
+    agg = assigned.groupBy(F.col(cluster_col).alias("id")).agg(
+        F.sum(x).alias("_sx"), F.sum(y).alias("_sy"), F.count(F.lit(1)).alias("_n")
+    )
+    cols = [
+        F.col("id"),
+        (F.col("_sx") / F.col("_n")).alias(x),
+        (F.col("_sy") / F.col("_n")).alias(y),
+    ]
+    if count_col:
+        cols.append(F.col("_n").alias(count_col))
+    return agg.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# O9 / O10 — objective function (WCSS)
+# ---------------------------------------------------------------------------
+
+
+def objective_from_assigned(assigned: DataFrame, dist2_col: str = "dist2") -> DataFrame:
+    """Global Σ d² over an assignment that already carries d² (O10)."""
+    return assigned.agg(F.sum(dist2_col).alias("wcss"))
+
+
+def objective(
+    assigned: DataFrame,
+    centroids: Sequence[Centroid],
+    cluster_col: str = "cluster",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """WCSS from scratch: look up each point's centroid, Σ d² (O9+O10).
+
+    The reference scans the broadcast centroid list per record
+    (``KMeans.java:343-362``); here the k-case expression is a literal
+    ``CASE`` over the cluster id — still narrow, still codegen'd.
+    """
+    if not centroids:
+        return assigned.select(F.lit(0.0).alias("wcss")).limit(1)
+    expr = None
+    for cid, cx, cy in centroids:
+        d2 = squared_distance(F.col(x), F.col(y), cx, cy)
+        expr = (
+            F.when(F.col(cluster_col) == int(cid), d2)
+            if expr is None
+            else expr.when(F.col(cluster_col) == int(cid), d2)
+        )
+    return assigned.select(expr.alias("_d2")).agg(F.sum("_d2").alias("wcss"))
+
+
+# ---------------------------------------------------------------------------
+# O6 — convergence join + filter
+# ---------------------------------------------------------------------------
+
+
+def moved_centroids(
+    new: DataFrame,
+    old: DataFrame,
+    epsilon: float,
+    centroid_id: str = "id",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Centroids that moved more than ``epsilon`` (plain Euclidean, O6).
+
+    Inner join new↔old on id + distance filter (``KMeans.java:169-181``).
+    Both sides are k rows — Catalyst broadcasts.  The Lloyd iteration
+    stops when this set is empty; a centroid absent from ``new`` (empty
+    cluster) cannot keep the iteration alive.
+    """
+    o = old.select(
+        F.col(centroid_id).alias("_oid"), F.col(x).alias("_ox"), F.col(y).alias("_oy")
+    )
+    dx = F.col(x) - F.col("_ox")
+    dy = F.col(y) - F.col("_oy")
+    return (
+        new.join(F.broadcast(o), F.col(centroid_id) == F.col("_oid"))
+        .withColumn("moved", F.sqrt(dx * dx + dy * dy))
+        .filter(F.col("moved") > float(epsilon))
+        .select(centroid_id, x, y, "moved")
+    )
+
+
+# ---------------------------------------------------------------------------
+# O5 — bulk iteration (driver loop) + D1/D2 init
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class LloydResult:
+    centroids: list[Centroid]  # final centroids (empty clusters dropped)
+    iterations: int  # supersteps actually run
+    assignments: DataFrame  # final re-assignment (O7) with dist2
+    wcss: float  # Σ squared Euclidean distance (O9/O10)
+
+
+def lloyd(
+    points: DataFrame,
+    init_centroids: Sequence[Centroid],
+    max_iterations: int = 100,
+    epsilon: float | None = None,
+    x: str = "x",
+    y: str = "y",
+    cache: bool = True,
+) -> LloydResult:
+    """Lloyd's K-Means as a driver-side bulk iteration (O5).
+
+    Per superstep: assign (narrow map) → update (one k-key shuffle) →
+    collect k rows to the driver → optional epsilon convergence check
+    computed driver-side on those k rows (exact O6 semantics: join new
+    ↔ old on id, plain-Euclidean move > ε keeps iterating;
+    ``epsilon=None`` reproduces the reference's fixed-iteration mode,
+    ``closeWith(newCentroids)`` at ``KMeans.java:185``).
+
+    The points DataFrame is cached once and re-scanned each superstep —
+    Spark's substitute for Flink's native feedback edge; with k-row
+    driver state the per-iteration cost is one job over the cached scan.
+    """
+    if cache:
+        points = points.cache()
+    current: list[Centroid] = [(int(i), float(px), float(py)) for i, px, py in init_centroids]
+    iterations = 0
+    for _ in range(max_iterations):
+        assigned = assign_points(points, current, x=x, y=y)
+        new_rows = update_centroids(assigned, x=x, y=y).collect()
+        new = [(int(r["id"]), float(r[x]), float(r[y])) for r in new_rows]
+        new.sort(key=lambda c: c[0])
+        iterations += 1
+        if epsilon is not None:
+            old_by_id = {c[0]: c for c in current}
+            alive = any(
+                math.dist(old_by_id[cid][1:], (nx, ny)) > epsilon
+                for cid, nx, ny in new
+                if cid in old_by_id
+            )
+            current = new
+            if not alive:
+                break
+        else:
+            current = new
+
+    assignments = assign_points(points, current, x=x, y=y, dist2_col="dist2")
+    row = objective_from_assigned(assignments).collect()[0]
+    wcss = float(row["wcss"]) if row["wcss"] is not None else 0.0
+    return LloydResult(centroids=current, iterations=iterations, assignments=assignments, wcss=wcss)
+
+
+def random_centroids(
+    k: int,
+    min_coord: float = -15.0,
+    max_coord: float = 15.0,
+    seed: int | None = None,
+) -> list[Centroid]:
+    """D1: k uniform random centroids in [min, max]², ids 0..k-1.
+
+    The reference uses an unseeded ``new Random()`` (``KMeans.java:88``);
+    we take an explicit seed for reproducibility.
+    """
+    rng = random.Random(seed)
+    return [
+        (i, rng.uniform(min_coord, max_coord), rng.uniform(min_coord, max_coord))
+        for i in range(k)
+    ]
+
+
+def recompute_nearest(
+    centroids: Sequence[Centroid],
+    repeats: int,
+    min_coord: float = -15.0,
+    max_coord: float = 15.0,
+    seed: int | None = None,
+) -> list[Centroid]:
+    """D2: the reference's ``recompnearest`` init heuristic.
+
+    Repeat ``repeats`` times: find the globally closest *pair* of
+    centroids (O(k²) scan, ``KMeans.java:101-113``) and re-randomize the
+    second member of the pair (``:114-116``).  Kept for parity; MLlib's
+    k-means|| init is the recommended replacement (SURVEY.md §2.3 D2).
+    """
+    out = [(int(i), float(cx), float(cy)) for i, cx, cy in centroids]
+    rng = random.Random(seed)
+    for _ in range(repeats):
+        if len(out) < 2:
+            break
+        best_j, best_d = None, float("inf")
+        for i in range(len(out)):
+            for j in range(len(out)):
+                if i == j:
+                    continue
+                d = math.dist(out[i][1:], out[j][1:])
+                if d < best_d:
+                    best_d, best_j = d, j
+        cid = out[best_j][0]
+        out[best_j] = (
+            cid,
+            rng.uniform(min_coord, max_coord),
+            rng.uniform(min_coord, max_coord),
+        )
+    return out

@@ -1,0 +1,154 @@
+"""Unit tests for the K-Means operators on tiny hand-checked inputs.
+
+Mirrors the reference semantics documented in SURVEY.md §3.4: lowest-id
+tie-break, empty-cluster drop-semantics, cluster -1 on empty centroid
+set, squared-Euclidean WCSS vs plain-Euclidean convergence distance.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from flink_kmeans_clustering_spark.operators.kmeans import (
+    assign_points,
+    assign_points_join,
+    lloyd,
+    moved_centroids,
+    objective,
+    objective_from_assigned,
+    random_centroids,
+    recompute_nearest,
+    update_centroids,
+)
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    return spark.createDataFrame(
+        [(0, 0.0, 0.0), (1, 1.0, 0.0), (2, 10.0, 10.0), (3, 5.0, 0.0)],
+        "point_id long, x double, y double",
+    )
+
+
+CENTROIDS = [(0, 0.0, 0.0), (1, 10.0, 10.0)]
+
+
+def test_assign_nearest(spark, points):
+    rows = {
+        r["point_id"]: r["cluster"]
+        for r in assign_points(points, CENTROIDS).collect()
+    }
+    assert rows == {0: 0, 1: 0, 2: 1, 3: 0}
+
+
+def test_assign_tie_breaks_to_lowest_id(spark):
+    # point equidistant from both centroids -> strict-< scan keeps first (lowest id)
+    pts = spark.createDataFrame([(0, 5.0, 5.0)], "point_id long, x double, y double")
+    [r] = assign_points(pts, CENTROIDS).collect()
+    assert r["cluster"] == 0
+    # same with reversed input order: ids still decide, not input order
+    [r] = assign_points(pts, [(1, 10.0, 10.0), (0, 0.0, 0.0)]).collect()
+    assert r["cluster"] == 0
+
+
+def test_assign_empty_centroids_gives_minus_one(spark, points):
+    rows = assign_points(points, [], dist2_col="dist2").collect()
+    assert {r["cluster"] for r in rows} == {-1}
+    assert all(r["dist2"] is None for r in rows)
+
+
+def test_assign_join_path_matches_expr_path(spark, points):
+    cdf = spark.createDataFrame(CENTROIDS, "id int, x double, y double")
+    via_join = {
+        r["point_id"]: r["cluster"]
+        for r in assign_points_join(points, cdf).collect()
+    }
+    via_expr = {
+        r["point_id"]: r["cluster"]
+        for r in assign_points(points, CENTROIDS).collect()
+    }
+    assert via_join == via_expr
+
+
+def test_update_means_and_drop_semantics(spark, points):
+    # centroid 5 exists but gets no points -> absent from the update output
+    assigned = assign_points(points, CENTROIDS + [(5, 1e6, 1e6)])
+    rows = {r["id"]: r for r in update_centroids(assigned).collect()}
+    assert set(rows) == {0, 1}
+    assert rows[0]["x"] == pytest.approx(2.0)  # mean of 0,1,5
+    assert rows[0]["y"] == pytest.approx(0.0)
+    assert rows[0]["n"] == 3
+    assert rows[1]["x"] == pytest.approx(10.0)
+    assert rows[1]["n"] == 1
+
+
+def test_objective_is_squared_euclidean(spark, points):
+    assigned = assign_points(points, CENTROIDS, dist2_col="dist2")
+    [r1] = objective_from_assigned(assigned).collect()
+    [r2] = objective(assign_points(points, CENTROIDS), CENTROIDS).collect()
+    expected = 0.0 + 1.0 + 0.0 + 25.0
+    assert r1["wcss"] == pytest.approx(expected)
+    assert r2["wcss"] == pytest.approx(expected)
+
+
+def test_moved_centroids_filters_by_plain_euclidean(spark):
+    old = spark.createDataFrame([(0, 0.0, 0.0), (1, 5.0, 5.0)], "id int, x double, y double")
+    new = spark.createDataFrame([(0, 0.3, 0.4), (1, 5.0, 5.0)], "id int, x double, y double")
+    rows = moved_centroids(new, old, epsilon=0.25).collect()
+    assert [r["id"] for r in rows] == [0]
+    assert rows[0]["moved"] == pytest.approx(0.5)  # sqrt(0.09+0.16), not squared
+    assert moved_centroids(new, old, epsilon=0.6).count() == 0
+
+
+def test_lloyd_converges_and_wcss_non_increasing(spark):
+    pts = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(
+            [(0, 0), (1, 0), (0, 1), (10, 10), (11, 10), (10, 11)]
+        )],
+        "point_id long, x double, y double",
+    )
+    init = [(0, -5.0, -5.0), (1, 20.0, 20.0)]
+    wcss_by_iter = [
+        lloyd(pts, init, max_iterations=n).wcss for n in (1, 2, 3)
+    ]
+    assert wcss_by_iter[0] >= wcss_by_iter[1] >= wcss_by_iter[2]
+
+    res = lloyd(pts, init, max_iterations=50, epsilon=1e-9)
+    assert res.iterations < 50  # epsilon termination fired
+    got = {cid: (x, y) for cid, x, y in res.centroids}
+    assert got[0][0] == pytest.approx(1 / 3)
+    assert got[0][1] == pytest.approx(1 / 3)
+    assert got[1][0] == pytest.approx(31 / 3)
+    # fixpoint: one more iteration doesn't move anything
+    again = lloyd(pts, res.centroids, max_iterations=1)
+    for (a, b) in zip(sorted(res.centroids), sorted(again.centroids)):
+        assert a[1] == pytest.approx(b[1]) and a[2] == pytest.approx(b[2])
+
+
+def test_lloyd_drops_empty_cluster_forever(spark):
+    pts = spark.createDataFrame(
+        [(0, 0.0, 0.0), (1, 1.0, 1.0)], "point_id long, x double, y double"
+    )
+    init = [(0, 0.5, 0.5), (7, 1e6, 1e6)]  # centroid 7 never wins a point
+    res = lloyd(pts, init, max_iterations=3)
+    assert [c[0] for c in res.centroids] == [0]
+
+
+def test_init_helpers_are_seeded_and_in_range(spark):
+    a = random_centroids(8, seed=42)
+    b = random_centroids(8, seed=42)
+    assert a == b
+    assert all(-15 <= cx <= 15 and -15 <= cy <= 15 for _, cx, cy in a)
+    assert [c[0] for c in a] == list(range(8))
+    c = recompute_nearest(a, repeats=3, seed=7)
+    assert len(c) == 8 and c != a
+    d = recompute_nearest(a, repeats=3, seed=7)
+    assert c == d  # deterministic under seed
+
+
+def test_assign_plan_is_narrow(spark, points):
+    # the expression path must not shuffle: no Exchange in the plan
+    plan = assign_points(points, CENTROIDS)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
