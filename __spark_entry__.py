@@ -17,6 +17,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flink_kmeans_clustering_spark.operators.dedup import (
+    embedding_cosine_pairs,
+    exact_duplicate_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
 from flink_kmeans_clustering_spark.operators.kmeans import (
     assign_points,
     lloyd,
@@ -102,6 +109,49 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", F.round("x", 6).alias("x"), F.round("y", 6).alias("y"))
 
 
+# --- dedup (SURVEY.md §2.6) -------------------------------------------------
+
+NGRAM_JACCARD_THRESHOLD = 0.2
+EMBEDDING_COSINE_THRESHOLD = 0.3
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on text, min-id representative."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_duplicate_groups(docs, ["text"]).select("keep_id", "n_dups")
+
+
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup: exact 3-gram-shingle Jaccard, blocked on shared shingles.
+
+    Jaccard is a ratio of integers — engine-exact, no rounding needed.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_jaccard_pairs(docs, n=3, threshold=NGRAM_JACCARD_THRESHOLD)
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup embeddings: cosine ≥ t within label blocks (IVF-style)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = embedding_cosine_pairs(
+        emb, block_col="label", threshold=EMBEDDING_COSINE_THRESHOLD
+    )
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (rows-only check: xxhash64-based,
+    not reproducible in DuckDB; semantics covered by tests/test_dedup.py)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_pairs(docs, num_hashes=32, bands=8, threshold=0.5)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance 3 (rows-only check)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_pairs(docs, max_hamming=3, chunks=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return {
@@ -110,6 +160,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_objfun": q_objfun,
         "q_convergence": q_convergence,
         "q_kmeans": q_kmeans,
+        "q_dedup_exact": q_dedup_exact,
+        "q_dedup_ngram": q_dedup_ngram,
+        "q_dedup_embedding": q_dedup_embedding,
+        "q_dedup_minhash": q_dedup_minhash,
+        "q_dedup_simhash": q_dedup_simhash,
     }
 
 
@@ -166,10 +221,65 @@ WHERE SQRT((n.x-o.x)*(n.x-o.x) + (n.y-o.y)*(n.y-o.y)) > {CONVERGENCE_EPS}
         _kmeans_loop_cte(KMEANS_ITERS)
         + f"\nSELECT id, ROUND(x,6) AS x, ROUND(y,6) AS y FROM c{KMEANS_ITERS}"
     )
+    dedup_exact_sql = """
+SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+FROM documents GROUP BY text
+"""
+    # identical tokenization/shingling as functions.text (lower, split on
+    # non-alphanumerics, drop empties; 3-gram shingles, short docs -> one
+    # whole-sequence shingle, distinct)
+    dedup_ngram_sql = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(t)-2, 1)+1),
+           i -> array_to_string(list_slice(t, i, i+2), ' '))) AS shingles
+  FROM toks WHERE len(t) > 0
+),
+sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
+           JOIN sizes sb ON inter.id_b = sb.doc_id
+WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {NGRAM_JACCARD_THRESHOLD}
+"""
+    dedup_embedding_sql = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+norms AS (
+  SELECT vec_id, label, v,
+         sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
+  FROM e
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum(list_transform(range(1, len(a.v)+1),
+                                 i -> (a.v[i]/a.nrm) * (b.v[i]/b.nrm))) AS cos
+  FROM norms a JOIN norms b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, ROUND(cos, 6) AS cosine
+FROM pairs WHERE cos >= {EMBEDDING_COSINE_THRESHOLD}
+"""
     return {
         "q_assign": assign,
         "q_update": update,
         "q_objfun": objfun,
         "q_convergence": convergence,
         "q_kmeans": kmeans,
+        "q_dedup_exact": dedup_exact_sql,
+        "q_dedup_ngram": dedup_ngram_sql,
+        "q_dedup_embedding": dedup_embedding_sql,
+        # q_dedup_minhash / q_dedup_simhash: intentionally no oracle —
+        # xxhash64-based signatures are engine-specific (rows-only check).
     }

@@ -1,0 +1,291 @@
+"""Deduplication operators for large-scale document/embedding corpora.
+
+North-star extension surface (SURVEY.md §2.6): exact hash-dedup, word
+n-gram Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+Everything is DataFrame-composed and shuffle-conscious:
+
+* Pair generation is always *blocked* (shared shingle, LSH band bucket,
+  SimHash chunk, or a caller-given blocking column) — never an
+  unconditioned O(n²) cross join.
+* ``max_df`` frequency capping drops ubiquitous shingles before the
+  self-join: on a web-scale corpus a stopword shingle would otherwise
+  generate quadratic candidate pairs under one join key (the classic
+  LSH skew failure).
+* Signatures/hashes are computed inside codegen during the scan
+  (functions.hashing); the only shuffles are the candidate-pair joins
+  and the per-pair aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flink_kmeans_clustering_spark.functions.hashing import (
+    band_hashes,
+    hamming64,
+    minhash_signature,
+    signature_similarity,
+    simhash64,
+    simhash_chunks,
+)
+from flink_kmeans_clustering_spark.functions.text import ngram_shingles, tokenize
+from flink_kmeans_clustering_spark.functions.vector import dot, l2_norm
+
+
+# ---------------------------------------------------------------------------
+# Exact deduplication
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicate_groups(
+    df: DataFrame, keys: list[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """Group rows by exact key equality: keys + (keep_id, n_dups).
+
+    ``keep_id`` is the smallest id in the group (deterministic
+    representative); one hash-partition shuffle on the keys with
+    map-side partial aggregation.
+    """
+    return df.groupBy(*keys).agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups")
+    )
+
+
+def dedup_exact(df: DataFrame, keys: list[str], id_col: str = "doc_id") -> DataFrame:
+    """Keep one row (lowest id) per exact key group — full rows out.
+
+    Implemented as min-id-per-group + semi join back, which beats a
+    window sort (`row_number`) at scale: the aggregation is partial →
+    final, no per-group sort materializes.
+    """
+    keep = exact_duplicate_groups(df, keys, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dedup (exact similarity, blocked by shared shingle)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Candidate pairs with exact n-gram-shingle Jaccard ≥ threshold.
+
+    Blocked self-join on shared shingles: only documents sharing at
+    least one shingle ever meet (a pair below 1/(|A|+|B|-1) Jaccard is
+    unreachable, which is exactly the pairs we don't want).  ``max_df``
+    drops shingles occurring in more than that many documents before
+    the join — the skew/size guard for corpus-scale runs.
+
+    Output: (id_a, id_b, jaccard) with id_a < id_b.  Jaccard is an
+    exact ratio of integers — engine-independent, oracle-exact.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        ngram_shingles(tokenize(F.col(text_col)), n).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    sizes = sh.select("id", F.size("shingles").alias("sz"))
+    ex = sh.select("id", F.explode("shingles").alias("sh"))
+    if max_df is not None:
+        keep = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("df_ct")).filter(
+            F.col("df_ct") <= max_df
+        )
+        ex = ex.join(keep.select("sh"), "sh")
+
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dedup (approximate, banded)
+# ---------------------------------------------------------------------------
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH candidate pairs with estimated Jaccard ≥ threshold.
+
+    shingle → minhash signature (computed in the scan) → band digests →
+    explode bands → self-join on (band, digest) — only documents whose
+    signatures agree on a full band ever meet.  The estimate is the
+    fraction of agreeing signature positions; callers wanting exact
+    similarity feed these pairs to :func:`ngram_jaccard_pairs` logic.
+
+    Output: (id_a, id_b, est_jaccard) with id_a < id_b.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        ngram_shingles(tokenize(F.col(text_col)), n).alias("shingles"),
+    ).filter(F.size("shingles") > 0).select(
+        "id", minhash_signature(F.col("shingles"), num_hashes).alias("sig")
+    )
+    banded = sig.select(
+        "id", "sig", F.explode(band_hashes(F.col("sig"), bands, r)).alias("bh")
+    ).select("id", "sig", F.col("bh.band").alias("band"), F.col("bh.digest").alias("digest"))
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.digest") == F.col("b.digest"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = signature_similarity(F.col("sig_a"), F.col("sig_b"))
+    return cand.select("id_a", "id_b", est.alias("est_jaccard")).filter(
+        F.col("est_jaccard") >= threshold
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dedup (Hamming distance, chunk-banded)
+# ---------------------------------------------------------------------------
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Pairs whose 64-bit SimHashes are within ``max_hamming`` bits.
+
+    Pigeonhole banding: distance ≤ chunks-1 guarantees agreement on at
+    least one of ``chunks`` bit-slices, so the self-join on (chunk,
+    bits) finds every such pair without a cross join.  Requires
+    ``max_hamming < chunks`` for completeness (the classic trade-off —
+    raise ``chunks`` to loosen the radius).
+
+    Output: (id_a, id_b, hamming) with id_a < id_b.
+    """
+    if max_hamming >= chunks:
+        raise ValueError(
+            f"banding with {chunks} chunks only guarantees recall for "
+            f"hamming < {chunks}; got max_hamming={max_hamming}"
+        )
+    toks = tokenize(F.col(text_col))
+    hs = df.select(
+        F.col(id_col).alias("id"), toks.alias("toks")
+    ).filter(F.size("toks") > 0).select(
+        "id", simhash64(F.col("toks")).alias("sim")
+    )
+    chunked = hs.select(
+        "id", "sim", F.explode(simhash_chunks(F.col("sim"), chunks)).alias("ck")
+    ).select("id", "sim", F.col("ck.chunk").alias("chunk"), F.col("ck.bits").alias("bits"))
+    a, b = chunked.alias("a"), chunked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sim").alias("sim_a"),
+            F.col("b.sim").alias("sim_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.select(
+        "id_a", "id_b", hamming64(F.col("sim_a"), F.col("sim_b")).alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dedup (blocked)
+# ---------------------------------------------------------------------------
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Pairs of near-identical embeddings: cosine ≥ threshold.
+
+    Vectors are L2-normalized once per row during the scan, so the
+    per-pair work is a single dot product.  The self-join is blocked
+    on ``block_col`` (a cluster/partition id — at corpus scale this is
+    the coarse IVF cell from k-means); ``block_col=None`` is the exact
+    quadratic fallback for small inputs only.
+
+    Output: (id_a, id_b, cosine) with id_a < id_b.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    norm = l2_norm(v)
+    cols = [
+        F.col(id_col).alias("id"),
+        F.transform(v, lambda x: x / norm).alias("nv"),
+    ]
+    if block_col is not None:
+        cols.append(F.col(block_col).alias("blk"))
+    base = df.select(*cols).filter(F.size("nv") > 0)
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if block_col is not None:
+        cond = (F.col("a.blk") == F.col("b.blk")) & cond
+    cos = dot(F.col("a.nv"), F.col("b.nv"))
+    return a.join(b, cond).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        cos.alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)
+
+
+def drop_near_duplicates(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep rows that are not the larger-id member of any near-dup pair.
+
+    Greedy single-pass policy: every dropped row had a smaller-id near
+    duplicate at decision time.  (Full transitive-closure dedup —
+    connected components — is an iterative algorithm; at corpus scale
+    run this greedy pass per LSH round instead.)
+    """
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")

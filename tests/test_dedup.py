@@ -1,0 +1,128 @@
+"""Dedup operator semantics on synthetic corpora with known duplicates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_kmeans_clustering_spark.operators.dedup import (
+    dedup_exact,
+    drop_near_duplicates,
+    embedding_cosine_pairs,
+    exact_duplicate_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog and runs far away home"
+NEAR = BASE.replace("lazy", "sleepy")  # one token differs
+OTHER = "completely different content about spark catalyst optimizer plans"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (0, BASE, "en"),
+            (1, BASE, "en"),  # exact dup of 0
+            (2, NEAR, "en"),  # near dup of 0/1
+            (3, OTHER, "en"),
+            (4, OTHER + " extra tail words here", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+
+
+def test_exact_dedup(spark, docs):
+    groups = {r["keep_id"]: r["n_dups"] for r in exact_duplicate_groups(docs, ["text"]).collect()}
+    assert groups[0] == 2  # doc 1 collapsed into doc 0
+    assert groups[2] == 1
+    kept = sorted(r["doc_id"] for r in dedup_exact(docs, ["text"]).collect())
+    assert kept == [0, 2, 3, 4]
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # exact dup: jaccard exactly 1
+    assert (0, 2) in pairs and 0.3 <= pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs and (1, 3) not in pairs
+
+
+def test_ngram_max_df_caps_frequent_shingles(spark, docs):
+    # with max_df=1 every shared shingle is dropped -> no pairs survive
+    assert ngram_jaccard_pairs(docs, threshold=0.0, max_df=1).count() == 0
+
+
+def test_minhash_lsh_finds_planted_dups(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs  # near dup collides on at least one band
+    assert (0, 3) not in pairs
+
+
+def test_minhash_recall_vs_exact_jaccard_sf001(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert truth, "testdata should contain planted near-duplicates"
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.9, f"LSH recall {recall} over {len(truth)} true pairs"
+
+
+def test_simhash_identical_distance_zero(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(docs, max_hamming=3).collect()
+    }
+    assert pairs[(0, 1)] == 0
+    assert all(h <= 3 for h in pairs.values())
+
+
+def test_simhash_banding_guard(spark, docs):
+    with pytest.raises(ValueError, match="hamming"):
+        simhash_pairs(docs, max_hamming=4, chunks=4)
+
+
+def test_embedding_cosine_pairs(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0], 0),
+            (1, [0.999, 0.01, 0.0], 0),  # near dup of 0
+            (2, [0.0, 1.0, 0.0], 0),     # orthogonal
+            (3, [1.0, 0.0, 0.0], 1),     # same as 0 but other block
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_cosine_pairs(emb, threshold=0.9).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
+    assert (0, 2) not in pairs
+    assert (0, 3) not in pairs  # blocking respected
+
+    unblocked = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_cosine_pairs(emb, block_col=None, threshold=0.9).collect()
+    }
+    assert (0, 3) in unblocked
+
+
+def test_drop_near_duplicates_greedy(spark, docs):
+    pairs = ngram_jaccard_pairs(docs, threshold=0.3)
+    kept = sorted(r["doc_id"] for r in drop_near_duplicates(docs, pairs).collect())
+    # docs 1 and 2 both have smaller-id near-dup 0; 4 near-dups 3
+    assert kept == [0, 3]
