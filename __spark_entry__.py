@@ -24,6 +24,11 @@ from flink_kmeans_clustering_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
+from flink_kmeans_clustering_spark.operators.similarity import (
+    ann_search,
+    cell_centroids,
+    topk_cosine,
+)
 from flink_kmeans_clustering_spark.operators.kmeans import (
     assign_points,
     lloyd,
@@ -152,6 +157,37 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(docs, max_hamming=3, chunks=4)
 
 
+# --- similarity search (SURVEY.md §2.6) -------------------------------------
+
+TOPK_K = 10
+ANN_PROBES = 2
+
+
+def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
+    """Fixed deterministic query: the embedding of vec_id = 0."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    [row] = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
+    return [float(v) for v in row["embedding"]]
+
+
+def q_topk_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force top-10 by cosine (TakeOrderedAndProject plan)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return topk_cosine(emb, _query_vector(spark, sf_dir), k=TOPK_K)
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe search: label cells, per-cell mean centroids, 2 probes."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = [
+        (r["cell"], list(r["centroid"]))
+        for r in cell_centroids(emb, "label").collect()
+    ]
+    return ann_search(
+        emb, cents, _query_vector(spark, sf_dir), k=TOPK_K, n_probe=ANN_PROBES
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return {
@@ -165,6 +201,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_embedding": q_dedup_embedding,
         "q_dedup_minhash": q_dedup_minhash,
         "q_dedup_simhash": q_dedup_simhash,
+        "q_topk_sim": q_topk_sim,
+        "q_ann_ivf": q_ann_ivf,
     }
 
 
@@ -271,6 +309,44 @@ pairs AS (
 SELECT id_a, id_b, ROUND(cos, 6) AS cosine
 FROM pairs WHERE cos >= {EMBEDDING_COSINE_THRESHOLD}
 """
+    topk_sim_sql = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qv, sqrt(list_sum(list_transform(v, x -> x*x))) AS qn
+      FROM e WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+         ROUND(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*qv[i]))
+               / (sqrt(list_sum(list_transform(v, x -> x*x))) * qn), 6) AS cosine
+  FROM e CROSS JOIN q
+)
+SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT {TOPK_K}
+"""
+    ann_ivf_sql = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qv, sqrt(list_sum(list_transform(v, x -> x*x))) AS qn
+      FROM e WHERE vec_id = 0),
+ex AS (SELECT label, unnest(v) AS comp, unnest(range(1, len(v)+1)) AS pos FROM e),
+cents AS (
+  SELECT label, list(mv ORDER BY pos) AS cv
+  FROM (SELECT label, pos, avg(comp) AS mv FROM ex GROUP BY label, pos)
+  GROUP BY label
+),
+ranked AS (
+  SELECT label,
+         list_sum(list_transform(range(1, len(cv)+1), i -> cv[i]*qv[i]))
+         / (sqrt(list_sum(list_transform(cv, x -> x*x))) * qn) AS csim
+  FROM cents CROSS JOIN q
+  ORDER BY csim DESC, label LIMIT {ANN_PROBES}
+),
+probed AS (SELECT e.* FROM e JOIN ranked USING (label)),
+scored AS (
+  SELECT vec_id,
+         ROUND(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*qv[i]))
+               / (sqrt(list_sum(list_transform(v, x -> x*x))) * qn), 6) AS cosine
+  FROM probed CROSS JOIN q
+)
+SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT {TOPK_K}
+"""
     return {
         "q_assign": assign,
         "q_update": update,
@@ -282,4 +358,6 @@ FROM pairs WHERE cos >= {EMBEDDING_COSINE_THRESHOLD}
         "q_dedup_embedding": dedup_embedding_sql,
         # q_dedup_minhash / q_dedup_simhash: intentionally no oracle —
         # xxhash64-based signatures are engine-specific (rows-only check).
+        "q_topk_sim": topk_sim_sql,
+        "q_ann_ivf": ann_ivf_sql,
     }

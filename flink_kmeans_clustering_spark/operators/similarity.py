@@ -1,0 +1,136 @@
+"""Similarity search over embedding columns (SURVEY.md §2.6).
+
+Two paths, one semantics:
+
+* :func:`topk_cosine` — exact brute-force top-k.  The ORDER BY + LIMIT
+  plan compiles to ``TakeOrderedAndProject``: each partition keeps its
+  own k best rows and only k·partitions rows ever reach the driver — no
+  global sort, no shuffle of the scan.  This is the right baseline even
+  at cluster scale (it's a single pass over the data).
+* :func:`ann_search` — IVF-style approximate search: vectors are
+  pre-assigned to coarse cells (k-means centroids at corpus scale —
+  see :mod:`~flink_kmeans_clustering_spark.operators.kmeans_ml`); a
+  query ranks the cell centroids driver-side, probes the best
+  ``n_probe`` cells, and brute-forces only inside them.  With the table
+  written partitioned-by-cell, the probe filter becomes partition
+  pruning — the 100 TB scan shrinks to the probed cells' files.
+
+All vector arithmetic is JVM-side (functions.vector); query vectors
+enter the plan as literal arrays.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_kmeans_clustering_spark.functions.vector import cosine_similarity, l2_norm
+
+
+def _query_lit(query_vec: Sequence[float]):
+    return F.array(*[F.lit(float(v)) for v in query_vec])
+
+
+def topk_cosine(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Exact top-k rows by cosine similarity to a literal query vector.
+
+    Deterministic order: (similarity DESC, id ASC); ties at equal
+    (rounded) similarity always resolve the same way.  ``round_to``
+    rounds the similarity *before* ranking so an independent engine
+    computing the same values in a different summation order ranks
+    identically (oracle determinism, FIXTURES.md).
+
+    Rows whose vector length differs from the query get NULL cosine
+    (``zip_with`` null-pads) and sort last — they never displace a
+    real result.
+    """
+    sim = cosine_similarity(F.col(vec_col).cast("array<double>"), _query_lit(query_vec))
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    scored = df.select(F.col(id_col), sim.alias("cosine"))
+    return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
+
+
+def cell_centroids(
+    df: DataFrame,
+    cell_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cell mean vector: (cell, centroid array<double>, n).
+
+    posexplode → (cell, dim) partial-sum aggregation → re-assemble via
+    sorted collect_list.  The exploded shuffle is (rows × dim) but
+    map-side combine collapses it to (cells × dim) before the exchange.
+    """
+    ex = df.select(
+        F.col(cell_col).alias("cell"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "v"),
+    )
+    per_dim = ex.groupBy("cell", "pos").agg(
+        F.avg("v").alias("mean_v"), F.count(F.lit(1)).alias("n")
+    )
+    return per_dim.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mean_v"))),
+            lambda s: s["mean_v"],
+        ).alias("centroid"),
+        F.first("n").alias("n"),
+    )
+
+
+def ann_search(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    cell_col: str = "label",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """IVF probe search: rank cells driver-side, scan only the best cells.
+
+    ``centroids`` is the small driver-side cell → centroid list (from
+    :func:`cell_centroids` ``.collect()`` or an MLlib k-means model).
+    The ``isin(probed)`` filter is pushed into the scan; on a
+    cell-partitioned table that is partition pruning.
+    """
+    import math
+
+    def cos(a: Sequence[float], b: Sequence[float]) -> float:
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        return num / den if den else 0.0
+
+    ranked = sorted(
+        centroids, key=lambda c: (-cos(c[1], list(query_vec)), c[0])
+    )
+    probed = [c[0] for c in ranked[:n_probe]]
+    pruned = df.filter(F.col(cell_col).isin(probed))
+    return topk_cosine(
+        pruned, query_vec, k=k, id_col=id_col, vec_col=vec_col, round_to=round_to
+    )
+
+
+def normalize_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Add ``<vec_col>_norm``: the L2-normalized vector (array<double>).
+
+    Pre-normalizing once turns every later cosine into a plain dot
+    product — the standard preparation pass for a similarity corpus.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    nrm = l2_norm(v)
+    return df.withColumn(
+        f"{vec_col}_norm",
+        F.when(nrm != 0.0, F.transform(v, lambda x: x / nrm)),
+    )

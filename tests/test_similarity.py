@@ -1,0 +1,85 @@
+"""Similarity search operator tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_kmeans_clustering_spark.operators.similarity import (
+    ann_search,
+    cell_centroids,
+    normalize_vectors,
+    topk_cosine,
+)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    return spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [0.9, 0.1], 0),
+            (2, [0.0, 1.0], 1),
+            (3, [0.1, 0.9], 1),
+            (4, [-1.0, 0.0], 2),
+            (5, [1.0, 0.0], 0),  # same direction as query, higher id than 0
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+
+
+def test_topk_ranking_and_tiebreak(spark, vectors):
+    rows = topk_cosine(vectors, [1.0, 0.0], k=3).collect()
+    # ids 0 and 5 both have cosine 1.0 -> tie broken by id asc
+    assert [r["vec_id"] for r in rows] == [0, 5, 1]
+    assert rows[0]["cosine"] == 1.0
+
+
+def test_topk_k_bound(spark, vectors):
+    assert topk_cosine(vectors, [1.0, 0.0], k=2).count() == 2
+
+
+def test_topk_plan_uses_take_ordered(spark, vectors):
+    # ORDER BY + LIMIT must compile to TakeOrderedAndProject (per-partition
+    # top-k, no global sort) — the plan shape that scales
+    plan = (
+        topk_cosine(vectors, [1.0, 0.0], k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_cell_centroids_means(spark, vectors):
+    rows = {r["cell"]: r for r in cell_centroids(vectors, "label").collect()}
+    assert rows[0]["centroid"] == pytest.approx([29 / 30, 1 / 30])
+    assert rows[0]["n"] == 3
+    assert rows[1]["centroid"] == pytest.approx([0.05, 0.95])
+    assert rows[2]["centroid"] == pytest.approx([-1.0, 0.0])
+
+
+def test_ann_probe_restricts_then_matches_bruteforce_when_probing_all(spark, vectors):
+    cents = [
+        (r["cell"], list(r["centroid"]))
+        for r in cell_centroids(vectors, "label").collect()
+    ]
+    # probing 1 cell: only label-0 vectors can appear
+    got = ann_search(vectors, cents, [1.0, 0.0], k=5, n_probe=1)
+    assert {r["vec_id"] for r in got.collect()} == {0, 1, 5}
+    # probing all cells == exact brute force
+    exact = [r["vec_id"] for r in topk_cosine(vectors, [1.0, 0.0], k=4).collect()]
+    approx = [
+        r["vec_id"]
+        for r in ann_search(vectors, cents, [1.0, 0.0], k=4, n_probe=3).collect()
+    ]
+    assert exact == approx
+
+
+def test_normalize_vectors(spark, vectors):
+    withz = vectors.union(
+        spark.createDataFrame([(9, [0.0, 0.0], 3)], vectors.schema)
+    )
+    out = {r["vec_id"]: r["embedding_norm"] for r in normalize_vectors(withz).collect()}
+    assert out[1] == pytest.approx([0.9 / (0.81 + 0.01) ** 0.5, 0.1 / (0.82) ** 0.5])
+    assert out[9] is None  # zero vector -> NULL, not NaN
