@@ -29,6 +29,16 @@ from flink_kmeans_clustering_spark.operators.similarity import (
     cell_centroids,
     topk_cosine,
 )
+from flink_kmeans_clustering_spark.operators.textstats import (
+    BPE_TOKEN_RE,
+    ENGLISH_STOPWORDS,
+    LANG_STOPWORDS,
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    token_counts,
+    token_frequencies,
+)
 from flink_kmeans_clustering_spark.operators.kmeans import (
     assign_points,
     lloyd,
@@ -157,6 +167,41 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(docs, max_hamming=3, chunks=4)
 
 
+# --- text analysis (SURVEY.md §2.6) -----------------------------------------
+
+TOKENFREQ_TOP_N = 100
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token counts: whitespace + BPE-ish regex segmentation."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_counts(docs)
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID with alphabetical tie-break."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return language_id(docs)
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surface-feature quality score in [0,1] (stopword/length/punct)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_score(docs)
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive integer rolling fingerprint of the token stream."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return doc_fingerprint(docs)
+
+
+def q_text_tokenfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequencies, deterministic top-100 (freq DESC, token)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_frequencies(docs, top_n=TOKENFREQ_TOP_N)
+
+
 # --- similarity search (SURVEY.md §2.6) -------------------------------------
 
 TOPK_K = 10
@@ -203,7 +248,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_simhash": q_dedup_simhash,
         "q_topk_sim": q_topk_sim,
         "q_ann_ivf": q_ann_ivf,
+        "q_text_tokens": q_text_tokens,
+        "q_text_langid": q_text_langid,
+        "q_text_quality": q_text_quality,
+        "q_text_fingerprint": q_text_fingerprint,
+        "q_text_tokenfreq": q_text_tokenfreq,
     }
+
+
+# Shared DuckDB fragment: identical tokenization to functions.text.tokenize
+_TOKS_CTE = """
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents
+)"""
+
+
+def _stopword_hits_sql(lst: tuple[str, ...]) -> str:
+    arr = ", ".join(f"'{w}'" for w in lst)
+    return f"len(list_filter(t, x -> list_contains([{arr}], x)))"
 
 
 # ---------------------------------------------------------------------------
@@ -347,6 +412,83 @@ scored AS (
 )
 SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT {TOPK_K}
 """
+    text_tokens_sql = f"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '{BPE_TOKEN_RE}')) AS n_bpe_tokens,
+       length(text) AS n_chars_actual
+FROM documents
+"""
+    # per-language stopword-hit scores; CASE order = alphabetical language
+    # order, reproducing Spark's array_min((-score, lang)) first-wins tie-break
+    langs = sorted(LANG_STOPWORDS.items())
+    score_cols = ",\n         ".join(
+        f"{_stopword_hits_sql(words)} AS s_{lang}" for lang, words in langs
+    )
+    when_arms = "\n            ".join(
+        f"WHEN s_{lang} = g THEN '{lang}'" for lang, _ in langs
+    )
+    text_langid_sql = f"""
+WITH {_TOKS_CTE},
+scores AS (
+  SELECT doc_id,
+         {score_cols}
+  FROM toks
+),
+best AS (
+  SELECT *, greatest({", ".join(f"s_{lang}" for lang, _ in langs)}) AS g
+  FROM scores
+)
+SELECT doc_id,
+       CASE WHEN g = 0 THEN 'und'
+            {when_arms}
+       END AS pred_lang,
+       g AS score
+FROM best
+"""
+    text_quality_sql = f"""
+WITH {_TOKS_CTE},
+feat AS (
+  SELECT d.doc_id,
+         len(t) AS n_words,
+         {_stopword_hits_sql(ENGLISH_STOPWORDS)} AS stop_hits,
+         len(regexp_extract_all(d.text, '[^a-zA-Z0-9\\s]')) AS n_punct,
+         length(d.text) AS n_chars
+  FROM documents d JOIN toks ON d.doc_id = toks.doc_id
+)
+SELECT doc_id, n_words, stop_hits, n_punct,
+       ROUND(
+         0.4 * least(CASE WHEN n_words > 0
+                          THEN CAST(stop_hits AS DOUBLE)/n_words ELSE 0.0 END * 5,
+                     1.0)
+       + 0.3 * least(n_words / 100.0, 1.0)
+       + 0.3 * (1.0 - least(CASE WHEN n_chars > 0
+                                 THEN CAST(n_punct AS DOUBLE)/n_chars
+                                 ELSE 0.0 END * 10,
+                            1.0)),
+       6) AS quality
+FROM feat
+"""
+    text_fingerprint_sql = f"""
+WITH {_TOKS_CTE}
+SELECT doc_id,
+       CAST(CASE WHEN len(t) = 0 THEN 0
+            ELSE list_sum(list_transform(range(1, len(t)+1),
+                   i -> CAST(i AS BIGINT)
+                        * (CAST(ascii(t[i][1:1]) AS BIGINT) * 31
+                           + CAST(length(t[i]) AS BIGINT))))
+       END AS BIGINT) AS fingerprint
+FROM toks
+"""
+    text_tokenfreq_sql = f"""
+WITH {_TOKS_CTE}
+SELECT token, COUNT(*) AS freq
+FROM (SELECT unnest(t) AS token FROM toks)
+GROUP BY token
+ORDER BY freq DESC, token
+LIMIT {TOKENFREQ_TOP_N}
+"""
     return {
         "q_assign": assign,
         "q_update": update,
@@ -360,4 +502,9 @@ SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT {TOPK_K}
         # xxhash64-based signatures are engine-specific (rows-only check).
         "q_topk_sim": topk_sim_sql,
         "q_ann_ivf": ann_ivf_sql,
+        "q_text_tokens": text_tokens_sql,
+        "q_text_langid": text_langid_sql,
+        "q_text_quality": text_quality_sql,
+        "q_text_fingerprint": text_fingerprint_sql,
+        "q_text_tokenfreq": text_tokenfreq_sql,
     }

@@ -1,0 +1,58 @@
+"""Benchmark driver: times every headline query at $SPARK_GRAFT_SF_DIR.
+
+Prints exactly ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <scale factor>}
+
+Each query is materialized through the `noop` sink so the full column
+set is computed (a bare .count() would let Catalyst prune away the
+expensive expressions and flatter the numbers).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import __spark_entry__ as entrymod
+from flink_kmeans_clustering_spark.session import get_spark
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="bench")
+
+    # warm up the JVM / parquet footer cache so query timings measure the
+    # engine, not one-time session startup
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name, q in entrymod.queries().items():
+        t0 = time.perf_counter()
+        df = q(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(sf_dir),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,105 @@
+"""Hand-checked unit tests for the text-analysis operators.
+
+Oracle-vs-Spark parity at sf0.01 is covered automatically by
+tests/test_oracle_parity.py once the q_text_* entries exist; these
+tests pin the semantics on tiny inputs a human can verify.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_kmeans_clustering_spark.operators.textstats import (
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    token_counts,
+    token_frequencies,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_counts_basic(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "hello world"),
+            (2, ""),
+            (3, "  a  b "),
+            (4, "abc123,def!"),
+        ],
+    )
+    got = {r["doc_id"]: r.asDict() for r in token_counts(df).collect()}
+    assert got[1]["n_ws_tokens"] == 2
+    assert got[2]["n_ws_tokens"] == 0
+    assert got[3]["n_ws_tokens"] == 2
+    # "abc123,def!" lowered -> abc / 123 / , / def / ! = 5 BPE-ish tokens
+    assert got[4]["n_bpe_tokens"] == 5
+    assert got[4]["n_chars_actual"] == 11
+
+
+def test_language_id_and_tiebreak(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "the cat and the dog is in that house with food"),
+            (2, "der hund und die katze ist nicht hier"),
+            (3, "xyzzy qwerty plugh"),  # no stopword hits anywhere
+            (4, "la de"),  # es hits la+de=2, fr hits le? no: la=1... tie case below
+        ],
+    )
+    got = {r["doc_id"]: r["pred_lang"] for r in language_id(df).collect()}
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[3] == "und"
+
+
+def test_language_id_alphabetical_tiebreak(spark):
+    # "die la" -> de hits {die}=1, es hits {la}=1, fr hits {la}=1 -> 'de' wins
+    df = _docs(spark, [(1, "die la")])
+    [r] = language_id(df).collect()
+    assert r["pred_lang"] == "de"
+    assert r["score"] == 1
+
+
+def test_quality_score_bounds_and_empty(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "the cat and the dog is in that house with plenty of food today"),
+            (2, ""),
+            (3, "!!! ??? ***"),
+        ],
+    )
+    got = {r["doc_id"]: r.asDict() for r in quality_score(df).collect()}
+    for d in got.values():
+        assert 0.0 <= d["quality"] <= 1.0
+    # pure punctuation: no words, max punct penalty -> only 0 components
+    assert got[3]["n_words"] == 0
+    assert got[3]["quality"] == 0.0
+    assert got[1]["quality"] > got[3]["quality"]
+
+
+def test_fingerprint_order_sensitive(spark):
+    a = _docs(spark, [(1, "alpha beta")])
+    b = _docs(spark, [(1, "beta alpha")])
+    e = _docs(spark, [(1, "")])
+    fa = doc_fingerprint(a).collect()[0]["fingerprint"]
+    fb = doc_fingerprint(b).collect()[0]["fingerprint"]
+    fe = doc_fingerprint(e).collect()[0]["fingerprint"]
+    # hand-check: ascii('a')=97, len=5 -> 97*31+5=3012; ascii('b')=98, len=4
+    # -> 98*31+4=3042;  "alpha beta" = 1*3012 + 2*3042 = 9096
+    assert fa == 9096
+    assert fb == 1 * 3042 + 2 * 3012
+    assert fa != fb
+    assert fe == 0
+
+
+def test_token_frequencies_topn_deterministic(spark):
+    df = _docs(spark, [(1, "a b b c c"), (2, "c d")])
+    rows = [tuple(r) for r in token_frequencies(df, top_n=3).collect()]
+    # freq DESC then token ASC: c=3, b=2, a=1 (a before d at freq 1)
+    assert rows == [("c", 3), ("b", 2), ("a", 1)]
