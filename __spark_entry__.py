@@ -39,6 +39,15 @@ from flink_kmeans_clustering_spark.operators.textstats import (
     token_counts,
     token_frequencies,
 )
+from flink_kmeans_clustering_spark.sources.parquet import load_events
+from flink_kmeans_clustering_spark.operators.events import (
+    extract_props,
+    props_stats_by_type,
+    sessionize,
+    top_events_per_user,
+    tumbling_window_agg,
+    type_date_rollup,
+)
 from flink_kmeans_clustering_spark.operators.kmeans import (
     assign_points,
     lloyd,
@@ -202,6 +211,48 @@ def q_text_tokenfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_frequencies(docs, top_n=TOKENFREQ_TOP_N)
 
 
+# --- events / time-series (SURVEY.md §2.6) ----------------------------------
+
+SESSION_GAP_MINUTES = 30
+TOP_EVENTS_K = 3
+
+
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows: count + Σvalue per type."""
+    ev = load_events(spark, sf_dir)
+    return tumbling_window_agg(ev, window="1 hour")
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions (30 min) per user: bounds, count, Σvalue."""
+    ev = load_events(spark, sf_dir)
+    return sessionize(ev, gap_minutes=SESSION_GAP_MINUTES)
+
+
+def q_events_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user top-3 events by value (window ranking, id tie-break)."""
+    ev = load_events(spark, sf_dir)
+    return top_events_per_user(ev, k=TOP_EVENTS_K)
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction from the props column."""
+    ev = load_events(spark, sf_dir)
+    return extract_props(ev, key="k")
+
+
+def q_events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregates over the extracted JSON property per event_type."""
+    ev = load_events(spark, sf_dir)
+    return props_stats_by_type(ev, key="k")
+
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(event_type, day) with 'ALL' in the subtotal slots."""
+    ev = load_events(spark, sf_dir)
+    return type_date_rollup(ev)
+
+
 # --- similarity search (SURVEY.md §2.6) -------------------------------------
 
 TOPK_K = 10
@@ -246,6 +297,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_embedding": q_dedup_embedding,
         "q_dedup_minhash": q_dedup_minhash,
         "q_dedup_simhash": q_dedup_simhash,
+        "q_events_window": q_events_window,
+        "q_events_sessionize": q_events_sessionize,
+        "q_events_topk": q_events_topk,
+        "q_events_json": q_events_json,
+        "q_events_json_stats": q_events_json_stats,
+        "q_events_rollup": q_events_rollup,
         "q_topk_sim": q_topk_sim,
         "q_ann_ivf": q_ann_ivf,
         "q_text_tokens": q_text_tokens,
@@ -412,6 +469,68 @@ scored AS (
 )
 SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT {TOPK_K}
 """
+    events_window_sql = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+    events_sessionize_sql = f"""
+WITH ordered AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER w AS prev_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_us IS NULL
+                   OR ts_us - prev_us > {SESSION_GAP_MINUTES * 60 * 1000000}
+                 THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+),
+numbered AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       MIN(ts_us) AS session_start_us,
+       MAX(ts_us) AS session_end_us,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM numbered GROUP BY user_id, session_seq
+"""
+    events_topk_sql = f"""
+SELECT user_id, event_id, event_type, value, CAST(rnk AS INT) AS rnk FROM (
+  SELECT user_id, event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS rnk
+  FROM events
+) WHERE rnk <= {TOP_EVENTS_K}
+"""
+    events_json_sql = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS prop_k
+FROM events
+"""
+    events_json_stats_sql = """
+WITH e AS (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k
+  FROM events
+)
+SELECT event_type, COUNT(k) AS n_with_key,
+       CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+FROM e GROUP BY event_type
+"""
+    events_rollup_sql = """
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(event_date, 'ALL') AS event_date,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS event_date, value
+      FROM events)
+GROUP BY ROLLUP(event_type, event_date)
+"""
     text_tokens_sql = f"""
 SELECT doc_id,
        CASE WHEN length(trim(text)) = 0 THEN 0
@@ -500,6 +619,12 @@ LIMIT {TOKENFREQ_TOP_N}
         "q_dedup_embedding": dedup_embedding_sql,
         # q_dedup_minhash / q_dedup_simhash: intentionally no oracle —
         # xxhash64-based signatures are engine-specific (rows-only check).
+        "q_events_window": events_window_sql,
+        "q_events_sessionize": events_sessionize_sql,
+        "q_events_topk": events_topk_sql,
+        "q_events_json": events_json_sql,
+        "q_events_json_stats": events_json_stats_sql,
+        "q_events_rollup": events_rollup_sql,
         "q_topk_sim": topk_sim_sql,
         "q_ann_ivf": ann_ivf_sql,
         "q_text_tokens": text_tokens_sql,

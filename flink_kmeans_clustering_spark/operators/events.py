@@ -1,0 +1,144 @@
+"""Event/time-series operators over the ``events`` table
+(event_id, ts, user_id, event_type, value, props-json).
+
+Extends the reference surface (SURVEY.md §2.5 lists "window functions /
+sorts / limits / set ops: none") with the time-series operators a
+training-data pipeline needs: tumbling-window aggregation, gap-based
+sessionization, per-key top-k ranking, JSON property extraction, and
+hierarchical rollup.
+
+Scale notes (100 TB posture):
+* every operator is a single hash-shuffle on its natural key
+  (window+type, user_id, or event_type) with map-side partial
+  aggregation where applicable — no driver-side collection;
+* timestamps are compared as epoch **microseconds** (``unix_micros`` /
+  DuckDB ``epoch_us``) — integer-exact across engines, no tz or float
+  ambiguity;
+* window starts are emitted as formatted strings so the oracle hash is
+  dtype-identical in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TS_FMT = "yyyy-MM-dd HH:mm"
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    window: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling event-time windows: count + value sum per (window, type).
+
+    ``F.window`` buckets by event time (epoch-aligned), the batch twin of
+    the Structured Streaming windowed aggregation in
+    ``streaming.windowed``.  One shuffle on (window, event_type) with
+    partial aggregation before the exchange.
+    """
+    return (
+        df.groupBy(F.window(ts_col, window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Gap-based sessionization (gaps-and-islands over a window spec).
+
+    A new session starts when the gap to the user's previous event
+    exceeds ``gap_minutes``.  Two window passes over one hash-partition
+    by user (lag → running sum), then a grouped aggregate — Catalyst
+    reuses the single Exchange for all three.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+    ts_us = F.unix_micros(F.col(ts_col))
+    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    prev = F.lag(ts_us).over(w)
+    is_new = F.when(prev.isNull() | ((ts_us - prev) > gap_us), 1).otherwise(0)
+    sessions = df.withColumn("_new", is_new).withColumn(
+        "session_seq",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sessions.groupBy(user_col, "session_seq")
+        .agg(
+            F.min(ts_us).alias("session_start_us"),
+            F.max(ts_us).alias("session_end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+def top_events_per_user(df: DataFrame, k: int = 3) -> DataFrame:
+    """Per-user top-k events by value (rank ties broken by event_id).
+
+    The rank filter is the classic window top-k; at scale this is one
+    shuffle by user plus a narrow filter — no global sort.
+    """
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
+    return (
+        df.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("user_id", "event_id", "event_type", "value", "rnk")
+    )
+
+
+def extract_props(df: DataFrame, key: str = "k") -> DataFrame:
+    """Pull a typed value out of the JSON ``props`` column.
+
+    ``get_json_object`` is a JVM-side JSON path scan — no Python, no
+    full ``from_json`` schema materialization for a single key.
+    """
+    return df.select(
+        "event_id",
+        F.get_json_object("props", f"$.{key}").cast("int").alias("prop_k"),
+    )
+
+
+def props_stats_by_type(df: DataFrame, key: str = "k") -> DataFrame:
+    """Aggregate the extracted JSON property per event_type."""
+    k_val = F.get_json_object("props", f"$.{key}").cast("int")
+    return df.groupBy("event_type").agg(
+        F.count(k_val).alias("n_with_key"),
+        F.sum(k_val).alias("sum_k"),
+        F.min(k_val).alias("min_k"),
+        F.max(k_val).alias("max_k"),
+    )
+
+
+def type_date_rollup(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """ROLLUP (event_type, event_date): per-day, per-type subtotals +
+    grand total.  NULL grouping slots are coalesced to 'ALL' so the
+    output is hashable/deterministic across engines.
+    """
+    d = df.withColumn("event_date", F.date_format(ts_col, "yyyy-MM-dd"))
+    return (
+        d.rollup("event_type", "event_date")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("event_date", F.lit("ALL")).alias("event_date"),
+            "n_events",
+            "sum_value",
+        )
+    )

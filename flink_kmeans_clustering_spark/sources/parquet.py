@@ -10,6 +10,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -37,3 +38,20 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Scan every testdata table into a name → DataFrame map."""
     return {name: load_table(spark, name, sf_dir) for name in TABLES}
+
+
+def load_events(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Events scan with a proper TIMESTAMP ``ts`` column.
+
+    The testdata writes ``ts`` as parquet INT64 TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects by default.  We read nanos as a
+    raw long (``nanosAsLong``) and floor-divide to microseconds with
+    integer arithmetic (``div`` — a double division would lose
+    precision on ~1.7e18 nanosecond values), matching DuckDB's
+    ``epoch_us`` truncation on the same file.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = load_table(spark, "events", sf_dir)
+    return ev.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )

@@ -1,0 +1,85 @@
+"""Unit tests for events/time-series operators on tiny hand-checked data."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from flink_kmeans_clustering_spark.operators.events import (
+    extract_props,
+    sessionize,
+    top_events_per_user,
+    tumbling_window_agg,
+    type_date_rollup,
+)
+
+SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+
+def _ts(minute: int, second: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+def _events(spark):
+    rows = [
+        (0, _ts(0), 1, "click", 1.0, '{"k": 5}'),
+        (1, _ts(10), 1, "view", 2.0, '{"k": 6}'),
+        # 40-min gap for user 1 -> new session
+        (2, _ts(50), 1, "click", 4.0, '{"k": 7}'),
+        (3, _ts(5), 2, "view", 8.0, '{"k": 1}'),
+        # same value as event 4 -> event_id tie-break in top-k
+        (4, _ts(59), 2, "view", 8.0, '{"k": 2}'),
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_sessionize_gap_splits(spark):
+    out = sessionize(_events(spark), gap_minutes=30).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert len(by_user[1]) == 2  # 40-min gap split
+    assert len(by_user[2]) == 2  # 54-min gap split
+    s1 = sorted(by_user[1], key=lambda r: r["session_seq"])
+    assert s1[0]["n_events"] == 2 and s1[0]["sum_value"] == 3.0
+    assert s1[1]["n_events"] == 1 and s1[1]["sum_value"] == 4.0
+
+
+def test_sessionize_gap_exactly_on_boundary(spark):
+    # 30:00 gap is NOT > 30 min -> same session
+    rows = [
+        (0, _ts(0), 1, "click", 1.0, "{}"),
+        (1, _ts(30), 1, "click", 1.0, "{}"),
+        (2, _ts(30, 1), 1, "click", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = sessionize(df, gap_minutes=30).collect()
+    assert len(out) == 1 and out[0]["n_events"] == 3
+
+
+def test_tumbling_window_counts(spark):
+    out = tumbling_window_agg(_events(spark), window="30 minutes").collect()
+    got = {(r["window_start"], r["event_type"]): r["n_events"] for r in out}
+    assert got[("2024-01-01 00:00", "click")] == 1
+    assert got[("2024-01-01 00:00", "view")] == 2
+    assert got[("2024-01-01 00:30", "click")] == 1
+    assert got[("2024-01-01 00:30", "view")] == 1
+
+
+def test_topk_tie_break_by_event_id(spark):
+    out = top_events_per_user(_events(spark), k=1).collect()
+    winner = {r["user_id"]: r["event_id"] for r in out}
+    assert winner[2] == 3  # value tie (8.0) -> lower event_id wins
+    assert winner[1] == 2
+
+
+def test_extract_props_typed(spark):
+    out = {r["event_id"]: r["prop_k"] for r in extract_props(_events(spark)).collect()}
+    assert out == {0: 5, 1: 6, 2: 7, 3: 1, 4: 2}
+
+
+def test_rollup_has_grand_total(spark):
+    out = type_date_rollup(_events(spark)).collect()
+    rows = {(r["event_type"], r["event_date"]): r["n_events"] for r in out}
+    assert rows[("ALL", "ALL")] == 5
+    assert rows[("view", "ALL")] == 3
+    assert rows[("view", "2024-01-01")] == 3
