@@ -39,7 +39,15 @@ from flink_kmeans_clustering_spark.operators.textstats import (
     token_counts,
     token_frequencies,
 )
-from flink_kmeans_clustering_spark.sources.parquet import load_events
+from flink_kmeans_clustering_spark.operators.relational import (
+    customer_status_sets,
+    late_order_priority,
+    local_supplier_volume,
+    parts_without_bulk_sales,
+    pricing_summary,
+    shipping_priority,
+)
+from flink_kmeans_clustering_spark.sources.parquet import load_events, load_table
 from flink_kmeans_clustering_spark.operators.events import (
     extract_props,
     props_stats_by_type,
@@ -211,6 +219,56 @@ def q_text_tokenfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_frequencies(docs, top_n=TOKENFREQ_TOP_N)
 
 
+# --- relational star-schema queries (joins / set ops / top-k) ---------------
+
+
+def q_rel_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: grouped pricing summary with decimal-exact sums."""
+    return pricing_summary(load_table(spark, "lineitem", sf_dir))
+
+
+def q_rel_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 open orders by revenue (broadcast dim)."""
+    return shipping_priority(
+        load_table(spark, "customer", sf_dir),
+        load_table(spark, "orders", sf_dir),
+        load_table(spark, "lineitem", sf_dir),
+    )
+
+
+def q_rel_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: same-nation customer/supplier revenue by nation."""
+    return local_supplier_volume(
+        load_table(spark, "region", sf_dir),
+        load_table(spark, "nation", sf_dir),
+        load_table(spark, "customer", sf_dir),
+        load_table(spark, "supplier", sf_dir),
+        load_table(spark, "orders", sf_dir),
+        load_table(spark, "lineitem", sf_dir),
+    )
+
+
+def q_rel_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: non-equi EXISTS semi join, counts by priority."""
+    return late_order_priority(
+        load_table(spark, "orders", sf_dir),
+        load_table(spark, "lineitem", sf_dir),
+    )
+
+
+def q_rel_anti_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: parts with no bulk (qty ≥ 49) sale."""
+    return parts_without_bulk_sales(
+        load_table(spark, "part", sf_dir),
+        load_table(spark, "lineitem", sf_dir),
+    )
+
+
+def q_rel_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT over order-status customer sets."""
+    return customer_status_sets(load_table(spark, "orders", sf_dir))
+
+
 # --- events / time-series (SURVEY.md §2.6) ----------------------------------
 
 SESSION_GAP_MINUTES = 30
@@ -297,6 +355,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_embedding": q_dedup_embedding,
         "q_dedup_minhash": q_dedup_minhash,
         "q_dedup_simhash": q_dedup_simhash,
+        "q_rel_pricing": q_rel_pricing,
+        "q_rel_shipping": q_rel_shipping,
+        "q_rel_local_supplier": q_rel_local_supplier,
+        "q_rel_late_orders": q_rel_late_orders,
+        "q_rel_anti_parts": q_rel_anti_parts,
+        "q_rel_setops": q_rel_setops,
         "q_events_window": q_events_window,
         "q_events_sessionize": q_events_sessionize,
         "q_events_topk": q_events_topk,
@@ -469,6 +533,94 @@ scored AS (
 )
 SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT {TOPK_K}
 """
+    # Money sums accumulate as DECIMAL on both engines (associative-exact,
+    # partition-order-independent), then cast back to double — see
+    # operators.relational._dsum.
+    rel_pricing_sql = """
+SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price,
+       ROUND(sum_disc_price, 6) AS sum_disc_price,
+       ROUND(sum_charge, 6) AS sum_charge,
+       ROUND(sum_qty / count_order, 6) AS avg_qty,
+       ROUND(sum_base_price / count_order, 6) AS avg_price,
+       count_order
+FROM (
+  SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+           AS sum_base_price,
+         CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,8)))
+              AS DOUBLE) AS sum_disc_price,
+         CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax)
+                       AS DECIMAL(25,8))) AS DOUBLE) AS sum_charge,
+         COUNT(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+  GROUP BY l_returnflag, l_linestatus
+)
+"""
+    rel_shipping_sql = """
+SELECT l_orderkey,
+       ROUND(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,8)))
+                  AS DOUBLE), 6) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-06-01'
+  AND l_shipdate > TIMESTAMP '1997-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+    rel_local_supplier_sql = """
+SELECT n_name,
+       ROUND(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,8)))
+                  AS DOUBLE), 6) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+    rel_late_orders_sql = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY o_orderpriority
+"""
+    rel_anti_parts_sql = """
+SELECT p_partkey, p_name FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49.0
+)
+"""
+    rel_setops_sql = """
+SELECT custkey, 'both' AS tag FROM (
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+)
+UNION ALL
+SELECT custkey, 'f_only' AS tag FROM (
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+  EXCEPT
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+)
+"""
     events_window_sql = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start,
        event_type,
@@ -619,6 +771,12 @@ LIMIT {TOKENFREQ_TOP_N}
         "q_dedup_embedding": dedup_embedding_sql,
         # q_dedup_minhash / q_dedup_simhash: intentionally no oracle —
         # xxhash64-based signatures are engine-specific (rows-only check).
+        "q_rel_pricing": rel_pricing_sql,
+        "q_rel_shipping": rel_shipping_sql,
+        "q_rel_local_supplier": rel_local_supplier_sql,
+        "q_rel_late_orders": rel_late_orders_sql,
+        "q_rel_anti_parts": rel_anti_parts_sql,
+        "q_rel_setops": rel_setops_sql,
         "q_events_window": events_window_sql,
         "q_events_sessionize": events_sessionize_sql,
         "q_events_topk": events_topk_sql,

@@ -1,0 +1,217 @@
+"""Relational/analytic queries over the TPC-H-ish star schema
+(TESTDATA.md): scan → filter → multi-way join → aggregate → top-k.
+
+The reference's relational surface is a single k×k equi-join
+(KMeans.java:175) plus grouped reduces; this module supplies the full
+join/aggregation repertoire a standalone analytics engine needs —
+broadcast inner joins, non-equi semi joins, anti joins, set ops,
+grouped aggregation with partial (map-side) combine, and deterministic
+top-k via TakeOrderedAndProject.
+
+Scale posture (100 TB):
+* Dimension tables (region, nation, supplier, part) get explicit
+  ``F.broadcast`` hints — replicated hash maps, no shuffle of the fact
+  table.  ``customer``/``orders`` joins are left to AQE, which picks
+  broadcast vs shuffled-hash from runtime sizes.
+* Fact-side predicates (ship-date windows, segment filters) sit
+  directly on the scan so Catalyst pushes them into the parquet reader
+  (verify: ``PushedFilters`` in ``.explain``).
+* Money aggregates are summed as DECIMAL(18,4)/DECIMAL(25,8) then cast
+  back to double: decimal addition is associative-exact, so results
+  are partition-order-independent and bit-identical across engines —
+  no "round and hope" on a 10-billion-row sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,4)"
+DEC_WIDE = "decimal(25,8)"
+
+
+def _dsum(col: Column | str, dec: str = DEC) -> Column:
+    """Order-independent exact sum: accumulate in decimal, emit double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(dec)).cast("double")
+
+
+def disc_price() -> Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = "2001-09-01") -> DataFrame:
+    """TPC-H Q1 shape: grouped pricing summary of shipped lineitems.
+
+    One scan + one shuffle on (returnflag, linestatus); Catalyst plans
+    partial HashAggregate before the exchange, and the cutoff predicate
+    is pushed to the parquet row-group level.
+    """
+    charge = disc_price() * (1 + F.col("l_tax"))
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            _dsum(disc_price(), DEC_WIDE).alias("sum_disc_price"),
+            _dsum(charge, DEC_WIDE).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price",
+            F.round("sum_disc_price", 6).alias("sum_disc_price"),
+            F.round("sum_charge", 6).alias("sum_charge"),
+            F.round(F.col("sum_qty") / F.col("count_order"), 6).alias("avg_qty"),
+            F.round(F.col("sum_base_price") / F.col("count_order"), 6).alias(
+                "avg_price"
+            ),
+            "count_order",
+        )
+    )
+
+
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    order_before: str = "1997-06-01",
+    ship_after: str = "1997-06-01",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3 shape: top-k unshipped orders by revenue in a segment.
+
+    customer→orders is an equi-join AQE can broadcast (filtered
+    customer is small); orders→lineitem shuffles on the shared
+    l_orderkey.  The final top-k is TakeOrderedAndProject — per-
+    partition heaps, no global sort.
+    """
+    c = customer.filter(F.col("c_mktsegment") == segment)
+    o = orders.filter(F.col("o_orderdate") < F.lit(order_before).cast("timestamp"))
+    li = lineitem.filter(F.col("l_shipdate") > F.lit(ship_after).cast("timestamp"))
+    joined = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(_dsum(disc_price(), DEC_WIDE), 6).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(k)
+    )
+
+
+def local_supplier_volume(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    region_name: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q5 shape: revenue where customer and supplier share a
+    nation inside one region, by nation.
+
+    The dimension chain region→nation→(customer, supplier) is all
+    broadcast; only orders⋈lineitem shuffles.  The c_nationkey =
+    s_nationkey locality predicate rides the join condition.
+    """
+    r = region.filter(F.col("r_name") == region_name)
+    n = nation.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    )
+    joined = (
+        lineitem.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            customer,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(F.round(_dsum(disc_price(), DEC_WIDE), 6).alias("revenue"))
+    )
+
+
+def late_order_priority(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+    late_days: int = 90,
+) -> DataFrame:
+    """TPC-H Q4 shape: orders with ≥1 late lineitem, counted by priority.
+
+    Semi join (EXISTS) with a non-equi residual: equi on the order key
+    plus ``l_shipdate > o_orderdate + late_days``.  Spark plans a
+    shuffled-hash/broadcast left-semi with the residual evaluated
+    post-probe — each order is emitted at most once, no distinct pass.
+    """
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    )
+    late = o.join(
+        lineitem,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+def parts_without_bulk_sales(
+    part: DataFrame, lineitem: DataFrame, min_qty: float = 49.0
+) -> DataFrame:
+    """Anti join: parts never sold in bulk (no lineitem with quantity
+    ≥ min_qty).  NOT EXISTS as a left-anti hash join — the filtered
+    right side is built once, no subquery-per-row.
+    """
+    bulk = lineitem.filter(F.col("l_quantity") >= min_qty).select("l_partkey")
+    return (
+        part.join(bulk, F.col("p_partkey") == F.col("l_partkey"), "left_anti")
+        .select("p_partkey", "p_name")
+    )
+
+
+def customer_status_sets(orders: DataFrame) -> DataFrame:
+    """Set operations over order-status customer sets.
+
+    ``both``   = customers with open AND finished orders (INTERSECT);
+    ``f_only`` = customers with finished but no open orders (EXCEPT).
+    Both set ops are distinct-semantics hash aggregations; the tag +
+    UNION ALL packs them into one deterministic result.
+    """
+    f_cust = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o_cust = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    both = f_cust.intersect(o_cust).select(
+        F.col("o_custkey").alias("custkey"), F.lit("both").alias("tag")
+    )
+    f_only = f_cust.subtract(o_cust).select(
+        F.col("o_custkey").alias("custkey"), F.lit("f_only").alias("tag")
+    )
+    return both.unionAll(f_only)
