@@ -39,6 +39,13 @@ from flink_kmeans_clustering_spark.operators.textstats import (
     token_counts,
     token_frequencies,
 )
+from flink_kmeans_clustering_spark.operators.multimodal import (
+    asset_metadata,
+    byte_histogram_features,
+    features_rounded,
+    frame_sample,
+    synthesize_assets,
+)
 from flink_kmeans_clustering_spark.operators.relational import (
     customer_status_sets,
     late_order_priority,
@@ -269,6 +276,38 @@ def q_rel_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return customer_status_sets(load_table(spark, "orders", sf_dir))
 
 
+# --- multimodal binary columns (SURVEY.md §2.6) ------------------------------
+
+FRAME_BYTES = 64
+FRAME_EVERY_K = 4
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata + digests over the opaque binary content column."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return asset_metadata(synthesize_assets(docs))
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-4th 64-byte frame window of video assets (digest projection)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    frames = frame_sample(
+        synthesize_assets(docs), frame_bytes=FRAME_BYTES, every_k=FRAME_EVERY_K
+    )
+    return frames.select(
+        "asset_id",
+        "frame_no",
+        F.octet_length("frame").alias("n_bytes"),
+        F.md5("frame").alias("md5"),
+    )
+
+
+def q_multimodal_feat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fake decode: byte-histogram features via mapInPandas."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return features_rounded(byte_histogram_features(synthesize_assets(docs)))
+
+
 # --- events / time-series (SURVEY.md §2.6) ----------------------------------
 
 SESSION_GAP_MINUTES = 30
@@ -361,6 +400,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rel_late_orders": q_rel_late_orders,
         "q_rel_anti_parts": q_rel_anti_parts,
         "q_rel_setops": q_rel_setops,
+        "q_multimodal_meta": q_multimodal_meta,
+        "q_multimodal_frames": q_multimodal_frames,
+        "q_multimodal_feat": q_multimodal_feat,
         "q_events_window": q_events_window,
         "q_events_sessionize": q_events_sessionize,
         "q_events_topk": q_events_topk,
@@ -621,6 +663,60 @@ SELECT custkey, 'f_only' AS tag FROM (
   SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
 )
 """
+    # Multimodal oracles exploit that this corpus is single-byte text
+    # (verified octet_length == length for every sf0.01 row), so UTF-8
+    # content bytes == characters and DuckDB's VARCHAR md5/sha256 (which
+    # hash UTF-8 bytes) equal Spark digests of encode(text,'UTF-8').
+    multimodal_meta_sql = """
+WITH a AS (
+  SELECT doc_id AS asset_id,
+         (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS modality,
+         text, n_chars
+  FROM documents
+)
+SELECT asset_id, modality,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       md5(text) AS md5,
+       sha256(text) AS sha256,
+       upper(modality) AS format,
+       CAST(n_chars % 640 + 16 AS INT) AS width,
+       CAST(n_chars % 480 + 16 AS INT) AS height
+FROM a
+"""
+    multimodal_frames_sql = f"""
+WITH v AS (
+  SELECT doc_id AS asset_id, text,
+         CAST(ceil(length(text) / {FRAME_BYTES}.0) AS INT) AS n_frames
+  FROM documents WHERE doc_id % 3 = 2
+),
+idx AS (
+  SELECT asset_id, text, unnest(range(0, n_frames)) AS i FROM v
+)
+SELECT asset_id, CAST(i AS INT) AS frame_no,
+       CAST(length(substring(text, CAST(i AS INT)*{FRAME_BYTES}+1, {FRAME_BYTES}))
+            AS INT) AS n_bytes,
+       md5(substring(text, CAST(i AS INT)*{FRAME_BYTES}+1, {FRAME_BYTES})) AS md5
+FROM idx WHERE i % {FRAME_EVERY_K} = 0
+"""
+    multimodal_feat_sql = """
+WITH pos AS (
+  SELECT doc_id, text, unnest(range(1, length(text)+1)) AS i FROM documents
+),
+buckets AS (
+  SELECT doc_id,
+         CAST(ascii(substring(text, CAST(i AS INT), 1)) // 16 AS INT) AS bucket
+  FROM pos
+),
+cnt AS (SELECT doc_id, bucket, COUNT(*) AS c FROM buckets GROUP BY 1, 2),
+grid0 AS (
+  SELECT doc_id, length(text) AS n, unnest(range(0, 16)) AS p FROM documents
+),
+grid AS (SELECT doc_id, n, CAST(p AS INT) AS pos FROM grid0)
+SELECT g.doc_id AS asset_id, g.pos,
+       CASE WHEN g.n = 0 THEN 0.0
+            ELSE ROUND(COALESCE(c, 0) * 1.0 / g.n, 6) END AS val
+FROM grid g LEFT JOIN cnt ON cnt.doc_id = g.doc_id AND cnt.bucket = g.pos
+"""
     events_window_sql = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start,
        event_type,
@@ -777,6 +873,9 @@ LIMIT {TOKENFREQ_TOP_N}
         "q_rel_late_orders": rel_late_orders_sql,
         "q_rel_anti_parts": rel_anti_parts_sql,
         "q_rel_setops": rel_setops_sql,
+        "q_multimodal_meta": multimodal_meta_sql,
+        "q_multimodal_frames": multimodal_frames_sql,
+        "q_multimodal_feat": multimodal_feat_sql,
         "q_events_window": events_window_sql,
         "q_events_sessionize": events_sessionize_sql,
         "q_events_topk": events_topk_sql,

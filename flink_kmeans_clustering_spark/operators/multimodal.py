@@ -1,0 +1,192 @@
+"""Multimodal column plumbing: opaque ``binary`` content + typed
+metadata, with decode / feature-extract / frame-sample stages.
+
+Large-scale training pipelines carry images/audio/video as binary
+columns next to text and embeddings.  This module makes that a
+first-class pattern:
+
+* **Schema**: ``asset_id long, modality string, content binary,
+  meta struct<...>`` — content stays opaque to Catalyst; metadata is a
+  typed struct so predicates on it (``meta.width > 64``) prune without
+  touching bytes.
+* **JVM-side stages** (digests, sizes, frame windowing) are column
+  expressions — they run at scan speed, no Python.
+* **Python stages** (feature extraction) are Arrow-batched
+  ``mapInPandas`` — whole record-batches cross the boundary, never
+  rows.  The *actual* image/audio codec decode is STUBBED (this
+  container has no PIL/ffmpeg): ``decode_real`` raises
+  ``NotImplementedError`` by design; ``byte_histogram_features`` is the
+  deterministic fake that keeps the full pipeline shape testable.
+
+At 100 TB: content-bearing DataFrames should be partitioned so one
+parquet row group holds O(100) assets (``spark.sql.files.
+maxPartitionBytes`` down, not up), and feature extraction fans out
+embarrassingly parallel — no shuffle anywhere in this module until a
+downstream groupBy.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:  # pandas only crosses the boundary inside mapInPandas
+    import pandas as pd
+
+MODALITIES = ("image", "audio", "video")
+
+FEATURE_DIM = 16
+
+META_SCHEMA = (
+    "struct<format string, width int, height int, sample_rate int, n_frames int>"
+)
+
+
+def synthesize_assets(docs: DataFrame) -> DataFrame:
+    """Deterministic multimodal corpus derived from the documents table.
+
+    ``content`` is the UTF-8 byte encoding of the text (a real binary
+    column of varying length); modality and metadata derive from
+    ``doc_id``/``n_chars`` arithmetic, so the corpus is reproducible in
+    any engine without RNG.
+    """
+    modality = F.element_at(
+        F.array(*[F.lit(m) for m in MODALITIES]),
+        (F.col("doc_id") % len(MODALITIES) + 1).cast("int"),
+    )
+    n = F.col("n_chars").cast("int")
+    meta = F.struct(
+        F.upper(modality).alias("format"),
+        (n % 640 + 16).alias("width"),
+        (n % 480 + 16).alias("height"),
+        ((n % 3 + 1) * 8000).alias("sample_rate"),
+        (n % 240 + 1).alias("n_frames"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        modality.alias("modality"),
+        F.encode("text", "UTF-8").alias("content"),
+        meta.alias("meta"),
+    )
+
+
+def asset_metadata(assets: DataFrame) -> DataFrame:
+    """Typed metadata + content digests, entirely JVM-side.
+
+    ``octet_length`` + md5/sha256 digests give dedup-grade identity for
+    opaque blobs without decoding them; predicates on the meta struct
+    prune before any byte is touched.
+    """
+    return assets.select(
+        "asset_id",
+        "modality",
+        F.octet_length("content").alias("n_bytes"),
+        F.md5("content").alias("md5"),
+        F.sha2("content", 256).alias("sha256"),
+        F.col("meta.format").alias("format"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+
+
+def frame_sample(assets: DataFrame, frame_bytes: int = 64, every_k: int = 4) -> DataFrame:
+    """Sample every k-th fixed-size byte window ("frame") of the content.
+
+    The JVM-side stand-in for video frame sampling: frames are
+    ``frame_bytes``-wide substrings of the blob, and we keep frames
+    0, k, 2k, … — one row per sampled frame (explode).  Real codecs
+    would slot into the same (asset_id, frame_no, frame) shape.
+    """
+    n_frames = F.ceil(F.octet_length("content") / F.lit(frame_bytes)).cast("int")
+    # guard: sequence(0, -1) would DESCEND in Spark — empty blob → no frames
+    frame_nos = F.when(n_frames <= 0, F.array().cast("array<int>")).otherwise(
+        F.filter(
+            F.sequence(F.lit(0), n_frames - 1),
+            lambda i: i % every_k == 0,
+        )
+    )
+    return (
+        assets.filter(F.col("modality") == "video")
+        .select(
+            "asset_id",
+            F.explode(frame_nos).alias("frame_no"),
+            F.col("content"),
+        )
+        .select(
+            "asset_id",
+            "frame_no",
+            F.expr(f"substring(content, frame_no * {frame_bytes} + 1, {frame_bytes})")
+            .alias("frame"),
+        )
+    )
+
+
+def decode_real(assets: DataFrame) -> DataFrame:
+    """Real codec decode — NOT AVAILABLE in this environment (STUB).
+
+    The production implementation would ``mapInPandas`` over batches,
+    calling PIL/soundfile/pyav per modality.  Those libraries are not
+    in this container, so this raises immediately rather than
+    pretending; ``byte_histogram_features`` is the deterministic
+    substitute that exercises the identical plumbing.
+    """
+    raise NotImplementedError(
+        "codec decode requires PIL/soundfile/pyav (not installed); "
+        "use byte_histogram_features for the deterministic fake path"
+    )
+
+
+def byte_histogram_features(assets: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Deterministic fake "decode + feature extraction" over mapInPandas.
+
+    Features = normalized ``dim``-bucket histogram of content bytes —
+    a stand-in with the exact batch shape of a real embedding model:
+    binary in, ``array<float>`` out, Arrow record batches across the
+    Python boundary, zero shuffle.
+    """
+    out_schema = "asset_id long, modality string, feat array<float>"
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            feats = []
+            for blob in pdf["content"]:
+                arr = np.frombuffer(bytes(blob), dtype=np.uint8)
+                if arr.size == 0:
+                    feats.append(np.zeros(dim, dtype=np.float32))
+                    continue
+                hist = np.bincount(arr // (256 // dim), minlength=dim)[:dim]
+                # round HALF-UP in float64 BEFORE the float32 cast (np.round
+                # is half-even; SQL ROUND is half-up — byte counts over
+                # power-of-two sizes hit .5 boundaries exactly).  6-decimal
+                # values survive a float32 round-trip (|err| ≤ 6e-8 < 5e-7),
+                # so the downstream double-rounded projection is oracle-exact.
+                ratio = hist / arr.size
+                feats.append(
+                    (np.floor(ratio * 1e6 + 0.5) / 1e6).astype(np.float32)
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "feat": feats,
+                }
+            )
+
+    return assets.select("asset_id", "modality", "content").mapInPandas(
+        extract, schema=out_schema
+    )
+
+
+def features_rounded(features: DataFrame, decimals: int = 6) -> DataFrame:
+    """Flatten feature vectors to (asset_id, pos, val) with rounding —
+    the oracle-comparable projection of the fake-decode output."""
+    return features.select(
+        "asset_id",
+        F.posexplode("feat").alias("pos", "val"),
+    ).select("asset_id", "pos", F.round(F.col("val").cast("double"), 6).alias("val"))

@@ -1,0 +1,89 @@
+"""Unit tests for multimodal binary-column plumbing."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from flink_kmeans_clustering_spark.operators.multimodal import (
+    FEATURE_DIM,
+    asset_metadata,
+    byte_histogram_features,
+    decode_real,
+    frame_sample,
+    synthesize_assets,
+)
+
+
+def _docs(spark):
+    rows = [
+        (0, "hello world", "en", "web", 11),
+        (1, "a" * 100, "en", "web", 100),
+        (2, "the quick brown fox " * 10, "en", "book", 200),
+        (3, "", "en", "web", 0),  # empty content
+        (5, "video payload " * 20, "en", "web", 280),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_synthesize_schema_and_modality(spark):
+    a = synthesize_assets(_docs(spark))
+    assert dict(a.dtypes)["content"] == "binary"
+    mods = {r["asset_id"]: r["modality"] for r in a.collect()}
+    assert mods == {0: "image", 1: "audio", 2: "video", 3: "image", 5: "video"}
+
+
+def test_metadata_digests_match_python(spark):
+    out = {r["asset_id"]: r for r in asset_metadata(synthesize_assets(_docs(spark))).collect()}
+    raw = b"hello world"
+    assert out[0]["n_bytes"] == len(raw)
+    assert out[0]["md5"] == hashlib.md5(raw).hexdigest()
+    assert out[0]["sha256"] == hashlib.sha256(raw).hexdigest()
+    assert out[0]["format"] == "IMAGE"
+
+
+def test_frame_sample_windows(spark):
+    frames = frame_sample(synthesize_assets(_docs(spark)), frame_bytes=64, every_k=4)
+    rows = frames.collect()
+    # only video assets (ids 2 and 5)
+    assert {r["asset_id"] for r in rows} == {2, 5}
+    by_asset = {}
+    for r in rows:
+        by_asset.setdefault(r["asset_id"], []).append(r)
+    # asset 2: 200 bytes -> 4 frames (0..3), sampled: frame 0 only
+    f2 = by_asset[2]
+    assert [r["frame_no"] for r in f2] == [0]
+    assert bytes(f2[0]["frame"]) == ("the quick brown fox " * 10).encode()[:64]
+    # asset 5: 280 bytes -> 5 frames, sampled: 0 and 4; frame 4 is the tail
+    f5 = sorted(by_asset[5], key=lambda r: r["frame_no"])
+    assert [r["frame_no"] for r in f5] == [0, 4]
+    assert bytes(f5[1]["frame"]) == ("video payload " * 20).encode()[256:280]
+
+
+def test_frame_sample_empty_content_yields_no_frames(spark):
+    docs = spark.createDataFrame(
+        [(2, "", "en", "web", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    assert frame_sample(synthesize_assets(docs)).count() == 0
+
+
+def test_byte_histogram_matches_numpy(spark):
+    feats = {
+        r["asset_id"]: np.array(r["feat"])
+        for r in byte_histogram_features(synthesize_assets(_docs(spark))).collect()
+    }
+    raw = np.frombuffer(b"hello world", dtype=np.uint8)
+    want = np.bincount(raw // 16, minlength=FEATURE_DIM)[:FEATURE_DIM] / raw.size
+    np.testing.assert_allclose(feats[0], want, atol=1e-6)
+    assert feats[0].shape == (FEATURE_DIM,)
+    np.testing.assert_array_equal(feats[3], np.zeros(FEATURE_DIM))  # empty doc
+
+
+def test_decode_real_is_explicit_stub(spark):
+    with pytest.raises(NotImplementedError):
+        decode_real(synthesize_assets(_docs(spark)))
