@@ -70,6 +70,15 @@ from flink_kmeans_clustering_spark.operators.kmeans import (
     objective_from_assigned,
     update_centroids,
 )
+from flink_kmeans_clustering_spark.streaming import (
+    dedup_stream,
+    run_available_now,
+    running_user_totals,
+    sessionize_stream,
+    stream_events,
+    stream_table,
+    windowed_event_counts,
+)
 from flink_kmeans_clustering_spark.views import (
     ORACLE_CTE,
     centroids_v,
@@ -350,6 +359,56 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return type_date_rollup(ev)
 
 
+# --- structured streaming (streaming/ package) -------------------------------
+
+
+def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling windows (watermark + availableNow drain).
+
+    Complete-mode memory sink: the finalized per-window aggregates are
+    identical to the batch tumbling window, so the batch oracle applies.
+    """
+    stream = windowed_event_counts(stream_events(spark, sf_dir))
+    return run_available_now(stream, output_mode="complete")
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates on text; emits each digest exactly once."""
+    stream = dedup_stream(stream_table(spark, "documents", sf_dir), ["text"])
+    return run_available_now(stream.select(F.md5("text").alias("digest")))
+
+
+def q_stream_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful running totals (applyInPandasWithState, update mode).
+
+    Update mode re-emits each user's cumulative row every micro-batch;
+    the max-n_events row per user is the final state == batch groupBy.
+    """
+    out = run_available_now(
+        running_user_totals(stream_events(spark, sf_dir)), output_mode="update"
+    )
+    return out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.round(F.max_by("sum_value", "n_events"), 6).alias("sum_value"),
+    )
+
+
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time gap sessionization with EventTimeTimeout (rows-only:
+    sessions still open when the bounded drain ends stay in state by
+    design; closed-session parity is asserted in tests/test_streaming.py)."""
+    out = run_available_now(
+        sessionize_stream(stream_events(spark, sf_dir), gap_minutes=SESSION_GAP_MINUTES)
+    )
+    return out.select(
+        "user_id",
+        "session_start_us",
+        "session_end_us",
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
 # --- similarity search (SURVEY.md §2.6) -------------------------------------
 
 TOPK_K = 10
@@ -409,6 +468,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_json": q_events_json,
         "q_events_json_stats": q_events_json_stats,
         "q_events_rollup": q_events_rollup,
+        "q_stream_window": q_stream_window,
+        "q_stream_dedup": q_stream_dedup,
+        "q_stream_totals": q_stream_totals,
+        "q_stream_session": q_stream_session,
         "q_topk_sim": q_topk_sim,
         "q_ann_ivf": q_ann_ivf,
         "q_text_tokens": q_text_tokens,
@@ -882,6 +945,16 @@ LIMIT {TOKENFREQ_TOP_N}
         "q_events_json": events_json_sql,
         "q_events_json_stats": events_json_stats_sql,
         "q_events_rollup": events_rollup_sql,
+        # streaming results drained via availableNow equal their batch
+        # twins, so plain batch SQL is a valid oracle.
+        "q_stream_window": events_window_sql,
+        "q_stream_dedup": "SELECT DISTINCT md5(text) AS digest FROM documents",
+        "q_stream_totals": (
+            "SELECT user_id, COUNT(*) AS n_events,"
+            " ROUND(SUM(value), 6) AS sum_value FROM events GROUP BY user_id"
+        ),
+        # q_stream_session: intentionally no oracle — open sessions at
+        # drain end remain in state (rows-only check).
         "q_topk_sim": topk_sim_sql,
         "q_ann_ivf": ann_ivf_sql,
         "q_text_tokens": text_tokens_sql,

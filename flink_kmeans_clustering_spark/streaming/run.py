@@ -1,0 +1,50 @@
+"""Bounded drain of a streaming DataFrame for tests and oracles.
+
+``trigger(availableNow=True)`` processes everything currently in the
+source as a finite series of micro-batches, then stops — the canonical
+way to run a streaming pipeline over bounded data and compare it with a
+batch oracle.  Results land in a memory sink (driver-side table); fine
+for test-scale output, never for production sinks (those write parquet/
+Kafka with the same ``writeStream`` call).
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+
+from pyspark.sql import DataFrame
+
+_QUERY_SEQ = itertools.count()
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    output_mode: str = "append",
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Drain ``stream_df`` with availableNow into a memory sink.
+
+    Returns the materialized result as a batch DataFrame.  The memory
+    sink needs a unique query name per run; the checkpoint dir is a
+    throwaway tempdir (a real deployment points this at durable storage
+    to get exactly-once restarts).
+    """
+    name = f"stream_result_{os.getpid()}_{next(_QUERY_SEQ)}"
+    checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not query.awaitTermination(timeout_sec):
+            raise TimeoutError(f"streaming query {name} still running after {timeout_sec}s")
+    finally:
+        if query.isActive:
+            query.stop()
+    return stream_df.sparkSession.table(name)

@@ -1,0 +1,80 @@
+"""Streaming sources over the testdata tables.
+
+Streaming reads require an explicit schema (no inference pass exists on
+an unbounded source).  We take it from the parquet footer via a batch
+reader handle — a metadata-only operation, no data scan — so the
+streaming schema can never drift from the batch one.
+
+At cluster scale the same call works against a directory that data is
+continuously landed into; ``maxFilesPerTrigger`` bounds per-micro-batch
+work so one giant backlog drain can't blow executor memory.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_kmeans_clustering_spark.sources.parquet import TABLES
+
+_STAGE_ROOT: str | None = None
+
+
+def _as_stream_dir(path: str) -> str:
+    """Stage a single parquet *file* behind a directory of symlinks.
+
+    Spark's FileStreamSource pins ``basePath`` to the source path and
+    requires it to be a directory; the testdata tables are bare files.
+    A symlink directory is metadata-only (no bytes copied) and keeps
+    the same layout a production stream would use (a landing dir files
+    are appended into).
+    """
+    global _STAGE_ROOT
+    if os.path.isdir(path):
+        return path
+    if _STAGE_ROOT is None:
+        _STAGE_ROOT = tempfile.mkdtemp(prefix="stream_stage_")
+    key = path.strip("/").replace("/", "__")
+    d = os.path.join(_STAGE_ROOT, key)
+    if not os.path.isdir(d):
+        os.makedirs(d, exist_ok=True)
+        os.symlink(path, os.path.join(d, os.path.basename(path)))
+    return d
+
+
+def stream_table(
+    spark: SparkSession,
+    name: str,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """``readStream`` over one testdata parquet table (unbounded handle)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # testdata timestamps are INT64 TIMESTAMP(NANOS) — read as raw longs,
+    # same as sources.parquet.load_events (converted by stream_events).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = _as_stream_dir(os.path.join(sf_dir, f"{name}.parquet"))
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def stream_events(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming events scan with a proper TIMESTAMP ``ts`` column.
+
+    Streaming twin of ``sources.parquet.load_events``: nanos read as a
+    raw long, floor-divided to micros with integer ``div`` so the value
+    matches DuckDB's ``epoch_us`` on the same file.
+    """
+    ev = stream_table(spark, "events", sf_dir, max_files_per_trigger)
+    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -1,0 +1,127 @@
+"""Structured Streaming ops vs their batch twins on sf0.001.
+
+Every streaming pipeline is drained with ``trigger(availableNow=True)``
+into a memory sink and compared against the equivalent batch DataFrame
+result — the streaming analogue of the DuckDB oracle strategy.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from flink_kmeans_clustering_spark.sources.parquet import load_events
+from flink_kmeans_clustering_spark.operators.events import (
+    sessionize,
+    tumbling_window_agg,
+)
+from flink_kmeans_clustering_spark.streaming import (
+    stream_events,
+    dedup_stream,
+    run_available_now,
+    running_user_totals,
+    sessionize_stream,
+    stream_table,
+    windowed_event_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _sorted_pdf(df, keys):
+    return (
+        df.toPandas()
+        .sort_values(keys)
+        .reset_index(drop=True)
+    )
+
+
+def test_stream_is_streaming_handle(spark):
+    assert stream_events(spark, SF).isStreaming
+
+
+def test_windowed_counts_match_batch(spark):
+    stream = stream_events(spark, SF)
+    # complete mode: every finalized window value is the full aggregate,
+    # identical to the batch tumbling window.
+    got = run_available_now(
+        windowed_event_counts(stream), output_mode="complete"
+    )
+    want = tumbling_window_agg(load_events(spark, SF))
+    keys = ["window_start", "event_type"]
+    pd.testing.assert_frame_equal(_sorted_pdf(got, keys), _sorted_pdf(want, keys))
+
+
+def test_dedup_stream_matches_distinct(spark):
+    stream = dedup_stream(stream_table(spark, "documents", SF), ["text"])
+    got = run_available_now(stream.select(F.md5("text").alias("digest")))
+    want = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(F.md5("text").alias("digest"))
+        .distinct()
+    )
+    pd.testing.assert_frame_equal(
+        _sorted_pdf(got, ["digest"]), _sorted_pdf(want, ["digest"])
+    )
+
+
+def test_running_totals_final_state_matches_batch(spark):
+    stream = stream_events(spark, SF)
+    out = run_available_now(running_user_totals(stream), output_mode="update")
+    # update mode re-emits a user's cumulative row each batch; the final
+    # (max n_events) row per user is the complete aggregate.
+    final = out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("sum_value", "n_events").alias("sum_value"),
+    )
+    want = (
+        load_events(spark, SF)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+    )
+    g = _sorted_pdf(final, ["user_id"])
+    w = _sorted_pdf(want, ["user_id"])
+    pd.testing.assert_frame_equal(g, w, check_exact=False, rtol=1e-9)
+
+
+def test_sessionize_stream_emits_closed_sessions(spark):
+    stream = stream_events(spark, SF)
+    got = run_available_now(sessionize_stream(stream, gap_minutes=30)).toPandas()
+    batch = sessionize(load_events(spark, SF), gap_minutes=30).toPandas()
+
+    # Streamed sessions must be a subset of batch sessions, keyed by
+    # (user, start, end, n, Σvalue); open-at-drain-end sessions remain
+    # in state by design.
+    def keyset(pdf):
+        return {
+            (
+                int(r.user_id),
+                int(r.session_start_us),
+                int(r.session_end_us),
+                int(r.n_events),
+                round(float(r.sum_value), 6),
+            )
+            for r in pdf.itertuples()
+        }
+
+    batch_keys = {
+        (k[0], k[1], k[2], k[3], k[4])
+        for k in (
+            (
+                int(r.user_id),
+                int(r.session_start_us),
+                int(r.session_end_us),
+                int(r.n_events),
+                round(float(r.sum_value), 6),
+            )
+            for r in batch.itertuples()
+        )
+    }
+    got_keys = keyset(got)
+    assert got_keys <= batch_keys
+    # with a 0s watermark delay every session except each user's last
+    # closes; demand substantial coverage so the operator can't pass
+    # by emitting nothing.
+    n_users = batch["user_id"].nunique()
+    assert len(got_keys) >= len(batch_keys) - n_users
