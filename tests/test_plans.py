@@ -1,0 +1,122 @@
+"""Physical-plan shape regressions (the 100 TB guardrails).
+
+These tests pin planner properties the correctness oracle cannot see:
+filters reaching the parquet scan, pruned read schemas, broadcast joins
+for dimension tables, shuffle-count budgets, and top-k plans that never
+global-sort.  A failure here means a change made the engine *slower at
+scale*, not wrong at sf0.01.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_kmeans_clustering_spark.operators.dedup import exact_duplicate_groups
+from flink_kmeans_clustering_spark.operators.events import (
+    sessionize,
+    top_events_per_user,
+    tumbling_window_agg,
+)
+from flink_kmeans_clustering_spark.operators.kmeans import (
+    assign_points,
+    update_centroids,
+)
+from flink_kmeans_clustering_spark.operators.relational import (
+    local_supplier_volume,
+    pricing_summary,
+    shipping_priority,
+)
+from flink_kmeans_clustering_spark.operators.similarity import topk_cosine
+from flink_kmeans_clustering_spark.operators.textstats import token_frequencies
+from flink_kmeans_clustering_spark.plans import (
+    assert_has_node,
+    assert_max_shuffles,
+    explain_str,
+    pushed_filters,
+    read_schemas,
+    shuffle_count,
+)
+from flink_kmeans_clustering_spark.sources.parquet import load_events, load_table
+from flink_kmeans_clustering_spark.views import centroids_v, points_v
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_pricing_filter_pushed_and_schema_pruned(spark):
+    df = pricing_summary(load_table(spark, "lineitem", SF))
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed, f"shipdate filter not pushed: {pushed!r}"
+    [schema] = read_schemas(df)
+    # the 16-column lineitem scan must shrink to only the 7 used columns
+    assert "l_comment" not in schema and "l_orderkey" not in schema
+    assert_max_shuffles(df, 1)  # single partial+final hash aggregate
+
+
+def test_shipping_priority_broadcasts_dims_and_topk(spark):
+    df = shipping_priority(
+        load_table(spark, "customer", SF),
+        load_table(spark, "orders", SF),
+        load_table(spark, "lineitem", SF),
+    )
+    assert_has_node(df, "BroadcastHashJoin")
+    # top-10 via TakeOrderedAndProject: no global sort, no full Exchange
+    assert_has_node(df, "TakeOrderedAndProject")
+    assert_max_shuffles(df, 2)
+
+
+def test_local_supplier_one_shuffle_five_broadcast_joins(spark):
+    df = local_supplier_volume(
+        *[
+            load_table(spark, t, SF)
+            for t in ("region", "nation", "customer", "supplier", "orders", "lineitem")
+        ]
+    )
+    assert explain_str(df).count("(") and "BroadcastHashJoin" in explain_str(df)
+    # all five joins broadcast at this SF; only the final groupBy shuffles.
+    # (at 100 TB orders⋈lineitem upgrades to a shuffle join — budget 3)
+    assert_max_shuffles(df, 3)
+
+
+def test_assignment_is_shuffle_free(spark):
+    df = assign_points(points_v(spark, SF), centroids_v(spark, SF))
+    assert shuffle_count(df) == 0, "argmin assignment must stay narrow"
+
+
+def test_update_is_single_shuffle(spark):
+    assigned = assign_points(points_v(spark, SF), centroids_v(spark, SF))
+    assert_max_shuffles(update_centroids(assigned), 1)
+
+
+def test_tumbling_window_single_shuffle(spark):
+    assert_max_shuffles(tumbling_window_agg(load_events(spark, SF)), 1)
+
+
+def test_sessionize_reuses_one_exchange(spark):
+    # lag + running sum + grouped agg all share one hash-partition by user
+    assert_max_shuffles(sessionize(load_events(spark, SF)), 1)
+
+
+def test_top_events_uses_window_group_limit(spark):
+    df = top_events_per_user(load_events(spark, SF), k=3)
+    # rank-filter pushdown: executors keep only top-k per key before the
+    # shuffle instead of materializing every row under the window
+    assert_has_node(df, "WindowGroupLimit")
+    assert_max_shuffles(df, 1)
+
+
+def test_exact_dedup_single_shuffle(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert_max_shuffles(exact_duplicate_groups(docs, ["text"]), 1)
+
+
+def test_topk_cosine_no_shuffle_no_sort(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    dim = len(emb.select("embedding").head()["embedding"])
+    df = topk_cosine(emb, [0.0] * dim, k=10)
+    assert_has_node(df, "TakeOrderedAndProject")
+    assert shuffle_count(df) == 0, "brute-force top-k must not shuffle"
+
+
+def test_token_frequencies_single_shuffle(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert_max_shuffles(token_frequencies(docs, top_n=100), 1)
