@@ -37,7 +37,7 @@ import json
 import sys
 import time
 
-from pyspark.sql import functions as F
+from pyspark.sql import SparkSession
 
 from flink_kmeans_clustering_spark.operators.kmeans import (
     lloyd,
@@ -85,6 +85,9 @@ def main(argv: list[str] | None = None) -> int:
         print("error: -epsilon is required when -custconvergence true", file=sys.stderr)
         return 2
 
+    # only stop the session on exit if this invocation created it —
+    # in-process callers (tests, notebooks) keep theirs alive.
+    owns_session = SparkSession.getActiveSession() is None
     spark = get_spark(app_name="kmeans-cli", master=args.master)
     t0 = time.perf_counter()
 
@@ -140,7 +143,8 @@ def main(argv: list[str] | None = None) -> int:
             }
         )
     )
-    spark.stop()
+    if owns_session:
+        spark.stop()
     return 0
 
 

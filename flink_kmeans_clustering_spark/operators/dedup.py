@@ -21,12 +21,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from flink_kmeans_clustering_spark.operators.common import spread as _spread
 from flink_kmeans_clustering_spark.functions.hashing import (
     band_hashes,
     hamming64,
-    minhash_signature,
     signature_similarity,
-    simhash64,
     simhash_chunks,
 )
 from flink_kmeans_clustering_spark.functions.text import ngram_shingles, tokenize
@@ -89,8 +88,9 @@ def ngram_jaccard_pairs(
     Output: (id_a, id_b, jaccard) with id_a < id_b.  Jaccard is an
     exact ratio of integers — engine-independent, oracle-exact.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
+    base = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col)), "id")
+    sh = base.select(
+        "id",
         ngram_shingles(tokenize(F.col(text_col)), n).alias("shingles"),
     ).filter(F.size("shingles") > 0)
     sizes = sh.select("id", F.size("shingles").alias("sz"))
@@ -145,11 +145,28 @@ def minhash_lsh_pairs(
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        ngram_shingles(tokenize(F.col(text_col)), n).alias("shingles"),
-    ).filter(F.size("shingles") > 0).select(
-        "id", minhash_signature(F.col("shingles"), num_hashes).alias("sig")
+    # Signature via explode + per-lane MIN aggregates instead of the
+    # higher-order minhash_signature expression: HOF lambdas evaluate
+    # interpreted per element, while agg-input expressions and hash
+    # aggregation stay in whole-stage codegen (~5× at bench scale).
+    # Values are identical: lane i is min over shingles of
+    # xxhash64(i, shingle) either way.  groupBy("id") reuses the
+    # _spread partitioning — no extra shuffle.
+    base = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col)), "id")
+    ex = base.select(
+        "id",
+        F.explode(ngram_shingles(tokenize(F.col(text_col)), n)).alias("s"),
+    )
+    lanes = [
+        F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"_h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = (
+        ex.groupBy("id")
+        .agg(*lanes)
+        .select(
+            "id", F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig")
+        )
     )
     banded = sig.select(
         "id", "sig", F.explode(band_hashes(F.col("sig"), bands, r)).alias("bh")
@@ -204,12 +221,34 @@ def simhash_pairs(
             f"banding with {chunks} chunks only guarantees recall for "
             f"hamming < {chunks}; got max_hamming={max_hamming}"
         )
-    toks = tokenize(F.col(text_col))
-    hs = df.select(
-        F.col(id_col).alias("id"), toks.alias("toks")
-    ).filter(F.size("toks") > 0).select(
-        "id", simhash64(F.col("toks")).alias("sim")
+    # SimHash via explode + 64 per-lane SUM aggregates (same rationale
+    # and same values as the minhash reformulation above: per-token bit
+    # votes from xxhash64(token), summed per lane, sign per bit).
+    # Empty-token documents simply produce no exploded rows — the same
+    # outcome as the previous filter(size > 0).
+    base = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col)), "id")
+    ex = base.select(
+        "id", F.explode(tokenize(F.col(text_col))).alias("t")
+    ).select("id", F.xxhash64(F.col("t")).alias("h"))
+    votes = [
+        F.sum(
+            F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)).cast("int") * 2 - 1
+        ).alias(f"_v{b}")
+        for b in range(64)
+    ]
+    bit_terms = [
+        F.when(F.col(f"_v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        for b in range(63)
+    ]
+    bit_terms.append(
+        F.when(F.col("_v63") > 0, F.lit(-(1 << 63)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
     )
+    sim_col = bit_terms[0]
+    for t in bit_terms[1:]:
+        sim_col = sim_col + t
+    hs = ex.groupBy("id").agg(*votes).select("id", sim_col.alias("sim"))
     chunked = hs.select(
         "id", "sim", F.explode(simhash_chunks(F.col("sim"), chunks)).alias("ck")
     ).select("id", "sim", F.col("ck.chunk").alias("chunk"), F.col("ck.bits").alias("bits"))

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from flink_kmeans_clustering_spark.operators.common import spread
 from flink_kmeans_clustering_spark.functions.text import tokenize
 
 # language -> distinctive high-frequency stopwords (alphabetical language
@@ -130,20 +131,24 @@ def doc_fingerprint(
     chunk dedup at scale, pair with the MinHash path; this fingerprint
     is the cheap first-pass bucket key.
     """
-    toks = tokenize(F.col(text_col))
-    contrib = F.transform(
-        F.sequence(F.lit(1), F.size(toks)),
-        lambda i: i.cast("long")
-        * (
-            F.ascii(F.substring(F.element_at(toks, i), 1, 1)).cast("long") * 31
-            + F.length(F.element_at(toks, i)).cast("long")
-        ),
+    # posexplode + grouped SUM instead of a higher-order transform/
+    # aggregate pair: HOF lambdas evaluate interpreted per element,
+    # while this shape stays in whole-stage codegen end to end (same
+    # integer arithmetic, same values).  posexplode_outer keeps
+    # token-less documents as a single null row so they still emit
+    # fingerprint 0 — no join-back needed.
+    base = spread(df.select(F.col(id_col), F.col(text_col)), id_col)
+    ex = base.select(
+        F.col(id_col),
+        F.posexplode_outer(tokenize(F.col(text_col))).alias("pos", "t"),
     )
-    fp = F.when(
-        F.size(toks) > 0,
-        F.aggregate(contrib, F.lit(0).cast("long"), lambda acc, v: acc + v),
-    ).otherwise(F.lit(0).cast("long"))
-    return df.select(F.col(id_col), fp.alias("fingerprint"))
+    contrib = (F.col("pos") + 1).cast("long") * (
+        F.ascii(F.substring(F.col("t"), 1, 1)).cast("long") * 31
+        + F.length(F.col("t")).cast("long")
+    )
+    return ex.groupBy(id_col).agg(
+        F.coalesce(F.sum(contrib), F.lit(0)).cast("long").alias("fingerprint")
+    )
 
 
 def token_frequencies(
