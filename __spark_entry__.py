@@ -56,13 +56,18 @@ from flink_kmeans_clustering_spark.operators.relational import (
 )
 from flink_kmeans_clustering_spark.sources.parquet import load_events, load_table
 from flink_kmeans_clustering_spark.operators.events import (
+    asof_join,
     extract_props,
     props_stats_by_type,
+    running_user_window,
     sessionize,
     top_events_per_user,
     tumbling_window_agg,
+    type_date_cube,
     type_date_rollup,
 )
+from flink_kmeans_clustering_spark.operators.relational import small_quantity_revenue
+from flink_kmeans_clustering_spark.streaming.enrich import enrich_with_static
 from flink_kmeans_clustering_spark.operators.kmeans import (
     assign_points,
     lloyd,
@@ -359,6 +364,48 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return type_date_rollup(ev)
 
 
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(event_type, day): the full grouping-sets lattice."""
+    ev = load_events(spark, sf_dir)
+    return type_date_cube(ev)
+
+
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest prior view."""
+    ev = load_events(spark, sf_dir)
+    return asof_join(ev, left_type="purchase", right_type="view")
+
+
+def q_events_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running Σvalue + lag delta + event index (window family)."""
+    ev = load_events(spark, sf_dir)
+    return running_user_window(ev)
+
+
+def q_rel_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue of below-20%-of-part-average orders."""
+    return small_quantity_revenue(load_table(spark, "lineitem", sf_dir))
+
+
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast join: events stream enriched with a
+    per-type average dimension computed batch-side."""
+    dim = (
+        load_events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.round(F.avg("value"), 6).alias("type_avg"))
+    )
+    stream = enrich_with_static(stream_events(spark, sf_dir), dim, "event_type")
+    out = stream.select(
+        "event_id",
+        "event_type",
+        "value",
+        "type_avg",
+        F.round(F.col("value") - F.col("type_avg"), 6).alias("delta"),
+    )
+    return run_available_now(out)
+
+
 # --- structured streaming (streaming/ package) -------------------------------
 
 
@@ -468,6 +515,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_json": q_events_json,
         "q_events_json_stats": q_events_json_stats,
         "q_events_rollup": q_events_rollup,
+        "q_events_cube": q_events_cube,
+        "q_events_asof": q_events_asof,
+        "q_events_running": q_events_running,
+        "q_rel_small_qty": q_rel_small_qty,
+        "q_stream_enrich": q_stream_enrich,
         "q_stream_window": q_stream_window,
         "q_stream_dedup": q_stream_dedup,
         "q_stream_totals": q_stream_totals,
@@ -842,6 +894,54 @@ FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS event_date, value
       FROM events)
 GROUP BY ROLLUP(event_type, event_date)
 """
+    events_cube_sql = """
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(event_date, 'ALL') AS event_date,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS event_date, value
+      FROM events)
+GROUP BY CUBE(event_type, event_date)
+"""
+    events_asof_sql = """
+WITH l AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id
+  FROM events WHERE event_type = 'purchase'
+),
+r AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, MAX(event_id) AS r_id
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+)
+SELECT l.event_id, l.user_id, l.ts_us,
+       r.r_id AS matched_id, r.ts_us AS matched_ts_us,
+       l.ts_us - r.ts_us AS gap_us
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts_us <= l.ts_us
+"""
+    events_running_sql = """
+SELECT user_id, event_id,
+       CAST(ROW_NUMBER() OVER w AS INT) AS event_idx,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                              ROWS UNBOUNDED PRECEDING), 6) AS running_value,
+       ROUND(value - LAG(value) OVER w, 6) AS delta_prev
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+"""
+    rel_small_qty_sql = """
+SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,8))) AS DOUBLE) / 7.0, 6)
+       AS avg_yearly
+FROM lineitem l
+JOIN (SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_limit
+      FROM lineitem GROUP BY l_partkey) p
+  ON l.l_partkey = p.l_partkey
+WHERE l.l_quantity < p.qty_limit
+"""
+    stream_enrich_sql = """
+WITH d AS (SELECT event_type, ROUND(AVG(value), 6) AS type_avg
+           FROM events GROUP BY event_type)
+SELECT event_id, e.event_type, value, type_avg,
+       ROUND(value - type_avg, 6) AS delta
+FROM events e JOIN d USING (event_type)
+"""
     text_tokens_sql = f"""
 SELECT doc_id,
        CASE WHEN length(trim(text)) = 0 THEN 0
@@ -945,8 +1045,13 @@ LIMIT {TOKENFREQ_TOP_N}
         "q_events_json": events_json_sql,
         "q_events_json_stats": events_json_stats_sql,
         "q_events_rollup": events_rollup_sql,
+        "q_events_cube": events_cube_sql,
+        "q_events_asof": events_asof_sql,
+        "q_events_running": events_running_sql,
+        "q_rel_small_qty": rel_small_qty_sql,
         # streaming results drained via availableNow equal their batch
         # twins, so plain batch SQL is a valid oracle.
+        "q_stream_enrich": stream_enrich_sql,
         "q_stream_window": events_window_sql,
         "q_stream_dedup": "SELECT DISTINCT md5(text) AS digest FROM documents",
         "q_stream_totals": (

@@ -23,6 +23,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+__all__ = [
+    "asof_join",
+    "extract_props",
+    "props_stats_by_type",
+    "running_user_window",
+    "sessionize",
+    "top_events_per_user",
+    "tumbling_window_agg",
+    "type_date_cube",
+    "type_date_rollup",
+]
+
 TS_FMT = "yyyy-MM-dd HH:mm"
 
 
@@ -120,6 +132,105 @@ def props_stats_by_type(df: DataFrame, key: str = "k") -> DataFrame:
         F.sum(k_val).alias("sum_k"),
         F.min(k_val).alias("min_k"),
         F.max(k_val).alias("max_k"),
+    )
+
+
+def asof_join(
+    df: DataFrame,
+    left_type: str,
+    right_type: str,
+    gap_col: str = "gap_us",
+) -> DataFrame:
+    """Event-time as-of join: each ``left_type`` event matched to the
+    user's most recent ``right_type`` event at-or-before it.
+
+    Spark has no native ASOF JOIN; a sort-merge between the sides would
+    need a range condition (quadratic under skew).  This is the
+    union-and-carry formulation instead: tag both sides, order each
+    user's rows by (event time, side), and carry the latest right-side
+    row forward with ``last(..., ignorenulls)``.  One hash shuffle by
+    user + one window pass — linear, skew-bounded by the busiest user,
+    no join explosion.  The right side is first reduced to one row per
+    (user, timestamp) (max event_id) so ties are deterministic.
+
+    Output: one row per left event with the matched right event id,
+    its timestamp, and the gap (NULL when no prior right event).
+    """
+    ts_us = F.unix_micros(F.col("ts"))
+    left = df.filter(F.col("event_type") == left_type).select(
+        "user_id", ts_us.alias("ts_us"), "event_id", F.lit(1).alias("_is_l")
+    )
+    right = (
+        df.filter(F.col("event_type") == right_type)
+        .groupBy("user_id", ts_us.alias("ts_us"))
+        .agg(F.max("event_id").alias("_r_id"))
+        .select("user_id", "ts_us", "_r_id", F.lit(0).alias("_is_l"))
+    )
+    unioned = left.select(
+        "user_id", "ts_us", "event_id", F.lit(None).cast("long").alias("_r_id"), "_is_l"
+    ).unionByName(
+        right.select(
+            "user_id", "ts_us", F.lit(None).cast("long").alias("event_id"), "_r_id", "_is_l"
+        )
+    )
+    # right rows sort before left rows at equal ts_us ⇒ `<=` semantics
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "_is_l", F.coalesce("event_id", "_r_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        "*",
+        F.last("_r_id", ignorenulls=True).over(w).alias("matched_id"),
+        F.last(
+            F.when(F.col("_is_l") == 0, F.col("ts_us")), ignorenulls=True
+        ).over(w).alias("matched_ts_us"),
+    )
+    return carried.filter(F.col("_is_l") == 1).select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "matched_id",
+        "matched_ts_us",
+        (F.col("ts_us") - F.col("matched_ts_us")).alias(gap_col),
+    )
+
+
+def running_user_window(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Per-user running aggregates: cumulative Σvalue, previous-event
+    delta, and event index — the lag/lead + cumulative-sum window
+    family over one hash-partition by user (single Exchange, all three
+    window functions share it)."""
+    ts_us = F.unix_micros(F.col(ts_col))
+    order = Window.partitionBy("user_id").orderBy(ts_us, "event_id")
+    cum = order.rowsBetween(Window.unboundedPreceding, 0)
+    return df.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(order).alias("event_idx"),
+        F.round(F.sum("value").over(cum), 6).alias("running_value"),
+        F.round(F.col("value") - F.lag("value").over(order), 6).alias("delta_prev"),
+    )
+
+
+def type_date_cube(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """CUBE (event_type, event_date): every subtotal combination
+    (type×date, per-type, per-date, grand total), NULL slots coalesced
+    to 'ALL'.  The full grouping-sets lattice in one pass — Catalyst
+    expands to a single Expand + hash aggregate, not four scans."""
+    d = df.withColumn("event_date", F.date_format(ts_col, "yyyy-MM-dd"))
+    return (
+        d.cube("event_type", "event_date")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("event_date", F.lit("ALL")).alias("event_date"),
+            "n_events",
+            "sum_value",
+        )
     )
 
 

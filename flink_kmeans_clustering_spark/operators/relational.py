@@ -215,3 +215,24 @@ def customer_status_sets(orders: DataFrame) -> DataFrame:
         F.col("o_custkey").alias("custkey"), F.lit("f_only").alias("tag")
     )
     return both.unionAll(f_only)
+
+
+def small_quantity_revenue(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q17 shape: yearly revenue lost to small orders.
+
+    Average quantity per part is a correlated scalar subquery in the
+    TPC-H text; expressed declaratively it is a grouped aggregate joined
+    back to the fact table — Catalyst's decorrelation produces exactly
+    this plan from the subquery form too.  Two shuffles on l_partkey
+    (per-part average, then the fact join co-partitioned by AQE);
+    revenue accumulates in decimal for order-independence.
+    """
+    part_avg = lineitem.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("_qty_limit")
+    )
+    small = lineitem.join(
+        part_avg, F.col("l_partkey") == F.col("_pk")
+    ).filter(F.col("l_quantity") < F.col("_qty_limit"))
+    return small.agg(
+        F.round((_dsum("l_extendedprice", DEC_WIDE) / 7.0), 6).alias("avg_yearly")
+    )

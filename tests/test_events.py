@@ -83,3 +83,47 @@ def test_rollup_has_grand_total(spark):
     assert rows[("ALL", "ALL")] == 5
     assert rows[("view", "ALL")] == 3
     assert rows[("view", "2024-01-01")] == 3
+
+
+def test_cube_has_all_subtotal_combinations(spark):
+    from flink_kmeans_clustering_spark.operators.events import type_date_cube
+
+    out = type_date_cube(_events(spark)).collect()
+    rows = {(r["event_type"], r["event_date"]): r["n_events"] for r in out}
+    assert rows[("ALL", "ALL")] == 5
+    assert rows[("view", "ALL")] == 3
+    assert rows[("ALL", "2024-01-01")] == 5  # cube adds the per-date slice
+
+
+def test_asof_join_matches_latest_prior(spark):
+    from flink_kmeans_clustering_spark.operators.events import asof_join
+
+    import datetime as dtm
+
+    rows = [
+        # user 1: views at t=0 and t=10, purchases at t=5 and t=10
+        (0, _ts(0), 1, "view", 1.0, "{}"),
+        (1, _ts(5), 1, "purchase", 2.0, "{}"),
+        (2, _ts(10), 1, "view", 3.0, "{}"),
+        (3, _ts(10), 1, "purchase", 4.0, "{}"),  # equal ts -> `<=` match
+        # user 2: purchase with no prior view
+        (4, _ts(1), 2, "purchase", 5.0, "{}"),
+        (5, _ts(2), 2, "view", 6.0, "{}"),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = {r["event_id"]: r for r in asof_join(df, "purchase", "view").collect()}
+    assert out[1]["matched_id"] == 0  # t=5 purchase -> t=0 view
+    assert out[3]["matched_id"] == 2  # t=10 purchase -> t=10 view (<=)
+    assert out[3]["gap_us"] == 0
+    assert out[4]["matched_id"] is None  # no prior view
+    assert out[1]["gap_us"] == 5 * 60 * 1_000_000
+
+
+def test_running_window_cumulative(spark):
+    from flink_kmeans_clustering_spark.operators.events import running_user_window
+
+    out = running_user_window(_events(spark)).collect()
+    u1 = sorted((r for r in out if r["user_id"] == 1), key=lambda r: r["event_idx"])
+    assert [r["running_value"] for r in u1] == [1.0, 3.0, 7.0]
+    assert u1[0]["delta_prev"] is None
+    assert u1[1]["delta_prev"] == 1.0
