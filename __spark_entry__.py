@@ -65,8 +65,13 @@ from flink_kmeans_clustering_spark.operators.events import (
     tumbling_window_agg,
     type_date_cube,
     type_date_rollup,
+    value_quantiles,
 )
 from flink_kmeans_clustering_spark.operators.relational import small_quantity_revenue
+from flink_kmeans_clustering_spark.operators.sampling import (
+    approx_distinct,
+    deterministic_sample,
+)
 from flink_kmeans_clustering_spark.streaming.enrich import enrich_with_static
 from flink_kmeans_clustering_spark.operators.kmeans import (
     assign_points,
@@ -382,6 +387,25 @@ def q_events_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     return running_user_window(ev)
 
 
+def q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type value percentiles (p25/p50/p75, linear interp)."""
+    return value_quantiles(load_events(spark, sf_dir))
+
+
+def q_events_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct users per type (rows-only: sketch values
+    are implementation-specific; accuracy asserted in tests/test_sampling.py)."""
+    return approx_distinct(
+        load_events(spark, sf_dir), ["user_id"], group_by=["event_type"]
+    )
+
+
+def q_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 1/16 content-hash sample of documents (md5 bucket)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return deterministic_sample(docs, "text", rate=1 / 16).select("doc_id", "n_chars")
+
+
 def q_rel_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: revenue of below-20%-of-part-average orders."""
     return small_quantity_revenue(load_table(spark, "lineitem", sf_dir))
@@ -518,6 +542,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_cube": q_events_cube,
         "q_events_asof": q_events_asof,
         "q_events_running": q_events_running,
+        "q_events_quantiles": q_events_quantiles,
+        "q_events_approx_users": q_events_approx_users,
+        "q_sample_docs": q_sample_docs,
         "q_rel_small_qty": q_rel_small_qty,
         "q_stream_enrich": q_stream_enrich,
         "q_stream_window": q_stream_window,
@@ -1049,6 +1076,19 @@ LIMIT {TOKENFREQ_TOP_N}
         "q_events_asof": events_asof_sql,
         "q_events_running": events_running_sql,
         "q_rel_small_qty": rel_small_qty_sql,
+        "q_events_quantiles": """
+SELECT event_type, ROUND(quantile_cont(value, 0.25), 6) AS p25,
+       ROUND(quantile_cont(value, 0.50), 6) AS p50,
+       ROUND(quantile_cont(value, 0.75), 6) AS p75
+FROM events GROUP BY event_type
+""",
+        # q_events_approx_users: intentionally no oracle — HLL++ sketch
+        # estimates are engine-specific (rows-only check; accuracy
+        # asserted against exact counts in tests/test_sampling.py).
+        "q_sample_docs": """
+SELECT doc_id, n_chars FROM documents
+WHERE CAST(('0x' || substring(md5(text), 1, 2)) AS INT) % 256 < 16
+""",
         # streaming results drained via availableNow equal their batch
         # twins, so plain batch SQL is a valid oracle.
         "q_stream_enrich": stream_enrich_sql,

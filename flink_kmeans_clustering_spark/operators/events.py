@@ -253,3 +253,21 @@ def type_date_rollup(df: DataFrame, ts_col: str = "ts") -> DataFrame:
             "sum_value",
         )
     )
+
+
+def value_quantiles(
+    df: DataFrame, probs: tuple[float, ...] = (0.25, 0.5, 0.75)
+) -> DataFrame:
+    """Exact per-type value percentiles (linear interpolation).
+
+    ``percentile`` sorts each group's values — exact but
+    memory-proportional to group size; at 100 TB switch to
+    ``approx_percentile`` (t-digest sketch, constant memory) and accept
+    the rank error.  Both engines use the same p·(n-1) linear
+    interpolation, so results compare exactly.
+    """
+    aggs = [
+        F.round(F.expr(f"percentile(value, {p})"), 6).alias(f"p{int(p * 100)}")
+        for p in probs
+    ]
+    return df.groupBy("event_type").agg(*aggs)

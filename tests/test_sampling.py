@@ -1,0 +1,59 @@
+"""Deterministic sampling + cardinality-estimation semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_kmeans_clustering_spark.operators.sampling import (
+    approx_distinct,
+    deterministic_sample,
+    hash_bucket,
+)
+from flink_kmeans_clustering_spark.sources.parquet import load_events
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_sample_is_deterministic_and_near_rate(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    s1 = deterministic_sample(docs, "text", rate=1 / 4)
+    s2 = deterministic_sample(docs, "text", rate=1 / 4)
+    ids1 = sorted(r["doc_id"] for r in s1.select("doc_id").collect())
+    ids2 = sorted(r["doc_id"] for r in s2.select("doc_id").collect())
+    assert ids1 == ids2  # same sample every run, no RNG state
+    n, total = len(ids1), docs.count()
+    assert abs(n / total - 0.25) < 0.1  # binomial tolerance at n=500
+
+
+def test_sample_nested_rates(spark):
+    # a 1/16 sample is a strict subset of the 1/4 sample (bucket prefix
+    # property) — lets pipelines grow a sample without resampling
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    small = {r["doc_id"] for r in deterministic_sample(docs, "text", 1 / 16).collect()}
+    big = {r["doc_id"] for r in deterministic_sample(docs, "text", 1 / 4).collect()}
+    assert small <= big
+
+
+def test_hash_bucket_range(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    mm = docs.select(hash_bucket(F.col("text"), 16).alias("b")).agg(
+        F.min("b"), F.max("b")
+    ).collect()[0]
+    assert mm[0] >= 0 and mm[1] <= 15
+
+
+def test_approx_distinct_within_rsd(spark):
+    ev = load_events(spark, SF)
+    approx = {
+        r["event_type"]: r["approx_user_id"]
+        for r in approx_distinct(ev, ["user_id"], group_by=["event_type"]).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for t, e in exact.items():
+        assert abs(approx[t] - e) / e < 0.15, (t, approx[t], e)
