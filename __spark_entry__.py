@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from flink_kmeans_clustering_spark.operators.dedup import (
     embedding_cosine_pairs,
+    embedding_cosine_pairs_gemm,
     exact_duplicate_groups,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -193,6 +194,18 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     pairs = embedding_cosine_pairs(
         emb, block_col="label", threshold=EMBEDDING_COSINE_THRESHOLD
+    )
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def q_dedup_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEMM-blocked cosine near-dup: per-block BLAS matrix multiply via
+    applyInPandas (rows-only: float summation order differs from the
+    oracle by ~1 ulp; pair-set parity with the exact expression variant
+    is asserted in tests/test_dedup.py)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = embedding_cosine_pairs_gemm(
+        emb, threshold=EMBEDDING_COSINE_THRESHOLD
     )
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
@@ -522,6 +535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_ngram": q_dedup_ngram,
         "q_dedup_embedding": q_dedup_embedding,
+        "q_dedup_gemm": q_dedup_gemm,
         "q_dedup_minhash": q_dedup_minhash,
         "q_dedup_simhash": q_dedup_simhash,
         "q_rel_pricing": q_rel_pricing,

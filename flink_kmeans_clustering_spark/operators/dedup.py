@@ -328,3 +328,50 @@ def drop_near_duplicates(
     """
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
+
+
+def embedding_cosine_pairs_gemm(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Blocked cosine pairs via per-block matrix multiply (scale path).
+
+    Same semantics as :func:`embedding_cosine_pairs`, different physics:
+    each block's vectors are gathered into one numpy matrix and the full
+    pairwise similarity computed as a single normalized GEMM —
+    O(n²·d) in BLAS instead of per-pair interpreted expressions.  This
+    is the right shape when blocks are IVF cells of ~10³-10⁴ vectors;
+    the expression-based variant remains the oracle-exact reference
+    (float summation order differs here by ~1 ulp).
+
+    Arrow moves each block once; output is only the above-threshold
+    pairs, so the quadratic intermediate never leaves the worker.
+    """
+    import pandas as pd  # local: keep module import-light
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = np.stack(pdf[vec_col].to_numpy()[order]).astype("float64")
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        sims = (m / norms) @ (m / norms).T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = sims[ia, ib] >= threshold
+        return pd.DataFrame(
+            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cosine": sims[ia, ib][keep]}
+        )
+
+    return df.groupBy(block_col).applyInPandas(
+        block_pairs, schema="id_a long, id_b long, cosine double"
+    )

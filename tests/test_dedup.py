@@ -126,3 +126,23 @@ def test_drop_near_duplicates_greedy(spark, docs):
     kept = sorted(r["doc_id"] for r in drop_near_duplicates(docs, pairs).collect())
     # docs 1 and 2 both have smaller-id near-dup 0; 4 near-dups 3
     assert kept == [0, 3]
+
+
+def test_gemm_cosine_matches_exact_variant(spark):
+    from flink_kmeans_clustering_spark.operators.dedup import (
+        embedding_cosine_pairs,
+        embedding_cosine_pairs_gemm,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_cosine_pairs(emb, threshold=0.3).collect()
+    }
+    gemm = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_cosine_pairs_gemm(emb, threshold=0.3).collect()
+    }
+    assert set(exact) == set(gemm)
+    for k in exact:
+        assert abs(exact[k] - gemm[k]) < 1e-9
