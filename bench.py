@@ -43,6 +43,28 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # Reference-comparable headline: the deterministic script_3 fixture
+    # (100k points, 8 file-based centroids) for 10 Lloyd iterations —
+    # the exact workload behind BASELINE.md's 2263 ms (p=1) / 4021 ms
+    # (p=4) numbers, timed end-to-end like the reference's getNetRuntime.
+    fixture = "/root/reference/script_results/script_3/input"
+    if os.path.exists(fixture):
+        from flink_kmeans_clustering_spark.operators.kmeans import lloyd
+        from flink_kmeans_clustering_spark.sources.csv import (
+            read_centroids_csv,
+            read_points_csv,
+        )
+
+        t0 = time.perf_counter()
+        pts = read_points_csv(spark, f"{fixture}/points.csv")
+        init = [
+            (int(r["id"]), float(r["x"]), float(r["y"]))
+            for r in read_centroids_csv(spark, f"{fixture}/centroids.csv").collect()
+        ]
+        res = lloyd(pts, init, max_iterations=10)
+        timings["kmeans_ref_100k_k8_10iter"] = round(time.perf_counter() - t0, 3)
+        assert abs(res.wcss - 264993.3526094555) / 264993.3526094555 < 1e-9
+
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),

@@ -280,6 +280,13 @@ def lloyd(
     driver state the per-iteration cost is one job over the cached scan.
     """
     if cache:
+        # a single-file CSV/parquet source yields one partition — every
+        # superstep's map would run on one core.  Round-robin rebalance
+        # to the cluster's slot count before caching (one extra pass,
+        # amortized over all iterations); well-split inputs pass through.
+        target = points.sparkSession.sparkContext.defaultParallelism
+        if points.rdd.getNumPartitions() < target:
+            points = points.repartition(target)
         points = points.cache()
     current: list[Centroid] = [(int(i), float(px), float(py)) for i, px, py in init_centroids]
     iterations = 0

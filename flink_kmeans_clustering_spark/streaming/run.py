@@ -23,6 +23,7 @@ def run_available_now(
     stream_df: DataFrame,
     output_mode: str = "append",
     timeout_sec: int = 300,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Drain ``stream_df`` with availableNow into a memory sink.
 
@@ -30,21 +31,38 @@ def run_available_now(
     sink needs a unique query name per run; the checkpoint dir is a
     throwaway tempdir (a real deployment points this at durable storage
     to get exactly-once restarts).
+
+    ``state_partitions`` overrides the stream's shuffle partitioning for
+    this drain (session value restored afterwards).  Stateful operators
+    materialize one state-store instance per shuffle partition, and the
+    count is frozen into the checkpoint — real deployments size it to
+    expected state volume before first start; ``None`` inherits the
+    session setting.
     """
+    spark = stream_df.sparkSession
     name = f"stream_result_{os.getpid()}_{next(_QUERY_SEQ)}"
     checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
-    query = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        if not query.awaitTermination(timeout_sec):
-            raise TimeoutError(f"streaming query {name} still running after {timeout_sec}s")
+        query = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not query.awaitTermination(timeout_sec):
+                raise TimeoutError(
+                    f"streaming query {name} still running after {timeout_sec}s"
+                )
+        finally:
+            if query.isActive:
+                query.stop()
     finally:
-        if query.isActive:
-            query.stop()
-    return stream_df.sparkSession.table(name)
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name)
