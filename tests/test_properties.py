@@ -1,0 +1,80 @@
+"""Property-based invariants (hypothesis) for the K-Means core.
+
+SURVEY.md §5's planned property set: WCSS non-increasing across
+iterations, assignment idempotent at a fixpoint, centroid count ≤ k
+(drop-semantics), and exact reference tie-breaking — over arbitrary
+small point/centroid configurations, not hand-picked fixtures.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from flink_kmeans_clustering_spark.operators.kmeans import (
+    assign_points,
+    lloyd,
+    update_centroids,
+)
+
+coord = st.floats(
+    min_value=-100, max_value=100, allow_nan=False, allow_infinity=False
+)
+points_strategy = st.lists(st.tuples(coord, coord), min_size=1, max_size=12)
+centroids_strategy = st.lists(st.tuples(coord, coord), min_size=1, max_size=4)
+
+SLOW = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _pdf(spark, pts):
+    rows = [(i, float(x), float(y)) for i, (x, y) in enumerate(pts)]
+    return spark.createDataFrame(rows, "point_id long, x double, y double")
+
+
+def _cents(cs):
+    return [(i, float(x), float(y)) for i, (x, y) in enumerate(cs)]
+
+
+@given(pts=points_strategy, cs=centroids_strategy)
+@SLOW
+def test_assignment_is_argmin_with_lowest_id_tiebreak(spark, pts, cs):
+    got = {
+        r["point_id"]: r["cluster"]
+        for r in assign_points(_pdf(spark, pts), _cents(cs)).collect()
+    }
+    for i, (x, y) in enumerate(pts):
+        dists = [(math.dist((x, y), (cx, cy)) , cid) for cid, cx, cy in _cents(cs)]
+        best = min(dists)[0]
+        want = min(cid for d, cid in dists if d == best)
+        assert got[i] == want
+
+
+@given(pts=points_strategy, cs=centroids_strategy)
+@SLOW
+def test_update_drops_empty_and_bounds_k(spark, pts, cs):
+    assigned = assign_points(_pdf(spark, pts), _cents(cs))
+    upd = update_centroids(assigned).collect()
+    assert len(upd) <= len(cs)
+    live = {r["cluster"] for r in assigned.collect()}
+    assert {r["id"] for r in upd} == live
+
+
+@given(pts=points_strategy, cs=centroids_strategy)
+@SLOW
+def test_wcss_non_increasing_and_fixpoint_idempotent(spark, pts, cs):
+    df = _pdf(spark, pts)
+    w1 = lloyd(df, _cents(cs), max_iterations=1, cache=False).wcss
+    w3 = lloyd(df, _cents(cs), max_iterations=3, cache=False).wcss
+    assert w3 <= w1 + 1e-9
+    # fixpoint: once converged (ε=0 termination), another iteration
+    # leaves the centroids unchanged
+    res = lloyd(df, _cents(cs), max_iterations=25, epsilon=0.0, cache=False)
+    again = lloyd(df, res.centroids, max_iterations=1, cache=False)
+    for (i1, x1, y1), (i2, x2, y2) in zip(res.centroids, again.centroids):
+        assert i1 == i2 and abs(x1 - x2) < 1e-9 and abs(y1 - y2) < 1e-9
