@@ -25,9 +25,11 @@ from flink_kmeans_clustering_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
+from flink_kmeans_clustering_spark.operators.kmeans_ml import fit_kmeans_ml
 from flink_kmeans_clustering_spark.operators.similarity import (
     ann_search,
     cell_centroids,
+    ivf_index,
     topk_cosine,
 )
 from flink_kmeans_clustering_spark.operators.textstats import (
@@ -524,6 +526,33 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe search over k-means-trained cells (rows-only: MLlib
+    cell assignments are engine-specific; probing all cells must equal
+    brute force — asserted in tests/test_similarity.py)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assigned, cents = ivf_index(emb, n_cells=8)
+    return ann_search(
+        assigned,
+        cents,
+        _query_vector(spark, sf_dir),
+        k=TOPK_K,
+        n_probe=ANN_PROBES,
+        cell_col="cell",
+    )
+
+
+def q_kmeans_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packaged MLlib k-means|| path: per-cluster sizes over the full
+    32-dim embeddings (rows-only: k-means|| placement is MLlib-specific;
+    WCSS/assignment semantics covered in tests/test_kmeans_ops.py)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    res = fit_kmeans_ml(emb, k=8, features_col="embedding")
+    return res.predictions.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return {
@@ -567,6 +596,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_session": q_stream_session,
         "q_topk_sim": q_topk_sim,
         "q_ann_ivf": q_ann_ivf,
+        "q_ann_trained": q_ann_trained,
+        "q_kmeans_ml": q_kmeans_ml,
         "q_text_tokens": q_text_tokens,
         "q_text_langid": q_text_langid,
         "q_text_quality": q_text_quality,

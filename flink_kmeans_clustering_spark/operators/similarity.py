@@ -134,3 +134,28 @@ def normalize_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
         f"{vec_col}_norm",
         F.when(nrm != 0.0, F.transform(v, lambda x: x / nrm)),
     )
+
+
+def ivf_index(
+    df: DataFrame,
+    n_cells: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    max_iter: int = 10,
+):
+    """Train a real IVF index: k-means cells learned from the data.
+
+    Returns ``(assigned, centroids)``: the input with a ``cell`` column
+    (MLlib k-means|| assignment) and the driver-side cell→centroid list
+    for :func:`ann_search`.  On a production corpus the assigned table
+    is written partitioned by ``cell`` so probe filters become partition
+    pruning; cells should hold ~10³-10⁴ vectors (n_cells ≈ N/4096).
+    """
+    from flink_kmeans_clustering_spark.operators.kmeans_ml import fit_kmeans_ml
+
+    res = fit_kmeans_ml(
+        df, k=n_cells, features_col=vec_col, max_iter=max_iter, seed=seed
+    )
+    assigned = res.predictions.withColumnRenamed("cluster", "cell")
+    return assigned, [(cid, vec) for cid, vec in res.centroids]

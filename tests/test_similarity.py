@@ -83,3 +83,25 @@ def test_normalize_vectors(spark, vectors):
     out = {r["vec_id"]: r["embedding_norm"] for r in normalize_vectors(withz).collect()}
     assert out[1] == pytest.approx([0.9 / (0.81 + 0.01) ** 0.5, 0.1 / (0.82) ** 0.5])
     assert out[9] is None  # zero vector -> NULL, not NaN
+
+
+def test_trained_ivf_full_probe_equals_bruteforce(spark):
+    from flink_kmeans_clustering_spark.operators.similarity import (
+        ann_search,
+        ivf_index,
+        topk_cosine,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    [q] = emb.filter("vec_id = 0").select("embedding").collect()
+    qv = [float(v) for v in q["embedding"]]
+    assigned, cents = ivf_index(emb, n_cells=4)
+    full = ann_search(assigned, cents, qv, k=5, n_probe=4, cell_col="cell")
+    brute = topk_cosine(emb, qv, k=5)
+    assert [r["vec_id"] for r in full.collect()] == [
+        r["vec_id"] for r in brute.collect()
+    ]
+
+    # probing fewer cells returns k rows from the probed subset only
+    probed = ann_search(assigned, cents, qv, k=5, n_probe=1, cell_col="cell")
+    assert probed.count() == 5
