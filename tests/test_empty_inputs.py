@@ -1,0 +1,97 @@
+"""Operators must degrade gracefully on empty inputs.
+
+An empty partition is routine at scale (a filter that matched nothing,
+an empty date slice); operators must return empty/identity results, not
+crash.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_kmeans_clustering_spark.operators.dedup import (
+    exact_duplicate_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from flink_kmeans_clustering_spark.operators.events import (
+    asof_join,
+    running_user_window,
+    sessionize,
+    tumbling_window_agg,
+    type_date_cube,
+)
+from flink_kmeans_clustering_spark.operators.kmeans import (
+    assign_points,
+    lloyd,
+    update_centroids,
+)
+from flink_kmeans_clustering_spark.operators.textstats import (
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    token_counts,
+)
+
+DOCS_SCHEMA = "doc_id long, text string, n_chars int"
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string,"
+    " value double, props string"
+)
+
+
+@pytest.fixture()
+def empty_docs(spark):
+    return spark.createDataFrame([], DOCS_SCHEMA)
+
+
+@pytest.fixture()
+def empty_events(spark):
+    return spark.createDataFrame([], EVENTS_SCHEMA)
+
+
+def test_dedup_ops_empty(spark, empty_docs):
+    assert exact_duplicate_groups(empty_docs, ["text"]).count() == 0
+    assert ngram_jaccard_pairs(empty_docs).count() == 0
+    assert minhash_lsh_pairs(empty_docs).count() == 0
+    assert simhash_pairs(empty_docs).count() == 0
+
+
+def test_textstats_ops_empty(spark, empty_docs):
+    assert token_counts(empty_docs).count() == 0
+    assert language_id(empty_docs).count() == 0
+    assert quality_score(empty_docs).count() == 0
+    assert doc_fingerprint(empty_docs).count() == 0
+
+
+def test_events_ops_empty(spark, empty_events):
+    assert tumbling_window_agg(empty_events).count() == 0
+    assert sessionize(empty_events).count() == 0
+    assert running_user_window(empty_events).count() == 0
+    # Spark emits no grand-total row for grouping sets over empty input
+    # (DuckDB emits one with count 0 — an engine asymmetry that only
+    # shows on fully-empty tables)
+    assert type_date_cube(empty_events).count() == 0
+    assert asof_join(empty_events, "purchase", "view").count() == 0
+
+
+def test_kmeans_ops_empty_points(spark):
+    pts = spark.createDataFrame([], "point_id long, x double, y double")
+    cents = [(0, 0.0, 0.0), (1, 5.0, 5.0)]
+    assert assign_points(pts, cents).count() == 0
+    assert update_centroids(assign_points(pts, cents)).count() == 0
+    res = lloyd(pts, cents, max_iterations=2, cache=False)
+    # all clusters empty -> drop-semantics empties the centroid set
+    assert res.centroids == [] and res.wcss == 0.0
+
+
+def test_docs_with_empty_text(spark):
+    docs = spark.createDataFrame(
+        [(0, "", 0), (1, "   ", 3), (2, "real text here", 14)], DOCS_SCHEMA
+    )
+    assert token_counts(docs).count() == 3
+    fp = {r["doc_id"]: r["fingerprint"] for r in doc_fingerprint(docs).collect()}
+    assert fp[0] == 0 and fp[1] == 0 and fp[2] != 0
+    assert language_id(docs).count() == 3

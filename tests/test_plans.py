@@ -120,3 +120,34 @@ def test_topk_cosine_no_shuffle_no_sort(spark):
 def test_token_frequencies_single_shuffle(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     assert_max_shuffles(token_frequencies(docs, top_n=100), 1)
+
+
+def test_asof_join_single_shuffle(spark):
+    from flink_kmeans_clustering_spark.operators.events import asof_join
+
+    df = asof_join(load_events(spark, SF), "purchase", "view")
+    # union-and-carry: one hash shuffle by user feeds the window; the
+    # right-side pre-aggregation adds at most one more
+    assert_max_shuffles(df, 2)
+
+
+def test_cube_single_expand_aggregate(spark):
+    from flink_kmeans_clustering_spark.operators.events import type_date_cube
+
+    df = type_date_cube(load_events(spark, SF))
+    assert_has_node(df, "Expand")
+    assert_max_shuffles(df, 1)
+
+
+def test_running_window_single_shuffle(spark):
+    from flink_kmeans_clustering_spark.operators.events import running_user_window
+
+    assert_max_shuffles(running_user_window(load_events(spark, SF)), 1)
+
+
+def test_sample_filter_is_narrow(spark):
+    from flink_kmeans_clustering_spark.operators.sampling import deterministic_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = deterministic_sample(docs, "text", rate=1 / 16)
+    assert shuffle_count(df) == 0, "hash sampling must stay a narrow filter"
