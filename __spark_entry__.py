@@ -76,6 +76,7 @@ from flink_kmeans_clustering_spark.operators.sampling import (
     deterministic_sample,
 )
 from flink_kmeans_clustering_spark.streaming.enrich import enrich_with_static
+from flink_kmeans_clustering_spark.streaming.joins import interval_join_streams
 from flink_kmeans_clustering_spark.operators.kmeans import (
     assign_points,
     lloyd,
@@ -479,6 +480,17 @@ def q_stream_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases ⋈ same-user views within
+    the preceding hour, watermark-bounded state on both sides.  The
+    drain-time watermark delay exceeds the data's span, so the result
+    equals the batch range join (the oracle)."""
+    purchases = stream_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    views = stream_events(spark, sf_dir).filter(F.col("event_type") == "view")
+    joined = interval_join_streams(purchases, views, interval="1 hour")
+    return run_available_now(joined)
+
+
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time gap sessionization with EventTimeTimeout (rows-only:
     sessions still open when the bounded drain ends stay in state by
@@ -593,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_window": q_stream_window,
         "q_stream_dedup": q_stream_dedup,
         "q_stream_totals": q_stream_totals,
+        "q_stream_interval_join": q_stream_interval_join,
         "q_stream_session": q_stream_session,
         "q_topk_sim": q_topk_sim,
         "q_ann_ivf": q_ann_ivf,
@@ -1143,6 +1156,15 @@ WHERE CAST(('0x' || substring(md5(text), 1, 2)) AS INT) % 256 < 16
             "SELECT user_id, COUNT(*) AS n_events,"
             " ROUND(SUM(value), 6) AS sum_value FROM events GROUP BY user_id"
         ),
+        "q_stream_interval_join": """
+WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view')
+SELECT p.user_id, p.event_id AS l_id, epoch_us(p.ts) AS l_ts_us,
+       v.event_id AS r_id, epoch_us(v.ts) AS r_ts_us,
+       epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+FROM p JOIN v ON p.user_id = v.user_id
+ AND v.ts <= p.ts AND v.ts > p.ts - INTERVAL 1 HOUR
+""",
         # q_stream_session: intentionally no oracle — open sessions at
         # drain end remain in state (rows-only check).
         "q_topk_sim": topk_sim_sql,
