@@ -63,7 +63,9 @@ from flink_kmeans_clustering_spark.operators.events import (
     extract_props,
     props_stats_by_type,
     running_user_window,
+    session_window_agg,
     sessionize,
+    sliding_window_agg,
     top_events_per_user,
     tumbling_window_agg,
     type_date_cube,
@@ -385,6 +387,18 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return type_date_rollup(ev)
 
 
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour windows hopping every 15 min (4× fan-out, 1 shuffle)."""
+    ev = load_events(spark, sf_dir)
+    return sliding_window_agg(ev, window="1 hour", slide="15 minutes")
+
+
+def q_events_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native F.session_window gap sessions (strict-gap merge rule)."""
+    ev = load_events(spark, sf_dir)
+    return session_window_agg(ev, gap=f"{SESSION_GAP_MINUTES} minutes")
+
+
 def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE(event_type, day): the full grouping-sets lattice."""
     ev = load_events(spark, sf_dir)
@@ -594,6 +608,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_json": q_events_json,
         "q_events_json_stats": q_events_json_stats,
         "q_events_rollup": q_events_rollup,
+        "q_events_sliding": q_events_sliding,
+        "q_events_session_native": q_events_session_native,
         "q_events_cube": q_events_cube,
         "q_events_asof": q_events_asof,
         "q_events_running": q_events_running,
@@ -979,6 +995,49 @@ FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS event_date, value
       FROM events)
 GROUP BY ROLLUP(event_type, event_date)
 """
+    # each event belongs to exactly window/slide = 4 hopping windows,
+    # epoch-aligned like Spark's F.window bucketing
+    events_sliding_sql = """
+WITH ex AS (
+  SELECT event_type, value,
+         make_timestamp(((epoch_us(ts) // 1000000 // 900) * 900
+                         - k.k * 900) * 1000000) AS wstart
+  FROM events, (SELECT unnest(range(0, 4)) AS k) k
+)
+SELECT strftime(wstart, '%Y-%m-%d %H:%M') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM ex GROUP BY 1, 2
+"""
+    # F.session_window merges strictly-within-gap events: a new session
+    # starts when the gap is >= the threshold (unlike operators.events.
+    # sessionize which merges at exactly-gap); end = last event + gap.
+    events_session_native_sql = f"""
+WITH ordered AS (
+  SELECT user_id, value, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_us
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_us IS NULL
+                   OR ts_us - prev_us >= {SESSION_GAP_MINUTES * 60 * 1000000}
+                 THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+),
+numbered AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                              ROWS UNBOUNDED PRECEDING) AS seq
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts_us) AS session_start_us,
+       MAX(ts_us) + {SESSION_GAP_MINUTES * 60 * 1000000} AS session_end_us,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM numbered GROUP BY user_id, seq
+"""
     events_cube_sql = """
 SELECT COALESCE(event_type, 'ALL') AS event_type,
        COALESCE(event_date, 'ALL') AS event_date,
@@ -1130,6 +1189,8 @@ LIMIT {TOKENFREQ_TOP_N}
         "q_events_json": events_json_sql,
         "q_events_json_stats": events_json_stats_sql,
         "q_events_rollup": events_rollup_sql,
+        "q_events_sliding": events_sliding_sql,
+        "q_events_session_native": events_session_native_sql,
         "q_events_cube": events_cube_sql,
         "q_events_asof": events_asof_sql,
         "q_events_running": events_running_sql,

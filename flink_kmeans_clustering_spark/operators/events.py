@@ -271,3 +271,54 @@ def value_quantiles(
         for p in probs
     ]
     return df.groupBy("event_type").agg(*aggs)
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sliding (hopping) event-time windows: each event lands in
+    window/slide overlapping buckets.  ``F.window`` expands rows into
+    their covering windows before one hash aggregation — the fan-out is
+    the window/slide ratio, the shuffle stays single."""
+    return (
+        df.groupBy(F.window(ts_col, window, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_window_agg(
+    df: DataFrame, gap: str = "30 minutes", ts_col: str = "ts"
+) -> DataFrame:
+    """Native gap-based session windows (``F.session_window``).
+
+    Spark's built-in session assignment: a session spans from its first
+    event to its last event + gap.  Equivalent to :func:`sessionize`
+    (same merge rule) with window bounds instead of min/max timestamps;
+    works identically in batch and Structured Streaming.
+    """
+    return (
+        df.groupBy(F.session_window(ts_col, gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
