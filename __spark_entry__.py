@@ -25,6 +25,7 @@ from flink_kmeans_clustering_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
+from flink_kmeans_clustering_spark.functions.udaf import geomean
 from flink_kmeans_clustering_spark.operators.kmeans_ml import fit_kmeans_ml
 from flink_kmeans_clustering_spark.operators.similarity import (
     ann_search,
@@ -399,6 +400,15 @@ def q_events_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_window_agg(ev, gap=f"{SESSION_GAP_MINUTES} minutes")
 
 
+def q_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF path: geometric mean per type via a GROUPED_AGG
+    pandas UDF (Arrow-batched), oracle-checked against exp(avg(ln))."""
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(geomean("value"), 6).alias("geo_mean")
+    )
+
+
 def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE(event_type, day): the full grouping-sets lattice."""
     ev = load_events(spark, sf_dir)
@@ -608,6 +618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_json": q_events_json,
         "q_events_json_stats": q_events_json_stats,
         "q_events_rollup": q_events_rollup,
+        "q_udaf_geomean": q_udaf_geomean,
         "q_events_sliding": q_events_sliding,
         "q_events_session_native": q_events_session_native,
         "q_events_cube": q_events_cube,
@@ -1189,6 +1200,10 @@ LIMIT {TOKENFREQ_TOP_N}
         "q_events_json": events_json_sql,
         "q_events_json_stats": events_json_stats_sql,
         "q_events_rollup": events_rollup_sql,
+        "q_udaf_geomean": """
+SELECT event_type, ROUND(EXP(AVG(LN(value))), 6) AS geo_mean
+FROM events GROUP BY event_type
+""",
         "q_events_sliding": events_sliding_sql,
         "q_events_session_native": events_session_native_sql,
         "q_events_cube": events_cube_sql,

@@ -57,3 +57,22 @@ def test_approx_distinct_within_rsd(spark):
     }
     for t, e in exact.items():
         assert abs(approx[t] - e) / e < 0.15, (t, approx[t], e)
+
+
+def test_partitioned_parquet_sink_roundtrip(spark, tmp_path):
+    from flink_kmeans_clustering_spark.sinks.parquet import write_partitioned
+    from pyspark.sql import functions as F2
+
+    ev = load_events(spark, SF).withColumn(
+        "event_date", F2.date_format("ts", "yyyy-MM-dd")
+    )
+    out = str(tmp_path / "events_parted")
+    write_partitioned(ev, out, ["event_type"], max_records_per_file=5000)
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+    # partition pruning: a type filter reads only that directory
+    import os
+    assert any(d.startswith("event_type=") for d in os.listdir(out))
+    one = back.filter(F2.col("event_type") == "click").count()
+    want = ev.filter(F2.col("event_type") == "click").count()
+    assert one == want
