@@ -62,6 +62,7 @@ from flink_kmeans_clustering_spark.sources.parquet import load_events, load_tabl
 from flink_kmeans_clustering_spark.operators.events import (
     asof_join,
     extract_props,
+    props_map_stats,
     props_stats_by_type,
     running_user_window,
     session_window_agg,
@@ -400,6 +401,11 @@ def q_events_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_window_agg(ev, gap=f"{SESSION_GAP_MINUTES} minutes")
 
 
+def q_events_json_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json map parse + explode: per-key stats over the props bag."""
+    return props_map_stats(load_events(spark, sf_dir))
+
+
 def q_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom UDAF path: geometric mean per type via a GROUPED_AGG
     pandas UDF (Arrow-batched), oracle-checked against exp(avg(ln))."""
@@ -619,6 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_topk": q_events_topk,
         "q_events_json": q_events_json,
         "q_events_json_stats": q_events_json_stats,
+        "q_events_json_map": q_events_json_map,
         "q_events_rollup": q_events_rollup,
         "q_udaf_geomean": q_udaf_geomean,
         "q_events_sliding": q_events_sliding,
@@ -1201,6 +1208,13 @@ LIMIT {TOKENFREQ_TOP_N}
         "q_events_topk": events_topk_sql,
         "q_events_json": events_json_sql,
         "q_events_json_stats": events_json_stats_sql,
+        "q_events_json_map": """
+WITH ex AS (SELECT unnest(json_keys(props)) AS key, props FROM events)
+SELECT key, COUNT(*) AS n_entries,
+       CAST(SUM(CAST(json_extract_string(props, '$.' || key) AS INT)) AS BIGINT)
+         AS sum_val
+FROM ex GROUP BY key
+""",
         "q_events_rollup": events_rollup_sql,
         "q_udaf_geomean": """
 SELECT event_type, ROUND(EXP(AVG(LN(value))), 6) AS geo_mean

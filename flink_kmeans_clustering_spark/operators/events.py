@@ -322,3 +322,16 @@ def session_window_agg(
             "sum_value",
         )
     )
+
+
+def props_map_stats(df: DataFrame) -> DataFrame:
+    """Full JSON normalization: parse props as a map, explode entries,
+    aggregate per key.  ``from_json`` to ``map<string,int>`` handles
+    arbitrary key sets without a declared struct schema — the shape for
+    semi-structured property bags whose keys drift over time."""
+    m = F.from_json("props", "map<string,int>")
+    ex = df.select(F.explode(m).alias("key", "val"))
+    return ex.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_entries"),
+        F.sum("val").alias("sum_val"),
+    )

@@ -33,9 +33,23 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+def _value_hash(df: pd.DataFrame) -> str:
+    """The driver's order-insensitive value hash (dtype-sensitive!)."""
+    import hashlib
+
+    p = df[sorted(df.columns)].sort_values(
+        sorted(df.columns), kind="mergesort"
+    ).reset_index(drop=True)
+    return hashlib.sha256(
+        pd.util.hash_pandas_object(p, index=False).values.tobytes()
+    ).hexdigest()
+
+
 def assert_matches_oracle(spark_df, oracle_sql: str, sf_dir: str) -> None:
-    got = normalize(spark_df.toPandas())
-    want = normalize(run_oracle(oracle_sql, sf_dir))
+    got_raw = spark_df.toPandas()
+    want_raw = run_oracle(oracle_sql, sf_dir)
+    got = normalize(got_raw)
+    want = normalize(want_raw)
     assert list(got.columns) == list(want.columns), (
         f"column mismatch: spark={list(got.columns)} oracle={list(want.columns)}"
     )
@@ -54,3 +68,10 @@ def assert_matches_oracle(spark_df, oracle_sql: str, sf_dir: str) -> None:
                 f"value mismatch in column {c!r} at rows {bad.tolist()}: "
                 f"spark={g.iloc[bad].tolist()} oracle={w.iloc[bad].tolist()}"
             )
+    # the driver's actual gate hashes raw dtypes too — a DuckDB HUGEINT
+    # sum vs a Spark bigint has equal values but a different hash; catch
+    # that class of miss here rather than in CORRECTNESS_r{N}.json
+    assert _value_hash(got_raw) == _value_hash(want_raw), (
+        f"value-hash mismatch despite equal values — dtype drift? "
+        f"spark={got_raw.dtypes.to_dict()} oracle={want_raw.dtypes.to_dict()}"
+    )
