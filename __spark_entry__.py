@@ -42,6 +42,7 @@ from flink_kmeans_clustering_spark.operators.textstats import (
     quality_score,
     token_counts,
     token_frequencies,
+    token_frequencies_salted,
 )
 from flink_kmeans_clustering_spark.operators.multimodal import (
     asset_metadata,
@@ -257,6 +258,25 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive integer rolling fingerprint of the token stream."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return doc_fingerprint(docs)
+
+
+def q_text_tokenfreq_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation (hot-key shuffle guard); identical
+    result to the direct groupBy, which is the oracle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_frequencies_salted(docs, salts=16)
+
+
+def q_dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard with the max_df hot-shingle cap engaged: shingles
+    occurring in more than 20 documents are dropped before the pair
+    join — the skew/size guard a web corpus needs.  Semantics (and the
+    oracle) change accordingly: pairs whose only shared shingles are
+    ubiquitous no longer meet."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_jaccard_pairs(
+        docs, n=3, threshold=NGRAM_JACCARD_THRESHOLD, max_df=20
+    )
 
 
 def q_text_tokenfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -648,6 +668,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_trained": q_ann_trained,
         "q_kmeans_ml": q_kmeans_ml,
         "q_text_tokens": q_text_tokens,
+        "q_text_tokenfreq_salted": q_text_tokenfreq_salted,
+        "q_dedup_ngram_capped": q_dedup_ngram_capped,
         "q_text_langid": q_text_langid,
         "q_text_quality": q_text_quality,
         "q_text_fingerprint": q_text_fingerprint,
@@ -1183,6 +1205,45 @@ GROUP BY token
 ORDER BY freq DESC, token
 LIMIT {TOKENFREQ_TOP_N}
 """
+    # salting is associative-exact: same result as the direct group
+    text_tokenfreq_salted_sql = f"""
+WITH {_TOKS_CTE}
+SELECT token, COUNT(*) AS freq
+FROM (SELECT unnest(t) AS token FROM toks)
+GROUP BY token
+"""
+    # capped variant: intersections count only shingles with df <= 20,
+    # while set sizes stay FULL (mirrors ngram_jaccard_pairs max_df)
+    dedup_ngram_capped_sql = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(t)-2, 1)+1),
+           i -> array_to_string(list_slice(t, i, i+2), ' '))) AS shingles
+  FROM toks WHERE len(t) > 0
+),
+sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+keep AS (SELECT s FROM ex0 GROUP BY s HAVING COUNT(*) <= 20),
+ex AS (SELECT ex0.* FROM ex0 JOIN keep USING (s)),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
+           JOIN sizes sb ON inter.id_b = sb.doc_id
+WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter)
+      >= {NGRAM_JACCARD_THRESHOLD}
+"""
     return {
         "q_assign": assign,
         "q_update": update,
@@ -1266,4 +1327,6 @@ FROM p JOIN v ON p.user_id = v.user_id
         "q_text_quality": text_quality_sql,
         "q_text_fingerprint": text_fingerprint_sql,
         "q_text_tokenfreq": text_tokenfreq_sql,
+        "q_text_tokenfreq_salted": text_tokenfreq_salted_sql,
+        "q_dedup_ngram_capped": dedup_ngram_capped_sql,
     }

