@@ -35,6 +35,7 @@ from flink_kmeans_clustering_spark.operators.similarity import (
 )
 from flink_kmeans_clustering_spark.operators.textstats import (
     BPE_TOKEN_RE,
+    clean_text,
     ENGLISH_STOPWORDS,
     LANG_STOPWORDS,
     doc_fingerprint,
@@ -258,6 +259,13 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive integer rolling fingerprint of the token stream."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return doc_fingerprint(docs)
+
+
+def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus normalization pass: lowercase, strip control chars,
+    collapse whitespace; digest for downstream exact dedup."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return clean_text(docs)
 
 
 def q_text_tokenfreq_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -668,6 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_trained": q_ann_trained,
         "q_kmeans_ml": q_kmeans_ml,
         "q_text_tokens": q_text_tokens,
+        "q_text_clean": q_text_clean,
         "q_text_tokenfreq_salted": q_text_tokenfreq_salted,
         "q_dedup_ngram_capped": q_dedup_ngram_capped,
         "q_text_langid": q_text_langid,
@@ -1327,6 +1336,18 @@ FROM p JOIN v ON p.user_id = v.user_id
         "q_text_quality": text_quality_sql,
         "q_text_fingerprint": text_fingerprint_sql,
         "q_text_tokenfreq": text_tokenfreq_sql,
+        "q_text_clean": """
+WITH c AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[[:cntrl:]]', ' ', 'g'),
+                             '\\s+', ' ', 'g')) AS clean_text
+  FROM documents
+)
+SELECT doc_id, clean_text,
+       CAST(length(clean_text) AS INT) AS clean_len,
+       md5(clean_text) AS clean_digest
+FROM c
+""",
         "q_text_tokenfreq_salted": text_tokenfreq_salted_sql,
         "q_dedup_ngram_capped": dedup_ngram_capped_sql,
     }

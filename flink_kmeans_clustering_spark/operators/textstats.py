@@ -192,3 +192,25 @@ def token_frequencies_salted(
         F.count(F.lit(1)).alias("_c")
     )
     return partial.groupBy("token").agg(F.sum("_c").alias("freq"))
+
+
+def clean_text(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Normalization pass a training corpus runs before anything else:
+    lowercase, strip non-printable/control chars, collapse whitespace
+    runs to single spaces, trim.  Pure regexp expressions — scan-speed,
+    shuffle-free, identical in any regex-compatible engine."""
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), r"[\p{Cntrl}]", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        cleaned.alias("clean_text"),
+        F.length(cleaned).alias("clean_len"),
+        F.md5(cleaned).alias("clean_digest"),
+    )
