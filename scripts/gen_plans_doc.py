@@ -1,0 +1,65 @@
+"""Regenerate docs/PLANS.md: formatted physical plans of headline queries.
+
+Human-readable evidence for the plan shapes that tests/test_plans.py
+pins — run after any planner-visible change.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from flink_kmeans_clustering_spark.plans import explain_str, shuffle_count  # noqa: E402
+from flink_kmeans_clustering_spark.session import get_spark  # noqa: E402
+
+PICKS = [
+    ("q_assign", "Narrow literal-argmin assignment — zero shuffles, one codegen span"),
+    (
+        "q_rel_pricing",
+        "TPC-H Q1 shape — pushed shipdate filter, pruned 7-column scan, "
+        "partial+final hash agg",
+    ),
+    (
+        "q_rel_shipping",
+        "TPC-H Q3 shape — broadcast dimension joins, TakeOrderedAndProject top-10",
+    ),
+    ("q_topk_sim", "Brute-force cosine top-k — shuffle-free TakeOrderedAndProject"),
+    ("q_events_topk", "Per-key window top-k — WindowGroupLimit rank pushdown"),
+    (
+        "q_dedup_minhash",
+        "MinHash LSH — codegen'd per-lane MIN aggregates, banded self-join",
+    ),
+]
+
+
+def main() -> int:
+    import __spark_entry__ as mod
+
+    spark = get_spark(app_name="plans-doc", shuffle_partitions=32)
+    sf_dir = "/root/testdata/sf0.01"
+    out = [
+        "# Physical plans of headline queries (generated; sf0.01, local[32], AQE on)",
+        "",
+        "Regenerate with `python scripts/gen_plans_doc.py`.  The shapes below are",
+        "pinned by `tests/test_plans.py`; this file is the human-readable evidence.",
+        "",
+    ]
+    for name, blurb in PICKS:
+        df = mod.queries()[name](spark, sf_dir)
+        plan = explain_str(df)
+        out.append(f"## {name}\n\n{blurb} — {shuffle_count(df)} shuffle(s).\n")
+        out.append("```")
+        out.append(plan.split("\n\n")[0].rstrip())  # tree only, not node detail
+        out.append("```\n")
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "docs", "PLANS.md")
+    with open(path, "w") as f:
+        f.write("\n".join(out))
+    print(f"wrote {path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
