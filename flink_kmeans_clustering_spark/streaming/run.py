@@ -66,3 +66,33 @@ def run_available_now(
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
+
+
+def run_foreach_batch(
+    stream_df: DataFrame,
+    batch_fn,
+    timeout_sec: int = 300,
+) -> None:
+    """Drain a stream through ``foreachBatch(batch_fn)`` (availableNow).
+
+    ``foreachBatch`` is the production sink escape hatch: each
+    micro-batch arrives as a *batch* DataFrame plus an epoch id, so any
+    batch writer works — parquet appends, JDBC upserts, MERGE INTO —
+    with exactly-once achievable by making the write idempotent on the
+    epoch id.  The checkpoint guarantees each epoch is delivered at
+    least once and in order.
+    """
+    name = f"stream_feb_{os.getpid()}_{next(_QUERY_SEQ)}"
+    checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    query = (
+        stream_df.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not query.awaitTermination(timeout_sec):
+            raise TimeoutError(f"streaming query {name} still running after {timeout_sec}s")
+    finally:
+        if query.isActive:
+            query.stop()

@@ -125,3 +125,21 @@ def test_sessionize_stream_emits_closed_sessions(spark):
     # by emitting nothing.
     n_users = batch["user_id"].nunique()
     assert len(got_keys) >= len(batch_keys) - n_users
+
+
+def test_foreach_batch_parquet_sink(spark, tmp_path):
+    from flink_kmeans_clustering_spark.streaming.run import run_foreach_batch
+
+    out = str(tmp_path / "events_out")
+    epochs = []
+
+    def write_batch(batch_df, epoch_id):
+        epochs.append(epoch_id)
+        batch_df.write.mode("append").parquet(out)
+
+    run_foreach_batch(stream_events(spark, SF), write_batch)
+    assert len(epochs) >= 1
+    back = spark.read.parquet(out)
+    src = load_events(spark, SF)
+    assert back.count() == src.count()
+    assert set(back.columns) == set(src.columns)
