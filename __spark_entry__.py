@@ -63,6 +63,7 @@ from flink_kmeans_clustering_spark.operators.relational import (
 from flink_kmeans_clustering_spark.sources.parquet import load_events, load_table
 from flink_kmeans_clustering_spark.operators.events import (
     asof_join,
+    daily_type_pivot,
     extract_props,
     props_map_stats,
     props_stats_by_type,
@@ -429,6 +430,11 @@ def q_events_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_window_agg(ev, gap=f"{SESSION_GAP_MINUTES} minutes")
 
 
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide daily report via pivot (static value list, one shuffle)."""
+    return daily_type_pivot(load_events(spark, sf_dir))
+
+
 def q_events_json_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """from_json map parse + explode: per-key stats over the props bag."""
     return props_map_stats(load_events(spark, sf_dir))
@@ -654,6 +660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_json": q_events_json,
         "q_events_json_stats": q_events_json_stats,
         "q_events_json_map": q_events_json_map,
+        "q_events_pivot": q_events_pivot,
         "q_events_rollup": q_events_rollup,
         "q_udaf_geomean": q_udaf_geomean,
         "q_events_sliding": q_events_sliding,
@@ -1278,6 +1285,15 @@ WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter)
         "q_events_topk": events_topk_sql,
         "q_events_json": events_json_sql,
         "q_events_json_stats": events_json_stats_sql,
+        "q_events_pivot": """
+SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+       COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+       COUNT(*) FILTER (WHERE event_type = 'view') AS view
+FROM events GROUP BY 1
+""",
         "q_events_json_map": """
 WITH ex AS (SELECT unnest(json_keys(props)) AS key, props FROM events)
 SELECT key, COUNT(*) AS n_entries,

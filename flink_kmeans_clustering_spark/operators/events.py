@@ -335,3 +335,33 @@ def props_map_stats(df: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_entries"),
         F.sum("val").alias("sum_val"),
     )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def daily_type_pivot(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Wide daily report: one row per day, one count column per event
+    type.  ``pivot`` with an explicit value list keeps the schema static
+    (no extra pass to discover values) and the column order
+    deterministic; Catalyst compiles it to conditional aggregation —
+    one shuffle, no per-value scans."""
+    d = df.withColumn("event_date", F.date_format(ts_col, "yyyy-MM-dd"))
+    return (
+        d.groupBy("event_date")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+    )
+
+
+def unpivot_daily_types(wide: DataFrame) -> DataFrame:
+    """Melt the wide daily report back to long (event_date, type, n) —
+    ``unpivot`` is the inverse of :func:`daily_type_pivot` up to rows
+    with zero counts."""
+    return wide.unpivot(
+        ids=["event_date"],
+        values=list(EVENT_TYPES),
+        variableColumnName="event_type",
+        valueColumnName="n_events",
+    )

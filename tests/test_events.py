@@ -127,3 +127,21 @@ def test_running_window_cumulative(spark):
     assert [r["running_value"] for r in u1] == [1.0, 3.0, 7.0]
     assert u1[0]["delta_prev"] is None
     assert u1[1]["delta_prev"] == 1.0
+
+
+def test_pivot_unpivot_roundtrip(spark):
+    from flink_kmeans_clustering_spark.operators.events import (
+        daily_type_pivot,
+        unpivot_daily_types,
+    )
+
+    wide = daily_type_pivot(_events(spark))
+    rows = {r["event_date"]: r for r in wide.collect()}
+    assert rows["2024-01-01"]["view"] == 3
+    assert rows["2024-01-01"]["click"] == 2
+    long = unpivot_daily_types(wide)
+    back = {
+        (r["event_date"], r["event_type"]): r["n_events"] for r in long.collect()
+    }
+    assert back[("2024-01-01", "view")] == 3
+    assert back[("2024-01-01", "purchase")] == 0  # zero-filled wide slot
