@@ -95,3 +95,15 @@ def test_docs_with_empty_text(spark):
     fp = {r["doc_id"]: r["fingerprint"] for r in doc_fingerprint(docs).collect()}
     assert fp[0] == 0 and fp[1] == 0 and fp[2] != 0
     assert language_id(docs).count() == 3
+
+
+def test_null_text_degrades_gracefully(spark):
+    docs = spark.createDataFrame(
+        [(0, None, 0), (1, "hello world text", 16)], DOCS_SCHEMA
+    )
+    # scalar ops keep the null row (null/0 outputs); pair/sample ops drop it
+    assert token_counts(docs).count() == 2
+    assert doc_fingerprint(docs).count() == 2
+    assert ngram_jaccard_pairs(docs).count() == 0
+    assert minhash_lsh_pairs(docs).count() == 0
+    assert simhash_pairs(docs).count() == 0
