@@ -51,6 +51,9 @@ def load_events(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     ``epoch_us`` truncation on the same file.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # formatted-date outputs (date_format/window starts) must not depend
+    # on the host session's timezone — pin UTC like the DuckDB oracle
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = load_table(spark, "events", sf_dir)
     return ev.withColumn(
         "ts", F.timestamp_micros(F.expr("ts div 1000"))
