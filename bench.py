@@ -65,9 +65,23 @@ def main() -> None:
         timings["kmeans_ref_100k_k8_10iter"] = round(time.perf_counter() - t0, 3)
         assert abs(res.wcss - 264993.3526094555) / 264993.3526094555 < 1e-9
 
+    # Headline metric: the reference-comparable workload (same fixture,
+    # same k/iterations as BASELINE.md's 2263 ms p=1 / 4021 ms p=4 rows)
+    # when available; the all-queries total otherwise.  BASELINE's
+    # numbers time ONE job — comparing them to a 56-query sweep total
+    # would be apples-to-oranges, so the sweep total ships inside
+    # `queries` as `total_all_queries`.
+    total = round(sum(timings.values()), 3)
+    timings["total_all_queries"] = total
+    if "kmeans_ref_100k_k8_10iter" in timings:
+        metric = "kmeans_ref_100k_k8_10iter"
+        value = timings[metric]
+    else:
+        metric = "headline_queries_total"
+        value = total
     out = {
-        "metric": "headline_queries_total",
-        "value": round(sum(timings.values()), 3),
+        "metric": metric,
+        "value": value,
         "unit": "sec",
         "queries": timings,
         "sf": _sf_of(sf_dir),
