@@ -30,3 +30,10 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
     assert set(df.columns) >= {"point_id", "cluster"}
+
+
+def test_no_orphan_oracles():
+    # every oracle key must name a registered query (an orphan would
+    # silently skip the driver's comparison for a renamed query)
+    orphans = set(entrymod.oracle_sql()) - set(entrymod.queries())
+    assert not orphans, f"oracles without queries: {sorted(orphans)}"
