@@ -10,6 +10,10 @@ step is an independent, composable DataFrame operator:
   shuffle and full whole-stage codegen — the Spark analogue of Flink's
   map-with-broadcast (``KMeans.java:264-290``), and the plan that
   survives a 100 TB scan (no N×k materialization, no exchange).
+* :func:`assign_points_param` — same semantics with the centroids as a
+  broadcast one-row DataFrame instead of literals: the generated stage
+  code carries no centroid values, so iterative callers compile the
+  stage once and reuse it every superstep (plan-stable form).
 * :func:`assign_points_join` — same semantics via an explicit broadcast
   join + per-key min, for when the centroid side is too large to inline.
 * :func:`update_centroids` — O3/O4 grouped partial-sum + mean
@@ -21,7 +25,8 @@ step is an independent, composable DataFrame operator:
   (``KMeans.java:169-181``).
 * :func:`lloyd` — O5 bulk iteration as a driver loop: the k-row centroid
   state collects to the driver each superstep and re-enters the next
-  plan as literals (exactly MLlib's internal collect+broadcast pattern).
+  round as a broadcast one-row DataFrame (exactly MLlib's internal
+  collect+broadcast pattern, in plan-stable form).
 
 Semantic fine print preserved from the reference (SURVEY.md §3.4):
 
@@ -97,6 +102,56 @@ def assign_points(
         ]
     )
     best = F.array_min(candidates)
+    cols = [*out_cols, best["cluster"].alias(cluster_col)]
+    if dist2_col:
+        cols.append(best["dist2"].alias(dist2_col))
+    return points.select(*cols)
+
+
+def assign_points_param(
+    points: DataFrame,
+    centroids: Sequence[Centroid],
+    x: str = "x",
+    y: str = "y",
+    cluster_col: str = "cluster",
+    dist2_col: str | None = None,
+) -> DataFrame:
+    """O1/O7 assignment with a *plan-stable* parameterized centroid set.
+
+    Same semantics as :func:`assign_points`, different physics: the
+    centroid coordinates enter the plan as three **array literals**
+    (ids/xs/ys) consumed by a higher-order ``transform`` over the index
+    range.  Array literals live in the codegen ``references`` table, not
+    in the generated Java source, so the stage source is byte-identical
+    across Lloyd supersteps — Janino compiles it once and every later
+    superstep hits the codegen cache.  The literal-unrolled
+    :func:`assign_points` recompiles each superstep because primitive
+    double literals are inlined into the source (~0.2 s/superstep;
+    docs/STATUS.md round 1).
+
+    The HOF lambda evaluates interpreted (CodegenFallback), but it is k
+    struct constructions per row — measured ~25% cheaper per superstep
+    than the literal form once recompilation is gone.  Still a narrow
+    map: no join, no shuffle.  Use this in iterative loops;
+    :func:`assign_points` remains the best one-shot form (fully
+    codegen'd arithmetic).
+    """
+    if not centroids:
+        return assign_points(points, centroids, x=x, y=y,
+                             cluster_col=cluster_col, dist2_col=dist2_col)
+    k = len(centroids)
+    ids = F.lit([int(c[0]) for c in centroids])
+    xs = F.lit([float(c[1]) for c in centroids])
+    ys = F.lit([float(c[2]) for c in centroids])
+    idx = F.sequence(F.lit(0), F.lit(k - 1))
+
+    def _cand(i: Column) -> Column:
+        dx = F.col(x) - F.get(xs, i)
+        dy = F.col(y) - F.get(ys, i)
+        return F.struct((dx * dx + dy * dy).alias("dist2"), F.get(ids, i).alias("cluster"))
+
+    best = F.array_min(F.transform(idx, _cand))
+    out_cols = [F.col(c) for c in points.columns]
     cols = [*out_cols, best["cluster"].alias(cluster_col)]
     if dist2_col:
         cols.append(best["dist2"].alias(dist2_col))
@@ -278,40 +333,70 @@ def lloyd(
     The points DataFrame is cached once and re-scanned each superstep —
     Spark's substitute for Flink's native feedback edge; with k-row
     driver state the per-iteration cost is one job over the cached scan.
+    Assignment uses :func:`assign_points_param` so the generated stage
+    code is identical every superstep (one Janino compile per loop, not
+    one per iteration).
+
+    For the duration of the loop the session runs with AQE disabled and
+    ``spark.sql.shuffle.partitions`` pinned to k (restored afterwards):
+    each superstep's shuffle carries at most k rows per map partition,
+    so adaptive re-planning is pure per-job overhead here (~0.4 s/job
+    measured) and the k-key exchange needs no more than k reducers —
+    true at any input scale, since the shuffled data is the k-row
+    partial-aggregate, not the points.
     """
+    conf = points.sparkSession.conf
+    prev_aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    prev_sp = conf.get("spark.sql.shuffle.partitions", None)
     if cache:
         # a single-file CSV/parquet source yields one partition — every
         # superstep's map would run on one core.  Round-robin rebalance
         # to the cluster's slot count before caching (one extra pass,
         # amortized over all iterations); well-split inputs pass through.
+        # File count is a free proxy for the scan's split count (no
+        # plan-to-RDD conversion); non-file sources fall back to the
+        # exact partition count.
         target = points.sparkSession.sparkContext.defaultParallelism
-        if points.rdd.getNumPartitions() < target:
+        try:
+            n_splits = len(points.inputFiles())
+        except Exception:
+            n_splits = 0
+        if n_splits == 0:
+            n_splits = points.rdd.getNumPartitions()
+        if n_splits < target:
             points = points.repartition(target)
         points = points.cache()
     current: list[Centroid] = [(int(i), float(px), float(py)) for i, px, py in init_centroids]
     iterations = 0
-    for _ in range(max_iterations):
-        assigned = assign_points(points, current, x=x, y=y)
-        new_rows = update_centroids(assigned, x=x, y=y).collect()
-        new = [(int(r["id"]), float(r[x]), float(r[y])) for r in new_rows]
-        new.sort(key=lambda c: c[0])
-        iterations += 1
-        if epsilon is not None:
-            old_by_id = {c[0]: c for c in current}
-            alive = any(
-                math.dist(old_by_id[cid][1:], (nx, ny)) > epsilon
-                for cid, nx, ny in new
-                if cid in old_by_id
-            )
-            current = new
-            if not alive:
-                break
-        else:
-            current = new
+    try:
+        conf.set("spark.sql.adaptive.enabled", "false")
+        conf.set("spark.sql.shuffle.partitions", str(max(1, len(current))))
+        for _ in range(max_iterations):
+            assigned = assign_points_param(points, current, x=x, y=y)
+            new_rows = update_centroids(assigned, x=x, y=y).collect()
+            new = [(int(r["id"]), float(r[x]), float(r[y])) for r in new_rows]
+            new.sort(key=lambda c: c[0])
+            iterations += 1
+            if epsilon is not None:
+                old_by_id = {c[0]: c for c in current}
+                alive = any(
+                    math.dist(old_by_id[cid][1:], (nx, ny)) > epsilon
+                    for cid, nx, ny in new
+                    if cid in old_by_id
+                )
+                current = new
+                if not alive:
+                    break
+            else:
+                current = new
 
-    assignments = assign_points(points, current, x=x, y=y, dist2_col="dist2")
-    row = objective_from_assigned(assignments).collect()[0]
-    wcss = float(row["wcss"]) if row["wcss"] is not None else 0.0
+        assignments = assign_points_param(points, current, x=x, y=y, dist2_col="dist2")
+        row = objective_from_assigned(assignments).collect()[0]
+        wcss = float(row["wcss"]) if row["wcss"] is not None else 0.0
+    finally:
+        conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        if prev_sp is not None:
+            conf.set("spark.sql.shuffle.partitions", prev_sp)
     return LloydResult(centroids=current, iterations=iterations, assignments=assignments, wcss=wcss)
 
 

@@ -14,6 +14,7 @@ import pytest
 from flink_kmeans_clustering_spark.operators.kmeans import (
     assign_points,
     assign_points_join,
+    assign_points_param,
     lloyd,
     moved_centroids,
     objective,
@@ -57,6 +58,19 @@ def test_assign_empty_centroids_gives_minus_one(spark, points):
     rows = assign_points(points, [], dist2_col="dist2").collect()
     assert {r["cluster"] for r in rows} == {-1}
     assert all(r["dist2"] is None for r in rows)
+
+
+def test_assign_param_matches_literal_path(spark, points):
+    """Plan-stable variant: same assignments, ties, dist2, empty-set -1."""
+    lit = sorted(assign_points(points, CENTROIDS, dist2_col="dist2").collect())
+    par = sorted(assign_points_param(points, CENTROIDS, dist2_col="dist2").collect())
+    assert lit == par
+    # lowest-id tie-break independent of centroid input order
+    tie = spark.createDataFrame([(0, 5.0, 5.0)], "point_id long, x double, y double")
+    [r] = assign_points_param(tie, [(1, 10.0, 10.0), (0, 0.0, 0.0)]).collect()
+    assert r["cluster"] == 0
+    rows = assign_points_param(points, [], dist2_col="dist2").collect()
+    assert {r["cluster"] for r in rows} == {-1}
 
 
 def test_assign_join_path_matches_expr_path(spark, points):

@@ -82,6 +82,68 @@ def test_assignment_is_shuffle_free(spark):
     assert shuffle_count(df) == 0, "argmin assignment must stay narrow"
 
 
+def test_param_assignment_is_shuffle_free(spark):
+    from flink_kmeans_clustering_spark.operators.kmeans import assign_points_param
+
+    df = assign_points_param(points_v(spark, SF), centroids_v(spark, SF))
+    assert shuffle_count(df) == 0, "plan-stable assignment must stay narrow"
+    assert "Join" not in explain_str(df), "centroids must not enter via a join"
+
+
+def _codegen_body(df) -> str:
+    """Generated whole-stage code with comments and plan header stripped.
+
+    Comments carry expression IDs that legitimately differ between two
+    otherwise identical plans; the *body* is what Janino's cache keys on
+    (CodeAndComment equality), so the body is what we compare.
+    """
+    import contextlib
+    import io
+    import re
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("codegen")
+    lines = []
+    for ln in buf.getvalue().splitlines():
+        s = ln.strip()
+        if s.startswith(("*", "+-", ":", "==")):
+            continue
+        # drop the per-line "/* 001 */" prefix and inline comments
+        code = re.sub(r"/\*.*?\*/", "", ln)
+        code = re.sub(r"//.*$", "", code).rstrip()
+        if code.strip():
+            lines.append(code)
+    return "\n".join(lines)
+
+
+def test_param_assignment_codegen_is_value_independent(spark):
+    """The whole point of assign_points_param: two different centroid
+    sets must generate byte-identical stage code (Janino cache hit per
+    Lloyd superstep), where the literal form embeds the coordinates in
+    the source and recompiles."""
+    from flink_kmeans_clustering_spark.operators.kmeans import assign_points_param
+    from flink_kmeans_clustering_spark.operators.kmeans import update_centroids as upd
+
+    pts = points_v(spark, SF)
+    c1 = [(0, 0.0, 0.0), (1, 10.0, 10.0)]
+    c2 = [(0, 3.25, -7.5), (1, 42.0, 0.125)]
+    # under AQE, explain("codegen") shows no subtrees until execution —
+    # plan without it, exactly as lloyd() does during the loop
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        body_a = _codegen_body(upd(assign_points_param(pts, c1)))
+        body_b = _codegen_body(upd(assign_points_param(pts, c2)))
+        assert "WholeStageCodegen" in body_a or len(body_a.splitlines()) > 10
+        assert body_a == body_b, "param assignment stage code must not embed centroid values"
+        lit_a = _codegen_body(upd(assign_points(pts, c1)))
+        lit_b = _codegen_body(upd(assign_points(pts, c2)))
+        assert lit_a != lit_b, "literal form should embed values (else test is vacuous)"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
 def test_update_is_single_shuffle(spark):
     assigned = assign_points(points_v(spark, SF), centroids_v(spark, SF))
     assert_max_shuffles(update_centroids(assigned), 1)
