@@ -193,10 +193,22 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup: exact 3-gram-shingle Jaccard, blocked on shared shingles.
 
-    Jaccard is a ratio of integers — engine-exact, no rounding needed.
+    Runs the operator's scale default: hot shingles (document frequency
+    > DEFAULT_NGRAM_MAX_DF) are dropped before the pair join — the
+    guard a web corpus needs.  Jaccard is a ratio of integers —
+    engine-exact, no rounding needed.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return ngram_jaccard_pairs(docs, n=3, threshold=NGRAM_JACCARD_THRESHOLD)
+
+
+def q_dedup_ngram_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncapped n-gram Jaccard (max_df=None escape hatch): the exact
+    small-corpus semantics where ubiquitous shingles still join pairs.
+    Documented small-input-only — at corpus scale use the capped
+    default."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_jaccard_pairs(docs, n=3, threshold=NGRAM_JACCARD_THRESHOLD, max_df=None)
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -221,16 +233,21 @@ def q_dedup_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates (rows-only check: xxhash64-based,
-    not reproducible in DuckDB; semantics covered by tests/test_dedup.py)."""
+    """MinHash+LSH near-dup candidates, md5-prefix lane hashes — the
+    DuckDB oracle recomputes the exact 60-bit lane values, band
+    membership, and agreement fractions.  Production corpora keep the
+    operator's xxhash64 default (pair-set equivalence on this corpus is
+    pinned in tests/test_dedup.py)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return minhash_lsh_pairs(docs, num_hashes=32, bands=8, threshold=0.5)
+    return minhash_lsh_pairs(docs, num_hashes=32, bands=8, threshold=0.5, hash_fn="md5")
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs within Hamming distance 3 (rows-only check)."""
+    """SimHash near-dup pairs within Hamming distance 3, md5-half bit
+    lanes — oracle-exact (same bits, chunks, and Hamming counts in
+    DuckDB).  xxhash64 stays the production default."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash_pairs(docs, max_hamming=3, chunks=4)
+    return simhash_pairs(docs, max_hamming=3, chunks=4, hash_fn="md5")
 
 
 # --- text analysis (SURVEY.md §2.6) -----------------------------------------
@@ -277,11 +294,11 @@ def q_text_tokenfreq_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram Jaccard with the max_df hot-shingle cap engaged: shingles
-    occurring in more than 20 documents are dropped before the pair
-    join — the skew/size guard a web corpus needs.  Semantics (and the
-    oracle) change accordingly: pairs whose only shared shingles are
-    ubiquitous no longer meet."""
+    """n-gram Jaccard with the max_df=20 hot-shingle cap requested
+    explicitly (since round 2 this is also the operator default, which
+    q_dedup_ngram exercises): shingles occurring in more than 20
+    documents are dropped before the pair join, so pairs whose only
+    shared shingles are ubiquitous never meet."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return ngram_jaccard_pairs(
         docs, n=3, threshold=NGRAM_JACCARD_THRESHOLD, max_df=20
@@ -641,6 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kmeans": q_kmeans,
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_ngram": q_dedup_ngram,
+        "q_dedup_ngram_exact": q_dedup_ngram_exact,
         "q_dedup_embedding": q_dedup_embedding,
         "q_dedup_gemm": q_dedup_gemm,
         "q_dedup_minhash": q_dedup_minhash,
@@ -767,8 +785,9 @@ FROM documents GROUP BY text
 """
     # identical tokenization/shingling as functions.text (lower, split on
     # non-alphanumerics, drop empties; 3-gram shingles, short docs -> one
-    # whole-sequence shingle, distinct)
-    dedup_ngram_sql = f"""
+    # whole-sequence shingle, distinct).  This is the UNCAPPED form —
+    # the oracle for q_dedup_ngram_exact (max_df=None escape hatch).
+    dedup_ngram_exact_sql = f"""
 WITH toks AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
@@ -794,6 +813,92 @@ SELECT id_a, id_b,
 FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
            JOIN sizes sb ON inter.id_b = sb.doc_id
 WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {NGRAM_JACCARD_THRESHOLD}
+"""
+    # md5-lane MinHash: lane i of a doc = min over its shingles of the
+    # 60-bit md5-prefix hash of "i:<shingle>" (functions.hashing.
+    # md5_hash60).  Banding = equality of 4-lane signature slices; the
+    # estimate is the fraction of agreeing lanes (exact n/32 ratio).
+    dedup_minhash_sql = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(t)-2, 1)+1),
+           i -> array_to_string(list_slice(t, i, i+2), ' '))) AS shingles
+  FROM toks WHERE len(t) > 0
+),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+lanes AS (
+  SELECT doc_id, l.lane AS lane,
+         MIN(CAST(('0x' || substring(md5(CAST(l.lane AS VARCHAR) || ':' || s),
+                                     1, 15)) AS BIGINT)) AS mv
+  FROM ex CROSS JOIN (SELECT unnest(range(0, 32)) AS lane) l
+  GROUP BY doc_id, l.lane
+),
+sig AS (SELECT doc_id, list(mv ORDER BY lane) AS sig FROM lanes GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE len(list_filter(range(0, 8),
+        j -> list_slice(a.sig, j*4+1, j*4+4) = list_slice(b.sig, j*4+1, j*4+4))) > 0
+)
+SELECT id_a, id_b,
+       CAST(len(list_filter(range(1, 33), i -> sa[i] = sb[i])) AS DOUBLE) / 32
+         AS est_jaccard
+FROM cand
+WHERE CAST(len(list_filter(range(1, 33), i -> sa[i] = sb[i])) AS DOUBLE) / 32 >= 0.5
+"""
+    # md5-half SimHash: 64 bit lanes from the two 32-bit md5-hex halves
+    # of each token; bit b of a doc = sign of the summed ±1 votes.
+    # Chunk values are the 4 16-bit slices (pigeonhole banding); Hamming
+    # distance = count of differing bits.
+    dedup_simhash_sql = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+ex AS (SELECT doc_id, unnest(t) AS tk FROM toks),
+h AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(tk), 1, 8)) AS BIGINT) AS h0,
+         CAST(('0x' || substring(md5(tk), 9, 8)) AS BIGINT) AS h1
+  FROM ex
+),
+v AS (
+  SELECT doc_id, lb.b AS b,
+         SUM(CASE WHEN ((CASE WHEN lb.b < 32 THEN h0 ELSE h1 END >> (lb.b % 32))
+                        & 1) = 1
+                  THEN 1 ELSE -1 END) AS vote
+  FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS b) lb
+  GROUP BY doc_id, lb.b
+),
+bits AS (
+  SELECT doc_id, list(CASE WHEN vote > 0 THEN 1 ELSE 0 END ORDER BY b) AS bits
+  FROM v GROUP BY doc_id
+),
+chun AS (
+  SELECT doc_id, bits,
+         list_transform(range(0, 4),
+           j -> list_sum(list_transform(range(0, 16),
+                  k -> bits[j*16 + k + 1] * (1 << k)))) AS chunks
+  FROM bits
+),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.bits AS ba, b.bits AS bb
+  FROM chun a JOIN chun b ON a.doc_id < b.doc_id
+  WHERE len(list_filter(range(0, 4), j -> a.chunks[j+1] = b.chunks[j+1])) > 0
+)
+SELECT id_a, id_b,
+       CAST(len(list_filter(range(1, 65), i -> ba[i] <> bb[i])) AS INT) AS hamming
+FROM cand
+WHERE len(list_filter(range(1, 65), i -> ba[i] <> bb[i])) <= 3
 """
     dedup_embedding_sql = f"""
 WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1228,8 +1333,10 @@ SELECT token, COUNT(*) AS freq
 FROM (SELECT unnest(t) AS token FROM toks)
 GROUP BY token
 """
-    # capped variant: intersections count only shingles with df <= 20,
-    # while set sizes stay FULL (mirrors ngram_jaccard_pairs max_df)
+    # capped (default) semantics: intersections count only shingles with
+    # df <= 20, while set sizes stay FULL (mirrors ngram_jaccard_pairs
+    # max_df=DEFAULT_NGRAM_MAX_DF).  Oracle for both q_dedup_ngram and
+    # q_dedup_ngram_capped.
     dedup_ngram_capped_sql = f"""
 WITH toks AS (
   SELECT doc_id,
@@ -1267,10 +1374,11 @@ WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter)
         "q_convergence": convergence,
         "q_kmeans": kmeans,
         "q_dedup_exact": dedup_exact_sql,
-        "q_dedup_ngram": dedup_ngram_sql,
+        "q_dedup_ngram": dedup_ngram_capped_sql,
+        "q_dedup_ngram_exact": dedup_ngram_exact_sql,
         "q_dedup_embedding": dedup_embedding_sql,
-        # q_dedup_minhash / q_dedup_simhash: intentionally no oracle —
-        # xxhash64-based signatures are engine-specific (rows-only check).
+        "q_dedup_minhash": dedup_minhash_sql,
+        "q_dedup_simhash": dedup_simhash_sql,
         "q_rel_pricing": rel_pricing_sql,
         "q_rel_shipping": rel_shipping_sql,
         "q_rel_local_supplier": rel_local_supplier_sql,

@@ -25,6 +25,8 @@ from flink_kmeans_clustering_spark.operators.common import spread as _spread
 from flink_kmeans_clustering_spark.functions.hashing import (
     band_hashes,
     hamming64,
+    md5_half32,
+    md5_hash60,
     signature_similarity,
     simhash_chunks,
 )
@@ -69,13 +71,16 @@ def dedup_exact(df: DataFrame, keys: list[str], id_col: str = "doc_id") -> DataF
 # ---------------------------------------------------------------------------
 
 
+DEFAULT_NGRAM_MAX_DF = 20
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
-    max_df: int | None = None,
+    max_df: int | None = DEFAULT_NGRAM_MAX_DF,
 ) -> DataFrame:
     """Candidate pairs with exact n-gram-shingle Jaccard ≥ threshold.
 
@@ -83,10 +88,17 @@ def ngram_jaccard_pairs(
     least one shingle ever meet (a pair below 1/(|A|+|B|-1) Jaccard is
     unreachable, which is exactly the pairs we don't want).  ``max_df``
     drops shingles occurring in more than that many documents before
-    the join — the skew/size guard for corpus-scale runs.
+    the join — **on by default** (``DEFAULT_NGRAM_MAX_DF``): on a web
+    corpus one ubiquitous stopword shingle makes the candidate join
+    quadratic under a single key, so the uncapped form is a latent
+    skew bomb.  Pass ``max_df=None`` explicitly for the exact small-
+    corpus semantics (pairs whose only shared shingles are ubiquitous
+    then re-enter the result).
 
     Output: (id_a, id_b, jaccard) with id_a < id_b.  Jaccard is an
     exact ratio of integers — engine-independent, oracle-exact.
+    Intersections count only surviving shingles; set sizes stay full,
+    so capping can only lower a pair's Jaccard (never inflate it).
     """
     base = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col)), "id")
     sh = base.select(
@@ -131,6 +143,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """LSH candidate pairs with estimated Jaccard ≥ threshold.
 
@@ -140,10 +153,18 @@ def minhash_lsh_pairs(
     fraction of agreeing signature positions; callers wanting exact
     similarity feed these pairs to :func:`ngram_jaccard_pairs` logic.
 
+    ``hash_fn`` picks the lane-hash family: ``"xxhash64"`` (default —
+    fastest, JVM-only) or ``"md5"`` (60-bit md5-prefix lanes that a
+    DuckDB oracle can recompute; see functions.hashing.md5_hash60).
+    Band digests stay xxhash64 either way — they never leave the query,
+    so only lane values must be engine-reproducible.
+
     Output: (id_a, id_b, est_jaccard) with id_a < id_b.
     """
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
     r = num_hashes // bands
     # Signature via explode + per-lane MIN aggregates instead of the
     # higher-order minhash_signature expression: HOF lambdas evaluate
@@ -157,10 +178,16 @@ def minhash_lsh_pairs(
         "id",
         F.explode(ngram_shingles(tokenize(F.col(text_col)), n)).alias("s"),
     )
-    lanes = [
-        F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"_h{i}")
-        for i in range(num_hashes)
-    ]
+    if hash_fn == "md5":
+        lanes = [
+            F.min(md5_hash60(F.col("s"), i)).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        lanes = [
+            F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
     sig = (
         ex.groupBy("id")
         .agg(*lanes)
@@ -205,6 +232,7 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     chunks: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Pairs whose 64-bit SimHashes are within ``max_hamming`` bits.
 
@@ -214,6 +242,11 @@ def simhash_pairs(
     ``max_hamming < chunks`` for completeness (the classic trade-off —
     raise ``chunks`` to loosen the radius).
 
+    ``hash_fn``: ``"xxhash64"`` (default) takes the 64 bit lanes from
+    one xxhash64 per token; ``"md5"`` takes them from the two 32-bit
+    md5-hex halves (functions.hashing.md5_half32) — every intermediate
+    stays below 2³², so a DuckDB oracle recomputes identical bits.
+
     Output: (id_a, id_b, hamming) with id_a < id_b.
     """
     if max_hamming >= chunks:
@@ -221,21 +254,37 @@ def simhash_pairs(
             f"banding with {chunks} chunks only guarantees recall for "
             f"hamming < {chunks}; got max_hamming={max_hamming}"
         )
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
     # SimHash via explode + 64 per-lane SUM aggregates (same rationale
     # and same values as the minhash reformulation above: per-token bit
-    # votes from xxhash64(token), summed per lane, sign per bit).
+    # votes from the token hash, summed per lane, sign per bit).
     # Empty-token documents simply produce no exploded rows — the same
     # outcome as the previous filter(size > 0).
     base = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col)), "id")
-    ex = base.select(
-        "id", F.explode(tokenize(F.col(text_col))).alias("t")
-    ).select("id", F.xxhash64(F.col("t")).alias("h"))
-    votes = [
-        F.sum(
-            F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)).cast("int") * 2 - 1
-        ).alias(f"_v{b}")
-        for b in range(64)
-    ]
+    tok = base.select("id", F.explode(tokenize(F.col(text_col))).alias("t"))
+    if hash_fn == "md5":
+        ex = tok.select(
+            "id",
+            md5_half32(F.col("t"), 0).alias("h0"),
+            md5_half32(F.col("t"), 1).alias("h1"),
+        )
+
+        def _bit(b: int) -> Column:
+            h = F.col("h0") if b < 32 else F.col("h1")
+            return F.shiftright(h, b % 32).bitwiseAND(F.lit(1))
+
+        votes = [
+            F.sum(_bit(b).cast("int") * 2 - 1).alias(f"_v{b}") for b in range(64)
+        ]
+    else:
+        ex = tok.select("id", F.xxhash64(F.col("t")).alias("h"))
+        votes = [
+            F.sum(
+                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)).cast("int") * 2 - 1
+            ).alias(f"_v{b}")
+            for b in range(64)
+        ]
     bit_terms = [
         F.when(F.col(f"_v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
         for b in range(63)

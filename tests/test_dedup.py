@@ -57,6 +57,22 @@ def test_ngram_max_df_caps_frequent_shingles(spark, docs):
     assert ngram_jaccard_pairs(docs, threshold=0.0, max_df=1).count() == 0
 
 
+def test_ngram_cap_is_on_by_default(spark):
+    """One shingle shared by >DEFAULT_NGRAM_MAX_DF docs must not create
+    candidate pairs under the default call — that key is exactly the
+    quadratic skew bomb at corpus scale.  The explicit max_df=None
+    escape hatch restores the exact (uncapped) semantics."""
+    from flink_kmeans_clustering_spark.operators.dedup import DEFAULT_NGRAM_MAX_DF
+
+    n_docs = DEFAULT_NGRAM_MAX_DF + 5
+    rows = [(i, f"alpha beta gamma unique{i} tail{i} word{i}") for i in range(n_docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = ngram_jaccard_pairs(df, threshold=0.01).collect()
+    assert capped == [], "ubiquitous shingle must be dropped by default"
+    uncapped = ngram_jaccard_pairs(df, threshold=0.01, max_df=None).collect()
+    assert len(uncapped) == n_docs * (n_docs - 1) / 2
+
+
 def test_minhash_lsh_finds_planted_dups(spark, docs):
     pairs = {
         (r["id_a"], r["id_b"]): r["est_jaccard"]
@@ -80,6 +96,37 @@ def test_minhash_recall_vs_exact_jaccard_sf001(spark):
     assert truth, "testdata should contain planted near-duplicates"
     recall = len(truth & found) / len(truth)
     assert recall >= 0.9, f"LSH recall {recall} over {len(truth)} true pairs"
+
+
+def test_minhash_hash_families_agree_on_pairs(spark):
+    """xxhash64 (production default) and md5 (oracle surface) are
+    different hash families, so est_jaccard values differ — but on the
+    planted-duplicate corpus both must surface the same pair set."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    xx = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    md = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, threshold=0.5, hash_fn="md5").collect()
+    }
+    assert xx, "corpus should contain planted near-duplicates"
+    assert xx == md
+
+
+def test_simhash_hash_families_agree_on_exact_dups(spark, docs):
+    """Exact duplicates have identical token streams, so both hash
+    families must report them at Hamming distance 0 and keep unrelated
+    docs out.  (Full pair-set equality across families does NOT hold on
+    a real corpus: near-zero distances are family-specific.)"""
+    for fam in ("xxhash64", "md5"):
+        pairs = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in simhash_pairs(docs, max_hamming=3, hash_fn=fam).collect()
+        }
+        assert pairs[(0, 1)] == 0, f"{fam}: planted exact dup not at distance 0"
+        assert (0, 3) not in pairs, f"{fam}: unrelated docs within radius"
 
 
 def test_simhash_identical_distance_zero(spark, docs):
