@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_kmeans_clustering_spark.operators.dedup import (
+    connected_components,
     embedding_cosine_pairs,
     embedding_cosine_pairs_gemm,
     exact_duplicate_groups,
@@ -86,6 +87,7 @@ from flink_kmeans_clustering_spark.streaming.enrich import enrich_with_static
 from flink_kmeans_clustering_spark.streaming.joins import interval_join_streams
 from flink_kmeans_clustering_spark.operators.kmeans import (
     assign_points,
+    assign_points_join,
     lloyd,
     moved_centroids,
     objective_from_assigned,
@@ -136,6 +138,16 @@ def q_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = points_v(spark, sf_dir)
     cents = centroids_v(spark, sf_dir)
     return assign_points(pts, cents).select("point_id", "cluster")
+
+
+def q_assign_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 via the explicit broadcast-join + per-key min path
+    (operators.kmeans.assign_points_join) — the form for centroid sets
+    too large to inline as literals.  Same oracle as q_assign."""
+    pts = points_v(spark, sf_dir)
+    cents = centroids_v(spark, sf_dir)
+    cdf = spark.createDataFrame(cents, "id int, x double, y double")
+    return assign_points_join(pts, cdf).select("point_id", "cluster")
 
 
 def q_update(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -303,6 +315,16 @@ def q_dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
         docs, n=3, threshold=NGRAM_JACCARD_THRESHOLD, max_df=20
     )
+
+
+def q_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive-closure near-dup dedup: connected components (min-id
+    representative) over the capped n-gram Jaccard pair graph — the
+    union-find pass a corpus dedup pipeline runs on its LSH pairs.
+    Oracle: DuckDB recursive CTE computing min reachable id."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=NGRAM_JACCARD_THRESHOLD)
+    return connected_components(pairs, node_col="doc_id")
 
 
 def q_text_tokenfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -652,6 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return {
         "q_assign": q_assign,
+        "q_assign_join": q_assign_join,
         "q_update": q_update,
         "q_objfun": q_objfun,
         "q_convergence": q_convergence,
@@ -659,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_ngram": q_dedup_ngram,
         "q_dedup_ngram_exact": q_dedup_ngram_exact,
+        "q_dedup_cc": q_dedup_cc,
         "q_dedup_embedding": q_dedup_embedding,
         "q_dedup_gemm": q_dedup_gemm,
         "q_dedup_minhash": q_dedup_minhash,
@@ -1335,10 +1359,9 @@ GROUP BY token
 """
     # capped (default) semantics: intersections count only shingles with
     # df <= 20, while set sizes stay FULL (mirrors ngram_jaccard_pairs
-    # max_df=DEFAULT_NGRAM_MAX_DF).  Oracle for both q_dedup_ngram and
-    # q_dedup_ngram_capped.
-    dedup_ngram_capped_sql = f"""
-WITH toks AS (
+    # max_df=DEFAULT_NGRAM_MAX_DF).  Oracle for q_dedup_ngram,
+    # q_dedup_ngram_capped, and (as the edge source) q_dedup_cc.
+    ngram_capped_ctes = f"""toks AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
                      x -> x <> '') AS t
@@ -1359,16 +1382,40 @@ inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
+),
+capped_pairs AS (
+  SELECT id_a, id_b,
+         CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+  FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
+             JOIN sizes sb ON inter.id_b = sb.doc_id
+  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter)
+        >= {NGRAM_JACCARD_THRESHOLD}
+)"""
+    dedup_ngram_capped_sql = f"""
+WITH {ngram_capped_ctes}
+SELECT id_a, id_b, jaccard FROM capped_pairs
+"""
+    # transitive closure over the capped near-dup pair graph: a node's
+    # component is the smallest doc_id it can reach.  DuckDB's
+    # recursive CTE is the independent fixpoint computation checking
+    # the engine's iterative min-label propagation.
+    dedup_cc_sql = f"""
+WITH RECURSIVE {ngram_capped_ctes},
+cc_edges AS (
+  SELECT id_a AS src, id_b AS dst FROM capped_pairs
+  UNION
+  SELECT id_b, id_a FROM capped_pairs
+),
+reach(id, r) AS (
+  SELECT DISTINCT src, src FROM cc_edges
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN cc_edges e ON e.src = reach.id
 )
-SELECT id_a, id_b,
-       CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
-FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
-           JOIN sizes sb ON inter.id_b = sb.doc_id
-WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter)
-      >= {NGRAM_JACCARD_THRESHOLD}
+SELECT id AS doc_id, MIN(r) AS component_id FROM reach GROUP BY id
 """
     return {
         "q_assign": assign,
+        "q_assign_join": assign,
         "q_update": update,
         "q_objfun": objfun,
         "q_convergence": convergence,
@@ -1376,6 +1423,7 @@ WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter)
         "q_dedup_exact": dedup_exact_sql,
         "q_dedup_ngram": dedup_ngram_capped_sql,
         "q_dedup_ngram_exact": dedup_ngram_exact_sql,
+        "q_dedup_cc": dedup_cc_sql,
         "q_dedup_embedding": dedup_embedding_sql,
         "q_dedup_minhash": dedup_minhash_sql,
         "q_dedup_simhash": dedup_simhash_sql,

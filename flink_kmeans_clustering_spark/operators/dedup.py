@@ -379,6 +379,72 @@ def drop_near_duplicates(
     return df.join(losers, id_col, "left_anti")
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    node_col: str = "id",
+    comp_col: str = "component_id",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph (min-label).
+
+    Transitive closure for dedup: if A~B and B~C, all three belong to
+    one duplicate group even when A~C was never emitted.  Each node's
+    label starts as its own id; every round it takes the min of its
+    label and its neighbors' labels — at fixpoint the label is the
+    smallest id reachable, a deterministic component representative.
+
+    Scale shape: the edge list is cached once; each round is one
+    hash-join + per-node min aggregation (both shuffle on node id, so
+    a co-partitioned reuse), and the k-round loop runs on the driver
+    with ``localCheckpoint`` truncating lineage.  Convergence is
+    detected by a *scalar*: labels only ever decrease, so Σlabel
+    strictly decreases until fixpoint — one cheap aggregate per round
+    instead of an old-vs-new join.  Rounds needed = graph diameter;
+    LSH duplicate clusters are shallow (near-cliques), so this
+    converges in a handful of rounds.  (For adversarially deep graphs
+    the large-star/small-star variant halves diameter per round; not
+    needed for dedup workloads.)
+
+    Output: one row per node that appears in any pair —
+    (``node_col``, ``comp_col``) with ``comp_col`` = min reachable id.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .cache()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("comp")
+    )
+    labels = labels.localCheckpoint()
+    prev_sum = None
+    for _ in range(max_iterations):
+        nbr = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy("dst")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        labels = (
+            labels.join(nbr, labels["id"] == nbr["dst"], "left")
+            .select(
+                labels["id"],
+                F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+            .localCheckpoint()
+        )
+        row = labels.agg(F.sum("comp").alias("s")).collect()[0]
+        cur_sum = row["s"]
+        if cur_sum is None or cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels.select(F.col("id").alias(node_col), F.col("comp").alias(comp_col))
+
+
 def embedding_cosine_pairs_gemm(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -6,6 +6,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from flink_kmeans_clustering_spark.operators.dedup import (
+    connected_components,
     dedup_exact,
     drop_near_duplicates,
     embedding_cosine_pairs,
@@ -166,6 +167,31 @@ def test_embedding_cosine_pairs(spark):
         for r in embedding_cosine_pairs(emb, block_col=None, threshold=0.9).collect()
     }
     assert (0, 3) in unblocked
+
+
+def test_connected_components_chain_transitivity(spark):
+    """A~B, B~C, C~D is one duplicate group even though A~D never met."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 9), (20, 30)], "id_a long, id_b long"
+    )
+    comps = {r["id"]: r["component_id"] for r in connected_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 9: 1, 20: 20, 30: 20}
+
+
+def test_connected_components_star_and_singleton_free(spark):
+    # star centered on the max id: min label must still win everywhere
+    pairs = spark.createDataFrame(
+        [(1, 99), (2, 99), (3, 99)], "id_a long, id_b long"
+    )
+    comps = {r["id"]: r["component_id"] for r in connected_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 99: 1}
+    # nodes never in a pair don't appear
+    assert 4 not in comps
+
+
+def test_connected_components_empty_pairs(spark):
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(pairs).collect() == []
 
 
 def test_drop_near_duplicates_greedy(spark, docs):

@@ -150,6 +150,55 @@ def test_lloyd_drops_empty_cluster_forever(spark):
     assert [c[0] for c in res.centroids] == [0]
 
 
+def test_mllib_and_lloyd_agree_at_fixpoint(spark):
+    """SURVEY §7.5 parity note, closed: on well-separated blobs the
+    packaged MLlib path (k-means|| init) and the custom Lloyd loop
+    (reference semantics) converge to the same local optimum — same
+    WCSS within float tolerance and the same partition of points (up
+    to cluster relabeling).  pyspark.ml exposes no initial-model
+    parameter, so equivalence is stated at the fixpoint, not per
+    iteration."""
+    from pyspark.sql import functions as F
+
+    from flink_kmeans_clustering_spark.operators.kmeans_ml import fit_kmeans_ml
+
+    def u(c):  # deterministic uniform in [0,1) from the row id
+        return (
+            ((F.xxhash64(F.col("id"), F.lit(c)) % 1000000) + 1000000) % 1000000
+        ) / 1000000.0
+
+    two_pi = 6.283185307179586
+    ang = (F.col("id") % 8).cast("double") * two_pi / 8
+    pts = spark.range(2000).select(
+        F.col("id").alias("point_id"),
+        (F.cos(ang) * 10 + (u(1) + u(2) - 1.0)).alias("x"),
+        (F.sin(ang) * 10 + (u(3) + u(4) - 1.0)).alias("y"),
+    ).cache()
+    # Lloyd from one deterministic point per blob (well-placed init)
+    init_rows = (
+        pts.withColumn("blob", F.col("point_id") % 8)
+        .groupBy("blob")
+        .agg(F.min_by(F.struct("x", "y"), "point_id").alias("p"))
+        .select("blob", "p.x", "p.y")
+        .collect()
+    )
+    init = [(int(r["blob"]), float(r["x"]), float(r["y"])) for r in init_rows]
+    res = lloyd(pts, init, max_iterations=50, epsilon=1e-9)
+
+    ml_in = pts.select("point_id", F.array("x", "y").alias("xy"))
+    ml = fit_kmeans_ml(ml_in, k=8, features_col="xy", max_iter=50, tol=1e-9)
+    assert abs(ml.wcss - res.wcss) / res.wcss < 1e-6
+
+    ours = {r["point_id"]: r["cluster"] for r in res.assignments.collect()}
+    theirs = {r["point_id"]: r["cluster"] for r in ml.predictions.collect()}
+    # same partition up to label permutation: the relabel map must be a bijection
+    relabel = {}
+    for pid, c in ours.items():
+        assert relabel.setdefault(c, theirs[pid]) == theirs[pid]
+    assert len(set(relabel.values())) == len(relabel)
+    pts.unpersist()
+
+
 def test_init_helpers_are_seeded_and_in_range(spark):
     a = random_centroids(8, seed=42)
     b = random_centroids(8, seed=42)
