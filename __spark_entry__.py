@@ -838,9 +838,9 @@ FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
            JOIN sizes sb ON inter.id_b = sb.doc_id
 WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {NGRAM_JACCARD_THRESHOLD}
 """
-    # md5-lane MinHash: lane i of a doc = min over its shingles of the
-    # 60-bit md5-prefix hash of "i:<shingle>" (functions.hashing.
-    # md5_hash60).  Banding = equality of 4-lane signature slices; the
+    # md5-lane MinHash: md5 digest g of a shingle is md5("g:<shingle>");
+    # lane 2g / 2g+1 are its 60-bit hex slices (chars 1-15 / 16-30).
+    # Banding = equality of 4-lane signature slices; the
     # estimate is the fraction of agreeing lanes (exact n/32 ratio).
     dedup_minhash_sql = """
 WITH toks AS (
@@ -858,11 +858,13 @@ sh AS (
 ),
 ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
 lanes AS (
-  SELECT doc_id, l.lane AS lane,
-         MIN(CAST(('0x' || substring(md5(CAST(l.lane AS VARCHAR) || ':' || s),
-                                     1, 15)) AS BIGINT)) AS mv
-  FROM ex CROSS JOIN (SELECT unnest(range(0, 32)) AS lane) l
-  GROUP BY doc_id, l.lane
+  SELECT doc_id, g.g * 2 + h.h AS lane,
+         MIN(CAST(('0x' || substring(md5(CAST(g.g AS VARCHAR) || ':' || s),
+                                     1 + 15 * h.h, 15)) AS BIGINT)) AS mv
+  FROM ex
+  CROSS JOIN (SELECT unnest(range(0, 16)) AS g) g
+  CROSS JOIN (SELECT unnest(range(0, 2)) AS h) h
+  GROUP BY doc_id, g.g, h.h
 ),
 sig AS (SELECT doc_id, list(mv ORDER BY lane) AS sig FROM lanes GROUP BY doc_id),
 cand AS (

@@ -32,9 +32,25 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="bench")
 
-    # warm up the JVM / parquet footer cache so query timings measure the
-    # engine, not one-time session startup
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # Warm up the one-time session costs so per-query timings measure
+    # query work, not whichever query happens to pay them first:
+    # parquet footers + file listing for every table, and the Python
+    # worker pool / Arrow serializer spin-up (~2 s) that the first
+    # pandas-UDF query would otherwise absorb.
+    from flink_kmeans_clustering_spark.sources.parquet import load_events, load_table
+
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "documents embeddings"
+    ).split():
+        load_table(spark, t, sf_dir).count()
+    load_events(spark, sf_dir).count()
+
+    def _warm(batches):
+        for b in batches:
+            yield b
+
+    spark.range(2).mapInPandas(_warm, schema="id long").count()
 
     timings: dict[str, float] = {}
     for name, q in entrymod.queries().items():

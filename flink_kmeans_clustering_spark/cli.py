@@ -84,6 +84,11 @@ def main(argv: list[str] | None = None) -> int:
     if args.custconvergence and args.epsilon is None:
         print("error: -epsilon is required when -custconvergence true", file=sys.stderr)
         return 2
+    # validate the centroid arguments before any session exists so the
+    # error path never leaks a session this invocation would own
+    if args.numcentroids is None and not args.centroids:
+        print("error: one of -centroids / -numcentroids is required", file=sys.stderr)
+        return 2
 
     # only stop the session on exit if this invocation created it —
     # in-process callers (tests, notebooks) keep theirs alive.
@@ -102,14 +107,11 @@ def main(argv: list[str] | None = None) -> int:
         if args.centroids:  # D3: echo generated centroids for later reuse
             gen = spark.createDataFrame(init, "id int, x double, y double")
             write_csv_single(gen, args.centroids, flink_compat=not args.header)
-    elif args.centroids:
+    else:  # args.centroids — guaranteed by the pre-session validation
         init = [
             (int(r["id"]), float(r["x"]), float(r["y"]))
             for r in read_centroids_csv(spark, args.centroids).collect()
         ]
-    else:
-        print("error: one of -centroids / -numcentroids is required", file=sys.stderr)
-        return 2
 
     res = lloyd(
         points,

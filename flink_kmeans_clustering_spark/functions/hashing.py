@@ -20,31 +20,14 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def md5_hash60(value: Column, seed: int) -> Column:
-    """Seeded 60-bit hash from the md5 hex prefix (bigint, always ≥ 0).
-
-    ``conv(substring(md5(seed || ':' || value), 1, 15), 16, 10)`` — 15
-    hex chars = 60 bits, which fits a signed 64-bit integer in every
-    engine (no overflow semantics to reconcile).  DuckDB reproduces it
-    as ``CAST(('0x' || substring(md5(...), 1, 15)) AS BIGINT)``, which
-    is what makes MinHash built on this family *oracle-checkable*.
-    ~2-3× the cost of xxhash64 (string md5 + hex parse) — use for
-    verification surfaces; keep xxhash64 for production corpora.
-    """
-    return F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), value)), 1, 15), 16, 10
-    ).cast("long")
-
-
-def md5_half32(value: Column, half: int) -> Column:
-    """One unseeded 32-bit half of md5(value) as bigint (0..2³²-1).
-
-    ``half=0`` takes hex chars 1-8, ``half=1`` chars 9-16.  Two halves
-    give 64 independent bit lanes for an md5-based SimHash whose bits
-    a SQL oracle can recompute with plain shifts — every intermediate
-    stays below 2³², so no signed-overflow divergence between engines.
-    """
-    return F.conv(F.substring(F.md5(value), 1 + 8 * half, 8), 16, 10).cast("long")
+# The md5-based lane family (for DuckDB-reproducible MinHash/SimHash)
+# lives inline in operators.dedup: lanes are 60-bit md5 hex slices
+# (chars 1-15 / 16-30 of a seeded digest) and SimHash bit lanes are the
+# two 32-bit md5 halves.  Every intermediate fits a signed 64-bit int in
+# both engines, so there are no overflow semantics to reconcile; the
+# digests are materialized in a projection before aggregation so each is
+# computed exactly once.  ~2-3× xxhash64's cost — verification surface,
+# not the production default.
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:

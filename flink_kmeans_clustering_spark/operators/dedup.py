@@ -25,8 +25,6 @@ from flink_kmeans_clustering_spark.operators.common import spread as _spread
 from flink_kmeans_clustering_spark.functions.hashing import (
     band_hashes,
     hamming64,
-    md5_half32,
-    md5_hash60,
     signature_similarity,
     simhash_chunks,
 )
@@ -154,8 +152,8 @@ def minhash_lsh_pairs(
     similarity feed these pairs to :func:`ngram_jaccard_pairs` logic.
 
     ``hash_fn`` picks the lane-hash family: ``"xxhash64"`` (default —
-    fastest, JVM-only) or ``"md5"`` (60-bit md5-prefix lanes that a
-    DuckDB oracle can recompute; see functions.hashing.md5_hash60).
+    fastest, JVM-only) or ``"md5"`` (60-bit md5 hex-slice lanes that a
+    DuckDB oracle can recompute; two lanes per digest).
     Band digests stay xxhash64 either way — they never leave the query,
     so only lane values must be engine-reproducible.
 
@@ -179,8 +177,25 @@ def minhash_lsh_pairs(
         F.explode(ngram_shingles(tokenize(F.col(text_col)), n)).alias("s"),
     )
     if hash_fn == "md5":
+        # one md5 yields two 60-bit lanes (hex chars 1-15 and 16-30), so
+        # num_hashes lanes cost num_hashes/2 md5 evaluations per shingle.
+        # The digests are materialized in a projection BEFORE the agg so
+        # each is computed exactly once (agg-input subexpression reuse
+        # is not guaranteed).
+        n_digests = (num_hashes + 1) // 2
+        ex = ex.select(
+            "id",
+            *[
+                F.md5(F.concat(F.lit(f"{g}:"), F.col("s"))).alias(f"_m{g}")
+                for g in range(n_digests)
+            ],
+        )
         lanes = [
-            F.min(md5_hash60(F.col("s"), i)).alias(f"_h{i}")
+            F.min(
+                F.conv(
+                    F.substring(F.col(f"_m{i // 2}"), 1 + 15 * (i % 2), 15), 16, 10
+                ).cast("long")
+            ).alias(f"_h{i}")
             for i in range(num_hashes)
         ]
     else:
@@ -244,7 +259,7 @@ def simhash_pairs(
 
     ``hash_fn``: ``"xxhash64"`` (default) takes the 64 bit lanes from
     one xxhash64 per token; ``"md5"`` takes them from the two 32-bit
-    md5-hex halves (functions.hashing.md5_half32) — every intermediate
+    md5-hex halves of one digest per token — every intermediate
     stays below 2³², so a DuckDB oracle recomputes identical bits.
 
     Output: (id_a, id_b, hamming) with id_a < id_b.
@@ -264,10 +279,11 @@ def simhash_pairs(
     base = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col)), "id")
     tok = base.select("id", F.explode(tokenize(F.col(text_col))).alias("t"))
     if hash_fn == "md5":
-        ex = tok.select(
+        # materialize the digest once, then slice both 32-bit halves
+        ex = tok.select("id", F.md5(F.col("t")).alias("_m")).select(
             "id",
-            md5_half32(F.col("t"), 0).alias("h0"),
-            md5_half32(F.col("t"), 1).alias("h1"),
+            F.conv(F.substring("_m", 1, 8), 16, 10).cast("long").alias("h0"),
+            F.conv(F.substring("_m", 9, 8), 16, 10).cast("long").alias("h1"),
         )
 
         def _bit(b: int) -> Column:

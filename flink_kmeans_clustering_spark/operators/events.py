@@ -304,9 +304,13 @@ def session_window_agg(
     """Native gap-based session windows (``F.session_window``).
 
     Spark's built-in session assignment: a session spans from its first
-    event to its last event + gap.  Equivalent to :func:`sessionize`
-    (same merge rule) with window bounds instead of min/max timestamps;
-    works identically in batch and Structured Streaming.
+    event to its last event + gap.  Almost :func:`sessionize`, but the
+    merge rules differ at the exactly-gap boundary: ``session_window``
+    starts a new session when the gap is **>=** the threshold, while
+    :func:`sessionize` splits only when it is strictly **>** (and its
+    bounds are min/max event times, not last + gap).  The DuckDB oracle
+    for this operator mirrors the >= rule.  Works identically in batch
+    and Structured Streaming.
     """
     return (
         df.groupBy(F.session_window(ts_col, gap).alias("w"), "user_id")

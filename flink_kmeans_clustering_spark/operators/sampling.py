@@ -20,13 +20,14 @@ HEX = "0123456789abcdef"
 def hash_bucket(key: Column, buckets: int = 16) -> Column:
     """Stable bucket in [0, buckets) from the md5 of ``key``.
 
-    ``buckets`` must divide 16**k for some small k; we use the first
-    two hex chars (256 buckets) — enough resolution for percent-level
-    rates while staying engine-portable (string ops only, no bigint
-    hex parsing differences).
+    The bucket id is the first md5 hex byte (a uniform 0..255 value)
+    mod ``buckets``, so ``buckets`` must divide 256 — a non-divisor
+    (e.g. 10) would bias low buckets and break the nested-sample
+    prefix property (a 1/2N sample must be a subset of the 1/N
+    sample).  Enforced, not just documented.
     """
-    if not (1 <= buckets <= 256):
-        raise ValueError("buckets must be in [1, 256]")
+    if not (1 <= buckets <= 256) or 256 % buckets != 0:
+        raise ValueError("buckets must be a divisor of 256 (1, 2, 4, ..., 256)")
     b = F.conv(F.substring(F.md5(key), 1, 2), 16, 10).cast("int")
     return b % buckets
 

@@ -181,8 +181,13 @@ def token_frequencies_salted(
     the key with a random-ish shard, aggregate (token, salt), then
     aggregate token — two small shuffles instead of one skewed one.
     Counts are associative so the result is identical to the direct
-    groupBy (the oracle).  The salt derives from a hash of the row's
-    position-independent content, keeping the operator deterministic.
+    groupBy (the oracle).  The salt hashes the row's *position*
+    (``monotonically_increasing_id``), so the shard assignment is
+    partition-layout-dependent — only the aggregated result is
+    deterministic, which is all the equivalence requires.  Positional
+    salting spreads a hot key evenly regardless of which documents
+    contain it; a content-derived salt would re-concentrate identical
+    rows onto identical shards.
     """
     ex = df.select(F.explode(tokenize(F.col(text_col))).alias("token"))
     salted = ex.withColumn(

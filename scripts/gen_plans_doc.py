@@ -31,6 +31,11 @@ PICKS = [
         "q_dedup_minhash",
         "MinHash LSH — codegen'd per-lane MIN aggregates, banded self-join",
     ),
+    (
+        "q_assign_join",
+        "Assignment via explicit broadcast join — BroadcastNestedLoopJoin + "
+        "per-point min-struct hash agg (large-centroid-set path)",
+    ),
 ]
 
 
