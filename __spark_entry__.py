@@ -95,6 +95,7 @@ from flink_kmeans_clustering_spark.operators.kmeans import (
 )
 from flink_kmeans_clustering_spark.streaming import (
     dedup_stream,
+    flush_sentinel_stream,
     run_available_now,
     running_user_totals,
     sessionize_stream,
@@ -303,18 +304,6 @@ def q_text_tokenfreq_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     result to the direct groupBy, which is the oracle."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return token_frequencies_salted(docs, salts=16)
-
-
-def q_dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram Jaccard with the max_df=20 hot-shingle cap requested
-    explicitly (since round 2 this is also the operator default, which
-    q_dedup_ngram exercises): shingles occurring in more than 20
-    documents are dropped before the pair join, so pairs whose only
-    shared shingles are ubiquitous never meet."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return ngram_jaccard_pairs(
-        docs, n=3, threshold=NGRAM_JACCARD_THRESHOLD, max_df=20
-    )
 
 
 def q_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -597,13 +586,24 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Event-time gap sessionization with EventTimeTimeout (rows-only:
-    sessions still open when the bounded drain ends stay in state by
-    design; closed-session parity is asserted in tests/test_streaming.py)."""
+    """Event-time gap sessionization with EventTimeTimeout, flush-on-drain.
+
+    A single far-future sentinel event (user_id -1) is unioned into the
+    stream so the final watermark passes every real session's last event
+    + gap: each one times out and is emitted before the bounded drain
+    ends, making the result equal batch :func:`sessionize` (the DuckDB
+    oracle).  On a 24/7 stream the producer injects the sentinel — or
+    open sessions simply stay in state; that contract is pinned in
+    tests/test_streaming.py."""
+    cols = ["user_id", "event_id", "ts", "value"]
+    ev = stream_events(spark, sf_dir).select(*cols)
+    sentinel = flush_sentinel_stream(
+        spark, sf_dir, advance_minutes=SESSION_GAP_MINUTES + 60
+    ).select(*cols)
     out = run_available_now(
-        sessionize_stream(stream_events(spark, sf_dir), gap_minutes=SESSION_GAP_MINUTES)
+        sessionize_stream(ev.unionByName(sentinel), gap_minutes=SESSION_GAP_MINUTES)
     )
-    return out.select(
+    return out.filter(F.col("user_id") >= 0).select(
         "user_id",
         "session_start_us",
         "session_end_us",
@@ -727,7 +727,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_tokens": q_text_tokens,
         "q_text_clean": q_text_clean,
         "q_text_tokenfreq_salted": q_text_tokenfreq_salted,
-        "q_dedup_ngram_capped": q_dedup_ngram_capped,
         "q_text_langid": q_text_langid,
         "q_text_quality": q_text_quality,
         "q_text_fingerprint": q_text_fingerprint,
@@ -1361,8 +1360,8 @@ GROUP BY token
 """
     # capped (default) semantics: intersections count only shingles with
     # df <= 20, while set sizes stay FULL (mirrors ngram_jaccard_pairs
-    # max_df=DEFAULT_NGRAM_MAX_DF).  Oracle for q_dedup_ngram,
-    # q_dedup_ngram_capped, and (as the edge source) q_dedup_cc.
+    # max_df=DEFAULT_NGRAM_MAX_DF).  Oracle for q_dedup_ngram and (as
+    # the edge source) q_dedup_cc.
     ngram_capped_ctes = f"""toks AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
@@ -1501,8 +1500,35 @@ SELECT p.user_id, p.event_id AS l_id, epoch_us(p.ts) AS l_ts_us,
 FROM p JOIN v ON p.user_id = v.user_id
  AND v.ts <= p.ts AND v.ts > p.ts - INTERVAL 1 HOUR
 """,
-        # q_stream_session: intentionally no oracle — open sessions at
-        # drain end remain in state (rows-only check).
+        # q_stream_session flushes all sessions at drain end (sentinel
+        # watermark advance), so it equals batch sessionize minus the
+        # session_seq column (the stream emits sessions on timeout, in
+        # no meaningful order).
+        "q_stream_session": f"""
+WITH ordered AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER w AS prev_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_us IS NULL
+                   OR ts_us - prev_us > {SESSION_GAP_MINUTES * 60 * 1000000}
+                 THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+),
+numbered AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts_us) AS session_start_us,
+       MAX(ts_us) AS session_end_us,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM numbered GROUP BY user_id, session_seq
+""",
         "q_topk_sim": topk_sim_sql,
         "q_ann_ivf": ann_ivf_sql,
         "q_text_tokens": text_tokens_sql,
@@ -1523,5 +1549,4 @@ SELECT doc_id, clean_text,
 FROM c
 """,
         "q_text_tokenfreq_salted": text_tokenfreq_salted_sql,
-        "q_dedup_ngram_capped": dedup_ngram_capped_sql,
     }

@@ -99,32 +99,78 @@ def ngram_jaccard_pairs(
     so capping can only lower a pair's Jaccard (never inflate it).
     """
     base = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col)), "id")
-    sh = base.select(
-        "id",
-        ngram_shingles(tokenize(F.col(text_col)), n).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
-    sizes = sh.select("id", F.size("shingles").alias("sz"))
-    ex = sh.select("id", F.explode("shingles").alias("sh"))
-    if max_df is not None:
-        keep = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("df_ct")).filter(
-            F.col("df_ct") <= max_df
-        )
-        ex = ex.join(keep.select("sh"), "sh")
-
-    a, b = ex.alias("a"), ex.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+    # tokenize is materialized in its own projection: ngram_shingles
+    # references its input in a HOF lambda, where an inlined expression
+    # would re-run the regex split once per shingle position (~4x the
+    # whole stage, measured).  Multiple non-cheap references also stop
+    # Catalyst's CollapseProject from re-inlining it.  Each document's
+    # FULL shingle-set size rides along with every exploded row, so the
+    # union term of the Jaccard needs no size join back — a size
+    # lookup table would re-evaluate this whole subtree once per join
+    # (Spark reuses exchanges, not arbitrary subplans).  Documents with
+    # zero shingles vanish at the explode, which is the correct
+    # semantics (they can share nothing).
+    sh = base.select("id", tokenize(F.col(text_col)).alias("_toks")).select(
+        "id", ngram_shingles(F.col("_toks"), n).alias("shingles")
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    ex = sh.select(
+        "id", F.size("shingles").alias("sz"), F.explode("shingles").alias("sh")
+    )
+    if max_df is not None:
+        # Posting-list pair generation: ONE shuffle groups the exploded
+        # shingles by value; the df cap bounds each surviving list at
+        # max_df entries (shingles are distinct per doc, so list length
+        # = document frequency), and in-list expansion emits at most
+        # max_df·(max_df-1)/2 pairs per shingle — all in codegen'd
+        # array HOFs.  Compared to the cap-agg + broadcast-join +
+        # shingle self-join shape this saves two shuffles and two full
+        # recomputes of the shingle subtree.
+        lists = (
+            ex.groupBy("sh")
+            .agg(F.array_sort(F.collect_list(F.struct("id", "sz"))).alias("ids"))
+            .filter((F.size("ids") >= 2) & (F.size("ids") <= max_df))
+        )
+        pair_structs = F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                    lambda y: F.struct(
+                        x["id"].alias("id_a"),
+                        y["id"].alias("id_b"),
+                        x["sz"].alias("sz_a"),
+                        y["sz"].alias("sz_b"),
+                    ),
+                ),
+            )
+        )
+        pair_rows = lists.select(F.explode(pair_structs).alias("p"))
+    else:
+        # Uncapped exact semantics: blocked self-join — a ubiquitous
+        # shingle makes pair generation quadratic either way, but the
+        # join spreads that work across tasks, whereas a posting list
+        # would concentrate it (and its memory) in one row.
+        # Documented small-input-only.
+        a = ex.select(
+            F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "sh"
+        ).alias("a")
+        b = ex.select(
+            F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "sh"
+        ).alias("b")
+        pair_rows = a.join(
+            b, (F.col("a.sh") == F.col("b.sh")) & (F.col("id_a") < F.col("id_b"))
+        ).select(F.struct("id_a", "id_b", "sz_a", "sz_b").alias("p"))
+    inter = (
+        pair_rows.groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first("p.sz_a").alias("sz_a"),
+            F.first("p.sz_b").alias("sz_b"),
+        )
+    )
     jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+    return inter.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
     )
 
 
@@ -172,9 +218,11 @@ def minhash_lsh_pairs(
     # xxhash64(i, shingle) either way.  groupBy("id") reuses the
     # _spread partitioning — no extra shuffle.
     base = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col)), "id")
-    ex = base.select(
+    # tokens materialized first — see ngram_jaccard_pairs: an inlined
+    # tokenize would re-run per shingle position inside the HOF.
+    ex = base.select("id", tokenize(F.col(text_col)).alias("_toks")).select(
         "id",
-        F.explode(ngram_shingles(tokenize(F.col(text_col)), n)).alias("s"),
+        F.explode(ngram_shingles(F.col("_toks"), n)).alias("s"),
     )
     if hash_fn == "md5":
         # one md5 yields two 60-bit lanes (hex chars 1-15 and 16-30), so

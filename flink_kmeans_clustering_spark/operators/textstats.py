@@ -69,7 +69,10 @@ def language_id(
     list get 'und' (undetermined) — the honest answer for content the
     heuristic can't see.
     """
-    toks = tokenize(F.col(text_col))
+    # tokens materialized once: each language's stopword filter is a
+    # separate HOF whose input would otherwise re-run the regex split
+    # (once per language per row)
+    toks = F.col("_toks")
     cands = F.array(
         *[
             F.struct(
@@ -81,7 +84,7 @@ def language_id(
     )
     best = F.array_min(cands)
     score = -best["neg"]
-    return df.select(
+    return df.withColumn("_toks", tokenize(F.col(text_col))).select(
         F.col(id_col),
         F.when(score > 0, best["lang"]).otherwise(F.lit("und")).alias("pred_lang"),
         score.alias("score"),
@@ -98,7 +101,8 @@ def quality_score(
     (saturating at 100), and punctuation-noise penalty.  The blend is
     fixed-order double arithmetic — reproducible across engines.
     """
-    toks = tokenize(F.col(text_col))
+    # tokens materialized once (size + stopword HOF both reference them)
+    toks = F.col("_toks")
     n_words = F.size(toks)
     n_punct = F.regexp_count(F.col(text_col), F.lit(r"[^a-zA-Z0-9\s]"))
     n_chars = F.length(F.col(text_col))
@@ -111,7 +115,7 @@ def quality_score(
         + F.lit(0.3) * F.least(n_words / F.lit(100.0), F.lit(1.0))
         + F.lit(0.3) * (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0)))
     )
-    return df.select(
+    return df.withColumn("_toks", tokenize(F.col(text_col))).select(
         F.col(id_col),
         n_words.alias("n_words"),
         stop_hits.alias("stop_hits"),

@@ -22,7 +22,11 @@ swapping the reader and the trigger.
 
 from flink_kmeans_clustering_spark.streaming.dedup import dedup_stream
 from flink_kmeans_clustering_spark.streaming.run import run_available_now
-from flink_kmeans_clustering_spark.streaming.sources import stream_events, stream_table
+from flink_kmeans_clustering_spark.streaming.sources import (
+    flush_sentinel_stream,
+    stream_events,
+    stream_table,
+)
 from flink_kmeans_clustering_spark.streaming.stateful import (
     running_user_totals,
     sessionize_stream,
@@ -31,6 +35,7 @@ from flink_kmeans_clustering_spark.streaming.windowed import windowed_event_coun
 
 __all__ = [
     "dedup_stream",
+    "flush_sentinel_stream",
     "run_available_now",
     "running_user_totals",
     "sessionize_stream",

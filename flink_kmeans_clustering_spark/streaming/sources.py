@@ -78,3 +78,38 @@ def stream_events(
     """
     ev = stream_table(spark, "events", sf_dir, max_files_per_trigger)
     return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def flush_sentinel_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    advance_minutes: int,
+) -> DataFrame:
+    """One far-future sentinel event (``user_id = -1``) as a stream.
+
+    Unioned into an event stream before a bounded drain, the sentinel
+    pushes the final watermark ``advance_minutes`` past the real data's
+    max event time, so every event-time timeout whose deadline falls
+    within that margin fires before the drain ends (flush-on-drain).
+    Callers filter ``user_id >= 0`` afterwards; the sentinel's own state
+    row never times out and never reaches the sink.
+
+    The max-timestamp lookup is a batch scan of the bounded source —
+    fine for a drain, meaningless on a real 24/7 stream, where the
+    producer injects the sentinel (or you accept open state surviving;
+    both contracts are pinned in tests/test_streaming.py).
+
+    Columns: ``user_id, event_id, ts, value`` — the sessionization
+    input surface.
+    """
+    from flink_kmeans_clustering_spark.sources.parquet import load_events
+
+    [row] = load_events(spark, sf_dir).agg(F.max(F.unix_micros("ts")).alias("m")).collect()
+    sentinel_us = int(row["m"]) + advance_minutes * 60_000_000
+    d = tempfile.mkdtemp(prefix="flush_sentinel_")
+    one = spark.createDataFrame(
+        [(-1, -1, sentinel_us, 0.0)],
+        "user_id bigint, event_id bigint, ts_us bigint, value double",
+    ).select("user_id", "event_id", F.timestamp_micros("ts_us").alias("ts"), "value")
+    one.coalesce(1).write.mode("overwrite").parquet(d)
+    return spark.readStream.schema(one.schema).parquet(d)
