@@ -54,9 +54,14 @@ from flink_kmeans_clustering_spark.operators.multimodal import (
     synthesize_assets,
 )
 from flink_kmeans_clustering_spark.operators.relational import (
+    customer_order_distribution,
     customer_status_sets,
+    daily_revenue_delta,
+    large_quantity_orders,
     late_order_priority,
     local_supplier_volume,
+    monthly_order_ranks,
+    nation_trade_volume,
     parts_without_bulk_sales,
     pricing_summary,
     shipping_priority,
@@ -370,6 +375,49 @@ def q_rel_anti_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_rel_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT / EXCEPT over order-status customer sets."""
     return customer_status_sets(load_table(spark, "orders", sf_dir))
+
+
+def q_rel_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: order-count distribution incl. zero-order
+    customers (left outer join + double aggregate)."""
+    return customer_order_distribution(
+        load_table(spark, "customer", sf_dir),
+        load_table(spark, "orders", sf_dir),
+    )
+
+
+def q_rel_bigorders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: top-100 orders by total quantity (HAVING
+    aggregate + co-partitioned join-back + broadcast customer)."""
+    return large_quantity_orders(
+        load_table(spark, "customer", sf_dir),
+        load_table(spark, "orders", sf_dir),
+        load_table(spark, "lineitem", sf_dir),
+    )
+
+
+def q_rel_tradevolume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape, generalized: supplier-nation × customer-nation
+    × ship-year revenue matrix (all dims broadcast)."""
+    return nation_trade_volume(
+        load_table(spark, "nation", sf_dir),
+        load_table(spark, "customer", sf_dir),
+        load_table(spark, "supplier", sf_dir),
+        load_table(spark, "orders", sf_dir),
+        load_table(spark, "lineitem", sf_dir),
+    )
+
+
+def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function repertoire: rank / dense_rank / ntile / lag
+    sharing one window, top-5 orders per month."""
+    return monthly_order_ranks(load_table(spark, "orders", sf_dir))
+
+
+def q_window_daydelta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped aggregate feeding a lag window: day-over-day revenue
+    delta (O(days) rows into the window, input-scale independent)."""
+    return daily_revenue_delta(load_table(spark, "lineitem", sf_dir))
 
 
 # --- multimodal binary columns (SURVEY.md §2.6) ------------------------------
@@ -693,6 +741,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rel_late_orders": q_rel_late_orders,
         "q_rel_anti_parts": q_rel_anti_parts,
         "q_rel_setops": q_rel_setops,
+        "q_rel_custdist": q_rel_custdist,
+        "q_rel_bigorders": q_rel_bigorders,
+        "q_rel_tradevolume": q_rel_tradevolume,
+        "q_window_ranks": q_window_ranks,
+        "q_window_daydelta": q_window_daydelta,
         "q_multimodal_meta": q_multimodal_meta,
         "q_multimodal_frames": q_multimodal_frames,
         "q_multimodal_feat": q_multimodal_feat,
@@ -1053,6 +1106,71 @@ WHERE NOT EXISTS (
   SELECT 1 FROM lineitem l
   WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49.0
 )
+"""
+    rel_custdist_sql = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+                  AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+    rel_bigorders_sql = """
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_totalprice, sum_qty
+FROM (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+) q
+JOIN orders ON q.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE sum_qty > 250.0
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+    rel_tradevolume_sql = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       ROUND(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,8)))
+                  AS DOUBLE), 6) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY supp_nation, cust_nation, l_year
+"""
+    window_ranks_sql = """
+SELECT * FROM (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderkey, o_totalprice,
+         rank() OVER w AS rnk,
+         dense_rank() OVER w AS drnk,
+         ntile(4) OVER w AS quartile,
+         lag(o_totalprice) OVER w AS prev_price
+  FROM orders
+  WINDOW w AS (PARTITION BY strftime(o_orderdate, '%Y-%m')
+               ORDER BY o_totalprice DESC, o_orderkey)
+)
+WHERE rnk <= 5
+"""
+    window_daydelta_sql = """
+WITH daily AS (
+  SELECT strftime(l_shipdate, '%Y-%m-%d') AS ship_day,
+         ROUND(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,8)))
+                    AS DOUBLE), 6) AS revenue
+  FROM lineitem GROUP BY ship_day
+)
+SELECT ship_day, revenue,
+       ROUND(revenue - lag(revenue) OVER (ORDER BY ship_day), 6)
+         AS delta_vs_prev_day
+FROM daily
 """
     rel_setops_sql = """
 SELECT custkey, 'both' AS tag FROM (
@@ -1434,6 +1552,11 @@ SELECT id AS doc_id, MIN(r) AS component_id FROM reach GROUP BY id
         "q_rel_late_orders": rel_late_orders_sql,
         "q_rel_anti_parts": rel_anti_parts_sql,
         "q_rel_setops": rel_setops_sql,
+        "q_rel_custdist": rel_custdist_sql,
+        "q_rel_bigorders": rel_bigorders_sql,
+        "q_rel_tradevolume": rel_tradevolume_sql,
+        "q_window_ranks": window_ranks_sql,
+        "q_window_daydelta": window_daydelta_sql,
         "q_multimodal_meta": multimodal_meta_sql,
         "q_multimodal_frames": multimodal_frames_sql,
         "q_multimodal_feat": multimodal_feat_sql,

@@ -217,6 +217,167 @@ def customer_status_sets(orders: DataFrame) -> DataFrame:
     return both.unionAll(f_only)
 
 
+def customer_order_distribution(
+    customer: DataFrame, orders: DataFrame, exclude_priority: str = "1-URGENT"
+) -> DataFrame:
+    """TPC-H Q13 shape: distribution of order counts per customer,
+    including zero-order customers.
+
+    The left outer join keeps customers with no qualifying orders
+    (their count is 0 — ``F.count`` of a NULL key column, not
+    ``COUNT(*)``).  The join shuffles both sides on custkey; the first
+    groupBy is on the same key, so it reuses that partitioning with no
+    extra exchange.  The second groupBy (on c_count) reduces an
+    O(customers) input to O(max orders per customer) rows — a tiny
+    shuffle even at 100 TB.
+    """
+    o = orders.filter(F.col("o_orderpriority") != exclude_priority)
+    per_cust = (
+        customer.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def large_quantity_orders(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    min_total_qty: float = 250.0,
+    k: int = 100,
+) -> DataFrame:
+    """TPC-H Q18 shape: top-k largest orders by total quantity.
+
+    The HAVING subquery is a grouped aggregate on l_orderkey (one
+    shuffle); the join back to orders shares that key, so AQE
+    co-partitions it without a second lineitem exchange.  The filtered
+    aggregate is tiny (p99 cut), so the customer join broadcasts.
+    Final top-k is TakeOrderedAndProject — no global sort.
+    """
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(_dsum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > min_total_qty)
+    )
+    joined = (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    return (
+        joined.select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(k)
+    )
+
+
+def nation_trade_volume(
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """TPC-H Q7 shape, generalized: cross-nation trade revenue matrix
+    (supplier nation → customer nation, by ship year).
+
+    Where Q7 pins two nations, this emits every ordered pair with
+    supp_nation ≠ cust_nation — the full trade matrix a pipeline would
+    actually chart.  All four dimension joins broadcast (nation twice,
+    supplier, and AQE handles customer); only orders⋈lineitem
+    shuffles.  Output is O(nations² × years) — driver-scale small at
+    any input size.
+    """
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("supp_nation")
+    )
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("_cnk"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("_snk"))
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("_cnk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.round(_dsum(disc_price(), DEC_WIDE), 6).alias("revenue"))
+    )
+
+
+def monthly_order_ranks(orders: DataFrame, k: int = 5) -> DataFrame:
+    """Ranking-function repertoire: top-k orders per month with rank,
+    dense_rank, quartile (ntile) and previous price (lag), all over one
+    window.
+
+    One shuffle partitions by order month; every ranking function
+    shares the single in-partition sort (totalprice DESC, orderkey for
+    a total order — ntile and lag are only deterministic under a total
+    order).  The rank ≤ k filter happens before the project, so at
+    scale the output is O(months × k).  A month is an unbounded-size
+    partition at 100 TB; for billion-row months the pre-aggregated
+    top-k pattern (events.top_events_per_user) bounds memory instead —
+    this operator is the full-repertoire form.
+    """
+    from pyspark.sql.window import Window
+
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    w = Window.partitionBy("month").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    ranked = orders.select(
+        month, "o_orderkey", "o_totalprice"
+    ).select(
+        "month",
+        "o_orderkey",
+        "o_totalprice",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+    )
+    return ranked.filter(F.col("rnk") <= k)
+
+
+def daily_revenue_delta(lineitem: DataFrame) -> DataFrame:
+    """Day-over-day discounted-revenue delta: grouped aggregate feeding
+    a lag window.
+
+    The groupBy shuffles on ship date; the window then needs a global
+    date ordering, which Spark runs as a single partition — fine,
+    because the aggregate has already reduced the input to O(days)
+    rows (a few thousand for decades of data) regardless of input
+    scale.  Revenue is decimal-summed then rounded BEFORE the lag, so
+    delta = rounded − rounded is bit-identical across engines.
+    """
+    from pyspark.sql.window import Window
+
+    daily = (
+        lineitem.groupBy(
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_day")
+        )
+        .agg(F.round(_dsum(disc_price(), DEC_WIDE), 6).alias("revenue"))
+    )
+    w = Window.orderBy("ship_day")
+    return daily.select(
+        "ship_day",
+        "revenue",
+        F.round(
+            F.col("revenue") - F.lag("revenue").over(w), 6
+        ).alias("delta_vs_prev_day"),
+    )
+
+
 def small_quantity_revenue(lineitem: DataFrame) -> DataFrame:
     """TPC-H Q17 shape: yearly revenue lost to small orders.
 

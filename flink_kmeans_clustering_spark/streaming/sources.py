@@ -102,10 +102,13 @@ def flush_sentinel_stream(
     Columns: ``user_id, event_id, ts, value`` — the sessionization
     input surface.
     """
-    from flink_kmeans_clustering_spark.sources.parquet import load_events
-
-    [row] = load_events(spark, sf_dir).agg(F.max(F.unix_micros("ts")).alias("m")).collect()
-    sentinel_us = int(row["m"]) + advance_minutes * 60_000_000
+    # Raw INT64-nanos max — no per-row timestamp conversion; the ns→us
+    # floor-div happens once on the driver.  max(ns) div 1000 ==
+    # max(ns div 1000) because div is monotone.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    [row] = raw.agg(F.max("ts").alias("m")).collect()
+    sentinel_us = int(row["m"]) // 1000 + advance_minutes * 60_000_000
     d = tempfile.mkdtemp(prefix="flush_sentinel_")
     one = spark.createDataFrame(
         [(-1, -1, sentinel_us, 0.0)],

@@ -213,3 +213,74 @@ def test_sample_filter_is_narrow(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     df = deterministic_sample(docs, "text", rate=1 / 16)
     assert shuffle_count(df) == 0, "hash sampling must stay a narrow filter"
+
+
+def test_custdist_two_shuffles(spark):
+    from flink_kmeans_clustering_spark.operators.relational import (
+        customer_order_distribution,
+    )
+
+    d = customer_order_distribution(
+        load_table(spark, "customer", SF), load_table(spark, "orders", SF)
+    )
+    # join exchanges (c_custkey / o_custkey); both groupBys reuse the
+    # join partitioning (first on the same key, second over O(1) rows)
+    assert_max_shuffles(d, 2)
+
+
+def test_trade_volume_single_shuffle_all_dims_broadcast(spark):
+    from flink_kmeans_clustering_spark.operators.relational import (
+        nation_trade_volume,
+    )
+
+    v = nation_trade_volume(
+        load_table(spark, "nation", SF),
+        load_table(spark, "customer", SF),
+        load_table(spark, "supplier", SF),
+        load_table(spark, "orders", SF),
+        load_table(spark, "lineitem", SF),
+    )
+    # one shuffle for the final triple-key aggregate; every join
+    # (incl. orders/customer via AQE) broadcasts at this scale
+    assert_max_shuffles(v, 1)
+    assert "BroadcastHashJoin" in explain_str(v)
+
+
+def test_big_orders_single_shuffle_topk(spark):
+    from flink_kmeans_clustering_spark.operators.relational import (
+        large_quantity_orders,
+    )
+
+    b = large_quantity_orders(
+        load_table(spark, "customer", SF),
+        load_table(spark, "orders", SF),
+        load_table(spark, "lineitem", SF),
+    )
+    # one shuffle for the l_orderkey aggregate; the join back shares the
+    # key, customer broadcasts, and top-k never global-sorts
+    assert_max_shuffles(b, 1)
+    assert_has_node(b, "TakeOrderedAndProject")
+
+
+def test_monthly_ranks_single_window_shuffle(spark):
+    from flink_kmeans_clustering_spark.operators.relational import (
+        monthly_order_ranks,
+    )
+
+    r = monthly_order_ranks(load_table(spark, "orders", SF))
+    # all four ranking functions share one month-partition exchange +
+    # one in-partition sort.  (WindowGroupLimit cannot apply: ntile and
+    # lag need the full partition — the bounded-memory top-k alternative
+    # is events.top_events_per_user.)
+    assert_max_shuffles(r, 1)
+
+
+def test_day_delta_aggregate_then_tiny_window(spark):
+    from flink_kmeans_clustering_spark.operators.relational import (
+        daily_revenue_delta,
+    )
+
+    d = daily_revenue_delta(load_table(spark, "lineitem", SF))
+    # shuffle 1: day aggregate (input-scale);  shuffle 2: the lag
+    # window's single partition — O(days) rows regardless of input size
+    assert_max_shuffles(d, 2)

@@ -77,3 +77,119 @@ def test_customer_status_sets(spark):
     )
     out = {(r["custkey"], r["tag"]) for r in customer_status_sets(orders).collect()}
     assert out == {(1, "both"), (2, "f_only")}
+
+
+def test_customer_order_distribution_counts_zero_customers(spark):
+    from flink_kmeans_clustering_spark.operators.relational import (
+        customer_order_distribution,
+    )
+
+    cust = spark.createDataFrame([(1,), (2,), (3,)], "c_custkey long")
+    orders = spark.createDataFrame(
+        [(10, 1, "5-LOW"), (11, 1, "5-LOW"), (12, 2, "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderpriority string",
+    )
+    out = {
+        r["c_count"]: r["custdist"]
+        for r in customer_order_distribution(cust, orders).collect()
+    }
+    # customer 1 -> 2 orders; customers 2 (only excluded priority) and 3 -> 0
+    assert out == {2: 1, 0: 2}
+
+
+def test_large_quantity_orders_having_and_topk(spark):
+    from flink_kmeans_clustering_spark.operators.relational import (
+        large_quantity_orders,
+    )
+    import datetime as dt
+
+    cust = spark.createDataFrame([(1, "alice")], "c_custkey long, c_name string")
+    orders = spark.createDataFrame(
+        [
+            (10, 1, 500.0, dt.datetime(1996, 1, 1)),
+            (11, 1, 900.0, dt.datetime(1996, 2, 1)),
+        ],
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderdate timestamp",
+    )
+    li = spark.createDataFrame(
+        [(10, 200.0), (10, 100.0), (11, 100.0)],
+        "l_orderkey long, l_quantity double",
+    )
+    out = large_quantity_orders(cust, orders, li, min_total_qty=250.0).collect()
+    assert [(r["o_orderkey"], r["sum_qty"]) for r in out] == [(10, 300.0)]
+    assert out[0]["o_orderdate"] == "1996-01-01"
+
+
+def test_nation_trade_volume_excludes_same_nation(spark):
+    from flink_kmeans_clustering_spark.operators.relational import (
+        nation_trade_volume,
+    )
+    import datetime as dt
+
+    nation = spark.createDataFrame(
+        [(1, "FRANCE"), (2, "GERMANY")], "n_nationkey int, n_name string"
+    )
+    cust = spark.createDataFrame([(1, 1), (2, 2)], "c_custkey long, c_nationkey int")
+    supp = spark.createDataFrame([(7, 2)], "s_suppkey long, s_nationkey int")
+    orders = spark.createDataFrame(
+        [(10, 1), (11, 2)], "o_orderkey long, o_custkey long"
+    )
+    li = spark.createDataFrame(
+        [
+            # German supplier -> French customer: counted
+            (10, 7, 100.0, 0.1, dt.datetime(1996, 5, 1)),
+            # German supplier -> German customer: same nation, excluded
+            (11, 7, 999.0, 0.0, dt.datetime(1996, 6, 1)),
+        ],
+        "l_orderkey long, l_suppkey long, l_extendedprice double, "
+        "l_discount double, l_shipdate timestamp",
+    )
+    out = nation_trade_volume(nation, cust, supp, orders, li).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["supp_nation"], r["cust_nation"], r["l_year"]) == (
+        "GERMANY", "FRANCE", 1996,
+    )
+    assert r["revenue"] == 90.0
+
+
+def test_monthly_order_ranks_functions_agree(spark):
+    from flink_kmeans_clustering_spark.operators.relational import (
+        monthly_order_ranks,
+    )
+    import datetime as dt
+
+    orders = spark.createDataFrame(
+        [
+            (1, 300.0, dt.datetime(1996, 1, 5)),
+            (2, 200.0, dt.datetime(1996, 1, 6)),
+            (3, 200.0, dt.datetime(1996, 1, 7)),
+            (4, 100.0, dt.datetime(1996, 2, 1)),
+        ],
+        "o_orderkey long, o_totalprice double, o_orderdate timestamp",
+    )
+    rows = {r["o_orderkey"]: r for r in monthly_order_ranks(orders, k=5).collect()}
+    assert rows[1]["rnk"] == 1 and rows[1]["prev_price"] is None
+    # price tie: orderkey breaks it -> both rank 2,3 (rank over a total order)
+    assert (rows[2]["rnk"], rows[3]["rnk"]) == (2, 3)
+    assert rows[4]["month"] == "1996-02" and rows[4]["rnk"] == 1
+
+
+def test_daily_revenue_delta_lag(spark):
+    from flink_kmeans_clustering_spark.operators.relational import (
+        daily_revenue_delta,
+    )
+    import datetime as dt
+
+    li = spark.createDataFrame(
+        [
+            (100.0, 0.0, dt.datetime(1996, 1, 1)),
+            (250.0, 0.2, dt.datetime(1996, 1, 2)),
+        ],
+        "l_extendedprice double, l_discount double, l_shipdate timestamp",
+    )
+    rows = sorted(daily_revenue_delta(li).collect(), key=lambda r: r["ship_day"])
+    assert rows[0]["delta_vs_prev_day"] is None
+    assert rows[1]["revenue"] == 200.0
+    assert rows[1]["delta_vs_prev_day"] == 100.0
