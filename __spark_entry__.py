@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_kmeans_clustering_spark.operators.dedup import (
+    benchmark_overlap,
     connected_components,
     embedding_cosine_pairs,
     embedding_cosine_pairs_gemm,
@@ -42,6 +43,8 @@ from flink_kmeans_clustering_spark.operators.textstats import (
     doc_fingerprint,
     language_id,
     quality_score,
+    repetition_stats,
+    tfidf_top_terms,
     token_counts,
     token_frequencies,
     token_frequencies_salted,
@@ -325,6 +328,29 @@ def q_text_tokenfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token frequencies, deterministic top-100 (freq DESC, token)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return token_frequencies(docs, top_n=TOKENFREQ_TOP_N)
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition signals (duplicate-bigram and
+    top-bigram occurrence fractions) — zero-shuffle narrow map."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_stats(docs, n=2)
+
+
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 tf-idf terms per document (smoothed idf, WindowGroupLimit
+    bounded-memory rank)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_top_terms(docs, k=5)
+
+
+def q_dedup_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs sharing an 8-gram with the
+    synthetic eval slice (doc_id % 50 == 0); broadcast benchmark,
+    corpus never shuffled."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return benchmark_overlap(docs, bench, n=8)
 
 
 # --- relational star-schema queries (joins / set ops / top-k) ---------------
@@ -784,6 +810,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_quality": q_text_quality,
         "q_text_fingerprint": q_text_fingerprint,
         "q_text_tokenfreq": q_text_tokenfreq,
+        "q_text_repetition": q_text_repetition,
+        "q_text_tfidf": q_text_tfidf,
+        "q_dedup_decontam": q_dedup_decontam,
     }
 
 
@@ -1476,6 +1505,87 @@ SELECT token, COUNT(*) AS freq
 FROM (SELECT unnest(t) AS token FROM toks)
 GROUP BY token
 """
+    # q_text_repetition: bigram occurrence counts per doc via unnest +
+    # group (the oracle may shuffle; the engine computes the same numbers
+    # row-locally).  Short-doc rule matches ngram_shingles: < n tokens ->
+    # the whole sequence as one gram; empty docs keep a row with 0s/NULLs.
+    text_repetition_sql = f"""
+WITH {_TOKS_CTE},
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE list_transform(range(1, greatest(len(t)-1, 1)+1),
+                                  i -> array_to_string(list_slice(t, i, i+1), ' '))
+         END AS g
+  FROM toks
+),
+cts AS (
+  SELECT doc_id, gram, COUNT(*) AS ct
+  FROM (SELECT doc_id, unnest(g) AS gram FROM grams)
+  GROUP BY doc_id, gram
+),
+agg AS (
+  SELECT doc_id,
+         CAST(SUM(ct) AS INT) AS n_ngrams,
+         CAST(COUNT(*) AS INT) AS n_distinct,
+         CAST(SUM(CASE WHEN ct > 1 THEN ct ELSE 0 END) AS INT) AS dup_occ
+  FROM cts GROUP BY doc_id
+),
+top AS (
+  SELECT doc_id, gram AS top_ngram, CAST(ct AS INT) AS top_ngram_ct,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ct DESC, gram) AS rn
+  FROM cts
+)
+SELECT d.doc_id,
+       COALESCE(a.n_ngrams, 0) AS n_ngrams,
+       COALESCE(a.n_distinct, 0) AS n_distinct,
+       ROUND(a.dup_occ * 1.0 / a.n_ngrams, 6) AS dup_ngram_frac,
+       t.top_ngram, t.top_ngram_ct,
+       ROUND(t.top_ngram_ct * 1.0 / a.n_ngrams, 6) AS top_ngram_frac
+FROM documents d
+LEFT JOIN agg a ON d.doc_id = a.doc_id
+LEFT JOIN top t ON d.doc_id = t.doc_id AND t.rn = 1
+"""
+    # q_text_tfidf: smoothed idf ln((1+N)/(1+df)) + 1; rank on the
+    # ROUNDED score so ulp-level ln() differences cannot flip order
+    text_tfidf_sql = f"""
+WITH {_TOKS_CTE},
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(t) AS token FROM toks)
+  GROUP BY doc_id, token
+),
+dfreq AS (SELECT token, COUNT(*) AS df_ct FROM tf GROUP BY token),
+n AS (SELECT COUNT(*) AS nd FROM documents),
+scored AS (
+  SELECT doc_id, token, tf, df_ct,
+         ROUND(tf * (ln((1.0 + nd) / (1.0 + df_ct)) + 1.0), 6) AS tfidf
+  FROM tf JOIN dfreq USING (token) CROSS JOIN n
+)
+SELECT * FROM (
+  SELECT doc_id, token, tf, df_ct, tfidf,
+         CAST(rank() OVER (PARTITION BY doc_id
+                           ORDER BY tfidf DESC, token) AS INT) AS rk
+  FROM scored
+) WHERE rk <= 5
+"""
+    # q_dedup_decontam: distinct 8-gram shingles, benchmark slice is
+    # doc_id % 50 == 0 (same slice the Spark query takes)
+    dedup_decontam_sql = f"""
+WITH {_TOKS_CTE},
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(t)-7, 1)+1),
+           i -> array_to_string(list_slice(t, i, i+7), ' '))) AS shingles
+  FROM toks WHERE len(t) > 0
+),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+bench AS (SELECT DISTINCT s FROM ex WHERE doc_id % 50 = 0)
+SELECT doc_id, COUNT(*) AS n_hits, MIN(s) AS sample_ngram
+FROM ex JOIN bench USING (s)
+GROUP BY doc_id
+"""
     # capped (default) semantics: intersections count only shingles with
     # df <= 20, while set sizes stay FULL (mirrors ngram_jaccard_pairs
     # max_df=DEFAULT_NGRAM_MAX_DF).  Oracle for q_dedup_ngram and (as
@@ -1672,4 +1782,7 @@ SELECT doc_id, clean_text,
 FROM c
 """,
         "q_text_tokenfreq_salted": text_tokenfreq_salted_sql,
+        "q_text_repetition": text_repetition_sql,
+        "q_text_tfidf": text_tfidf_sql,
+        "q_dedup_decontam": dedup_decontam_sql,
     }

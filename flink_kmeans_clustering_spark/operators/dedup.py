@@ -554,3 +554,48 @@ def embedding_cosine_pairs_gemm(
     return df.groupBy(block_col).applyInPandas(
         block_pairs, schema="id_a long, id_b long, cosine double"
     )
+
+
+def benchmark_overlap(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    ``n``-gram with a benchmark/eval set (the standard contamination
+    rule — e.g. GPT-3's 13-gram and PaLM's 8-gram filters).
+
+    Output: one row per contaminated document — (id, ``n_hits`` =
+    number of distinct shared n-grams, ``sample_ngram`` = the
+    lexicographically smallest shared n-gram as evidence).  Join the
+    result back with a left-anti join to drop contaminated docs.
+
+    Scale shape: the benchmark side (eval sets are MBs, not TBs) is
+    reduced to DISTINCT shingles and broadcast — the 100 TB corpus is
+    never shuffled; each task streams its scan through a replicated
+    hash set.  The only exchange is the per-doc aggregation of
+    *matching* rows, which is contamination-sized, not corpus-sized.
+    Shingles are distinct per document (``ngram_shingles``), so
+    ``n_hits`` counts distinct shared n-grams with no extra dedup pass.
+    """
+    bench_sh = (
+        benchmark.select(
+            F.explode(
+                ngram_shingles(tokenize(F.col(text_col)), n)
+            ).alias("sh")
+        )
+        .distinct()
+    )
+    doc_sh = docs.select(
+        F.col(id_col), tokenize(F.col(text_col)).alias("_toks")
+    ).select(
+        F.col(id_col),
+        F.explode(ngram_shingles(F.col("_toks"), n)).alias("sh"),
+    )
+    hits = doc_sh.join(F.broadcast(bench_sh), "sh")
+    return hits.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.min("sh").alias("sample_ngram"),
+    )

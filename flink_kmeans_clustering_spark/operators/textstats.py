@@ -223,3 +223,119 @@ def clean_text(
         F.length(cleaned).alias("clean_len"),
         F.md5(cleaned).alias("clean_digest"),
     )
+
+
+def repetition_stats(
+    df: DataFrame, n: int = 2, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Within-document repetition signals (Gopher-style quality rules,
+    Rae et al. 2021 §A1.1, adapted to word n-grams).
+
+    Per document: total n-gram occurrences, distinct n-grams, the
+    fraction of occurrences whose n-gram appears more than once
+    (``dup_ngram_frac``), and the most frequent n-gram with its count
+    and occurrence share (``top_ngram_frac`` — Gopher's "fraction in
+    the most common n-gram" gate).  Ties on the top count break to the
+    lexicographically smallest n-gram, so the result is deterministic.
+
+    Scale shape: every metric is a function of ONE row, computed with
+    higher-order functions over the token array — a narrow map with
+    zero shuffles at any corpus size (per-doc work is O(G·D) for G
+    occurrences and D distinct n-grams; both are bounded by document
+    length, not corpus size).  This is the shape to prefer for all
+    per-document metrics: the groupBy-per-ngram alternative shuffles
+    the whole corpus to compute numbers each row already contains.
+
+    Short-document edge rule matches :func:`ngram_shingles`: a document
+    with fewer than ``n`` tokens contributes its full token sequence as
+    one n-gram; an empty document has 0 n-grams and NULL fractions.
+    """
+    toks = F.col("_toks")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
+    grams = F.when(
+        F.size(toks) == 0, F.array().cast("array<string>")
+    ).otherwise(F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n))))
+
+    g = F.col("_grams")
+    occ = lambda gram: F.size(F.filter(g, lambda x: x == gram))  # noqa: E731
+    # one (count, gram) struct per distinct n-gram; array_min orders by
+    # -count then gram, giving the max-count / lexicographically-least.
+    # The O(G·D) scan lives in its own projection (referenced 3×; like
+    # dedup's token materialization, multiple non-cheap references keep
+    # CollapseProject from re-inlining — computed once per row).
+    per_distinct = F.transform(
+        F.array_distinct(g),
+        lambda d: F.struct((-occ(d)).alias("negc"), d.alias("gram")),
+    )
+    pd_col = F.col("_pd")
+    top = F.array_min(pd_col)
+    n_singleton = F.size(F.filter(pd_col, lambda s: s["negc"] == -1))
+    total = F.size(g)
+
+    return (
+        df.withColumn("_toks", tokenize(F.col(text_col)))
+        .withColumn("_grams", grams)
+        .withColumn("_pd", per_distinct)
+        .select(
+            F.col(id_col),
+            total.alias("n_ngrams"),
+            F.size(pd_col).alias("n_distinct"),
+            F.when(
+                total > 0,
+                F.round((total - n_singleton) / total, 6),
+            ).alias("dup_ngram_frac"),
+            top["gram"].alias("top_ngram"),
+            (-top["negc"]).alias("top_ngram_ct"),
+            F.when(total > 0, F.round(-top["negc"] / total, 6)).alias(
+                "top_ngram_frac"
+            ),
+        )
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k tf-idf terms per document (smoothed sklearn-style idf:
+    ``ln((1+N)/(1+df)) + 1`` with N = total documents).
+
+    Three-stage distributed shape:
+    1. explode tokens → groupBy (doc, token): term frequencies — the
+       only corpus-wide shuffle of full data;
+    2. groupBy token over those distinct (doc, token) rows: document
+       frequencies — input already deduplicated per doc, output is
+       vocabulary-sized;
+    3. df table + the 1-row corpus count broadcast back onto the tf
+       rows (replicated hash maps, no fact shuffle), score, then a
+       rank-only window per doc.
+
+    The rank filter is the ONLY window function, so Spark plans
+    WindowGroupLimit: each partition keeps a k-sized heap per doc
+    instead of buffering whole groups — bounded memory at any scale.
+    Ordering is (rounded score DESC, token ASC): rounding first makes
+    the rank identical in any engine that agrees on the first 6
+    decimals, even if ulp-level ln() differences exist.
+    """
+    from pyspark.sql.window import Window
+
+    tf = (
+        df.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_ct"))
+    ndocs = df.agg(F.count(F.lit(1)).alias("_n"))
+    scored = tf.join(F.broadcast(dfreq), "token").crossJoin(F.broadcast(ndocs))
+    idf = F.log((F.lit(1.0) + F.col("_n")) / (F.lit(1.0) + F.col("df_ct"))) + F.lit(1.0)
+    scored = scored.select(
+        F.col(id_col),
+        "token",
+        "tf",
+        "df_ct",
+        F.round(F.col("tf") * idf, 6).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), "token")
+    return scored.withColumn("rk", F.rank().over(w)).filter(F.col("rk") <= k)

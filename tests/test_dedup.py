@@ -219,3 +219,23 @@ def test_gemm_cosine_matches_exact_variant(spark):
     assert set(exact) == set(gemm)
     for k in exact:
         assert abs(exact[k] - gemm[k]) < 1e-9
+
+
+def test_benchmark_overlap_counts_shared_ngrams(spark):
+    from flink_kmeans_clustering_spark.operators.dedup import benchmark_overlap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown"),
+            (2, "quick brown fox"),
+            (3, "totally unrelated words"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, "quick brown")], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in benchmark_overlap(docs, bench, n=2).collect()}
+    # docs 1 and 2 share the "quick brown" bigram with the benchmark;
+    # doc 3 shares nothing and is absent
+    assert set(rows) == {1, 2}
+    assert rows[1]["n_hits"] == 1 and rows[1]["sample_ngram"] == "quick brown"
+    assert rows[2]["n_hits"] == 1

@@ -284,3 +284,38 @@ def test_day_delta_aggregate_then_tiny_window(spark):
     # shuffle 1: day aggregate (input-scale);  shuffle 2: the lag
     # window's single partition — O(days) rows regardless of input size
     assert_max_shuffles(d, 2)
+
+
+def test_repetition_stats_zero_shuffle(spark):
+    from flink_kmeans_clustering_spark.operators.textstats import repetition_stats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # every metric is row-local: a narrow map over the scan, no Exchange
+    assert shuffle_count(repetition_stats(docs, n=2)) == 0
+
+
+def test_tfidf_bounded_memory_rank(spark):
+    from flink_kmeans_clustering_spark.operators.textstats import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    d = tfidf_top_terms(docs, k=5)
+    # rank is the only window function -> per-group top-k heap, not a
+    # full-partition buffer
+    assert_has_node(d, "WindowGroupLimit")
+    # static plan: tf agg (appears twice pre-ReuseExchange: join probe +
+    # dfreq input — deduplicated at runtime), dfreq agg (vocab-sized),
+    # 1-row N count, rank window.  df/N come back as broadcasts.
+    assert_max_shuffles(d, 5)
+
+
+def test_benchmark_overlap_corpus_never_shuffled(spark):
+    from flink_kmeans_clustering_spark.operators.dedup import benchmark_overlap
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = docs.limit(10)
+    d = benchmark_overlap(docs, bench, n=8)
+    s = explain_str(d)
+    assert "BroadcastHashJoin" in s or "BroadcastExchange" in s
+    # the only exchange is the per-doc aggregation of matching rows
+    # (benchmark-side distinct is over broadcast-scale data)
+    assert shuffle_count(d) <= 2

@@ -103,3 +103,45 @@ def test_token_frequencies_topn_deterministic(spark):
     rows = [tuple(r) for r in token_frequencies(df, top_n=3).collect()]
     # freq DESC then token ASC: c=3, b=2, a=1 (a before d at freq 1)
     assert rows == [("c", 3), ("b", 2), ("a", 1)]
+
+
+def test_repetition_stats_fractions_and_tiebreak(spark):
+    from flink_kmeans_clustering_spark.operators.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a"),   # bigrams: "a b","b a","a b","b a" — all dup
+            (2, "x"),           # short-doc rule: one unigram "x"
+            (3, ""),            # empty: 0 grams, NULL fractions
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(docs, n=2).collect()}
+    r1 = rows[1]
+    assert (r1["n_ngrams"], r1["n_distinct"]) == (4, 2)
+    assert r1["dup_ngram_frac"] == 1.0
+    # count tie between "a b" and "b a" -> lexicographically smallest
+    assert (r1["top_ngram"], r1["top_ngram_ct"], r1["top_ngram_frac"]) == ("a b", 2, 0.5)
+    r2 = rows[2]
+    assert (r2["n_ngrams"], r2["n_distinct"], r2["dup_ngram_frac"]) == (1, 1, 0.0)
+    assert (r2["top_ngram"], r2["top_ngram_ct"], r2["top_ngram_frac"]) == ("x", 1, 1.0)
+    r3 = rows[3]
+    assert (r3["n_ngrams"], r3["n_distinct"]) == (0, 0)
+    assert r3["dup_ngram_frac"] is None and r3["top_ngram"] is None
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    import math
+
+    from flink_kmeans_clustering_spark.operators.textstats import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    rows = {(r["doc_id"], r["token"]): r for r in tfidf_top_terms(docs, k=5).collect()}
+    idf_rare = math.log(3.0 / 2.0) + 1.0   # df=1, N=2
+    assert rows[(1, "a")]["tfidf"] == round(2 * idf_rare, 6)
+    assert rows[(1, "b")]["tfidf"] == 1.0  # df=2: ln(3/3)+1 = 1
+    assert rows[(1, "a")]["rk"] == 1 and rows[(1, "b")]["rk"] == 2
+    assert rows[(2, "c")]["rk"] == 1 and rows[(2, "b")]["rk"] == 2
+    assert rows[(2, "c")]["df_ct"] == 1 and rows[(2, "b")]["df_ct"] == 2
