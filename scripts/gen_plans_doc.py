@@ -36,6 +36,22 @@ PICKS = [
         "Assignment via explicit broadcast join — BroadcastNestedLoopJoin + "
         "per-point min-struct hash agg (large-centroid-set path)",
     ),
+    (
+        "q_rel_tradevolume",
+        "Generalized TPC-H Q7 — all dims broadcast, single aggregate shuffle",
+    ),
+    (
+        "q_text_repetition",
+        "Row-local Gopher repetition signals — zero-shuffle narrow map",
+    ),
+    (
+        "q_text_tfidf",
+        "tf-idf top-k — WindowGroupLimit bounded-memory rank; df/N broadcast back",
+    ),
+    (
+        "q_dedup_decontam",
+        "Decontamination — benchmark shingles broadcast, corpus never shuffled",
+    ),
 ]
 
 
