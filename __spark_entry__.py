@@ -30,9 +30,11 @@ from flink_kmeans_clustering_spark.operators.dedup import (
 from flink_kmeans_clustering_spark.functions.udaf import geomean
 from flink_kmeans_clustering_spark.operators.kmeans_ml import fit_kmeans_ml
 from flink_kmeans_clustering_spark.operators.similarity import (
+    ann_lsh,
     ann_search,
     cell_centroids,
     ivf_index,
+    random_hyperplanes,
     topk_cosine,
 )
 from flink_kmeans_clustering_spark.operators.textstats import (
@@ -690,6 +692,8 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TOPK_K = 10
 ANN_PROBES = 2
+LSH_PLANES = 4
+LSH_SEED = 7
 
 
 def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
@@ -730,6 +734,44 @@ def q_ann_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=TOPK_K,
         n_probe=ANN_PROBES,
         cell_col="cell",
+    )
+
+
+def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path sink exercised end-to-end: events written as parquet
+    partitioned by event_type (ts-sorted within partitions for row-group
+    pruning), read back with a partition filter — the read scans only
+    the two probed partition directories — and aggregated.  Oracle: the
+    same aggregate straight off the source table (roundtrip fidelity
+    includes timestamps and doubles)."""
+    import tempfile
+
+    from flink_kmeans_clustering_spark.sinks.parquet import write_partitioned
+
+    ev = load_events(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="sink_roundtrip_")
+    write_partitioned(ev, out, ["event_type"], sort_within_by=["ts"])
+    back = spark.read.parquet(out).filter(
+        F.col("event_type").isin("click", "view")
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(25,8)")).cast("double"), 6
+        ).alias("sum_value"),
+        F.min(F.unix_micros("ts")).alias("min_ts_us"),
+        F.max(F.unix_micros("ts")).alias("max_ts_us"),
+    )
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN with hamming-1 multi-probe: the no-training
+    scale path (bucket id is in-scan arithmetic; probe filter becomes
+    partition pruning on a bucket-partitioned table)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_lsh(
+        emb, _query_vector(spark, sf_dir), k=TOPK_K,
+        n_planes=LSH_PLANES, seed=LSH_SEED, max_hamming=1,
     )
 
 
@@ -801,6 +843,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_session": q_stream_session,
         "q_topk_sim": q_topk_sim,
         "q_ann_ivf": q_ann_ivf,
+        "q_ann_lsh": q_ann_lsh,
+        "q_sink_roundtrip": q_sink_roundtrip,
         "q_ann_trained": q_ann_trained,
         "q_kmeans_ml": q_kmeans_ml,
         "q_text_tokens": q_text_tokens,
@@ -1022,6 +1066,38 @@ pairs AS (
 )
 SELECT id_a, id_b, ROUND(cos, 6) AS cosine
 FROM pairs WHERE cos >= {EMBEDDING_COSINE_THRESHOLD}
+"""
+    # q_ann_lsh: the SAME float64 hyperplane literals the Spark plan uses
+    # (shared generator, repr round-trips exactly); bucket bit = sign of
+    # the plane dot, probe set = query bucket + hamming-1 via xor()
+    _planes = random_hyperplanes(LSH_PLANES, 64, LSH_SEED)
+    _planes_rows = ", ".join(
+        f"({1 << i}, [{', '.join(repr(v) for v in p)}])"
+        for i, p in enumerate(_planes)
+    )
+    ann_lsh_sql = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+p AS (SELECT * FROM (VALUES {_planes_rows}) AS t(bit, pl)),
+b AS (
+  SELECT vec_id, CAST(SUM(CASE WHEN
+           list_sum(list_transform(range(1, len(v)+1), j -> v[j]*pl[j])) > 0
+         THEN bit ELSE 0 END) AS INT) AS bucket
+  FROM e CROSS JOIN p GROUP BY vec_id
+),
+qb AS (SELECT b.bucket AS qbucket, e.v AS qv,
+              sqrt(list_sum(list_transform(e.v, x -> x*x))) AS qn
+       FROM b JOIN e USING (vec_id) WHERE vec_id = 0),
+cand AS (
+  SELECT e.vec_id, e.v FROM e JOIN b USING (vec_id) CROSS JOIN qb
+  WHERE xor(b.bucket, qb.qbucket) IN (0, 1, 2, 4, 8)
+),
+scored AS (
+  SELECT vec_id,
+         ROUND(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*qv[i]))
+               / (sqrt(list_sum(list_transform(v, x -> x*x))) * qn), 6) AS cosine
+  FROM cand CROSS JOIN qb
+)
+SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT {TOPK_K}
 """
     topk_sim_sql = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1764,6 +1840,16 @@ FROM numbered GROUP BY user_id, session_seq
 """,
         "q_topk_sim": topk_sim_sql,
         "q_ann_ivf": ann_ivf_sql,
+        "q_ann_lsh": ann_lsh_sql,
+        "q_sink_roundtrip": """
+SELECT event_type, COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(25,8))) AS DOUBLE), 6) AS sum_value,
+       MIN(epoch_us(ts)) AS min_ts_us,
+       MAX(epoch_us(ts)) AS max_ts_us
+FROM events
+WHERE event_type IN ('click', 'view')
+GROUP BY event_type
+""",
         "q_text_tokens": text_tokens_sql,
         "q_text_langid": text_langid_sql,
         "q_text_quality": text_quality_sql,

@@ -26,7 +26,11 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from flink_kmeans_clustering_spark.functions.vector import cosine_similarity, l2_norm
+from flink_kmeans_clustering_spark.functions.vector import (
+    cosine_similarity,
+    dot,
+    l2_norm,
+)
 
 
 def _query_lit(query_vec: Sequence[float]):
@@ -159,3 +163,80 @@ def ivf_index(
     )
     assigned = res.predictions.withColumnRenamed("cluster", "cell")
     return assigned, [(cid, vec) for cid, vec in res.centroids]
+
+
+def random_hyperplanes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic seeded Gaussian hyperplanes for sign-LSH.
+
+    Generated driver-side (numpy PCG via RandomState for cross-version
+    stability) and passed into plans / oracles as float64 literals, so
+    any engine sharing the literals buckets identically.
+    """
+    import numpy as np
+
+    rs = np.random.RandomState(seed)
+    return [[float(v) for v in row] for row in rs.standard_normal((n_planes, dim))]
+
+
+def lsh_bucket(vec, planes: list[list[float]]):
+    """Sign-LSH bucket id of an array column: bit i = (vec · plane_i) > 0.
+
+    A narrow in-scan expression — at corpus scale the bucket id is the
+    column you write ``partitionBy``, making probe filters partition
+    pruning exactly like IVF cells.
+    """
+    bits = [
+        F.when(dot(vec, F.array(*[F.lit(v) for v in p])) > 0.0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+        for i, p in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def ann_lsh(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_planes: int = 4,
+    seed: int = 7,
+    max_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+):
+    """LSH-bucketed ANN: sign-random-projection buckets, multi-probe.
+
+    The scale path when no trained IVF index exists: bucket assignment
+    is pure per-row arithmetic computed in-scan (no training job, no
+    shuffle), and the query probes its own bucket plus all buckets
+    within ``max_hamming`` bit flips — the standard multi-probe recall
+    fix for near-boundary vectors.  The probe set is computed
+    driver-side (2^n_planes is small by construction) and pushed as an
+    ``isin`` filter → partition pruning on a bucket-partitioned table.
+
+    Candidates are exactly re-ranked by :func:`topk_cosine`, so output
+    columns and determinism rules match the exact path.
+    """
+    planes = random_hyperplanes(n_planes, len(query_vec), seed)
+    qbits = [
+        1 << i
+        for i, p in enumerate(planes)
+        if sum(x * y for x, y in zip(query_vec, p)) > 0.0
+    ]
+    qbucket = sum(qbits)
+    probe = [qbucket]
+    if max_hamming >= 1:
+        probe += [qbucket ^ (1 << i) for i in range(n_planes)]
+    # max_hamming > 1 not needed at these bucket counts; extend with
+    # itertools.combinations over bit pairs if it ever is.
+    bucketed = df.withColumn(
+        "_bucket", lsh_bucket(F.col(vec_col).cast("array<double>"), planes)
+    )
+    pruned = bucketed.filter(F.col("_bucket").isin(probe)).drop("_bucket")
+    return topk_cosine(
+        pruned, query_vec, k=k, id_col=id_col, vec_col=vec_col, round_to=round_to
+    )

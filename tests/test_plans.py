@@ -319,3 +319,18 @@ def test_benchmark_overlap_corpus_never_shuffled(spark):
     # the only exchange is the per-doc aggregation of matching rows
     # (benchmark-side distinct is over broadcast-scale data)
     assert shuffle_count(d) <= 2
+
+
+def test_partitioned_sink_readback_prunes_partitions(spark, tmp_path):
+    from flink_kmeans_clustering_spark.sinks.parquet import write_partitioned
+
+    ev = load_events(spark, SF)
+    out = str(tmp_path / "ev_by_type")
+    write_partitioned(ev, out, ["event_type"], sort_within_by=["ts"])
+    back = spark.read.parquet(out).filter(
+        "event_type in ('click', 'view')"
+    )
+    s = explain_str(back)
+    # the filter lands in the scan's PartitionFilters (directory
+    # pruning), not a post-scan Filter over all partitions
+    assert "PartitionFilters" in s and "event_type" in s.split("PartitionFilters", 1)[1][:200]

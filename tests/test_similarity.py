@@ -105,3 +105,50 @@ def test_trained_ivf_full_probe_equals_bruteforce(spark):
     # probing fewer cells returns k rows from the probed subset only
     probed = ann_search(assigned, cents, qv, k=5, n_probe=1, cell_col="cell")
     assert probed.count() == 5
+
+
+def test_ann_lsh_self_hit_and_determinism(spark):
+    from flink_kmeans_clustering_spark.operators.similarity import ann_lsh
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    [q] = emb.filter("vec_id = 0").select("embedding").collect()
+    qv = [float(v) for v in q["embedding"]]
+    a = ann_lsh(emb, qv, k=10).collect()
+    # the query vector is in its own bucket -> always a candidate, and
+    # cosine(q, q) = 1.0 ranks first
+    assert a[0]["vec_id"] == 0 and a[0]["cosine"] == 1.0
+    # deterministic: seeded planes, fixed probe order
+    b = ann_lsh(emb, qv, k=10).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in a] == [
+        (r["vec_id"], r["cosine"]) for r in b
+    ]
+
+
+def test_ann_lsh_results_come_from_brute_force_ranking(spark):
+    from flink_kmeans_clustering_spark.operators.similarity import ann_lsh, topk_cosine
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    [q] = emb.filter("vec_id = 0").select("embedding").collect()
+    qv = [float(v) for v in q["embedding"]]
+    exact = {
+        r["vec_id"]: r["cosine"] for r in topk_cosine(emb, qv, k=500).collect()
+    }
+    approx = ann_lsh(emb, qv, k=10).collect()
+    # every LSH hit carries the same cosine the exact path computes,
+    # and approximate ranks are consistent with exact scores
+    sims = [r["cosine"] for r in approx]
+    assert sims == sorted(sims, reverse=True)
+    for r in approx:
+        assert exact[r["vec_id"]] == r["cosine"]
+
+
+def test_ann_lsh_is_shuffle_free(spark):
+    from flink_kmeans_clustering_spark.operators.similarity import ann_lsh
+    from flink_kmeans_clustering_spark.plans import shuffle_count
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    [q] = emb.filter("vec_id = 0").select("embedding").collect()
+    qv = [float(v) for v in q["embedding"]]
+    # bucket assignment + probe filter are narrow; top-k is
+    # TakeOrderedAndProject -> zero exchanges end to end
+    assert shuffle_count(ann_lsh(emb, qv, k=10)) == 0
