@@ -107,3 +107,49 @@ def test_null_text_degrades_gracefully(spark):
     assert ngram_jaccard_pairs(docs).count() == 0
     assert minhash_lsh_pairs(docs).count() == 0
     assert simhash_pairs(docs).count() == 0
+
+
+def test_new_text_ops_empty(spark, empty_docs):
+    from flink_kmeans_clustering_spark.operators.textstats import (
+        repetition_stats,
+        tfidf_top_terms,
+    )
+
+    assert repetition_stats(empty_docs, n=2).count() == 0
+    assert tfidf_top_terms(empty_docs, k=5).count() == 0
+
+
+def test_decontam_empty_sides(spark, empty_docs):
+    from flink_kmeans_clustering_spark.operators.dedup import benchmark_overlap
+
+    docs = spark.createDataFrame([(1, "a b c", 5)], DOCS_SCHEMA)
+    # empty benchmark -> nothing flagged; empty corpus -> nothing flagged
+    assert benchmark_overlap(docs, empty_docs, n=2).count() == 0
+    assert benchmark_overlap(empty_docs, docs, n=2).count() == 0
+
+
+def test_ann_lsh_empty(spark):
+    from flink_kmeans_clustering_spark.operators.similarity import ann_lsh
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert ann_lsh(empty, [0.5] * 8, k=5, n_planes=2).count() == 0
+
+
+def test_relational_window_ops_empty(spark):
+    from flink_kmeans_clustering_spark.operators.relational import (
+        customer_order_distribution,
+        daily_revenue_delta,
+        monthly_order_ranks,
+    )
+
+    empty_orders = spark.createDataFrame(
+        [], "o_orderkey long, o_custkey long, o_orderpriority string, "
+        "o_totalprice double, o_orderdate timestamp"
+    )
+    empty_li = spark.createDataFrame(
+        [], "l_extendedprice double, l_discount double, l_shipdate timestamp"
+    )
+    empty_cust = spark.createDataFrame([], "c_custkey long")
+    assert monthly_order_ranks(empty_orders).count() == 0
+    assert daily_revenue_delta(empty_li).count() == 0
+    assert customer_order_distribution(empty_cust, empty_orders).count() == 0

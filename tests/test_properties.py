@@ -78,3 +78,67 @@ def test_wcss_non_increasing_and_fixpoint_idempotent(spark, pts, cs):
     again = lloyd(df, res.centroids, max_iterations=1, cache=False)
     for (i1, x1, y1), (i2, x2, y2) in zip(res.centroids, again.centroids):
         assert i1 == i2 and abs(x1 - x2) < 1e-9 and abs(y1 - y2) < 1e-9
+
+
+# --- text-op invariants over arbitrary corpora ------------------------------
+
+texts_strategy = st.lists(
+    st.text(alphabet="ab cx1", min_size=0, max_size=40), min_size=1, max_size=6
+)
+
+
+def _docs(spark, texts):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@given(texts=texts_strategy)
+@SLOW
+def test_repetition_stats_invariants(spark, texts):
+    from flink_kmeans_clustering_spark.operators.textstats import repetition_stats
+
+    rows = repetition_stats(_docs(spark, texts), n=2).collect()
+    assert len(rows) == len(texts)  # one row per doc, always
+    for r in rows:
+        assert r["n_distinct"] <= r["n_ngrams"]
+        if r["n_ngrams"] == 0:
+            assert r["dup_ngram_frac"] is None and r["top_ngram"] is None
+        else:
+            assert 0.0 <= r["dup_ngram_frac"] <= 1.0
+            assert 1 <= r["top_ngram_ct"] <= r["n_ngrams"]
+            assert 0.0 < r["top_ngram_frac"] <= 1.0
+
+
+@given(texts=texts_strategy)
+@SLOW
+def test_tfidf_invariants(spark, texts):
+    from flink_kmeans_clustering_spark.operators.textstats import tfidf_top_terms
+
+    docs = _docs(spark, texts)
+    n = len(texts)
+    rows = tfidf_top_terms(docs, k=3).collect()
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+        assert 1 <= r["df_ct"] <= n      # df bounded by corpus size
+        assert r["tf"] >= 1
+        assert r["tfidf"] >= 0.0         # smoothed idf >= 1 > 0
+    for d, rs in per_doc.items():
+        ranks = sorted(x["rk"] for x in rs)
+        assert ranks[0] == 1             # rank starts at 1 per doc
+        scores = [x["tfidf"] for x in sorted(rs, key=lambda x: x["rk"])]
+        assert scores == sorted(scores, reverse=True)
+
+
+@given(texts=texts_strategy)
+@SLOW
+def test_benchmark_overlap_self_contains_all_nonempty(spark, texts):
+    from flink_kmeans_clustering_spark.operators.dedup import benchmark_overlap
+    from flink_kmeans_clustering_spark.functions.text import tokenize
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, texts)
+    nonempty = docs.filter(F.size(tokenize(F.col("text"))) > 0).count()
+    # a corpus checked against ITSELF flags every tokenizable doc
+    flagged = benchmark_overlap(docs, docs, n=2).count()
+    assert flagged == nonempty
