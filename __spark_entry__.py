@@ -42,7 +42,11 @@ from flink_kmeans_clustering_spark.operators.textstats import (
     clean_text,
     ENGLISH_STOPWORDS,
     LANG_STOPWORDS,
+    GATE_MAX_DUP_FRAC,
+    GATE_MIN_QUALITY,
+    GATE_MIN_WORDS,
     doc_fingerprint,
+    document_gate,
     language_id,
     quality_score,
     repetition_stats,
@@ -92,6 +96,7 @@ from flink_kmeans_clustering_spark.operators.relational import small_quantity_re
 from flink_kmeans_clustering_spark.operators.sampling import (
     approx_distinct,
     deterministic_sample,
+    stratified_hash_sample,
 )
 from flink_kmeans_clustering_spark.streaming.enrich import enrich_with_static
 from flink_kmeans_clustering_spark.streaming.joins import interval_join_streams
@@ -590,6 +595,27 @@ def q_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deterministic_sample(docs, "text", rate=1 / 16).select("doc_id", "n_chars")
 
 
+STRAT_RATES = {"click": 1 / 4, "view": 1 / 2, "purchase": 1.0}
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling (training-mix rebalancing):
+    25% of clicks, 50% of views, all purchases, drop the rest — one
+    narrow md5-bucket filter, reproducible in any engine."""
+    ev = load_events(spark, sf_dir)
+    return stratified_hash_sample(
+        ev, "event_type", STRAT_RATES, key_col="event_id"
+    ).select("event_id", "event_type")
+
+
+def q_text_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style composite keep/drop gate: length, quality and
+    bigram-repetition rules in one zero-shuffle pass, with fired-rule
+    reasons."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return document_gate(docs)
+
+
 def q_rel_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: revenue of below-20%-of-part-average orders."""
     return small_quantity_revenue(load_table(spark, "lineitem", sf_dir))
@@ -701,6 +727,39 @@ def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     [row] = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
     return [float(v) for v in row["embedding"]]
+
+
+def q_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production streaming sink end-to-end: the event stream drains
+    through foreachBatch into partitioned parquet (epoch-stamped — the
+    idempotence key a real exactly-once writer uses), then the landed
+    table is read back through a partition filter and aggregated.
+    Oracle: the same aggregate straight off the source."""
+    import tempfile
+
+    from flink_kmeans_clustering_spark.sinks.parquet import write_partitioned
+    from flink_kmeans_clustering_spark.streaming.run import run_foreach_batch
+
+    out = tempfile.mkdtemp(prefix="stream_sink_")
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+
+    def _write(batch: DataFrame, epoch_id: int) -> None:
+        write_partitioned(
+            batch.select(*cols).withColumn("_epoch", F.lit(epoch_id)),
+            out,
+            ["event_type"],
+            mode="append",
+        )
+
+    run_foreach_batch(stream_events(spark, sf_dir).select(*cols), _write)
+    back = spark.read.parquet(out).filter(F.col("event_type") == "purchase")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(25,8)")).cast("double"), 6
+        ).alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
 
 
 def q_topk_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -834,6 +893,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_quantiles": q_events_quantiles,
         "q_events_approx_users": q_events_approx_users,
         "q_sample_docs": q_sample_docs,
+        "q_sample_stratified": q_sample_stratified,
+        "q_text_gate": q_text_gate,
         "q_rel_small_qty": q_rel_small_qty,
         "q_stream_enrich": q_stream_enrich,
         "q_stream_window": q_stream_window,
@@ -841,6 +902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_totals": q_stream_totals,
         "q_stream_interval_join": q_stream_interval_join,
         "q_stream_session": q_stream_session,
+        "q_stream_sink": q_stream_sink,
         "q_topk_sim": q_topk_sim,
         "q_ann_ivf": q_ann_ivf,
         "q_ann_lsh": q_ann_lsh,
@@ -1555,6 +1617,67 @@ SELECT doc_id, n_words, stop_hits, n_punct,
        6) AS quality
 FROM feat
 """
+    # q_text_gate: same quality blend as q_text_quality + same bigram
+    # occurrence counting as q_text_repetition, thresholded
+    # (GATE_MIN_WORDS / GATE_MIN_QUALITY / GATE_MAX_DUP_FRAC)
+    text_gate_sql = f"""
+WITH {_TOKS_CTE},
+feat AS (
+  SELECT d.doc_id,
+         len(t) AS n_words,
+         {_stopword_hits_sql(ENGLISH_STOPWORDS)} AS stop_hits,
+         len(regexp_extract_all(d.text, '[^a-zA-Z0-9\\s]')) AS n_punct,
+         length(d.text) AS n_chars
+  FROM documents d JOIN toks ON d.doc_id = toks.doc_id
+),
+q AS (
+  SELECT doc_id, n_words,
+         ROUND(
+           0.4 * least(CASE WHEN n_words > 0
+                            THEN CAST(stop_hits AS DOUBLE)/n_words ELSE 0.0 END * 5,
+                       1.0)
+         + 0.3 * least(n_words / 100.0, 1.0)
+         + 0.3 * (1.0 - least(CASE WHEN n_chars > 0
+                                   THEN CAST(n_punct AS DOUBLE)/n_chars
+                                   ELSE 0.0 END * 10,
+                              1.0)),
+         6) AS quality
+  FROM feat
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE list_transform(range(1, greatest(len(t)-1, 1)+1),
+                                  i -> array_to_string(list_slice(t, i, i+1), ' '))
+         END AS g
+  FROM toks
+),
+cts AS (
+  SELECT doc_id, gram, COUNT(*) AS ct
+  FROM (SELECT doc_id, unnest(g) AS gram FROM grams)
+  GROUP BY doc_id, gram
+),
+rep AS (
+  SELECT doc_id,
+         ROUND(SUM(CASE WHEN ct > 1 THEN ct ELSE 0 END) * 1.0 / SUM(ct), 6)
+           AS dup_bigram_frac
+  FROM cts GROUP BY doc_id
+),
+j AS (
+  SELECT q.doc_id, q.n_words, q.quality, rep.dup_bigram_frac,
+         list_sort(list_filter([
+           CASE WHEN q.n_words < {GATE_MIN_WORDS} THEN 'too_short' END,
+           CASE WHEN q.quality < {GATE_MIN_QUALITY} THEN 'low_quality' END,
+           CASE WHEN COALESCE(rep.dup_bigram_frac, 0.0) > {GATE_MAX_DUP_FRAC}
+                THEN 'repetitive' END
+         ], x -> x IS NOT NULL)) AS rl
+  FROM q LEFT JOIN rep ON q.doc_id = rep.doc_id
+)
+SELECT doc_id, n_words, quality, dup_bigram_frac,
+       len(rl) = 0 AS keep,
+       COALESCE(array_to_string(rl, ','), '') AS reasons
+FROM j
+"""
     text_fingerprint_sql = f"""
 WITH {_TOKS_CTE}
 SELECT doc_id,
@@ -1791,6 +1914,15 @@ FROM events GROUP BY event_type
 SELECT doc_id, n_chars FROM documents
 WHERE CAST(('0x' || substring(md5(text), 1, 2)) AS INT) % 256 < 16
 """,
+        # q_sample_stratified: same md5-bucket contract per stratum
+        # (rates: click 64/256, view 128/256, purchase 256/256, else 0)
+        "q_sample_stratified": """
+SELECT event_id, event_type FROM events
+WHERE CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 2)) AS INT) % 256
+      < CASE event_type WHEN 'click' THEN 64 WHEN 'view' THEN 128
+                        WHEN 'purchase' THEN 256 ELSE 0 END
+""",
+        "q_text_gate": text_gate_sql,
         # streaming results drained via availableNow equal their batch
         # twins, so plain batch SQL is a valid oracle.
         "q_stream_enrich": stream_enrich_sql,
@@ -1837,6 +1969,14 @@ SELECT user_id,
        COUNT(*) AS n_events,
        ROUND(SUM(value), 6) AS sum_value
 FROM numbered GROUP BY user_id, session_seq
+""",
+        "q_stream_sink": """
+SELECT event_type, COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(25,8))) AS DOUBLE), 6) AS sum_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY event_type
 """,
         "q_topk_sim": topk_sim_sql,
         "q_ann_ivf": ann_ivf_sql,

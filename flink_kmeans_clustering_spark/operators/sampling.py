@@ -64,3 +64,32 @@ def approx_distinct(
     if group_by:
         return df.groupBy(*group_by).agg(*aggs)
     return df.agg(*aggs)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    buckets: int = 256,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: stratum s keeps rows whose
+    hash bucket < rates[s]·buckets.
+
+    The rebalancing pass of a training mix ("keep 10% of crawl, 100%
+    of curated"): one narrow filter, no RNG, no shuffle, reproducible
+    across engines and runs.  Unlisted strata keep ``default_rate``
+    (0.0 = drop).  Nested-sample property per stratum: lowering a rate
+    always yields a subset of the higher-rate sample.
+    """
+    if not (1 <= buckets <= 256) or 256 % buckets != 0:
+        raise ValueError("buckets must be a divisor of 256 (1, 2, 4, ..., 256)")
+    # cast-to-string so numeric keys hash identically in any engine
+    # (md5('123') is the cross-engine contract; md5 of raw int bytes
+    # would be width/endianness-dependent)
+    b = hash_bucket(F.col(key_col).cast("string"), buckets)
+    keep = F.lit(int(default_rate * buckets))
+    for s, r in sorted(rates.items()):
+        keep = F.when(F.col(strata_col) == s, F.lit(int(r * buckets))).otherwise(keep)
+    return df.filter(b < keep)

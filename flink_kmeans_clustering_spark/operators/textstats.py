@@ -91,6 +91,33 @@ def language_id(
     )
 
 
+def _quality_cols(text_col: str) -> dict[str, Column]:
+    """Shared surface-feature columns (expect tokens in ``_toks``).
+
+    One definition serves :func:`quality_score` and
+    :func:`document_gate`, so the blend can never drift between the
+    score query and the gate that thresholds it.
+    """
+    toks = F.col("_toks")
+    n_words = F.size(toks)
+    n_punct = F.regexp_count(F.col(text_col), F.lit(r"[^a-zA-Z0-9\s]"))
+    n_chars = F.length(F.col(text_col))
+    stop_hits = _stopword_hits(toks, ENGLISH_STOPWORDS)
+    stop_ratio = F.when(n_words > 0, stop_hits / n_words).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    score = (
+        F.lit(0.4) * F.least(stop_ratio * 5, F.lit(1.0))
+        + F.lit(0.3) * F.least(n_words / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0)))
+    )
+    return {
+        "n_words": n_words,
+        "n_punct": n_punct,
+        "stop_hits": stop_hits,
+        "quality": score,
+    }
+
+
 def quality_score(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -102,25 +129,13 @@ def quality_score(
     fixed-order double arithmetic — reproducible across engines.
     """
     # tokens materialized once (size + stopword HOF both reference them)
-    toks = F.col("_toks")
-    n_words = F.size(toks)
-    n_punct = F.regexp_count(F.col(text_col), F.lit(r"[^a-zA-Z0-9\s]"))
-    n_chars = F.length(F.col(text_col))
-    stop_hits = _stopword_hits(toks, ENGLISH_STOPWORDS)
-
-    stop_ratio = F.when(n_words > 0, stop_hits / n_words).otherwise(F.lit(0.0))
-    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
-    score = (
-        F.lit(0.4) * F.least(stop_ratio * 5, F.lit(1.0))
-        + F.lit(0.3) * F.least(n_words / F.lit(100.0), F.lit(1.0))
-        + F.lit(0.3) * (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0)))
-    )
+    q = _quality_cols(text_col)
     return df.withColumn("_toks", tokenize(F.col(text_col))).select(
         F.col(id_col),
-        n_words.alias("n_words"),
-        stop_hits.alias("stop_hits"),
-        n_punct.alias("n_punct"),
-        F.round(score, 6).alias("quality"),
+        q["n_words"].alias("n_words"),
+        q["stop_hits"].alias("stop_hits"),
+        q["n_punct"].alias("n_punct"),
+        F.round(q["quality"], 6).alias("quality"),
     )
 
 
@@ -225,6 +240,31 @@ def clean_text(
     )
 
 
+def _grams_expr(toks: Column, n: int) -> Column:
+    """Non-distinct word n-gram occurrences of a token array (same
+    short/empty-doc edge rules as ``functions.text.ngram_shingles``)."""
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
+    return F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def _gram_count_structs(g: Column) -> Column:
+    """(−count, gram) struct per distinct n-gram of occurrence array ``g``;
+    ``array_min`` over it picks max-count/lexicographically-least.
+
+    O(G·D) per row — keep it in its OWN projection (referenced more than
+    once; like dedup's token materialization, multiple non-cheap
+    references stop CollapseProject from re-inlining, so it is computed
+    once per row).
+    """
+    occ = lambda gram: F.size(F.filter(g, lambda x: x == gram))  # noqa: E731
+    return F.transform(
+        F.array_distinct(g),
+        lambda d: F.struct((-occ(d)).alias("negc"), d.alias("gram")),
+    )
+
+
 def repetition_stats(
     df: DataFrame, n: int = 2, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -250,27 +290,12 @@ def repetition_stats(
     with fewer than ``n`` tokens contributes its full token sequence as
     one n-gram; an empty document has 0 n-grams and NULL fractions.
     """
-    toks = F.col("_toks")
-    starts = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
-    grams = F.when(
-        F.size(toks) == 0, F.array().cast("array<string>")
-    ).otherwise(F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n))))
-
-    g = F.col("_grams")
-    occ = lambda gram: F.size(F.filter(g, lambda x: x == gram))  # noqa: E731
-    # one (count, gram) struct per distinct n-gram; array_min orders by
-    # -count then gram, giving the max-count / lexicographically-least.
-    # The O(G·D) scan lives in its own projection (referenced 3×; like
-    # dedup's token materialization, multiple non-cheap references keep
-    # CollapseProject from re-inlining — computed once per row).
-    per_distinct = F.transform(
-        F.array_distinct(g),
-        lambda d: F.struct((-occ(d)).alias("negc"), d.alias("gram")),
-    )
+    grams = _grams_expr(F.col("_toks"), n)
+    per_distinct = _gram_count_structs(F.col("_grams"))
     pd_col = F.col("_pd")
     top = F.array_min(pd_col)
     n_singleton = F.size(F.filter(pd_col, lambda s: s["negc"] == -1))
-    total = F.size(g)
+    total = F.size(F.col("_grams"))
 
     return (
         df.withColumn("_toks", tokenize(F.col(text_col)))
@@ -339,3 +364,59 @@ def tfidf_top_terms(
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), "token")
     return scored.withColumn("rk", F.rank().over(w)).filter(F.col("rk") <= k)
+
+
+GATE_MIN_WORDS = 20
+GATE_MIN_QUALITY = 0.45
+GATE_MAX_DUP_FRAC = 0.12
+
+
+def document_gate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = GATE_MIN_WORDS,
+    min_quality: float = GATE_MIN_QUALITY,
+    max_dup_frac: float = GATE_MAX_DUP_FRAC,
+) -> DataFrame:
+    """Composite keep/drop filter gate (C4 / Gopher style): length,
+    quality blend, and bigram-repetition rules evaluated in ONE pass.
+
+    Output per document: the three signal values, ``keep`` boolean, and
+    ``reasons`` — the comma-joined sorted list of fired rules
+    (``low_quality``, ``repetitive``, ``too_short``; empty when kept).
+    Thresholds are calibrated to the synthetic corpus so both outcomes
+    occur; real pipelines tune them per corpus (C4 §2.2 / Gopher A1.1
+    use the same rule shapes).
+
+    Single-pass zero-shuffle: the quality columns come from the same
+    ``_quality_cols`` blend as :func:`quality_score` and the repetition
+    fraction from the same gram structs as :func:`repetition_stats`, so
+    the gate can never disagree with the individual signal queries.
+    """
+    q = _quality_cols(text_col)
+    pd_col = F.col("_pd")
+    total = F.size(F.col("_grams"))
+    n_singleton = F.size(F.filter(pd_col, lambda s: s["negc"] == -1))
+    dup_frac = F.when(total > 0, F.round((total - n_singleton) / total, 6))
+    quality = F.round(q["quality"], 6)
+
+    rules = F.array(
+        F.when(q["n_words"] < min_words, F.lit("too_short")),
+        F.when(quality < min_quality, F.lit("low_quality")),
+        F.when(F.coalesce(dup_frac, F.lit(0.0)) > max_dup_frac, F.lit("repetitive")),
+    )
+    reasons = F.array_sort(F.filter(rules, lambda r: r.isNotNull()))
+    return (
+        df.withColumn("_toks", tokenize(F.col(text_col)))
+        .withColumn("_grams", _grams_expr(F.col("_toks"), 2))
+        .withColumn("_pd", _gram_count_structs(F.col("_grams")))
+        .select(
+            F.col(id_col),
+            q["n_words"].alias("n_words"),
+            quality.alias("quality"),
+            dup_frac.alias("dup_bigram_frac"),
+            (F.size(reasons) == 0).alias("keep"),
+            F.concat_ws(",", reasons).alias("reasons"),
+        )
+    )

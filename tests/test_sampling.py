@@ -76,3 +76,44 @@ def test_partitioned_parquet_sink_roundtrip(spark, tmp_path):
     one = back.filter(F2.col("event_type") == "click").count()
     want = ev.filter(F2.col("event_type") == "click").count()
     assert one == want
+
+
+def test_stratified_sample_rates_and_nesting(spark):
+    from flink_kmeans_clustering_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+    from flink_kmeans_clustering_spark.sources.parquet import load_events
+
+    ev = load_events(spark, "/root/testdata/sf0.01")
+    half = stratified_hash_sample(
+        ev, "event_type", {"click": 0.5, "view": 1.0}, key_col="event_id"
+    )
+    quarter = stratified_hash_sample(
+        ev, "event_type", {"click": 0.25, "view": 1.0}, key_col="event_id"
+    )
+    by_type = {r["event_type"]: r["n"] for r in half.groupBy("event_type")
+               .agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = {r["event_type"]: r["n"] for r in ev.groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("n")).collect()}
+    # unlisted strata dropped entirely; view kept whole; click ~half
+    assert set(by_type) == {"click", "view"}
+    assert by_type["view"] == total["view"]
+    assert abs(by_type["click"] / total["click"] - 0.5) < 0.1
+    # nested-sample property: the 25% click sample is a subset of the 50%
+    q_ids = {r["event_id"] for r in quarter.filter("event_type = 'click'")
+             .select("event_id").collect()}
+    h_ids = {r["event_id"] for r in half.filter("event_type = 'click'")
+             .select("event_id").collect()}
+    assert q_ids <= h_ids
+
+
+def test_stratified_sample_is_narrow(spark):
+    from flink_kmeans_clustering_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+    from flink_kmeans_clustering_spark.plans import shuffle_count
+    from flink_kmeans_clustering_spark.sources.parquet import load_events
+
+    ev = load_events(spark, "/root/testdata/sf0.01")
+    out = stratified_hash_sample(ev, "event_type", {"click": 0.5}, key_col="event_id")
+    assert shuffle_count(out) == 0

@@ -145,3 +145,42 @@ def test_tfidf_top_terms_hand_computed(spark):
     assert rows[(1, "a")]["rk"] == 1 and rows[(1, "b")]["rk"] == 2
     assert rows[(2, "c")]["rk"] == 1 and rows[(2, "b")]["rk"] == 2
     assert rows[(2, "c")]["df_ct"] == 1 and rows[(2, "b")]["df_ct"] == 2
+
+
+def test_document_gate_rules_and_reasons(spark):
+    from flink_kmeans_clustering_spark.operators.textstats import document_gate
+
+    docs = spark.createDataFrame(
+        [
+            # long, clean, stopword-rich, varied -> keep
+            (1, "the quick brown fox and the lazy dog is that with of to in "
+                "every word once more again never twice alike here there now"),
+            # 3 words -> too_short (and low_quality from length term)
+            (2, "tiny doc here"),
+            # massively repetitive -> repetitive
+            (3, "spam ham " * 30),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in document_gate(docs).collect()}
+    assert rows[1]["keep"] is True and rows[1]["reasons"] == ""
+    assert "too_short" in rows[2]["reasons"] and rows[2]["keep"] is False
+    assert "repetitive" in rows[3]["reasons"] and rows[3]["keep"] is False
+
+
+def test_document_gate_agrees_with_signal_queries(spark):
+    from flink_kmeans_clustering_spark.operators.textstats import (
+        document_gate,
+        quality_score,
+        repetition_stats,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    gate = {r["doc_id"]: r for r in document_gate(docs).collect()}
+    qual = {r["doc_id"]: r["quality"] for r in quality_score(docs).collect()}
+    rep = {
+        r["doc_id"]: r["dup_ngram_frac"] for r in repetition_stats(docs, n=2).collect()
+    }
+    for d, r in gate.items():
+        assert r["quality"] == qual[d]
+        assert r["dup_bigram_frac"] == rep[d]
