@@ -55,6 +55,7 @@ from flink_kmeans_clustering_spark.operators.textstats import (
     token_frequencies,
     token_frequencies_salted,
 )
+from flink_kmeans_clustering_spark.operators.packing import pack_offsets
 from flink_kmeans_clustering_spark.operators.multimodal import (
     asset_metadata,
     byte_histogram_features,
@@ -608,6 +609,14 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "event_type")
 
 
+def q_text_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing layout: global token offsets (distributed
+    two-level prefix sum) and context-window spans per document —
+    the concat-and-chunk layout step before training."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_offsets(docs, max_tokens=256, bucket_size=100)
+
+
 def q_text_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/Gopher-style composite keep/drop gate: length, quality and
     bigram-repetition rules in one zero-shuffle pass, with fired-rule
@@ -895,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sample_docs": q_sample_docs,
         "q_sample_stratified": q_sample_stratified,
         "q_text_gate": q_text_gate,
+        "q_text_packing": q_text_packing,
         "q_rel_small_qty": q_rel_small_qty,
         "q_stream_enrich": q_stream_enrich,
         "q_stream_window": q_stream_window,
@@ -1923,6 +1933,26 @@ WHERE CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 2)) AS INT) % 2
                         WHEN 'purchase' THEN 256 ELSE 0 END
 """,
         "q_text_gate": text_gate_sql,
+        # q_text_packing: a single global window is FINE for the oracle
+        # (500-5000 docs); the engine computes the same prefix sum with
+        # the two-level bucket scheme
+        "q_text_packing": f"""
+WITH {_TOKS_CTE},
+c AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         CAST(COALESCE(SUM(len(t)) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start_offset
+  FROM toks
+)
+SELECT doc_id, n_tokens, start_offset,
+       CAST(start_offset // 256 AS BIGINT) AS first_seq,
+       CAST((start_offset + greatest(n_tokens - 1, 0)) // 256 AS BIGINT)
+         AS last_seq,
+       CAST((start_offset + greatest(n_tokens - 1, 0)) // 256
+            - start_offset // 256 + 1 AS BIGINT) AS n_seqs
+FROM c
+""",
         # streaming results drained via availableNow equal their batch
         # twins, so plain batch SQL is a valid oracle.
         "q_stream_enrich": stream_enrich_sql,
