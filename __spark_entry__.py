@@ -771,6 +771,15 @@ def q_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality gate applied to a document STREAM: document_gate is
+    row-local, so the exact same operator composes onto readStream with
+    no watermark or state — streaming output equals the batch gate
+    (same oracle), demonstrating batch/stream expression reuse."""
+    docs = stream_table(spark, "documents", sf_dir)
+    return run_available_now(document_gate(docs))
+
+
 def q_topk_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force top-10 by cosine (TakeOrderedAndProject plan)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -913,6 +922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_interval_join": q_stream_interval_join,
         "q_stream_session": q_stream_session,
         "q_stream_sink": q_stream_sink,
+        "q_stream_gate": q_stream_gate,
         "q_topk_sim": q_topk_sim,
         "q_ann_ivf": q_ann_ivf,
         "q_ann_lsh": q_ann_lsh,
@@ -1933,6 +1943,8 @@ WHERE CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 2)) AS INT) % 2
                         WHEN 'purchase' THEN 256 ELSE 0 END
 """,
         "q_text_gate": text_gate_sql,
+        # q_stream_gate is the stateless gate on a stream: same oracle
+        "q_stream_gate": text_gate_sql,
         # q_text_packing: a single global window is FINE for the oracle
         # (500-5000 docs); the engine computes the same prefix sum with
         # the two-level bucket scheme

@@ -52,6 +52,11 @@ PICKS = [
         "q_dedup_decontam",
         "Decontamination — benchmark shingles broadcast, corpus never shuffled",
     ),
+    (
+        "q_ann_ivf",
+        "IVF probe search — the cell isin() filter sits in the scan "
+        "(partition pruning on a cell-partitioned table); top-k never sorts",
+    ),
 ]
 
 
