@@ -78,6 +78,7 @@ from flink_kmeans_clustering_spark.operators.relational import (
 )
 from flink_kmeans_clustering_spark.sources.parquet import load_events, load_table
 from flink_kmeans_clustering_spark.operators.events import (
+    approx_value_quantiles,
     asof_join,
     daily_type_pivot,
     extract_props,
@@ -582,6 +583,13 @@ def q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_quantiles(load_events(spark, sf_dir))
 
 
+def q_events_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna sketch percentiles per type (rows-only: sketch
+    values are engine-specific; rank-error bound vs exact percentiles
+    asserted in tests/test_events.py)."""
+    return approx_value_quantiles(load_events(spark, sf_dir))
+
+
 def q_events_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct users per type (rows-only: sketch values
     are implementation-specific; accuracy asserted in tests/test_sampling.py)."""
@@ -765,8 +773,8 @@ def q_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(
-            F.sum(F.col("value").cast("decimal(25,8)")).cast("double"), 6
-        ).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(25,8)")), 6
+        ).cast("double").alias("sum_value"),
         F.countDistinct("user_id").alias("n_users"),
     )
 
@@ -834,8 +842,8 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(
-            F.sum(F.col("value").cast("decimal(25,8)")).cast("double"), 6
-        ).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(25,8)")), 6
+        ).cast("double").alias("sum_value"),
         F.min(F.unix_micros("ts")).alias("min_ts_us"),
         F.max(F.unix_micros("ts")).alias("max_ts_us"),
     )
@@ -910,6 +918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_running": q_events_running,
         "q_events_quantiles": q_events_quantiles,
         "q_events_approx_users": q_events_approx_users,
+        "q_events_approx_quantiles": q_events_approx_quantiles,
         "q_sample_docs": q_sample_docs,
         "q_sample_stratified": q_sample_stratified,
         "q_text_gate": q_text_gate,
@@ -1224,8 +1233,8 @@ SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT {TOPK_K}
     # operators.relational._dsum.
     rel_pricing_sql = """
 SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price,
-       ROUND(sum_disc_price, 6) AS sum_disc_price,
-       ROUND(sum_charge, 6) AS sum_charge,
+       sum_disc_price,
+       sum_charge,
        ROUND(sum_qty / count_order, 6) AS avg_qty,
        ROUND(sum_base_price / count_order, 6) AS avg_price,
        count_order
@@ -1234,10 +1243,10 @@ FROM (
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
            AS sum_base_price,
-         CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,8)))
-              AS DOUBLE) AS sum_disc_price,
-         CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax)
-                       AS DECIMAL(25,8))) AS DOUBLE) AS sum_charge,
+         CAST(ROUND(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,8))),
+                    6) AS DOUBLE) AS sum_disc_price,
+         CAST(ROUND(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax)
+                             AS DECIMAL(25,8))), 6) AS DOUBLE) AS sum_charge,
          COUNT(*) AS count_order
   FROM lineitem
   WHERE l_shipdate <= TIMESTAMP '2001-09-01'
@@ -1246,8 +1255,8 @@ FROM (
 """
     rel_shipping_sql = """
 SELECT l_orderkey,
-       ROUND(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,8)))
-                  AS DOUBLE), 6) AS revenue,
+       CAST(ROUND(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,8))),
+                  6) AS DOUBLE) AS revenue,
        strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
        o_orderpriority
 FROM customer
@@ -1262,8 +1271,8 @@ LIMIT 10
 """
     rel_local_supplier_sql = """
 SELECT n_name,
-       ROUND(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,8)))
-                  AS DOUBLE), 6) AS revenue
+       CAST(ROUND(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,8))),
+                  6) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -1323,8 +1332,8 @@ LIMIT 100
     rel_tradevolume_sql = """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        year(l_shipdate) AS l_year,
-       ROUND(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,8)))
-                  AS DOUBLE), 6) AS revenue
+       CAST(ROUND(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,8))),
+                  6) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -1350,12 +1359,12 @@ WHERE rnk <= 5
     window_daydelta_sql = """
 WITH daily AS (
   SELECT strftime(l_shipdate, '%Y-%m-%d') AS ship_day,
-         ROUND(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,8)))
-                    AS DOUBLE), 6) AS revenue
+         ROUND(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,8))), 6)
+           AS rev_dec
   FROM lineitem GROUP BY ship_day
 )
-SELECT ship_day, revenue,
-       ROUND(revenue - lag(revenue) OVER (ORDER BY ship_day), 6)
+SELECT ship_day, CAST(rev_dec AS DOUBLE) AS revenue,
+       CAST(rev_dec - lag(rev_dec) OVER (ORDER BY ship_day) AS DOUBLE)
          AS delta_vs_prev_day
 FROM daily
 """
@@ -1564,7 +1573,7 @@ FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
 """
     rel_small_qty_sql = """
-SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,8))) AS DOUBLE) / 7.0, 6)
+SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(25,8))), 6) AS DOUBLE) / 7.0
        AS avg_yearly
 FROM lineitem l
 JOIN (SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_limit
@@ -1912,7 +1921,8 @@ FROM ex GROUP BY key
 """,
         "q_events_rollup": events_rollup_sql,
         "q_udaf_geomean": """
-SELECT event_type, ROUND(EXP(AVG(LN(value))), 6) AS geo_mean
+SELECT event_type,
+       ROUND(EXP(AVG(CASE WHEN value > 0 THEN LN(value) END)), 6) AS geo_mean
 FROM events GROUP BY event_type
 """,
         "q_events_sliding": events_sliding_sql,
@@ -2014,7 +2024,7 @@ FROM numbered GROUP BY user_id, session_seq
 """,
         "q_stream_sink": """
 SELECT event_type, COUNT(*) AS n,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(25,8))) AS DOUBLE), 6) AS sum_value,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(25,8))), 6) AS DOUBLE) AS sum_value,
        COUNT(DISTINCT user_id) AS n_users
 FROM events
 WHERE event_type = 'purchase'
@@ -2025,7 +2035,7 @@ GROUP BY event_type
         "q_ann_lsh": ann_lsh_sql,
         "q_sink_roundtrip": """
 SELECT event_type, COUNT(*) AS n,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(25,8))) AS DOUBLE), 6) AS sum_value,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(25,8))), 6) AS DOUBLE) AS sum_value,
        MIN(epoch_us(ts)) AS min_ts_us,
        MAX(epoch_us(ts)) AS max_ts_us
 FROM events

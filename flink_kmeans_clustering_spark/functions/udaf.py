@@ -24,10 +24,17 @@ def _geometric_mean_udaf():
 
     @pandas_udf(DoubleType())
     def geometric_mean(v: pd.Series) -> float:
-        """Geometric mean of a positive-valued column (NaN-safe)."""
+        """Geometric mean over the POSITIVE support of the column.
+
+        The geometric mean is undefined at ≤ 0 (ln blows up); the
+        portable contract — matching ``EXP(AVG(LN(value)) FILTER
+        (WHERE value > 0))`` in any SQL engine — is to aggregate the
+        positive values only, NaN when none exist.
+        """
         import numpy as np
 
         x = v.dropna()
+        x = x[x > 0]
         if len(x) == 0:
             return float("nan")
         return float(np.exp(np.log(x.to_numpy(dtype="float64")).mean()))

@@ -273,6 +273,29 @@ def value_quantiles(
     return df.groupBy("event_type").agg(*aggs)
 
 
+def approx_value_quantiles(
+    df: DataFrame,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Sketch-based per-type percentiles: ``approx_percentile``
+    (Greenwald-Khanna, bounded memory — rank error ≤ 1/accuracy).
+
+    The 100 TB form of :func:`value_quantiles`: exact percentile sorts
+    each group in memory, the sketch streams in constant space with
+    map-side partial merge.  Sketch outputs are engine-specific
+    (rows-only correctness check); the rank-error bound vs the exact
+    percentiles is asserted in tests/test_events.py.
+    """
+    aggs = [
+        F.round(
+            F.expr(f"approx_percentile(value, {p}, {accuracy})"), 6
+        ).alias(f"p{int(p * 100)}")
+        for p in probs
+    ]
+    return df.groupBy("event_type").agg(*aggs)
+
+
 def sliding_window_agg(
     df: DataFrame,
     window: str = "1 hour",

@@ -37,6 +37,22 @@ def _dsum(col: Column | str, dec: str = DEC) -> Column:
     return F.sum(c.cast(dec)).cast("double")
 
 
+def _dsum_r6(col: Column | str, dec: str = DEC_WIDE) -> Column:
+    """Decimal sum rounded to 6 places IN DECIMAL, then cast to double.
+
+    Rounding must happen before the double cast: ``round(double, 6)``
+    on a value beyond ~4.5e9 is below double resolution (|x|·10⁶
+    exceeds 2⁵³), and engines then disagree by one ulp — Spark rounds
+    through an exact BigDecimal, DuckDB multiplies by 10⁶ in floating
+    point.  Rounding the exact decimal first makes both engines emit
+    the nearest double of the SAME exact value at any magnitude.
+    (Caught by the sf0.1 cross-check; sf0.01 sums were small enough to
+    mask it.)
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(c.cast(dec)), 6).cast("double")
+
+
 def disc_price() -> Column:
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
@@ -55,8 +71,8 @@ def pricing_summary(lineitem: DataFrame, cutoff: str = "2001-09-01") -> DataFram
         .agg(
             _dsum("l_quantity").alias("sum_qty"),
             _dsum("l_extendedprice").alias("sum_base_price"),
-            _dsum(disc_price(), DEC_WIDE).alias("sum_disc_price"),
-            _dsum(charge, DEC_WIDE).alias("sum_charge"),
+            _dsum_r6(disc_price()).alias("sum_disc_price"),
+            _dsum_r6(charge).alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .select(
@@ -64,8 +80,8 @@ def pricing_summary(lineitem: DataFrame, cutoff: str = "2001-09-01") -> DataFram
             "l_linestatus",
             "sum_qty",
             "sum_base_price",
-            F.round("sum_disc_price", 6).alias("sum_disc_price"),
-            F.round("sum_charge", 6).alias("sum_charge"),
+            "sum_disc_price",
+            "sum_charge",
             F.round(F.col("sum_qty") / F.col("count_order"), 6).alias("avg_qty"),
             F.round(F.col("sum_base_price") / F.col("count_order"), 6).alias(
                 "avg_price"
@@ -100,7 +116,7 @@ def shipping_priority(
     )
     return (
         joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(_dsum(disc_price(), DEC_WIDE), 6).alias("revenue"))
+        .agg(_dsum_r6(disc_price()).alias("revenue"))
         .select(
             "l_orderkey",
             "revenue",
@@ -148,7 +164,7 @@ def local_supplier_volume(
     )
     return (
         joined.groupBy("n_name")
-        .agg(F.round(_dsum(disc_price(), DEC_WIDE), 6).alias("revenue"))
+        .agg(_dsum_r6(disc_price()).alias("revenue"))
     )
 
 
@@ -313,7 +329,7 @@ def nation_trade_volume(
         joined.groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
         )
-        .agg(F.round(_dsum(disc_price(), DEC_WIDE), 6).alias("revenue"))
+        .agg(_dsum_r6(disc_price()).alias("revenue"))
     )
 
 
@@ -366,7 +382,7 @@ def daily_revenue_delta(lineitem: DataFrame) -> DataFrame:
         lineitem.groupBy(
             F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_day")
         )
-        .agg(F.round(_dsum(disc_price(), DEC_WIDE), 6).alias("revenue"))
+        .agg(_dsum_r6(disc_price()).alias("revenue"))
     )
     w = Window.orderBy("ship_day")
     return daily.select(
@@ -395,5 +411,5 @@ def small_quantity_revenue(lineitem: DataFrame) -> DataFrame:
         part_avg, F.col("l_partkey") == F.col("_pk")
     ).filter(F.col("l_quantity") < F.col("_qty_limit"))
     return small.agg(
-        F.round((_dsum("l_extendedprice", DEC_WIDE) / 7.0), 6).alias("avg_yearly")
+        (_dsum_r6("l_extendedprice") / 7.0).alias("avg_yearly")
     )

@@ -145,3 +145,29 @@ def test_pivot_unpivot_roundtrip(spark):
     }
     assert back[("2024-01-01", "view")] == 3
     assert back[("2024-01-01", "purchase")] == 0  # zero-filled wide slot
+
+
+def test_approx_quantiles_within_rank_error(spark):
+    from pyspark.sql import functions as F
+
+    from flink_kmeans_clustering_spark.operators.events import (
+        approx_value_quantiles,
+        value_quantiles,
+    )
+    from flink_kmeans_clustering_spark.sources.parquet import load_events
+
+    ev = load_events(spark, "/root/testdata/sf0.01")
+    exact = {r["event_type"]: r for r in value_quantiles(ev).collect()}
+    approx = {r["event_type"]: r for r in approx_value_quantiles(ev).collect()}
+    # GK guarantees rank error <= 1/accuracy; translate to a loose value
+    # tolerance via the per-type value spread
+    spread = {
+        r["event_type"]: r["mx"] - r["mn"]
+        for r in ev.groupBy("event_type")
+        .agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+        .collect()
+    }
+    assert set(exact) == set(approx)
+    for t in exact:
+        for p in ("p25", "p50", "p75"):
+            assert abs(exact[t][p] - approx[t][p]) <= 0.05 * spread[t] + 1e-6
