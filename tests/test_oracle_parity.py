@@ -37,3 +37,30 @@ def test_no_orphan_oracles():
     # silently skip the driver's comparison for a renamed query)
     orphans = set(entrymod.oracle_sql()) - set(entrymod.queries())
     assert not orphans, f"oracles without queries: {sorted(orphans)}"
+
+
+from pyspark.sql import functions as F
+
+
+def test_decimal_round_survives_double_resolution(spark):
+    """round(double, 6) breaks past ~4.5e9 (|x|*1e6 > 2^53): engines
+    land one ulp apart.  _dsum_r6 rounds in decimal FIRST — this pins
+    that contract with a sum big enough to trip the double-domain bug
+    (caught live by the sf0.1 cross-check on q_rel_pricing)."""
+    import duckdb
+
+    from flink_kmeans_clustering_spark.operators.relational import _dsum_r6
+
+    # 1e6 rows of 4883.1057380862005 -> sum ~4.883e9, sub-resolution tail
+    df = spark.range(1_000_000).select(
+        (F.lit(4883.1057380862005)).alias("v")
+    )
+    [got] = df.agg(_dsum_r6("v").alias("s")).collect()
+    con = duckdb.connect()
+    # CAST(... AS DOUBLE) first: the pipeline casts double COLUMNS, and
+    # a bare numeric literal would take DuckDB's exact-decimal path
+    [(want,)] = con.sql(
+        "SELECT CAST(ROUND(SUM(CAST(CAST(4883.1057380862005 AS DOUBLE)"
+        "  AS DECIMAL(25,8))), 6) AS DOUBLE) FROM range(1000000)"
+    ).fetchall()
+    assert got["s"] == want  # bit-identical, not approx
