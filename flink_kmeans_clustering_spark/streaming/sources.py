@@ -108,7 +108,10 @@ def flush_sentinel_stream(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     [row] = raw.agg(F.max("ts").alias("m")).collect()
-    sentinel_us = int(row["m"]) // 1000 + advance_minutes * 60_000_000
+    # empty source -> max is NULL; any sentinel time flushes nothing,
+    # epoch keeps the stream well-formed
+    max_us = int(row["m"]) // 1000 if row["m"] is not None else 0
+    sentinel_us = max_us + advance_minutes * 60_000_000
     d = tempfile.mkdtemp(prefix="flush_sentinel_")
     one = spark.createDataFrame(
         [(-1, -1, sentinel_us, 0.0)],

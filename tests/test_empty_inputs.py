@@ -153,3 +153,9 @@ def test_relational_window_ops_empty(spark):
     assert monthly_order_ranks(empty_orders).count() == 0
     assert daily_revenue_delta(empty_li).count() == 0
     assert customer_order_distribution(empty_cust, empty_orders).count() == 0
+
+
+def test_pack_offsets_empty(spark, empty_docs):
+    from flink_kmeans_clustering_spark.operators.packing import pack_offsets
+
+    assert pack_offsets(empty_docs).count() == 0
