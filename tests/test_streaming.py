@@ -143,3 +143,42 @@ def test_foreach_batch_parquet_sink(spark, tmp_path):
     src = load_events(spark, SF)
     assert back.count() == src.count()
     assert set(back.columns) == set(src.columns)
+
+
+def test_checkpoint_restart_processes_each_file_once(spark, tmp_path):
+    """Exactly-once across restarts: two availableNow drains sharing one
+    checkpoint must process each source file exactly once — the second
+    drain picks up ONLY files landed after the first (the restart
+    contract a production stream relies on; STATUS.md round 2)."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.range(10).selectExpr("id", "id * 2 AS v").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def drain():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    drain()
+    assert spark.read.parquet(out).count() == 10
+
+    spark.range(100, 105).selectExpr("id", "id * 2 AS v").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+    got = spark.read.parquet(out)
+    # 15 rows, not 25: the first file was NOT reprocessed
+    assert got.count() == 15
+    assert got.filter("id >= 100").count() == 5
