@@ -67,6 +67,7 @@ from flink_kmeans_clustering_spark.operators.relational import (
     customer_order_distribution,
     customer_status_sets,
     daily_revenue_delta,
+    idle_rich_customers,
     large_quantity_orders,
     late_order_priority,
     local_supplier_volume,
@@ -74,7 +75,9 @@ from flink_kmeans_clustering_spark.operators.relational import (
     nation_trade_volume,
     parts_without_bulk_sales,
     pricing_summary,
+    returned_item_losses,
     shipping_priority,
+    top_revenue_parts,
 )
 from flink_kmeans_clustering_spark.sources.parquet import load_events, load_table
 from flink_kmeans_clustering_spark.operators.events import (
@@ -440,6 +443,36 @@ def q_rel_tradevolume(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, "supplier", sf_dir),
         load_table(spark, "orders", sf_dir),
         load_table(spark, "lineitem", sf_dir),
+    )
+
+
+def q_rel_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue
+    (pushed returnflag/date filters, broadcast nation, TakeOrdered)."""
+    return returned_item_losses(
+        load_table(spark, "customer", sf_dir),
+        load_table(spark, "orders", sf_dir),
+        load_table(spark, "lineitem", sf_dir),
+        load_table(spark, "nation", sf_dir),
+    )
+
+
+def q_rel_topparts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts above a fraction of GLOBAL revenue —
+    scalar subquery in HAVING as a 1-row broadcast over the per-part
+    aggregate (fact table scanned once)."""
+    return top_revenue_parts(
+        load_table(spark, "lineitem", sf_dir),
+        load_table(spark, "part", sf_dir),
+    )
+
+
+def q_rel_idle_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no orders
+    (global scalar subquery + NOT EXISTS anti join), by segment."""
+    return idle_rich_customers(
+        load_table(spark, "customer", sf_dir),
+        load_table(spark, "orders", sf_dir),
     )
 
 
@@ -897,6 +930,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rel_custdist": q_rel_custdist,
         "q_rel_bigorders": q_rel_bigorders,
         "q_rel_tradevolume": q_rel_tradevolume,
+        "q_rel_returns": q_rel_returns,
+        "q_rel_topparts": q_rel_topparts,
+        "q_rel_idle_rich": q_rel_idle_rich,
         "q_window_ranks": q_window_ranks,
         "q_window_daydelta": q_window_daydelta,
         "q_multimodal_meta": q_multimodal_meta,
@@ -1342,6 +1378,51 @@ JOIN nation n1 ON s_nationkey = n1.n_nationkey
 JOIN nation n2 ON c_nationkey = n2.n_nationkey
 WHERE n1.n_name <> n2.n_name
 GROUP BY supp_nation, cust_nation, l_year
+"""
+    rel_returns_sql = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(ROUND(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,8))),
+                  6) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+    # Threshold arithmetic mirrors the Spark plan operation-for-
+    # operation: exact decimal per-part sums, total = sum of the
+    # partials, compare in double — each step order-independent.
+    rel_topparts_sql = """
+WITH per_part AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,8))) AS rev_dec
+  FROM lineitem GROUP BY l_partkey
+),
+total AS (SELECT SUM(rev_dec) AS total_dec FROM per_part)
+SELECT p_partkey, p_name,
+       CAST(ROUND(rev_dec, 6) AS DOUBLE) AS part_revenue
+FROM per_part CROSS JOIN total
+JOIN part ON l_partkey = p_partkey
+WHERE rev_dec > total_dec * 0.0005
+"""
+    rel_idle_rich_sql = """
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+           AS a
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_mktsegment, COUNT(*) AS numcust,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(25,8))), 6) AS DOUBLE)
+         AS totacctbal
+FROM customer CROSS JOIN avg_bal
+WHERE c_acctbal > a
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
 """
     window_ranks_sql = """
 SELECT * FROM (
@@ -1893,6 +1974,9 @@ SELECT id AS doc_id, MIN(r) AS component_id FROM reach GROUP BY id
         "q_rel_custdist": rel_custdist_sql,
         "q_rel_bigorders": rel_bigorders_sql,
         "q_rel_tradevolume": rel_tradevolume_sql,
+        "q_rel_returns": rel_returns_sql,
+        "q_rel_topparts": rel_topparts_sql,
+        "q_rel_idle_rich": rel_idle_rich_sql,
         "q_window_ranks": window_ranks_sql,
         "q_window_daydelta": window_daydelta_sql,
         "q_multimodal_meta": multimodal_meta_sql,

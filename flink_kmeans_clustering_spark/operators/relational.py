@@ -394,6 +394,111 @@ def daily_revenue_delta(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def returned_item_losses(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 shape: top-k customers by revenue lost to returns.
+
+    The return-flag predicate and the order-date window both sit on the
+    scans (pushed to parquet); lineitem⋈orders shuffles on the order
+    key, customer joins on custkey (AQE broadcast at small SF, shuffled
+    hash at scale), and nation is an explicit broadcast.  Grouping on
+    the full customer tuple adds no extra exchange — custkey is already
+    the join key and functionally determines the rest.  Final top-k is
+    TakeOrderedAndProject.
+    """
+    returned = lineitem.filter(F.col("l_returnflag") == "R")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    )
+    joined = (
+        returned.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_dsum_r6(disc_price()).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(k)
+    )
+
+
+def top_revenue_parts(
+    lineitem: DataFrame, part: DataFrame, fraction: float = 0.0005
+) -> DataFrame:
+    """TPC-H Q11 shape: parts whose revenue exceeds a fraction of the
+    GLOBAL total — a scalar subquery in HAVING.
+
+    Expressed declaratively: the per-part aggregate (one shuffle on
+    l_partkey) cross-joins the 1-row global total, which Spark plans as
+    a broadcast nested-loop of a single row — the same decorrelated
+    plan Catalyst produces from the subquery form.  The global total
+    re-aggregates the per-part partials (O(parts) rows), not the fact
+    table, so the scan happens once.  Decimal accumulation keeps both
+    aggregates partition-order-exact, so the HAVING cut is stable.
+    """
+    per_part = lineitem.groupBy("l_partkey").agg(
+        F.sum(disc_price().cast(DEC_WIDE)).alias("_rev_dec")
+    )
+    total = per_part.agg(
+        F.sum("_rev_dec").cast(DEC_WIDE).alias("_total_dec")
+    )
+    kept = per_part.join(F.broadcast(total)).filter(
+        F.col("_rev_dec") > F.col("_total_dec") * F.lit(fraction)
+    )
+    return (
+        kept.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            F.round(F.col("_rev_dec"), 6).cast("double").alias("part_revenue"),
+        )
+    )
+
+
+def idle_rich_customers(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q22 shape: per-segment count/balance of customers with an
+    above-average account balance and NO orders.
+
+    Two classic shapes composed: a global scalar subquery (average of
+    positive balances — 1-row broadcast into the filter) and NOT EXISTS
+    (left-anti hash join against the order custkeys).  The anti join's
+    build side is the distinct custkey projection only; at scale AQE
+    picks broadcast vs shuffled-hash from its runtime size.  Output is
+    O(segments) — driver-scale at any input size.
+    """
+    # avg = exact decimal sum → double, / count: both steps are single
+    # IEEE operations on order-independent inputs, so the threshold is
+    # bit-identical across engines and partitionings (a plain double
+    # avg would be summation-order-dependent).
+    pos_avg = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_avg_bal")
+    )
+    rich = customer.join(F.broadcast(pos_avg)).filter(
+        F.col("c_acctbal") > F.col("_avg_bal")
+    )
+    idle = rich.join(
+        orders.select("o_custkey"),
+        F.col("c_custkey") == F.col("o_custkey"),
+        "left_anti",
+    )
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        _dsum_r6("c_acctbal").alias("totacctbal"),
+    )
+
+
 def small_quantity_revenue(lineitem: DataFrame) -> DataFrame:
     """TPC-H Q17 shape: yearly revenue lost to small orders.
 
