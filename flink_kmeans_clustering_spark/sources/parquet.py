@@ -40,21 +40,32 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
     return {name: load_table(spark, name, sf_dir) for name in TABLES}
 
 
-def load_events(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
-    """Events scan with a proper TIMESTAMP ``ts`` column.
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Coerce an event-time column to session-tz TIMESTAMP (micros).
 
-    The testdata writes ``ts`` as parquet INT64 TIMESTAMP(NANOS), which
-    Spark's vectorized reader rejects by default.  We read nanos as a
-    raw long (``nanosAsLong``) and floor-divide to microseconds with
-    integer arithmetic (``div`` — a double division would lose
-    precision on ~1.7e18 nanosecond values), matching DuckDB's
-    ``epoch_us`` truncation on the same file.
+    Handles both physical layouts the testdata has shipped with:
+
+    - parquet INT64 TIMESTAMP(NANOS) read as a raw long under
+      ``nanosAsLong`` — floor-divide to microseconds with integer
+      ``div`` (a double division would lose precision on ~1.7e18
+      nanosecond values), matching DuckDB's ``epoch_us`` truncation;
+    - parquet TIMESTAMP(MICROS) without tz, which Spark reads as
+      TIMESTAMP_NTZ — cast to TIMESTAMP, value-preserving because the
+      session timezone is pinned UTC (matching DuckDB's naive
+      timestamps on the same file).
     """
+    dt = dict(df.dtypes)[col]
+    if dt == "bigint":
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if dt != "timestamp":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
+def load_events(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Events scan with a proper TIMESTAMP ``ts`` column."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # formatted-date outputs (date_format/window starts) must not depend
     # on the host session's timezone — pin UTC like the DuckDB oracle
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ev = load_table(spark, "events", sf_dir)
-    return ev.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    return normalize_event_ts(load_table(spark, "events", sf_dir))

@@ -54,9 +54,10 @@ def stream_table(
     """``readStream`` over one testdata parquet table (unbounded handle)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    # testdata timestamps are INT64 TIMESTAMP(NANOS) — read as raw longs,
-    # same as sources.parquet.load_events (converted by stream_events).
+    # tolerate INT64 TIMESTAMP(NANOS) testdata generations — read as raw
+    # longs, same as sources.parquet.load_events (see normalize_event_ts).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = _as_stream_dir(os.path.join(sf_dir, f"{name}.parquet"))
     schema = spark.read.parquet(path).schema
     reader = spark.readStream.schema(schema)
@@ -72,12 +73,14 @@ def stream_events(
 ) -> DataFrame:
     """Streaming events scan with a proper TIMESTAMP ``ts`` column.
 
-    Streaming twin of ``sources.parquet.load_events``: nanos read as a
-    raw long, floor-divided to micros with integer ``div`` so the value
-    matches DuckDB's ``epoch_us`` on the same file.
+    Streaming twin of ``sources.parquet.load_events``: the same
+    ``normalize_event_ts`` coercion (nanos-long floor-div or NTZ cast)
+    so the value matches DuckDB's ``epoch_us`` on the same file.
     """
+    from flink_kmeans_clustering_spark.sources.parquet import normalize_event_ts
+
     ev = stream_table(spark, "events", sf_dir, max_files_per_trigger)
-    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(ev)
 
 
 def flush_sentinel_stream(
@@ -102,15 +105,21 @@ def flush_sentinel_stream(
     Columns: ``user_id, event_id, ts, value`` — the sessionization
     input surface.
     """
-    # Raw INT64-nanos max — no per-row timestamp conversion; the ns→us
-    # floor-div happens once on the driver.  max(ns) div 1000 ==
-    # max(ns div 1000) because div is monotone.
+    # max(ts) as integer micros, computed engine-side (no float round
+    # trip through Python datetimes).  For a nanos-long generation the
+    # ns→us floor-div commutes with max because div is monotone; for a
+    # timestamp generation unix_micros is exact.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    [row] = raw.agg(F.max("ts").alias("m")).collect()
+    if dict(raw.dtypes)["ts"] == "bigint":
+        us = F.expr("ts div 1000")
+    else:
+        us = F.unix_micros(F.col("ts").cast("timestamp"))
+    [row] = raw.agg(F.max(us).alias("m")).collect()
     # empty source -> max is NULL; any sentinel time flushes nothing,
     # epoch keeps the stream well-formed
-    max_us = int(row["m"]) // 1000 if row["m"] is not None else 0
+    max_us = int(row["m"]) if row["m"] is not None else 0
     sentinel_us = max_us + advance_minutes * 60_000_000
     d = tempfile.mkdtemp(prefix="flush_sentinel_")
     one = spark.createDataFrame(
