@@ -64,6 +64,7 @@ from flink_kmeans_clustering_spark.operators.multimodal import (
     synthesize_assets,
 )
 from flink_kmeans_clustering_spark.operators.relational import (
+    brand_quantity_revenue,
     customer_order_distribution,
     customer_status_sets,
     daily_revenue_delta,
@@ -72,12 +73,17 @@ from flink_kmeans_clustering_spark.operators.relational import (
     late_order_priority,
     local_supplier_volume,
     monthly_order_ranks,
+    nation_market_share,
+    nation_part_profit,
     nation_trade_volume,
     parts_without_bulk_sales,
     pricing_summary,
+    promo_revenue_share,
     returned_item_losses,
+    revenue_forecast,
     shipping_priority,
     top_revenue_parts,
+    top_suppliers,
 )
 from flink_kmeans_clustering_spark.sources.parquet import load_events, load_table
 from flink_kmeans_clustering_spark.operators.events import (
@@ -473,6 +479,65 @@ def q_rel_idle_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idle_rich_customers(
         load_table(spark, "customer", sf_dir),
         load_table(spark, "orders", sf_dir),
+    )
+
+
+def q_rel_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: discount-band revenue, all predicates pushed to
+    the scan, single global decimal sum."""
+    return revenue_forecast(load_table(spark, "lineitem", sf_dir))
+
+
+def q_rel_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: monthly promo-part revenue share from one
+    conditional-aggregate pass over a broadcast part join."""
+    return promo_revenue_share(
+        load_table(spark, "lineitem", sf_dir),
+        load_table(spark, "part", sf_dir),
+    )
+
+
+def q_rel_brandrev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive brand/size/quantity predicates as a
+    residual filter on one broadcast join."""
+    return brand_quantity_revenue(
+        load_table(spark, "lineitem", sf_dir),
+        load_table(spark, "part", sf_dir),
+    )
+
+
+def q_rel_topsupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: max-revenue supplier(s) in a quarter, scalar MAX
+    subquery compared in exact decimal (tie-safe)."""
+    return top_suppliers(
+        load_table(spark, "supplier", sf_dir),
+        load_table(spark, "lineitem", sf_dir),
+    )
+
+
+def q_rel_mktshare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: supplier nation's yearly market share inside a
+    customer region, numerator+denominator from one aggregation pass."""
+    return nation_market_share(
+        load_table(spark, "region", sf_dir),
+        load_table(spark, "nation", sf_dir),
+        load_table(spark, "customer", sf_dir),
+        load_table(spark, "supplier", sf_dir),
+        load_table(spark, "orders", sf_dir),
+        load_table(spark, "lineitem", sf_dir),
+        load_table(spark, "part", sf_dir),
+    )
+
+
+def q_rel_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: part-family profit by supplier nation and order
+    year (supply cost proxied from retail price — no partsupp table)."""
+    return nation_part_profit(
+        load_table(spark, "nation", sf_dir),
+        load_table(spark, "supplier", sf_dir),
+        load_table(spark, "part", sf_dir),
+        load_table(spark, "orders", sf_dir),
+        load_table(spark, "lineitem", sf_dir),
     )
 
 
@@ -933,6 +998,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rel_returns": q_rel_returns,
         "q_rel_topparts": q_rel_topparts,
         "q_rel_idle_rich": q_rel_idle_rich,
+        "q_rel_forecast": q_rel_forecast,
+        "q_rel_promo": q_rel_promo,
+        "q_rel_brandrev": q_rel_brandrev,
+        "q_rel_topsupplier": q_rel_topsupplier,
+        "q_rel_mktshare": q_rel_mktshare,
+        "q_rel_profit": q_rel_profit,
         "q_window_ranks": q_window_ranks,
         "q_window_daydelta": q_window_daydelta,
         "q_multimodal_meta": q_multimodal_meta,
@@ -1423,6 +1494,94 @@ FROM customer CROSS JOIN avg_bal
 WHERE c_acctbal > a
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 GROUP BY c_mktsegment
+"""
+    rel_forecast_sql = """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(25,8))), 6)
+            AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= CAST(0.06 AS DOUBLE) - CAST(0.01 AS DOUBLE)
+  AND l_discount <= CAST(0.06 AS DOUBLE) + CAST(0.01 AS DOUBLE)
+  AND l_quantity < 24.0
+"""
+    rel_promo_sql = """
+SELECT ship_month, promo_revenue, total_revenue,
+       ROUND(100.0 * promo_revenue / total_revenue, 6) AS promo_share_pct
+FROM (
+  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+         CAST(ROUND(COALESCE(SUM(CASE WHEN p_type = 'PROMO'
+               THEN CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,8)) END),
+               CAST(0 AS DECIMAL(25,8))), 6) AS DOUBLE) AS promo_revenue,
+         CAST(ROUND(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,8))),
+                    6) AS DOUBLE) AS total_revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY ship_month
+)
+"""
+    rel_brandrev_sql = """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,8))),
+                  6) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1.0 AND 11.0
+       AND p_size BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#15' AND l_quantity BETWEEN 10.0 AND 20.0
+       AND p_size BETWEEN 1 AND 25)
+   OR (p_brand = 'Brand#18' AND l_quantity BETWEEN 20.0 AND 30.0
+       AND p_size BETWEEN 1 AND 35)
+"""
+    # exact-decimal max comparison, same as the Spark plan: rounding to
+    # double before the tie test could manufacture or lose ties
+    rel_topsupplier_sql = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,8))) AS rev_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+),
+mx AS (SELECT MAX(rev_dec) AS max_dec FROM rev)
+SELECT s_suppkey, s_name,
+       CAST(ROUND(rev_dec, 6) AS DOUBLE) AS total_revenue
+FROM rev CROSS JOIN mx
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_dec = max_dec
+"""
+    rel_mktshare_sql = """
+SELECT o_year, nation_volume, total_volume,
+       ROUND(nation_volume / total_volume, 6) AS mkt_share
+FROM (
+  SELECT year(o_orderdate) AS o_year,
+         CAST(ROUND(COALESCE(SUM(CASE WHEN n2.n_name = 'NATION_5'
+               THEN CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,8)) END),
+               CAST(0 AS DECIMAL(25,8))), 6) AS DOUBLE) AS nation_volume,
+         CAST(ROUND(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,8))),
+                    6) AS DOUBLE) AS total_volume
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+  GROUP BY o_year
+)
+"""
+    rel_profit_sql = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       CAST(ROUND(SUM(CAST(l_extendedprice*(1-l_discount)
+                           - CAST(0.8 AS DOUBLE)*p_retailprice*l_quantity
+                           AS DECIMAL(25,8))), 6) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, year(o_orderdate)
 """
     window_ranks_sql = """
 SELECT * FROM (
@@ -1977,6 +2136,12 @@ SELECT id AS doc_id, MIN(r) AS component_id FROM reach GROUP BY id
         "q_rel_returns": rel_returns_sql,
         "q_rel_topparts": rel_topparts_sql,
         "q_rel_idle_rich": rel_idle_rich_sql,
+        "q_rel_forecast": rel_forecast_sql,
+        "q_rel_promo": rel_promo_sql,
+        "q_rel_brandrev": rel_brandrev_sql,
+        "q_rel_topsupplier": rel_topsupplier_sql,
+        "q_rel_mktshare": rel_mktshare_sql,
+        "q_rel_profit": rel_profit_sql,
         "q_window_ranks": window_ranks_sql,
         "q_window_daydelta": window_daydelta_sql,
         "q_multimodal_meta": multimodal_meta_sql,

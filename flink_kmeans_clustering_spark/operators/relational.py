@@ -499,6 +499,237 @@ def idle_rich_customers(customer: DataFrame, orders: DataFrame) -> DataFrame:
     )
 
 
+def revenue_forecast(
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    discount: float = 0.06,
+    band: float = 0.01,
+    max_qty: float = 24.0,
+) -> DataFrame:
+    """TPC-H Q6 shape: revenue delta from dropping a discount band.
+
+    Pure scan-side query: every predicate (ship-date window, discount
+    band, quantity cap) is pushed into the parquet reader, and the
+    single global aggregate runs as a partial-per-partition sum plus a
+    1-row final reduce — the cheapest possible shape at any scale.
+    Revenue (extendedprice × discount) accumulates in decimal.
+    """
+    lo, hi = discount - band, discount + band
+    kept = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        & (F.col("l_discount") >= lo)
+        & (F.col("l_discount") <= hi)
+        & (F.col("l_quantity") < max_qty)
+    )
+    return kept.agg(
+        _dsum_r6(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue")
+    )
+
+
+def promo_revenue_share(
+    lineitem: DataFrame, part: DataFrame, promo_type: str = "PROMO"
+) -> DataFrame:
+    """TPC-H Q14 shape: monthly share of revenue from promo parts.
+
+    part is an explicit broadcast (dimension-sized); the only shuffle
+    is the groupBy on ship month.  Promo and total revenue come out of
+    ONE aggregate pass via a conditional decimal sum — no second scan,
+    no join of two aggregates.  The share divides the two rounded
+    doubles, so both engines divide bit-identical operands.
+    """
+    joined = lineitem.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    promo_dec = F.when(
+        F.col("p_type") == promo_type, disc_price().cast(DEC_WIDE)
+    )
+    monthly = joined.groupBy(
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month")
+    ).agg(
+        F.round(F.coalesce(F.sum(promo_dec), F.lit(0).cast(DEC_WIDE)), 6)
+        .cast("double")
+        .alias("promo_revenue"),
+        _dsum_r6(disc_price()).alias("total_revenue"),
+    )
+    return monthly.select(
+        "ship_month",
+        "promo_revenue",
+        "total_revenue",
+        F.round(
+            100.0 * F.col("promo_revenue") / F.col("total_revenue"), 6
+        ).alias("promo_share_pct"),
+    )
+
+
+def brand_quantity_revenue(
+    lineitem: DataFrame, part: DataFrame
+) -> DataFrame:
+    """TPC-H Q19 shape: revenue under disjunctive brand/size/quantity
+    predicates.
+
+    The three OR'd branches land as one residual filter on a single
+    broadcast hash join — Catalyst does not re-scan per branch, and the
+    partkey equi-condition still drives the join.  The p_brand IN (…)
+    union of the branches is pushed to the part scan, shrinking the
+    broadcast build side before the OR is evaluated.
+    """
+    branches = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("l_quantity").between(1.0, 11.0)
+        & F.col("p_size").between(1, 15)
+    ) | (
+        (F.col("p_brand") == "Brand#15")
+        & F.col("l_quantity").between(10.0, 20.0)
+        & F.col("p_size").between(1, 25)
+    ) | (
+        (F.col("p_brand") == "Brand#18")
+        & F.col("l_quantity").between(20.0, 30.0)
+        & F.col("p_size").between(1, 35)
+    )
+    pruned = part.filter(
+        F.col("p_brand").isin("Brand#12", "Brand#15", "Brand#18")
+    )
+    joined = lineitem.join(
+        F.broadcast(pruned), F.col("l_partkey") == F.col("p_partkey")
+    ).filter(branches)
+    return joined.agg(_dsum_r6(disc_price()).alias("revenue"))
+
+
+def top_suppliers(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum revenue in a
+    quarter — a scalar MAX subquery kept tie-exact.
+
+    The per-supplier aggregate is one shuffle on l_suppkey; the global
+    max re-reduces those O(suppliers) partials, and the equality filter
+    compares EXACT DECIMAL values (rounding to double first could
+    manufacture or lose ties).  supplier joins by broadcast.
+    """
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(disc_price().cast(DEC_WIDE)).alias("_rev_dec"))
+    )
+    mx = rev.agg(F.max("_rev_dec").alias("_max_dec"))
+    best = rev.join(F.broadcast(mx)).filter(
+        F.col("_rev_dec") == F.col("_max_dec")
+    )
+    return (
+        best.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("_rev_dec"), 6).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def nation_market_share(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    part: DataFrame,
+    region_name: str = "AMERICA",
+    supp_nation: str = "NATION_5",
+    part_type: str = "ECONOMY",
+) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's yearly share of a part
+    type's revenue inside a customer region.
+
+    Numerator and denominator come from ONE aggregation pass — a
+    conditional decimal sum on the supplier-nation flag — over a join
+    tree where every dimension (region→nation→customer side, supplier,
+    part, supplier-nation) broadcasts; only orders⋈lineitem shuffles.
+    Output is O(years): driver-scale at any input size.
+    """
+    r = region.filter(F.col("r_name") == region_name)
+    cust_nations = nation.join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("_cust_nk"))
+    supp_nations = nation.select(
+        F.col("n_nationkey").alias("_supp_nk"),
+        F.col("n_name").alias("_supp_nation"),
+    )
+    p = part.filter(F.col("p_type") == part_type)
+    joined = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cust_nations), F.col("c_nationkey") == F.col("_cust_nk"))
+        .join(F.broadcast(supp_nations), F.col("s_nationkey") == F.col("_supp_nk"))
+    )
+    from_nation = F.when(
+        F.col("_supp_nation") == supp_nation, disc_price().cast(DEC_WIDE)
+    )
+    yearly = joined.groupBy(
+        F.year("o_orderdate").alias("o_year")
+    ).agg(
+        F.round(F.coalesce(F.sum(from_nation), F.lit(0).cast(DEC_WIDE)), 6)
+        .cast("double")
+        .alias("nation_volume"),
+        _dsum_r6(disc_price()).alias("total_volume"),
+    )
+    return yearly.select(
+        "o_year",
+        "nation_volume",
+        "total_volume",
+        F.round(F.col("nation_volume") / F.col("total_volume"), 6).alias(
+            "mkt_share"
+        ),
+    )
+
+
+def nation_part_profit(
+    nation: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    name_pattern: str = "%red%",
+    cost_factor: float = 0.8,
+) -> DataFrame:
+    """TPC-H Q9 shape: profit on a part family by supplier nation and
+    order year.
+
+    The testdata has no partsupp table, so supply cost is modeled as
+    ``cost_factor × p_retailprice`` (documented proxy — the join/agg
+    shape is what Q9 exercises, not the cost constant).  The p_name
+    LIKE filter prunes the broadcast part build side; profit per row is
+    a double expression cast once to decimal for the order-independent
+    grouped sum.  Only orders⋈lineitem shuffles.
+    """
+    p = part.filter(F.col("p_name").like(name_pattern))
+    amount = disc_price() - F.lit(cost_factor) * F.col("p_retailprice") * F.col(
+        "l_quantity"
+    )
+    joined = (
+        lineitem.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(_dsum_r6(amount).alias("sum_profit"))
+    )
+
+
 def small_quantity_revenue(lineitem: DataFrame) -> DataFrame:
     """TPC-H Q17 shape: yearly revenue lost to small orders.
 
