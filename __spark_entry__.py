@@ -25,12 +25,14 @@ from flink_kmeans_clustering_spark.operators.dedup import (
     exact_duplicate_groups,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    semantic_dedup_pairs,
     simhash_pairs,
 )
 from flink_kmeans_clustering_spark.functions.udaf import geomean
 from flink_kmeans_clustering_spark.operators.kmeans_ml import fit_kmeans_ml
 from flink_kmeans_clustering_spark.operators.similarity import (
     ann_lsh,
+    ann_quantized,
     ann_search,
     cell_centroids,
     ivf_index,
@@ -89,7 +91,9 @@ from flink_kmeans_clustering_spark.sources.parquet import load_events, load_tabl
 from flink_kmeans_clustering_spark.operators.events import (
     approx_value_quantiles,
     asof_join,
+    daily_retention,
     daily_type_pivot,
+    funnel_counts,
     extract_props,
     props_map_stats,
     props_stats_by_type,
@@ -834,6 +838,9 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOPK_K = 10
 ANN_PROBES = 2
 LSH_PLANES = 4
+ANN_SHORTLIST = 50
+SEMANTIC_BLOCKS_K = 8
+SEMANTIC_COSINE_THRESHOLD = 0.3
 LSH_SEED = 7
 
 
@@ -958,6 +965,37 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage int8-quantized ANN: integer-dot shortlist (4× smaller
+    vectors — the memory-bound scale path), exact-cosine rerank."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_quantized(
+        emb, _query_vector(spark, sf_dir), k=TOPK_K, shortlist=ANN_SHORTLIST
+    )
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup pipeline composition: nearest-seed cosine blocking
+    (the k-means assignment shape) confines the pair join to computed
+    blocks, then exact cosine inside each block."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_dedup_pairs(
+        emb, k=SEMANTIC_BLOCKS_K, threshold=SEMANTIC_COSINE_THRESHOLD
+    )
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel: per-stage user counts with
+    strictly-after event-time semantics."""
+    return funnel_counts(load_events(spark, sf_dir))
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-day retention per calendar day from the distinct
+    (user, day) projection."""
+    return daily_retention(load_events(spark, sf_dir))
+
+
 def q_kmeans_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packaged MLlib k-means|| path: per-cluster sizes over the full
     32-dim embeddings (rows-only: k-means|| placement is MLlib-specific;
@@ -1042,6 +1080,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_topk_sim": q_topk_sim,
         "q_ann_ivf": q_ann_ivf,
         "q_ann_lsh": q_ann_lsh,
+        "q_ann_quantized": q_ann_quantized,
+        "q_dedup_semantic": q_dedup_semantic,
+        "q_events_funnel": q_events_funnel,
+        "q_events_retention": q_events_retention,
         "q_sink_roundtrip": q_sink_roundtrip,
         "q_ann_trained": q_ann_trained,
         "q_kmeans_ml": q_kmeans_ml,
@@ -1334,6 +1376,113 @@ scored AS (
   FROM probed CROSS JOIN q
 )
 SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT {TOPK_K}
+"""
+    # q_ann_quantized: identical int8 quantization on both sides —
+    # round() is half-away-from-zero for doubles in Spark AND DuckDB,
+    # products ≤ 127² and 64-term sums < 2²⁰ are exact in doubles
+    ann_quantized_sql = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+qprep AS (SELECT qv, 127.0 / list_max(list_transform(qv, x -> abs(x))) AS qs
+          FROM q),
+qq AS (SELECT qv, list_transform(qv, x -> round(x * qs)) AS qvec FROM qprep),
+qn AS (SELECT qv, qvec, sqrt(list_sum(list_transform(qvec, x -> x*x))) AS qnorm
+       FROM qq),
+rows_q AS (
+  SELECT vec_id, v,
+         list_transform(v, x -> round(x * (127.0 /
+             list_max(list_transform(v, y -> abs(y)))))) AS rq
+  FROM e
+  WHERE list_max(list_transform(v, y -> abs(y))) > 0
+),
+scored AS (
+  SELECT vec_id, v,
+         ROUND(list_sum(list_transform(range(1, len(rq)+1), i -> rq[i]*qvec[i]))
+               / (sqrt(list_sum(list_transform(rq, x -> x*x))) * qnorm), 6)
+           AS approx_cosine
+  FROM rows_q CROSS JOIN qn
+),
+short AS (
+  SELECT vec_id, v, approx_cosine FROM scored
+  WHERE approx_cosine IS NOT NULL
+  ORDER BY approx_cosine DESC, vec_id LIMIT {ANN_SHORTLIST}
+)
+SELECT vec_id, approx_cosine,
+       ROUND(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*qv[i]))
+             / (sqrt(list_sum(list_transform(v, x -> x*x)))
+                * sqrt(list_sum(list_transform(qv, x -> x*x)))), 6) AS cosine
+FROM short CROSS JOIN qn
+ORDER BY cosine DESC, vec_id LIMIT {TOPK_K}
+"""
+    # q_dedup_semantic: block = argmax over ROUNDED seed cosines with
+    # lowest-seed tie-break — both engines rank identical rounded values
+    dedup_semantic_sql = f"""
+WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT id,
+             list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y))))
+               AS nv
+      FROM e WHERE len(v) > 0),
+seeds AS (SELECT id AS seed_id, nv AS sv FROM n WHERE id < {SEMANTIC_BLOCKS_K}),
+scored AS (
+  SELECT n.id, seed_id,
+         ROUND(list_sum(list_transform(range(1, len(nv)+1), i -> nv[i]*sv[i])), 6)
+           AS cos
+  FROM n CROSS JOIN seeds
+),
+best AS (
+  SELECT id, CAST(seed_id AS INT) AS blk FROM (
+    SELECT id, seed_id,
+           row_number() OVER (PARTITION BY id ORDER BY cos DESC, seed_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+na AS (SELECT n.id, n.nv, best.blk FROM n JOIN best USING (id)),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.blk AS block,
+         list_sum(list_transform(range(1, len(a.nv)+1), i -> a.nv[i]*b.nv[i]))
+           AS cos
+  FROM na a JOIN na b ON a.blk = b.blk AND a.id < b.id
+)
+SELECT id_a, id_b, block, ROUND(cos, 6) AS cosine
+FROM pairs WHERE cos >= {SEMANTIC_COSINE_THRESHOLD}
+"""
+    events_funnel_sql = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT CAST(1 AS INT) AS stage, 'view' AS event_type,
+       (SELECT COUNT(*) FROM s1) AS users
+UNION ALL
+SELECT CAST(2 AS INT), 'click', (SELECT COUNT(*) FROM s2)
+UNION ALL
+SELECT CAST(3 AS INT), 'purchase', (SELECT COUNT(*) FROM s3)
+"""
+    events_retention_sql = """
+WITH days AS (
+  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events
+),
+active AS (SELECT d, COUNT(*) AS active_users FROM days GROUP BY d),
+ret AS (
+  SELECT a.d, COUNT(*) AS retained
+  FROM days a JOIN days b ON a.u = b.u AND b.d = a.d + 1
+  GROUP BY a.d
+)
+SELECT strftime(active.d, '%Y-%m-%d') AS day, active_users,
+       COALESCE(retained, CAST(0 AS BIGINT)) AS retained_next_day,
+       ROUND(COALESCE(retained, 0) / CAST(active_users AS DOUBLE), 6)
+         AS retention_rate
+FROM active LEFT JOIN ret ON active.d = ret.d
 """
     # Money sums accumulate as DECIMAL on both engines (associative-exact,
     # partition-order-independent), then cast back to double — see
@@ -2136,6 +2285,10 @@ SELECT id AS doc_id, MIN(r) AS component_id FROM reach GROUP BY id
         "q_rel_returns": rel_returns_sql,
         "q_rel_topparts": rel_topparts_sql,
         "q_rel_idle_rich": rel_idle_rich_sql,
+        "q_ann_quantized": ann_quantized_sql,
+        "q_dedup_semantic": dedup_semantic_sql,
+        "q_events_funnel": events_funnel_sql,
+        "q_events_retention": events_retention_sql,
         "q_rel_forecast": rel_forecast_sql,
         "q_rel_promo": rel_promo_sql,
         "q_rel_brandrev": rel_brandrev_sql,

@@ -599,3 +599,95 @@ def benchmark_overlap(
         F.count(F.lit(1)).alias("n_hits"),
         F.min("sh").alias("sample_ngram"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup: k-means-style blocking + within-block cosine pairs
+# ---------------------------------------------------------------------------
+
+
+def semantic_blocks(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Assign every vector to its nearest of ``k`` seed vectors by
+    cosine — deterministic coarse clustering for dedup blocking.
+
+    The seeds are the vectors with the ``k`` smallest ids (a fixed,
+    engine-independent choice — the same role KMeans.java:148's given
+    initial centroids play for the reference).  At corpus scale the
+    seeds would come from a trained k-means model instead; the
+    assignment plan is identical — a broadcast of k rows against the
+    scan, one argmax per row, no shuffle of the corpus.
+
+    Ties break to the lowest seed id on the ROUNDED cosine (the
+    struct-max trick: max over (cos, -seed_id) lexicographic), so an
+    oracle recomputing the same rounded values assigns identically.
+
+    Output: (id, nv, blk) — id, L2-normalized vector, block id.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    norm = l2_norm(v)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(v, lambda x: x / norm).alias("nv"),
+    ).filter(F.size("nv") > 0)
+    seeds = base.filter(F.col("id") < k).select(
+        F.col("id").alias("seed_id"), F.col("nv").alias("sv")
+    )
+    scored = base.join(F.broadcast(seeds)).select(
+        "id",
+        "nv",
+        "seed_id",
+        F.round(dot(F.col("nv"), F.col("sv")), round_to).alias("cos"),
+    )
+    best = scored.groupBy("id").agg(
+        F.max(
+            F.struct(
+                F.col("cos").alias("c"),
+                (-F.col("seed_id")).cast("long").alias("neg"),
+            )
+        ).alias("m")
+    )
+    assigned = best.select("id", (-F.col("m.neg")).cast("int").alias("blk"))
+    return base.join(assigned, "id")
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    k: int = 8,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs within computed semantic blocks.
+
+    The pipeline composition a 100 TB corpus dedup actually runs:
+    coarse clustering confines the quadratic pair work to blocks
+    (~N/k² of the full cross join per block), then the exact cosine
+    test runs only inside blocks.  Contrast with
+    :func:`embedding_cosine_pairs`, which blocks on a pre-existing
+    label column — here the blocking itself is derived from the data.
+
+    Output: (id_a, id_b, block, cosine) with id_a < id_b.
+    """
+    blocks = semantic_blocks(df, k=k, id_col=id_col, vec_col=vec_col)
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cos = dot(F.col("a.nv"), F.col("b.nv"))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.blk").alias("block"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "block", F.round("cosine", 6).alias("cosine"))
+    )

@@ -392,3 +392,94 @@ def unpivot_daily_types(wide: DataFrame) -> DataFrame:
         variableColumnName="event_type",
         valueColumnName="n_events",
     )
+
+
+def funnel_counts(
+    df: DataFrame,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel user counts: how many users reached each stage,
+    where stage i+1 must occur strictly AFTER the user's first stage-i
+    event.
+
+    Each stage is one filtered aggregate on user_id (the filters push
+    to the scan); stage i+1 joins the O(users) stage-i table on the
+    same user key, so after the first shuffle every step is
+    co-partitioned.  The result is O(stages) rows — driver-scale at
+    any input size.  Strictly-after semantics (``>``, not ``>=``) are
+    pinned so simultaneous events don't double-count a stage.
+
+    Output: (stage, event_type, users) — 1-indexed stage order.
+    """
+    reached = (
+        df.filter(F.col(type_col) == stages[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_t"))
+    )
+    out = [
+        reached.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(1).alias("stage"), F.lit(stages[0]).alias("event_type"), "users"
+        )
+    ]
+    for i, stage in enumerate(stages[1:], start=2):
+        nxt = (
+            df.filter(F.col(type_col) == stage)
+            .join(reached, user_col)
+            .filter(F.col(ts_col) > F.col("_t"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias("_t"))
+        )
+        out.append(
+            nxt.agg(F.count(F.lit(1)).alias("users")).select(
+                F.lit(i).alias("stage"), F.lit(stage).alias("event_type"), "users"
+            )
+        )
+        reached = nxt
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionAll(o)
+    return res
+
+
+def daily_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Next-day retention per calendar day: of the users active on day
+    D, how many were also active on D+1.
+
+    The distinct (user, day) projection is the only pass over the raw
+    events (one shuffle); the self-join on (user, day+1) and both
+    aggregates run on that O(users × days) table.  The rate divides
+    two exact counts and rounds — engine-independent.
+
+    Output: (day, active_users, retained_next_day, retention_rate),
+    day formatted yyyy-MM-dd; days with no next-day activity get 0.
+    """
+    days = df.select(
+        F.col(user_col).alias("u"), F.to_date(ts_col).alias("d")
+    ).distinct()
+    active = days.groupBy("d").agg(F.count(F.lit(1)).alias("active_users"))
+    a, b = days.alias("a"), days.alias("b")
+    retained = (
+        a.join(
+            b,
+            (F.col("a.u") == F.col("b.u"))
+            & (F.col("b.d") == F.date_add(F.col("a.d"), 1)),
+        )
+        .groupBy(F.col("a.d").alias("d"))
+        .agg(F.count(F.lit(1)).alias("retained_next_day"))
+    )
+    out = active.join(retained, "d", "left").select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "active_users",
+        F.coalesce("retained_next_day", F.lit(0)).alias("retained_next_day"),
+    )
+    return out.withColumn(
+        "retention_rate",
+        F.round(F.col("retained_next_day") / F.col("active_users"), 6),
+    )

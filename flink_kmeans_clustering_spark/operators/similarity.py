@@ -240,3 +240,79 @@ def ann_lsh(
     return topk_cosine(
         pruned, query_vec, k=k, id_col=id_col, vec_col=vec_col, round_to=round_to
     )
+
+
+def _quantize_query_int8(query_vec: Sequence[float]) -> list[int]:
+    """Driver-side int8 quantization of the query vector.
+
+    Half-away-from-zero rounding — the rule both Spark's ``F.round``
+    and DuckDB's ``round`` apply to doubles — so the literal the plan
+    embeds equals what either engine computes from the same values.
+    """
+    import math
+
+    amax = max(abs(float(v)) for v in query_vec)
+    if amax == 0.0:
+        return [0 for _ in query_vec]
+    scale = 127.0 / amax
+    return [
+        int(math.floor(abs(float(v)) * scale + 0.5)) * (1 if v >= 0 else -1)
+        for v in query_vec
+    ]
+
+
+def ann_quantized(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Two-stage ANN over int8 scalar-quantized vectors.
+
+    The memory-bound scale path: per-vector symmetric quantization
+    (scale = 127 / max|x|) shrinks a float32 corpus 4× — at 100 TB
+    that is the difference between spilling and RAM-resident scans —
+    and the first-pass score is an integer dot product.  Every product
+    |q| ≤ 127² and a 64-dim sum stays < 2²⁰, so the int arithmetic is
+    EXACT in doubles and bit-identical across engines.  The shortlist
+    (top ``shortlist`` by quantized cosine, id-tie-broken) is then
+    re-ranked with the full-precision cosine — both stages compile to
+    TakeOrderedAndProject, no global sort.
+
+    Output: (vec_id, approx_cosine, cosine) — the quantized score is
+    kept beside the exact one so recall loss is observable.
+    """
+    qq = _quantize_query_int8(query_vec)
+    import math
+
+    qn = math.sqrt(sum(x * x for x in qq))
+    v = F.col(vec_col).cast("array<double>")
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.lit(127.0) / amax
+    qv = F.transform(v, lambda x: F.round(x * scale, 0))
+    base = df.select(
+        F.col(id_col),
+        v.alias("_v"),
+        F.when(amax > 0.0, qv).alias("_q"),
+    ).filter(F.col("_q").isNotNull())
+    qlit = F.array(*[F.lit(float(x)) for x in qq])
+    qdot = dot(F.col("_q"), qlit)
+    qrow_norm = l2_norm(F.col("_q"))
+    approx = qdot / (qrow_norm * F.lit(qn))
+    if round_to is not None:
+        approx = F.round(approx, round_to)
+    scored = base.select(
+        F.col(id_col), "_v", approx.alias("approx_cosine")
+    ).filter(F.col("approx_cosine").isNotNull())
+    short = scored.orderBy(F.desc("approx_cosine"), F.col(id_col)).limit(shortlist)
+    exact = cosine_similarity(F.col("_v"), _query_lit(query_vec))
+    if round_to is not None:
+        exact = F.round(exact, round_to)
+    return (
+        short.select(F.col(id_col), "approx_cosine", exact.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )

@@ -239,3 +239,49 @@ def test_benchmark_overlap_counts_shared_ngrams(spark):
     assert set(rows) == {1, 2}
     assert rows[1]["n_hits"] == 1 and rows[1]["sample_ngram"] == "quick brown"
     assert rows[2]["n_hits"] == 1
+
+
+def test_semantic_blocks_assignment(spark):
+    from flink_kmeans_clustering_spark.operators.dedup import semantic_blocks
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]),
+            (2, [0.9, 0.1]),   # nearer seed 0
+            (3, [0.1, 0.9]),   # nearer seed 1
+            (4, [-1.0, 0.0]),  # anti-parallel to 0, orthogonal to 1 -> seed 1
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["id"]: r["blk"] for r in semantic_blocks(df, k=2).collect()}
+    assert got == {0: 0, 1: 1, 2: 0, 3: 1, 4: 1}
+    # exactly one block per id
+    assert semantic_blocks(df, k=2).count() == 5
+
+
+def test_semantic_dedup_pairs_within_blocks_only(spark):
+    from flink_kmeans_clustering_spark.operators.dedup import (
+        semantic_blocks,
+        semantic_dedup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]),
+            (2, [0.999, 0.01]),
+            (3, [0.01, 0.999]),
+            (4, [0.998, 0.02]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = semantic_dedup_pairs(df, k=2, threshold=0.99).collect()
+    blk = {r["id"]: r["blk"] for r in semantic_blocks(df, k=2).collect()}
+    for r in pairs:
+        assert r["id_a"] < r["id_b"]
+        assert blk[r["id_a"]] == blk[r["id_b"]] == r["block"]
+        assert r["cosine"] >= 0.99
+    # the near-parallel trio (0,2,4) pairs up; cross-block pairs never appear
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got == {(0, 2), (0, 4), (2, 4), (1, 3)}

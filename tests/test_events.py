@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+from pyspark.sql import functions as F
+
 from flink_kmeans_clustering_spark.operators.events import (
     extract_props,
     sessionize,
@@ -171,3 +173,53 @@ def test_approx_quantiles_within_rank_error(spark):
     for t in exact:
         for p in ("p25", "p50", "p75"):
             assert abs(exact[t][p] - approx[t][p]) <= 0.05 * spread[t] + 1e-6
+
+
+def test_funnel_monotone_and_strictly_after(spark):
+    from flink_kmeans_clustering_spark.operators.events import funnel_counts
+
+    df = spark.createDataFrame(
+        [
+            # u1 completes the funnel in order
+            (1, "view", "2024-01-01 10:00:00"),
+            (1, "click", "2024-01-01 10:01:00"),
+            (1, "purchase", "2024-01-01 10:02:00"),
+            # u2 clicks BEFORE viewing -> stops at stage 1
+            (2, "click", "2024-01-01 09:00:00"),
+            (2, "view", "2024-01-01 09:30:00"),
+            # u3 view+click simultaneous -> click not strictly after
+            (3, "view", "2024-01-01 08:00:00"),
+            (3, "click", "2024-01-01 08:00:00"),
+            # u4 never views
+            (4, "purchase", "2024-01-01 07:00:00"),
+        ],
+        "user_id long, event_type string, ts_s string",
+    ).select("user_id", "event_type", F.col("ts_s").cast("timestamp").alias("ts"))
+    rows = {r["stage"]: r for r in funnel_counts(df).collect()}
+    assert rows[1]["users"] == 3   # u1, u2, u3 viewed
+    assert rows[2]["users"] == 1   # only u1 clicked strictly after viewing
+    assert rows[3]["users"] == 1
+    assert rows[1]["users"] >= rows[2]["users"] >= rows[3]["users"]
+
+
+def test_daily_retention_counts(spark):
+    from flink_kmeans_clustering_spark.operators.events import daily_retention
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00"),
+            (1, "2024-01-02 10:00:00"),  # retained
+            (2, "2024-01-01 11:00:00"),  # churns
+            (2, "2024-01-03 11:00:00"),  # returns after a gap (not day+1)
+            (3, "2024-01-02 09:00:00"),
+            (3, "2024-01-03 09:00:00"),  # retained
+        ],
+        "user_id long, ts_s string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    rows = {r["day"]: r for r in daily_retention(df).collect()}
+    assert rows["2024-01-01"]["active_users"] == 2
+    assert rows["2024-01-01"]["retained_next_day"] == 1
+    assert rows["2024-01-01"]["retention_rate"] == 0.5
+    assert rows["2024-01-02"]["active_users"] == 2
+    assert rows["2024-01-02"]["retained_next_day"] == 1
+    assert rows["2024-01-03"]["retained_next_day"] == 0

@@ -152,3 +152,49 @@ def test_ann_lsh_is_shuffle_free(spark):
     # bucket assignment + probe filter are narrow; top-k is
     # TakeOrderedAndProject -> zero exchanges end to end
     assert shuffle_count(ann_lsh(emb, qv, k=10)) == 0
+
+
+def test_ann_quantized_full_shortlist_equals_exact(spark, vectors):
+    from flink_kmeans_clustering_spark.operators.similarity import ann_quantized
+
+    q = [1.0, 0.0]
+    exact = [(r["vec_id"], r["cosine"]) for r in topk_cosine(vectors, q, k=3).collect()]
+    # shortlist covering every row -> the rerank stage IS brute force
+    approx = [
+        (r["vec_id"], r["cosine"])
+        for r in ann_quantized(vectors, q, k=3, shortlist=100).collect()
+    ]
+    assert approx == exact
+
+
+def test_ann_quantized_scores_are_bounded_and_close(spark):
+    import numpy as np
+
+    from flink_kmeans_clustering_spark.operators.similarity import ann_quantized
+
+    rs = np.random.RandomState(3)
+    vecs = rs.standard_normal((60, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    q = [float(x) for x in vecs[0]]
+    rows = ann_quantized(df, q, k=10, shortlist=30).collect()
+    assert len(rows) == 10
+    assert rows[0]["vec_id"] == 0  # self-match survives quantization
+    for r in rows:
+        # int8 quantization error bound: scores stay within a few percent
+        assert abs(r["approx_cosine"] - r["cosine"]) < 0.05
+        assert -1.000001 <= r["cosine"] <= 1.000001
+
+
+def test_ann_quantized_zero_vector_excluded(spark):
+    from flink_kmeans_clustering_spark.operators.similarity import ann_quantized
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [0.5, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    ids = {r["vec_id"] for r in ann_quantized(df, [1.0, 0.0], k=5).collect()}
+    assert 1 not in ids  # amax=0 row cannot be quantized; never a candidate
+    assert {0, 2} == ids
