@@ -90,18 +90,53 @@ def sessionize_stream(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
         rows["ts_us"] = rows["ts"].astype("int64") // 1000
         rows = rows.sort_values(["ts_us", "event_id"])
 
+        import numpy as np
+
         open_sess = list(state.get) if state.exists else None
-        closed: list[tuple[int, int, int, float]] = []
-        for ts_us, value in zip(rows["ts_us"], rows["value"]):
-            ts_us = int(ts_us)
-            if open_sess is None:
-                open_sess = [ts_us, ts_us, 0, 0.0]
-            elif ts_us - open_sess[1] > gap_us:
-                closed.append(tuple(open_sess))
-                open_sess = [ts_us, ts_us, 0, 0.0]
-            open_sess[1] = ts_us
-            open_sess[2] += 1
-            open_sess[3] += float(value)
+        ts = rows["ts_us"].to_numpy(dtype="int64")
+        vals = rows["value"].to_numpy(dtype="float64")
+        # Vectorized session split (a Python per-event loop is the batch
+        # bottleneck at 10⁵ events/key·batch): boundary i starts a new
+        # session iff ts[i] − previous event's ts > gap; event 0 compares
+        # against the open session's end when one exists.
+        prev0 = open_sess[1] if open_sess is not None else ts[0] - gap_us - 1
+        prev = np.concatenate(([prev0], ts[:-1]))
+        newflag = (ts - prev) > gap_us
+        gid = np.cumsum(newflag)  # 0 = continuation of the open session
+        # per-session aggregates; ts sorted so first/last are min/max
+        idx_first = np.flatnonzero(np.concatenate(([True], gid[1:] != gid[:-1])))
+        idx_last = np.concatenate((idx_first[1:] - 1, [len(ts) - 1]))
+        starts = ts[idx_first]
+        ends = ts[idx_last]
+        # per-segment sums via reduceat — error stays at the segment-sum
+        # ulp (~1e-13 here), unlike a cumsum-difference whose cancellation
+        # error scales with the GLOBAL running total and could cross the
+        # round-6 grid the oracle comparison uses
+        sums = np.add.reduceat(vals, idx_first)
+        counts = idx_last - idx_first + 1
+        if open_sess is not None and gid[0] == 0:
+            starts[0] = open_sess[0]
+            counts[0] += open_sess[2]
+            sums[0] += open_sess[3]
+        elif open_sess is not None:
+            starts = np.concatenate(([open_sess[0]], starts))
+            ends = np.concatenate(([open_sess[1]], ends))
+            counts = np.concatenate(([open_sess[2]], counts))
+            sums = np.concatenate(([open_sess[3]], sums))
+        closed = list(
+            zip(
+                starts[:-1].tolist(),
+                ends[:-1].tolist(),
+                counts[:-1].tolist(),
+                sums[:-1].tolist(),
+            )
+        )
+        open_sess = [
+            int(starts[-1]),
+            int(ends[-1]),
+            int(counts[-1]),
+            float(sums[-1]),
+        ]
 
         state.update(tuple(open_sess))
         # close when the watermark passes last_ts + gap (event-time).
