@@ -954,6 +954,29 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB IVF layout end-to-end: embeddings written as parquet
+    PARTITIONED BY cell, probe filter satisfied by partition pruning
+    (only the probed cells' directories are scanned — pinned in
+    tests/test_plans.py), then in-cell exact top-k.  Same result as
+    q_ann_ivf, whose oracle it shares."""
+    import tempfile
+
+    from flink_kmeans_clustering_spark.sinks.parquet import write_partitioned
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = tempfile.mkdtemp(prefix="ivf_layout_")
+    write_partitioned(emb, out, ["label"])
+    table = spark.read.parquet(out)
+    cents = [
+        (r["cell"], list(r["centroid"]))
+        for r in cell_centroids(emb, "label").collect()
+    ]
+    return ann_search(
+        table, cents, _query_vector(spark, sf_dir), k=TOPK_K, n_probe=ANN_PROBES
+    )
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed ANN with hamming-1 multi-probe: the no-training
     scale path (bucket id is in-scan arithmetic; probe filter becomes
@@ -1081,6 +1104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_ivf": q_ann_ivf,
         "q_ann_lsh": q_ann_lsh,
         "q_ann_quantized": q_ann_quantized,
+        "q_ann_pruned": q_ann_pruned,
         "q_dedup_semantic": q_dedup_semantic,
         "q_events_funnel": q_events_funnel,
         "q_events_retention": q_events_retention,
@@ -2286,6 +2310,7 @@ SELECT id AS doc_id, MIN(r) AS component_id FROM reach GROUP BY id
         "q_rel_topparts": rel_topparts_sql,
         "q_rel_idle_rich": rel_idle_rich_sql,
         "q_ann_quantized": ann_quantized_sql,
+        "q_ann_pruned": ann_ivf_sql,
         "q_dedup_semantic": dedup_semantic_sql,
         "q_events_funnel": events_funnel_sql,
         "q_events_retention": events_retention_sql,

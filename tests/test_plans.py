@@ -334,3 +334,30 @@ def test_partitioned_sink_readback_prunes_partitions(spark, tmp_path):
     # the filter lands in the scan's PartitionFilters (directory
     # pruning), not a post-scan Filter over all partitions
     assert "PartitionFilters" in s and "event_type" in s.split("PartitionFilters", 1)[1][:200]
+
+
+def test_ivf_cell_layout_probe_is_partition_pruned(spark, tmp_path):
+    from flink_kmeans_clustering_spark.operators.similarity import (
+        ann_search,
+        cell_centroids,
+    )
+    from flink_kmeans_clustering_spark.sinks.parquet import write_partitioned
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = str(tmp_path / "emb_by_cell")
+    write_partitioned(emb, out, ["label"])
+    table = spark.read.parquet(out)
+    cents = [
+        (r["cell"], list(r["centroid"]))
+        for r in cell_centroids(emb, "label").collect()
+    ]
+    q = [0.0] * 64
+    [row] = emb.filter("vec_id = 0").select("embedding").collect()
+    q = [float(v) for v in row["embedding"]]
+    d = ann_search(table, cents, q, k=5, n_probe=2)
+    s = explain_str(d)
+    # the isin(probed cells) filter is satisfied by directory pruning on
+    # the cell-partitioned layout — the 100 TB IVF probe story
+    assert "PartitionFilters" in s and "label" in s.split("PartitionFilters", 1)[1][:200]
+    # and the whole probe+topk is shuffle-free (TakeOrderedAndProject)
+    assert shuffle_count(d) == 0
