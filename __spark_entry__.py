@@ -24,9 +24,11 @@ from flink_kmeans_clustering_spark.operators.dedup import (
     embedding_cosine_pairs_gemm,
     exact_duplicate_groups,
     minhash_lsh_pairs,
+    keep_best_per_group,
     ngram_jaccard_pairs,
     semantic_dedup_pairs,
     simhash_pairs,
+    two_stage_dedup_pairs,
 )
 from flink_kmeans_clustering_spark.functions.udaf import geomean
 from flink_kmeans_clustering_spark.operators.kmeans_ml import fit_kmeans_ml
@@ -841,6 +843,11 @@ LSH_PLANES = 4
 ANN_SHORTLIST = 50
 SEMANTIC_BLOCKS_K = 8
 SEMANTIC_COSINE_THRESHOLD = 0.3
+# synthetic testdata embeddings are uncorrelated with the text, so
+# candidate pairs' shingle overlap is tiny (max ≈ 0.014 at sf0.01);
+# the low verify bar keeps the two-stage composition observable.
+# a real corpus would run ~0.5-0.8 here.
+TWOSTAGE_JACCARD_THRESHOLD = 0.01
 LSH_SEED = 7
 
 
@@ -997,6 +1004,28 @@ def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage dedup: blocked embedding-cosine candidates verified by
+    exact shingle Jaccard on the text — the corpus is never shuffled
+    (candidates broadcast into both text lookups)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return two_stage_dedup_pairs(
+        docs,
+        emb,
+        cosine_threshold=EMBEDDING_COSINE_THRESHOLD,
+        jaccard_threshold=TWOSTAGE_JACCARD_THRESHOLD,
+    )
+
+
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one-per-group canonicalization: the longest document per
+    source (lowest doc_id on ties) via a struct-max aggregate — no
+    window sort, O(1) state per group."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return keep_best_per_group(docs)
+
+
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup pipeline composition: nearest-seed cosine blocking
     (the k-means assignment shape) confines the pair join to computed
@@ -1106,6 +1135,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_quantized": q_ann_quantized,
         "q_ann_pruned": q_ann_pruned,
         "q_dedup_semantic": q_dedup_semantic,
+        "q_dedup_twostage": q_dedup_twostage,
+        "q_dedup_canonical": q_dedup_canonical,
         "q_events_funnel": q_events_funnel,
         "q_events_retention": q_events_retention,
         "q_sink_roundtrip": q_sink_roundtrip,
@@ -1469,6 +1500,63 @@ pairs AS (
 )
 SELECT id_a, id_b, block, ROUND(cos, 6) AS cosine
 FROM pairs WHERE cos >= {SEMANTIC_COSINE_THRESHOLD}
+"""
+    # q_dedup_twostage: stage-1 candidates mirror dedup_embedding_sql;
+    # stage-2 Jaccard uses exact integer set sizes (union = |a|+|b|−∩,
+    # valid because shingle lists are distinct on both engines)
+    dedup_twostage_sql = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+norms AS (
+  SELECT vec_id, label, v,
+         sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
+  FROM e
+),
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum(list_transform(range(1, len(a.v)+1),
+                                 i -> (a.v[i]/a.nrm) * (b.v[i]/b.nrm))) AS cos
+  FROM norms a JOIN norms b ON a.label = b.label AND a.vec_id < b.vec_id
+),
+candf AS (
+  SELECT id_a, id_b, ROUND(cos, 6) AS cosine FROM cand
+  WHERE cos >= {EMBEDDING_COSINE_THRESHOLD}
+),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE list_distinct(list_transform(
+                     range(1, greatest(len(t)-2, 1)+1),
+                     i -> array_to_string(list_slice(t, i, i+2), ' ')))
+         END AS shingles
+  FROM toks
+),
+j AS (
+  SELECT c.id_a, c.id_b, c.cosine,
+         len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+         len(sa.shingles) + len(sb.shingles)
+           - len(list_intersect(sa.shingles, sb.shingles)) AS uni
+  FROM candf c
+  JOIN sh sa ON c.id_a = sa.doc_id
+  JOIN sh sb ON c.id_b = sb.doc_id
+)
+SELECT id_a, id_b, cosine,
+       ROUND(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
+FROM j
+WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= {TWOSTAGE_JACCARD_THRESHOLD}
+"""
+    dedup_canonical_sql = """
+SELECT source, doc_id, n_chars FROM (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
 """
     events_funnel_sql = """
 WITH s1 AS (
@@ -2312,6 +2400,8 @@ SELECT id AS doc_id, MIN(r) AS component_id FROM reach GROUP BY id
         "q_ann_quantized": ann_quantized_sql,
         "q_ann_pruned": ann_ivf_sql,
         "q_dedup_semantic": dedup_semantic_sql,
+        "q_dedup_twostage": dedup_twostage_sql,
+        "q_dedup_canonical": dedup_canonical_sql,
         "q_events_funnel": events_funnel_sql,
         "q_events_retention": events_retention_sql,
         "q_rel_forecast": rel_forecast_sql,

@@ -691,3 +691,99 @@ def semantic_dedup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "block", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def two_stage_dedup_pairs(
+    docs: DataFrame,
+    emb: DataFrame,
+    cosine_threshold: float = 0.3,
+    jaccard_threshold: float = 0.05,
+    n: int = 3,
+    block_col: str | None = "label",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cheap-filter → expensive-verify dedup: embedding-cosine candidate
+    pairs confirmed by exact n-gram Jaccard on the documents' text.
+
+    The production two-stage shape: stage 1 (blocked vector cosine) is
+    a narrow arithmetic scan that prunes the O(n²) space down to a
+    candidate list orders of magnitude smaller than the corpus; stage 2
+    re-joins only those pairs to the text — the candidate side is
+    BROADCAST into both text lookups, so the corpus-sized ``docs``
+    table is never shuffled.  Verification is exact set Jaccard over
+    word shingles (``array_intersect`` / ``array_union`` — integer
+    sizes, engine-exact division).
+
+    Output: (id_a, id_b, cosine, jaccard) for pairs passing BOTH
+    thresholds, id_a < id_b.
+    """
+    from flink_kmeans_clustering_spark.functions.text import (
+        ngram_shingles,
+        tokenize,
+    )
+
+    cand = embedding_cosine_pairs(
+        emb,
+        id_col=vec_id_col,
+        vec_col=vec_col,
+        block_col=block_col,
+        threshold=cosine_threshold,
+    ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    sh = docs.select(
+        F.col(id_col).alias("_id"),
+        ngram_shingles(tokenize(F.col(text_col)), n).alias("_sh"),
+    )
+    with_a = (
+        sh.join(F.broadcast(cand), F.col("_id") == F.col("id_a"))
+        .drop("_id")
+        .withColumnRenamed("_sh", "sh_a")
+    )
+    with_ab = (
+        sh.join(F.broadcast(with_a), F.col("_id") == F.col("id_b"))
+        .drop("_id")
+        .withColumnRenamed("_sh", "sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = inter.cast("double") / union
+    return (
+        with_ab.filter((union > 0) & (jac >= jaccard_threshold))
+        .select(
+            "id_a", "id_b", "cosine", F.round(jac, 6).alias("jaccard")
+        )
+    )
+
+
+def keep_best_per_group(
+    df: DataFrame,
+    group_col: str = "source",
+    score_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Canonical-representative selection: per group, the row with the
+    highest score (lowest id on ties).
+
+    The keep-one-per-duplicate-group step of a dedup pipeline, done as
+    a single hash aggregate over a (score, -id) struct max — one
+    shuffle, no per-group sort, no window buffering an unbounded group
+    in memory (the row_number() formulation materializes whole groups;
+    this stays O(1) state per group).
+
+    Output: (group, id, score) of each group's keeper.
+    """
+    m = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.max(
+            F.struct(
+                F.col(score_col).alias("sc"),
+                (-F.col(id_col)).alias("neg"),
+            )
+        ).alias("m")
+    )
+    return m.select(
+        F.col("grp").alias(group_col),
+        (-F.col("m.neg")).alias(id_col),
+        F.col("m.sc").alias(score_col),
+    )

@@ -285,3 +285,47 @@ def test_semantic_dedup_pairs_within_blocks_only(spark):
     # the near-parallel trio (0,2,4) pairs up; cross-block pairs never appear
     got = {(r["id_a"], r["id_b"]) for r in pairs}
     assert got == {(0, 2), (0, 4), (2, 4), (1, 3)}
+
+
+def test_two_stage_dedup_verifies_with_jaccard(spark):
+    from flink_kmeans_clustering_spark.operators.dedup import two_stage_dedup_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the sleepy dog"),
+            (2, "completely different words in this text entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [0.99, 0.05], 0),  # cosine-close to 0
+            (2, [0.98, 0.08], 0),  # cosine-close but text-unrelated
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    rows = two_stage_dedup_pairs(
+        docs, emb, cosine_threshold=0.9, jaccard_threshold=0.3
+    ).collect()
+    # (0,2)/(1,2) pass stage 1 (cosine) but fail stage 2 (no shared text)
+    assert {(r["id_a"], r["id_b"]) for r in rows} == {(0, 1)}
+    [r] = rows
+    assert r["cosine"] >= 0.9 and r["jaccard"] >= 0.3
+
+
+def test_keep_best_per_group_tiebreak(spark):
+    from flink_kmeans_clustering_spark.operators.dedup import keep_best_per_group
+
+    df = spark.createDataFrame(
+        [
+            (0, "a", 100),
+            (1, "a", 300),
+            (2, "a", 300),   # ties with 1 -> lower id wins
+            (3, "b", 50),
+        ],
+        "doc_id long, source string, n_chars long",
+    )
+    got = {r["source"]: (r["doc_id"], r["n_chars"]) for r in keep_best_per_group(df).collect()}
+    assert got == {"a": (1, 300), "b": (3, 50)}

@@ -361,3 +361,19 @@ def test_ivf_cell_layout_probe_is_partition_pruned(spark, tmp_path):
     assert "PartitionFilters" in s and "label" in s.split("PartitionFilters", 1)[1][:200]
     # and the whole probe+topk is shuffle-free (TakeOrderedAndProject)
     assert shuffle_count(d) == 0
+
+
+def test_two_stage_dedup_corpus_not_shuffled(spark):
+    from flink_kmeans_clustering_spark.operators.dedup import two_stage_dedup_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    d = two_stage_dedup_pairs(docs, emb)
+    s = explain_str(d)
+    # candidates broadcast into both text lookups: the docs scans join
+    # via BroadcastHashJoin, never a shuffled-hash/sort-merge exchange
+    # of the corpus
+    assert s.count("BroadcastHashJoin") >= 2
+    # remaining exchanges belong to the candidate generation only (the
+    # blocked embedding self-join), not the docs table
+    assert "SortMergeJoin" not in s
