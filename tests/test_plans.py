@@ -377,3 +377,62 @@ def test_two_stage_dedup_corpus_not_shuffled(spark):
     # remaining exchanges belong to the candidate generation only (the
     # blocked embedding self-join), not the docs table
     assert "SortMergeJoin" not in s
+
+
+def test_rel_forecast_all_predicates_pushed(spark):
+    from flink_kmeans_clustering_spark.operators.relational import revenue_forecast
+    from flink_kmeans_clustering_spark.plans.introspect import pushed_filters
+
+    d = revenue_forecast(load_table(spark, "lineitem", SF))
+    pf = " ".join(pushed_filters(d))
+    # every predicate reaches the parquet reader: row-group pruning on
+    # all three columns, no post-scan residual doing the heavy lifting
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pf, f"{col} not pushed: {pf}"
+    # scan + 1-row global agg only — the cheapest possible shape
+    assert_max_shuffles(d, 1)
+
+
+def test_rel_promo_single_pass_broadcast(spark):
+    from flink_kmeans_clustering_spark.operators.relational import (
+        promo_revenue_share,
+    )
+
+    d = promo_revenue_share(
+        load_table(spark, "lineitem", SF), load_table(spark, "part", SF)
+    )
+    s = explain_str(d)
+    # part broadcasts; numerator+denominator come from ONE aggregation
+    # over the join (a second scan/join would double the plan)
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s
+    from flink_kmeans_clustering_spark.plans.introspect import read_schemas
+
+    assert len(read_schemas(d)) == 2  # lineitem + part, each scanned once
+    assert_max_shuffles(d, 1)
+
+
+def test_rel_mktshare_only_fact_join_shuffles(spark):
+    from flink_kmeans_clustering_spark.operators.relational import (
+        nation_market_share,
+    )
+
+    d = nation_market_share(
+        *[
+            load_table(spark, t, SF)
+            for t in (
+                "region",
+                "nation",
+                "customer",
+                "supplier",
+                "orders",
+                "lineitem",
+                "part",
+            )
+        ]
+    )
+    s = explain_str(d)
+    # every dimension broadcasts — no sort-merge join anywhere in the
+    # seven-table tree; shuffles: orders⋈lineitem + the yearly agg
+    # (+ customer join upgrades from broadcast at real scale)
+    assert "SortMergeJoin" not in s
