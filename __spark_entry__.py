@@ -52,6 +52,7 @@ from flink_kmeans_clustering_spark.operators.textstats import (
     doc_fingerprint,
     document_gate,
     language_id,
+    lm_unigram_scores,
     quality_score,
     repetition_stats,
     tfidf_top_terms,
@@ -102,6 +103,7 @@ from flink_kmeans_clustering_spark.operators.events import (
     running_user_window,
     session_window_agg,
     sessionize,
+    trailing_active_users,
     sliding_window_agg,
     top_events_per_user,
     tumbling_window_agg,
@@ -1048,6 +1050,19 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily_retention(load_events(spark, sf_dir))
 
 
+def q_events_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day via ×7 expansion of
+    the deduplicated (user, day) projection — no range self-join."""
+    return trailing_active_users(load_events(spark, sf_dir))
+
+
+def q_text_lmscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM negative log-likelihood per document — the corpus-LM
+    quality signal; vocabulary derives from the (doc, token) partials."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lm_unigram_scores(docs)
+
+
 def q_kmeans_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packaged MLlib k-means|| path: per-cluster sizes over the full
     32-dim embeddings (rows-only: k-means|| placement is MLlib-specific;
@@ -1139,6 +1154,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_canonical": q_dedup_canonical,
         "q_events_funnel": q_events_funnel,
         "q_events_retention": q_events_retention,
+        "q_events_wau": q_events_wau,
+        "q_text_lmscore": q_text_lmscore,
         "q_sink_roundtrip": q_sink_roundtrip,
         "q_ann_trained": q_ann_trained,
         "q_kmeans_ml": q_kmeans_ml,
@@ -1579,6 +1596,39 @@ UNION ALL
 SELECT CAST(2 AS INT), 'click', (SELECT COUNT(*) FROM s2)
 UNION ALL
 SELECT CAST(3 AS INT), 'purchase', (SELECT COUNT(*) FROM s3)
+"""
+    events_wau_sql = """
+WITH days AS (
+  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events
+),
+expanded AS (
+  SELECT u, d + CAST(x AS INTEGER) AS report_day
+  FROM days CROSS JOIN (SELECT unnest(range(0, 7)) AS x)
+),
+real_days AS (SELECT DISTINCT d AS report_day FROM days)
+SELECT strftime(report_day, '%Y-%m-%d') AS day,
+       COUNT(DISTINCT u) AS active_users_trailing
+FROM expanded JOIN real_days USING (report_day)
+GROUP BY report_day
+"""
+    # shared tokenizer with q_text_tokens (functions.text.tokenize);
+    # ln() at round-6 is cross-engine-stable (same contract as the
+    # geomean UDAF oracle)
+    text_lmscore_sql = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+dt AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM ex GROUP BY doc_id, tok),
+vocab AS (SELECT tok, CAST(SUM(cnt) AS BIGINT) AS c FROM dt GROUP BY tok),
+total AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM vocab)
+SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       ROUND(SUM(cnt * -ln(c / CAST(n AS DOUBLE))) / SUM(cnt), 6) AS nll
+FROM dt JOIN vocab USING (tok) CROSS JOIN total
+GROUP BY doc_id
 """
     events_retention_sql = """
 WITH days AS (
@@ -2404,6 +2454,8 @@ SELECT id AS doc_id, MIN(r) AS component_id FROM reach GROUP BY id
         "q_dedup_canonical": dedup_canonical_sql,
         "q_events_funnel": events_funnel_sql,
         "q_events_retention": events_retention_sql,
+        "q_events_wau": events_wau_sql,
+        "q_text_lmscore": text_lmscore_sql,
         "q_rel_forecast": rel_forecast_sql,
         "q_rel_promo": rel_promo_sql,
         "q_rel_brandrev": rel_brandrev_sql,

@@ -483,3 +483,43 @@ def daily_retention(
         "retention_rate",
         F.round(F.col("retained_next_day") / F.col("active_users"), 6),
     )
+
+
+def trailing_active_users(
+    df: DataFrame,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Trailing-N-day distinct active users per active calendar day
+    (DAU/WAU-style reach metric).
+
+    Scale shape: instead of an O(days²) range self-join, each (user,
+    day) activity row is EXPANDED to the ``window_days`` report days it
+    contributes to (a ×N explode of an already-deduplicated projection),
+    then one distinct-count per report day.  Report days with no
+    activity of their own are dropped via a broadcast semi join against
+    the distinct active-day set, so the output domain matches the
+    calendar of the data.
+
+    Output: (day, active_users_trailing) — day formatted yyyy-MM-dd.
+    """
+    days = df.select(
+        F.col(user_col).alias("u"), F.to_date(ts_col).alias("d")
+    ).distinct()
+    expanded = days.select(
+        "u",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), window_days - 1))
+        ).alias("report_day"),
+    )
+    real_days = days.select(F.col("d").alias("report_day")).distinct()
+    return (
+        expanded.join(F.broadcast(real_days), "report_day", "left_semi")
+        .groupBy("report_day")
+        .agg(F.countDistinct("u").alias("active_users_trailing"))
+        .select(
+            F.date_format("report_day", "yyyy-MM-dd").alias("day"),
+            "active_users_trailing",
+        )
+    )

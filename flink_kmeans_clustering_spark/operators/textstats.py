@@ -420,3 +420,46 @@ def document_gate(
             F.concat_ws(",", reasons).alias("reasons"),
         )
     )
+
+
+def lm_unigram_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Unigram language-model score per document: mean token negative
+    log-likelihood under the corpus's own unigram distribution.
+
+    The quality-filtering signal a training pipeline computes at scale
+    (documents whose tokens are improbable under the corpus LM are
+    boilerplate/noise candidates).  Shape: one shuffle builds the
+    per-(doc, token) counts; the vocabulary and its grand total derive
+    from THOSE partials (map-side combined, never a second text scan)
+    and come back as broadcasts; the final per-doc aggregate reuses the
+    (doc, token) partitioning.  Documents with no tokens produce no row
+    (no probability is defined for them).
+
+    Output: (doc_id, n_tokens, nll) — nll = Σ cnt·(−ln p) / Σ cnt,
+    rounded; p = corpus frequency of the token.
+    """
+    ex = docs.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok")
+    )
+    dt = ex.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = dt.groupBy("tok").agg(F.sum("cnt").alias("c"))
+    total = vocab.agg(F.sum("c").alias("n"))
+    scored = (
+        dt.join(F.broadcast(vocab), "tok")
+        .join(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("cnt") * -F.log(F.col("c") / F.col("n")))
+                / F.sum("cnt"),
+                round_to,
+            ).alias("nll"),
+        )
+    )
+    return scored

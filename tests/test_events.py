@@ -223,3 +223,22 @@ def test_daily_retention_counts(spark):
     assert rows["2024-01-02"]["active_users"] == 2
     assert rows["2024-01-02"]["retained_next_day"] == 1
     assert rows["2024-01-03"]["retained_next_day"] == 0
+
+
+def test_trailing_active_users_window(spark):
+    from flink_kmeans_clustering_spark.operators.events import trailing_active_users
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00"),
+            (2, "2024-01-03 10:00:00"),
+            (1, "2024-01-08 10:00:00"),  # day 1 falls OUT of day-8's 7-day window
+        ],
+        "user_id long, ts_s string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    rows = {r["day"]: r["active_users_trailing"] for r in trailing_active_users(df).collect()}
+    # only days with their own activity appear
+    assert set(rows) == {"2024-01-01", "2024-01-03", "2024-01-08"}
+    assert rows["2024-01-01"] == 1
+    assert rows["2024-01-03"] == 2          # users 1 (Jan 1) and 2 (Jan 3)
+    assert rows["2024-01-08"] == 2          # user 2 (Jan 3) + user 1 (Jan 8); Jan 1 aged out

@@ -184,3 +184,24 @@ def test_document_gate_agrees_with_signal_queries(spark):
     for d, r in gate.items():
         assert r["quality"] == qual[d]
         assert r["dup_bigram_frac"] == rep[d]
+
+
+def test_lm_unigram_scores_hand_checked(spark):
+    import math
+
+    from flink_kmeans_clustering_spark.operators.textstats import lm_unigram_scores
+
+    df = spark.createDataFrame(
+        [(0, "a a b"), (1, "b c"), (2, "")],
+        "doc_id long, text string",
+    )
+    # corpus counts: a=2, b=2, c=1, n=5
+    rows = {r["doc_id"]: r for r in lm_unigram_scores(df).collect()}
+    assert set(rows) == {0, 1}  # empty doc excluded
+    p = {"a": 2 / 5, "b": 2 / 5, "c": 1 / 5}
+    want0 = (2 * -math.log(p["a"]) + 1 * -math.log(p["b"])) / 3
+    want1 = (-math.log(p["b"]) - math.log(p["c"])) / 2
+    assert abs(rows[0]["nll"] - want0) < 1e-6 and rows[0]["n_tokens"] == 3
+    assert abs(rows[1]["nll"] - want1) < 1e-6 and rows[1]["n_tokens"] == 2
+    # rarer tokens -> higher NLL
+    assert rows[1]["nll"] > rows[0]["nll"]
