@@ -116,6 +116,7 @@ from flink_kmeans_clustering_spark.operators.sampling import (
     approx_distinct,
     deterministic_sample,
     stratified_hash_sample,
+    train_val_test_split,
 )
 from flink_kmeans_clustering_spark.streaming.enrich import enrich_with_static
 from flink_kmeans_clustering_spark.streaming.joins import interval_join_streams
@@ -1063,6 +1064,17 @@ def q_text_lmscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_unigram_scores(docs)
 
 
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split: per-(split, lang) document
+    counts — content-hash assignment, stable across engines and runs."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    split = train_val_test_split(docs, "doc_id")
+    return split.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
 def q_kmeans_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packaged MLlib k-means|| path: per-cluster sizes over the full
     32-dim embeddings (rows-only: k-means|| placement is MLlib-specific;
@@ -1156,6 +1168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_retention": q_events_retention,
         "q_events_wau": q_events_wau,
         "q_text_lmscore": q_text_lmscore,
+        "q_sample_split": q_sample_split,
         "q_sink_roundtrip": q_sink_roundtrip,
         "q_ann_trained": q_ann_trained,
         "q_kmeans_ml": q_kmeans_ml,
@@ -2520,6 +2533,23 @@ SELECT event_id, event_type FROM events
 WHERE CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 2)) AS INT) % 256
       < CASE event_type WHEN 'click' THEN 64 WHEN 'view' THEN 128
                         WHEN 'purchase' THEN 256 ELSE 0 END
+""",
+        # q_sample_split: bucket = md5 first byte mod 16; [0,2) test,
+        # [2,4) val, rest train — the same contract as hash_bucket
+        "q_sample_split": """
+SELECT split, lang, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+FROM (
+  SELECT lang, doc_id,
+         CASE WHEN b < 2 THEN 'test' WHEN b < 4 THEN 'val'
+              ELSE 'train' END AS split
+  FROM (
+    SELECT lang, doc_id,
+           CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+                AS INT) % 16 AS b
+    FROM documents
+  )
+)
+GROUP BY split, lang
 """,
         "q_text_gate": text_gate_sql,
         # q_stream_gate is the stateless gate on a stream: same oracle

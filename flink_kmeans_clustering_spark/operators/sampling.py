@@ -93,3 +93,35 @@ def stratified_hash_sample(
     for s, r in sorted(rates.items()):
         keep = F.when(F.col(strata_col) == s, F.lit(int(r * buckets))).otherwise(keep)
     return df.filter(b < keep)
+
+
+def train_val_test_split(
+    df: DataFrame,
+    key_col: str,
+    val_buckets: int = 2,
+    test_buckets: int = 2,
+    buckets: int = 16,
+) -> DataFrame:
+    """Deterministic train/val/test assignment from the key's content
+    hash — the split step of every training-data pipeline.
+
+    A row's split is a pure function of its key: stable under
+    repartitioning, engine swaps, and re-runs (no RNG), and documents
+    with the same key always land in the same split — the property
+    that prevents train/test leakage when the corpus is rebuilt.
+    Bucket layout: [0, test) = test, [test, test+val) = val, rest
+    train; shrinking val/test always yields subsets (same prefix
+    property as :func:`deterministic_sample`).
+
+    Adds a ``split`` column; no shuffle, no sort — a narrow projection
+    that composes with any downstream write (e.g. ``partitionBy``).
+    """
+    if val_buckets + test_buckets >= buckets:
+        raise ValueError("val + test buckets must leave room for train")
+    b = hash_bucket(F.col(key_col).cast("string"), buckets)
+    return df.withColumn(
+        "split",
+        F.when(b < test_buckets, F.lit("test"))
+        .when(b < test_buckets + val_buckets, F.lit("val"))
+        .otherwise(F.lit("train")),
+    )

@@ -57,6 +57,36 @@ PICKS = [
         "IVF probe search — the cell isin() filter sits in the scan "
         "(partition pruning on a cell-partitioned table); top-k never sorts",
     ),
+    (
+        "q_rel_forecast",
+        "TPC-H Q6 shape — every predicate pushed to the parquet reader, "
+        "single-shuffle global aggregate",
+    ),
+    (
+        "q_rel_mktshare",
+        "TPC-H Q8 shape — seven-table tree, every dimension broadcast, "
+        "numerator+denominator in one aggregation pass",
+    ),
+    (
+        "q_ann_quantized",
+        "int8-quantized ANN — integer-dot shortlist and exact rerank, both "
+        "TakeOrderedAndProject, shuffle-free",
+    ),
+    (
+        "q_dedup_twostage",
+        "Two-stage dedup — cosine candidates broadcast into both text "
+        "lookups; the corpus is never shuffled",
+    ),
+    (
+        "q_dedup_semantic",
+        "Semantic dedup — nearest-seed blocking (broadcast k seeds, argmax "
+        "per row) confines the pair join to computed blocks",
+    ),
+    (
+        "q_text_lmscore",
+        "Unigram LM score — vocab/total from (doc,token) partials, "
+        "broadcast back; text scanned once",
+    ),
 ]
 
 

@@ -117,3 +117,35 @@ def test_stratified_sample_is_narrow(spark):
     ev = load_events(spark, "/root/testdata/sf0.01")
     out = stratified_hash_sample(ev, "event_type", {"click": 0.5}, key_col="event_id")
     assert shuffle_count(out) == 0
+
+
+def test_train_val_test_split_deterministic_and_partitioned(spark):
+    from flink_kmeans_clustering_spark.operators.sampling import (
+        train_val_test_split,
+    )
+
+    docs = spark.range(1000).withColumnRenamed("id", "doc_id")
+    s1 = train_val_test_split(docs, "doc_id")
+    # every row gets exactly one split; repartitioning changes nothing
+    a = {r["doc_id"]: r["split"] for r in s1.collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in train_val_test_split(docs.repartition(13), "doc_id").collect()
+    }
+    assert a == b and len(a) == 1000
+    frac = {s: sum(1 for v in a.values() if v == s) / 1000 for s in ("train", "val", "test")}
+    # expected 12/2/2 of 16 buckets ± sampling noise
+    assert 0.68 < frac["train"] < 0.82
+    assert 0.08 < frac["val"] < 0.18 and 0.08 < frac["test"] < 0.18
+
+
+def test_train_val_test_split_validates_budget(spark):
+    import pytest as _pytest
+
+    from flink_kmeans_clustering_spark.operators.sampling import (
+        train_val_test_split,
+    )
+
+    docs = spark.range(10).withColumnRenamed("id", "doc_id")
+    with _pytest.raises(ValueError):
+        train_val_test_split(docs, "doc_id", val_buckets=8, test_buckets=8)
