@@ -81,6 +81,7 @@ from flink_kmeans_clustering_spark.operators.relational import (
     nation_market_share,
     nation_part_profit,
     nation_trade_volume,
+    order_price_distribution,
     parts_without_bulk_sales,
     pricing_summary,
     promo_revenue_share,
@@ -554,6 +555,35 @@ def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-function repertoire: rank / dense_rank / ntile / lag
     sharing one window, top-5 orders per month."""
     return monthly_order_ranks(load_table(spark, "orders", sf_dir))
+
+
+def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-window family: percent_rank / cume_dist / bounded
+    first+last value on one sorted partition per order status."""
+    return order_price_distribution(load_table(spark, "orders", sf_dir))
+
+
+def q_sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second columnar sink format: ORC roundtrip partitioned by
+    returnflag with a partition-filtered read-back aggregate — same
+    fidelity contract as the parquet roundtrip."""
+    import tempfile
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    out = tempfile.mkdtemp(prefix="sink_orc_")
+    li.write.mode("overwrite").partitionBy("l_returnflag").orc(out)
+    back = spark.read.orc(out).filter(F.col("l_returnflag") == "R")
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias(
+            "sum_qty"
+        ),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(25,8)")), 6
+        ).cast("double").alias("sum_price"),
+    )
 
 
 def q_window_daydelta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1123,6 +1153,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rel_profit": q_rel_profit,
         "q_window_ranks": q_window_ranks,
         "q_window_daydelta": q_window_daydelta,
+        "q_window_dist": q_window_dist,
+        "q_sink_orc": q_sink_orc,
         "q_multimodal_meta": q_multimodal_meta,
         "q_multimodal_frames": q_multimodal_frames,
         "q_multimodal_feat": q_multimodal_feat,
@@ -1920,6 +1952,26 @@ SELECT * FROM (
 )
 WHERE rnk <= 5
 """
+    window_dist_sql = """
+SELECT o_orderstatus, o_orderkey, o_totalprice,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+       ROUND(cume_dist() OVER w, 6) AS cume,
+       first_value(o_totalprice) OVER wf AS cheapest,
+       last_value(o_totalprice) OVER wf AS priciest
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey),
+       wf AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+    sink_orc_sql = """
+SELECT l_returnflag, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(25,8))), 6) AS DOUBLE)
+         AS sum_price
+FROM lineitem
+WHERE l_returnflag = 'R'
+GROUP BY l_returnflag
+"""
     window_daydelta_sql = """
 WITH daily AS (
   SELECT strftime(l_shipdate, '%Y-%m-%d') AS ship_day,
@@ -2477,6 +2529,8 @@ SELECT id AS doc_id, MIN(r) AS component_id FROM reach GROUP BY id
         "q_rel_profit": rel_profit_sql,
         "q_window_ranks": window_ranks_sql,
         "q_window_daydelta": window_daydelta_sql,
+        "q_window_dist": window_dist_sql,
+        "q_sink_orc": sink_orc_sql,
         "q_multimodal_meta": multimodal_meta_sql,
         "q_multimodal_frames": multimodal_frames_sql,
         "q_multimodal_feat": multimodal_feat_sql,

@@ -365,6 +365,33 @@ def monthly_order_ranks(orders: DataFrame, k: int = 5) -> DataFrame:
     return ranked.filter(F.col("rnk") <= k)
 
 
+def order_price_distribution(orders: DataFrame) -> DataFrame:
+    """Distribution-function window repertoire: percent_rank, cume_dist
+    and frame-bounded first/last value per order-status partition.
+
+    Complements :func:`monthly_order_ranks` (rank/dense_rank/ntile/lag)
+    with the remaining SQL window family.  One shuffle on the partition
+    key; all four functions share a single in-partition sort.  The
+    unbounded-following frame for last_value is explicit — the default
+    frame (up to CURRENT ROW) would silently return the current row.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_orderstatus",
+        "o_orderkey",
+        "o_totalprice",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("o_totalprice").over(wf).alias("cheapest"),
+        F.last("o_totalprice").over(wf).alias("priciest"),
+    )
+
+
 def daily_revenue_delta(lineitem: DataFrame) -> DataFrame:
     """Day-over-day discounted-revenue delta: grouped aggregate feeding
     a lag window.
