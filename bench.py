@@ -63,6 +63,10 @@ def main() -> None:
     # (100k points, 8 file-based centroids) for 10 Lloyd iterations —
     # the exact workload behind BASELINE.md's 2263 ms (p=1) / 4021 ms
     # (p=4) numbers, timed end-to-end like the reference's getNetRuntime.
+    # The reference averaged 5 runs against a warm local cluster
+    # (scripts/script_1.sh:26); we mirror that with the mean of 3 runs,
+    # clearing the DataFrame cache between runs so each one re-reads the
+    # CSV from disk exactly as each `flink run` did.
     fixture = "/root/reference/script_results/script_3/input"
     if os.path.exists(fixture):
         from flink_kmeans_clustering_spark.operators.kmeans import lloyd
@@ -71,15 +75,22 @@ def main() -> None:
             read_points_csv,
         )
 
-        t0 = time.perf_counter()
-        pts = read_points_csv(spark, f"{fixture}/points.csv")
-        init = [
-            (int(r["id"]), float(r["x"]), float(r["y"]))
-            for r in read_centroids_csv(spark, f"{fixture}/centroids.csv").collect()
-        ]
-        res = lloyd(pts, init, max_iterations=10)
-        timings["kmeans_ref_100k_k8_10iter"] = round(time.perf_counter() - t0, 3)
-        assert abs(res.wcss - 264993.3526094555) / 264993.3526094555 < 1e-9
+        runs = []
+        for i in range(3):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            pts = read_points_csv(spark, f"{fixture}/points.csv")
+            init = [
+                (int(r["id"]), float(r["x"]), float(r["y"]))
+                for r in read_centroids_csv(
+                    spark, f"{fixture}/centroids.csv"
+                ).collect()
+            ]
+            res = lloyd(pts, init, max_iterations=10)
+            runs.append(round(time.perf_counter() - t0, 3))
+            assert abs(res.wcss - 264993.3526094555) / 264993.3526094555 < 1e-9
+            timings[f"kmeans_ref_run{i + 1}"] = runs[-1]
+        timings["kmeans_ref_100k_k8_10iter"] = round(sum(runs) / len(runs), 3)
 
     # Headline metric: the reference-comparable workload (same fixture,
     # same k/iterations as BASELINE.md's 2263 ms p=1 / 4021 ms p=4 rows)
