@@ -28,7 +28,11 @@ from flink_kmeans_clustering_spark.functions.hashing import (
     signature_similarity,
     simhash_chunks,
 )
-from flink_kmeans_clustering_spark.functions.text import ngram_shingles, tokenize
+from flink_kmeans_clustering_spark.functions.text import (
+    exploded_shingles,
+    ngram_shingles,
+    tokenize,
+)
 from flink_kmeans_clustering_spark.functions.vector import dot, l2_norm
 
 
@@ -99,23 +103,17 @@ def ngram_jaccard_pairs(
     so capping can only lower a pair's Jaccard (never inflate it).
     """
     base = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col)), "id")
-    # tokenize is materialized in its own projection: ngram_shingles
-    # references its input in a HOF lambda, where an inlined expression
-    # would re-run the regex split once per shingle position (~4x the
-    # whole stage, measured).  Multiple non-cheap references also stop
-    # Catalyst's CollapseProject from re-inlining it.  Each document's
-    # FULL shingle-set size rides along with every exploded row, so the
-    # union term of the Jaccard needs no size join back — a size
-    # lookup table would re-evaluate this whole subtree once per join
-    # (Spark reuses exchanges, not arbitrary subplans).  Documents with
-    # zero shingles vanish at the explode, which is the correct
+    # Shingles via the window-lead stream (functions.text.
+    # exploded_shingles): exploding a computed shingle ARRAY makes the
+    # optimizer re-inline the token regex into the HOF lambda under the
+    # Generate (regex per shingle position — ~10× the stage, measured);
+    # the lead form stays in codegen and reuses _spread's id
+    # partitioning for its window and the set aggregation.  Each
+    # document's FULL distinct-set size rides along with every exploded
+    # row, so the union term of the Jaccard needs no size join back.
+    # Documents with zero tokens emit no rows, which is the correct
     # semantics (they can share nothing).
-    sh = base.select("id", tokenize(F.col(text_col)).alias("_toks")).select(
-        "id", ngram_shingles(F.col("_toks"), n).alias("shingles")
-    )
-    ex = sh.select(
-        "id", F.size("shingles").alias("sz"), F.explode("shingles").alias("sh")
-    )
+    ex = exploded_shingles(base, "id", text_col, n=n, with_size=True)
     if max_df is not None:
         # Posting-list pair generation: ONE shuffle groups the exploded
         # shingles by value; the df cap bounds each surviving list at
@@ -218,11 +216,11 @@ def minhash_lsh_pairs(
     # xxhash64(i, shingle) either way.  groupBy("id") reuses the
     # _spread partitioning — no extra shuffle.
     base = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col)), "id")
-    # tokens materialized first — see ngram_jaccard_pairs: an inlined
-    # tokenize would re-run per shingle position inside the HOF.
-    ex = base.select("id", tokenize(F.col(text_col)).alias("_toks")).select(
-        "id",
-        F.explode(ngram_shingles(F.col("_toks"), n)).alias("s"),
+    # window-lead shingle stream — see ngram_jaccard_pairs: exploding a
+    # computed shingle array re-inlines the token regex per position.
+    # No distinct pass: duplicate shingles cannot change a per-lane MIN.
+    ex = exploded_shingles(base, "id", text_col, n=n).withColumnRenamed(
+        "sh", "s"
     )
     if hash_fn == "md5":
         # one md5 yields two 60-bit lanes (hex chars 1-15 and 16-30), so
