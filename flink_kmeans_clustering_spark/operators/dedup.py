@@ -730,7 +730,21 @@ def two_stage_dedup_pairs(
         block_col=block_col,
         threshold=cosine_threshold,
     ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
-    sh = docs.select(
+    # Shingle arrays only for documents that appear in a candidate pair:
+    # a broadcast semi join narrows the corpus BEFORE the (interpreted)
+    # shingle HOF runs — at scale candidates << corpus, so the verify
+    # stage's text work is candidate-sized, and the corpus is still
+    # never shuffled.  (Docs with zero candidates need no shingles by
+    # construction.)
+    cand_ids = (
+        cand.select(F.col("id_a").alias("_cid"))
+        .union(cand.select(F.col("id_b").alias("_cid")))
+        .distinct()
+    )
+    needed = docs.join(
+        F.broadcast(cand_ids), docs[id_col] == F.col("_cid"), "left_semi"
+    )
+    sh = needed.select(
         F.col(id_col).alias("_id"),
         ngram_shingles(tokenize(F.col(text_col)), n).alias("_sh"),
     )
