@@ -53,20 +53,20 @@ def main() -> None:
     spark.range(2).mapInPandas(_warm, schema="id long").count()
 
     timings: dict[str, float] = {}
-    for name, q in entrymod.queries().items():
-        t0 = time.perf_counter()
-        df = q(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
 
     # Reference-comparable headline: the deterministic script_3 fixture
     # (100k points, 8 file-based centroids) for 10 Lloyd iterations —
     # the exact workload behind BASELINE.md's 2263 ms (p=1) / 4021 ms
     # (p=4) numbers, timed end-to-end like the reference's getNetRuntime.
-    # The reference averaged 5 runs against a warm local cluster
-    # (scripts/script_1.sh:26); we mirror that with the mean of 3 runs,
-    # clearing the DataFrame cache between runs so each one re-reads the
-    # CSV from disk exactly as each `flink run` did.
+    # The reference averaged 5 runs against a warm, already-running
+    # local cluster (scripts/script_1.sh:26); we mirror that warm-
+    # cluster steady state with ONE untimed warm run (pays Janino
+    # codegen + CSV-path class loading, the analogue of the cluster
+    # already having run jobs) followed by the mean of 3 timed runs,
+    # clearing the DataFrame cache between runs so each re-reads the
+    # CSV from disk exactly as each `flink run` did.  Measured BEFORE
+    # the query sweep: 95 queries of heap churn otherwise add 1-4 s of
+    # GC noise to whatever runs last.
     fixture = "/root/reference/script_results/script_3/input"
     if os.path.exists(fixture):
         from flink_kmeans_clustering_spark.operators.kmeans import lloyd
@@ -75,10 +75,8 @@ def main() -> None:
             read_points_csv,
         )
 
-        runs = []
-        for i in range(3):
+        def _fixture_run():
             spark.catalog.clearCache()
-            t0 = time.perf_counter()
             pts = read_points_csv(spark, f"{fixture}/points.csv")
             init = [
                 (int(r["id"]), float(r["x"]), float(r["y"]))
@@ -87,10 +85,22 @@ def main() -> None:
                 ).collect()
             ]
             res = lloyd(pts, init, max_iterations=10)
-            runs.append(round(time.perf_counter() - t0, 3))
             assert abs(res.wcss - 264993.3526094555) / 264993.3526094555 < 1e-9
+
+        _fixture_run()  # untimed warm run (codegen + class loading)
+        runs = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            _fixture_run()
+            runs.append(round(time.perf_counter() - t0, 3))
             timings[f"kmeans_ref_run{i + 1}"] = runs[-1]
         timings["kmeans_ref_100k_k8_10iter"] = round(sum(runs) / len(runs), 3)
+
+    for name, q in entrymod.queries().items():
+        t0 = time.perf_counter()
+        df = q(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
 
     # Headline metric: the reference-comparable workload (same fixture,
     # same k/iterations as BASELINE.md's 2263 ms p=1 / 4021 ms p=4 rows)
