@@ -90,6 +90,7 @@ from flink_kmeans_clustering_spark.operators.relational import (
     shipping_priority,
     top_revenue_parts,
     top_suppliers,
+    yearly_revenue_growth,
 )
 from flink_kmeans_clustering_spark.sources.parquet import load_events, load_table
 from flink_kmeans_clustering_spark.operators.events import (
@@ -105,6 +106,7 @@ from flink_kmeans_clustering_spark.operators.events import (
     session_window_agg,
     sessionize,
     trailing_active_users,
+    value_anomalies,
     sliding_window_agg,
     top_events_per_user,
     tumbling_window_agg,
@@ -1081,6 +1083,23 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily_retention(load_events(spark, sf_dir))
 
 
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outliers with DECIMAL-exact moments (Σx, Σx²) —
+    single-pass Welford stddev would not be engine-reproducible."""
+    return value_anomalies(load_events(spark, sf_dir))
+
+
+def q_rel_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per supplier nation: decimal-exact
+    yearly aggregate feeding a per-nation lag window."""
+    return yearly_revenue_growth(
+        load_table(spark, "nation", sf_dir),
+        load_table(spark, "supplier", sf_dir),
+        load_table(spark, "orders", sf_dir),
+        load_table(spark, "lineitem", sf_dir),
+    )
+
+
 def q_events_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day distinct active users per day via ×7 expansion of
     the deduplicated (user, day) projection — no range self-join."""
@@ -1199,6 +1218,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_funnel": q_events_funnel,
         "q_events_retention": q_events_retention,
         "q_events_wau": q_events_wau,
+        "q_events_anomaly": q_events_anomaly,
+        "q_rel_yoy": q_rel_yoy,
         "q_text_lmscore": q_text_lmscore,
         "q_sample_split": q_sample_split,
         "q_sink_roundtrip": q_sink_roundtrip,
@@ -1641,6 +1662,43 @@ UNION ALL
 SELECT CAST(2 AS INT), 'click', (SELECT COUNT(*) FROM s2)
 UNION ALL
 SELECT CAST(3 AS INT), 'purchase', (SELECT COUNT(*) FROM s3)
+"""
+    # q_events_anomaly: moments in DECIMAL (x² is one deterministic
+    # double multiply before the cast) — mean/variance identical across
+    # engines; z mirrors the Spark expression operation-for-operation
+    events_anomaly_sql = """
+WITH stats AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(25,8))) AS sx,
+         SUM(CAST(value*value AS DECIMAL(30,10))) AS sxx
+  FROM events GROUP BY event_type
+)
+SELECT event_id, event_type, value, z FROM (
+  SELECT event_id, e.event_type, value,
+         ROUND((value - CAST(sx AS DOUBLE) / n)
+               / sqrt((CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                      / (n - 1)), 6) AS z
+  FROM events e JOIN stats s ON e.event_type = s.event_type
+)
+WHERE abs(z) >= 3.0
+"""
+    rel_yoy_sql = """
+WITH yearly AS (
+  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+         CAST(ROUND(SUM(CAST(l_extendedprice*(1-l_discount)
+                             AS DECIMAL(25,8))), 6) AS DOUBLE) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY n_name, year(o_orderdate)
+)
+SELECT nation, o_year, revenue,
+       ROUND((revenue - lag(revenue) OVER w) / lag(revenue) OVER w, 6)
+         AS yoy_growth
+FROM yearly
+WINDOW w AS (PARTITION BY nation ORDER BY o_year)
 """
     events_wau_sql = """
 WITH days AS (
@@ -2520,6 +2578,8 @@ SELECT id AS doc_id, MIN(r) AS component_id FROM reach GROUP BY id
         "q_events_funnel": events_funnel_sql,
         "q_events_retention": events_retention_sql,
         "q_events_wau": events_wau_sql,
+        "q_events_anomaly": events_anomaly_sql,
+        "q_rel_yoy": rel_yoy_sql,
         "q_text_lmscore": text_lmscore_sql,
         "q_rel_forecast": rel_forecast_sql,
         "q_rel_promo": rel_promo_sql,

@@ -523,3 +523,48 @@ def trailing_active_users(
             "active_users_trailing",
         )
     )
+
+
+def value_anomalies(
+    df: DataFrame,
+    z_threshold: float = 3.0,
+    type_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Events whose value is a per-type z-score outlier.
+
+    The moments are EXACT: Σx and Σx² accumulate in DECIMAL (the x²
+    product is one deterministic double multiply before the cast), so
+    mean and the textbook variance (Σx² − (Σx)²/n)/(n−1) are identical
+    across engines and partitionings — single-pass Welford-style
+    ``stddev_samp`` would not be (different engines, different update
+    orders).  One aggregation pass, O(types) rows broadcast back onto
+    the scan; the flag filter is narrow.
+
+    Output: (event_id, event_type, value, z) for |z| ≥ threshold.
+    """
+    x = F.col(value_col)
+    stats = df.groupBy(type_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(x.cast("decimal(25,8)")).alias("_sx"),
+        F.sum((x * x).cast("decimal(30,10)")).alias("_sxx"),
+    )
+    mean = (F.col("_sx").cast("double") / F.col("_n")).alias("_mean")
+    var = (
+        (
+            F.col("_sxx").cast("double")
+            - F.col("_sx").cast("double") * F.col("_sx").cast("double") / F.col("_n")
+        )
+        / (F.col("_n") - 1)
+    ).alias("_var")
+    enriched = df.join(
+        F.broadcast(stats.select(type_col, mean, var)), type_col
+    )
+    z = (x - F.col("_mean")) / F.sqrt(F.col("_var"))
+    return (
+        enriched.select(
+            id_col, type_col, value_col, F.round(z, 6).alias("z")
+        )
+        .filter(F.abs(F.col("z")) >= z_threshold)
+    )

@@ -776,3 +776,37 @@ def small_quantity_revenue(lineitem: DataFrame) -> DataFrame:
     return small.agg(
         (_dsum_r6("l_extendedprice") / 7.0).alias("avg_yearly")
     )
+
+
+def yearly_revenue_growth(
+    nation: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """Year-over-year revenue growth per supplier nation.
+
+    The grouped decimal-exact aggregate reduces the fact table to
+    O(nations × years) rows; the lag window then runs on that tiny
+    output (partitioned by nation — no global single-partition sort).
+    Growth divides two already-rounded doubles, so both engines divide
+    bit-identical operands.
+    """
+    from pyspark.sql.window import Window
+
+    joined = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    yearly = joined.groupBy(
+        F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+    ).agg(_dsum_r6(disc_price()).alias("revenue"))
+    w = Window.partitionBy("nation").orderBy("o_year")
+    prev = F.lag("revenue").over(w)
+    return yearly.select(
+        "nation",
+        "o_year",
+        "revenue",
+        F.round((F.col("revenue") - prev) / prev, 6).alias("yoy_growth"),
+    )
