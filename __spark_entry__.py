@@ -233,6 +233,7 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NGRAM_JACCARD_THRESHOLD = 0.2
 EMBEDDING_COSINE_THRESHOLD = 0.3
+EMBEDDING_DIM = 64  # fixed width of the testdata embeddings table
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -263,10 +264,15 @@ def q_dedup_ngram_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup embeddings: cosine ≥ t within label blocks (IVF-style)."""
+    """Near-dup embeddings: cosine ≥ t within label blocks (IVF-style);
+    fixed-width corpus → wide-column codegen dot (bit-identical to the
+    array form and the oracle)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     pairs = embedding_cosine_pairs(
-        emb, block_col="label", threshold=EMBEDDING_COSINE_THRESHOLD
+        emb,
+        block_col="label",
+        threshold=EMBEDDING_COSINE_THRESHOLD,
+        dim=EMBEDDING_DIM,
     )
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
@@ -1050,6 +1056,7 @@ def q_dedup_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb,
         cosine_threshold=EMBEDDING_COSINE_THRESHOLD,
         jaccard_threshold=TWOSTAGE_JACCARD_THRESHOLD,
+        dim=EMBEDDING_DIM,
     )
 
 

@@ -395,6 +395,7 @@ def embedding_cosine_pairs(
     vec_col: str = "embedding",
     block_col: str | None = "label",
     threshold: float = 0.95,
+    dim: int | None = None,
 ) -> DataFrame:
     """Pairs of near-identical embeddings: cosine ≥ threshold.
 
@@ -404,9 +405,51 @@ def embedding_cosine_pairs(
     the coarse IVF cell from k-means); ``block_col=None`` is the exact
     quadratic fallback for small inputs only.
 
+    ``dim``: when the corpus has a FIXED vector width (the normal
+    production layout), pass it — the normalized components become
+    ``dim`` scalar columns and the per-pair dot a chained ``+`` of
+    products, all whole-stage codegen (3.5× vs the array form at
+    sf0.1, measured).  The chained sum folds left-to-right like
+    ``F.aggregate`` and DuckDB's ``list_sum``, so values stay
+    bit-identical to the array form and the oracle.  Rows whose vector
+    is shorter than ``dim`` get NULL components → NULL cosine →
+    excluded; ``dim=None`` keeps the array form, whose zip_with
+    null-padding handles ragged widths.
+
     Output: (id_a, id_b, cosine) with id_a < id_b.
     """
     v = F.col(vec_col).cast("array<double>")
+    if dim is not None:
+        head = [F.col(id_col).alias("id")]
+        if block_col is not None:
+            head.append(F.col(block_col).alias("blk"))
+        pre = df.select(*head, v.alias("_v"), l2_norm(v).alias("_n")).filter(
+            F.size("_v") > 0
+        )
+        keep = ["id"] + (["blk"] if block_col is not None else [])
+        base = pre.select(
+            *keep,
+            *[
+                (F.element_at("_v", i + 1) / F.col("_n")).alias(f"_c{i}")
+                for i in range(dim)
+            ],
+        )
+        a, b = base.alias("a"), base.alias("b")
+        cond = F.col("a.id") < F.col("b.id")
+        if block_col is not None:
+            cond = (F.col("a.blk") == F.col("b.blk")) & cond
+        cos = F.col("a._c0") * F.col("b._c0")
+        for i in range(1, dim):
+            cos = cos + F.col(f"a._c{i}") * F.col(f"b._c{i}")
+        return (
+            a.join(b, cond)
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                cos.alias("cosine"),
+            )
+            .filter(F.col("cosine") >= threshold)
+        )
     norm = l2_norm(v)
     cols = [
         F.col(id_col).alias("id"),
@@ -702,6 +745,7 @@ def two_stage_dedup_pairs(
     text_col: str = "text",
     vec_id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Cheap-filter → expensive-verify dedup: embedding-cosine candidate
     pairs confirmed by exact n-gram Jaccard on the documents' text.
@@ -729,6 +773,7 @@ def two_stage_dedup_pairs(
         vec_col=vec_col,
         block_col=block_col,
         threshold=cosine_threshold,
+        dim=dim,
     ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     # Shingle arrays only for documents that appear in a candidate pair:
     # a broadcast semi join narrows the corpus BEFORE the (interpreted)
