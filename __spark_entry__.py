@@ -1074,7 +1074,10 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks, then exact cosine inside each block."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return semantic_dedup_pairs(
-        emb, k=SEMANTIC_BLOCKS_K, threshold=SEMANTIC_COSINE_THRESHOLD
+        emb,
+        k=SEMANTIC_BLOCKS_K,
+        threshold=SEMANTIC_COSINE_THRESHOLD,
+        dim=EMBEDDING_DIM,
     )
 
 

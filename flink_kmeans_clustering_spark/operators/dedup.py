@@ -703,6 +703,7 @@ def semantic_dedup_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs within computed semantic blocks.
 
@@ -713,11 +714,25 @@ def semantic_dedup_pairs(
     :func:`embedding_cosine_pairs`, which blocks on a pre-existing
     label column — here the blocking itself is derived from the data.
 
+    ``dim``: fixed vector width → wide-column codegen dot for the pair
+    stage (see :func:`embedding_cosine_pairs`; values bit-identical).
+
     Output: (id_a, id_b, block, cosine) with id_a < id_b.
     """
     blocks = semantic_blocks(df, k=k, id_col=id_col, vec_col=vec_col)
-    a, b = blocks.alias("a"), blocks.alias("b")
-    cos = dot(F.col("a.nv"), F.col("b.nv"))
+    if dim is not None:
+        blocks = blocks.select(
+            "id",
+            "blk",
+            *[F.element_at("nv", i + 1).alias(f"_c{i}") for i in range(dim)],
+        )
+        a, b = blocks.alias("a"), blocks.alias("b")
+        cos = F.col("a._c0") * F.col("b._c0")
+        for i in range(1, dim):
+            cos = cos + F.col(f"a._c{i}") * F.col(f"b._c{i}")
+    else:
+        a, b = blocks.alias("a"), blocks.alias("b")
+        cos = dot(F.col("a.nv"), F.col("b.nv"))
     return (
         a.join(
             b,
