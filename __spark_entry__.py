@@ -87,6 +87,7 @@ from flink_kmeans_clustering_spark.operators.relational import (
     promo_revenue_share,
     returned_item_losses,
     revenue_forecast,
+    rolling_weekly_revenue,
     shipping_priority,
     top_revenue_parts,
     top_suppliers,
@@ -107,6 +108,7 @@ from flink_kmeans_clustering_spark.operators.events import (
     sessionize,
     trailing_active_users,
     value_anomalies,
+    value_histogram,
     sliding_window_agg,
     top_events_per_user,
     tumbling_window_agg,
@@ -1116,6 +1118,18 @@ def q_events_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trailing_active_users(load_events(spark, sf_dir))
 
 
+def q_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type fixed-width value histogram: exact min/max edges
+    broadcast back, narrow bucketing expression."""
+    return value_histogram(load_events(spark, sf_dir))
+
+
+def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: trailing-7-day revenue over the O(days)
+    decimal-exact daily aggregate (frame sums stay in decimal)."""
+    return rolling_weekly_revenue(load_table(spark, "lineitem", sf_dir))
+
+
 def q_text_lmscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram LM negative log-likelihood per document — the corpus-LM
     quality signal; vocabulary derives from the (doc, token) partials."""
@@ -1229,6 +1243,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_retention": q_events_retention,
         "q_events_wau": q_events_wau,
         "q_events_anomaly": q_events_anomaly,
+        "q_events_histogram": q_events_histogram,
+        "q_window_range": q_window_range,
         "q_rel_yoy": q_rel_yoy,
         "q_text_lmscore": q_text_lmscore,
         "q_sample_split": q_sample_split,
@@ -1692,6 +1708,37 @@ SELECT event_id, event_type, value, z FROM (
   FROM events e JOIN stats s ON e.event_type = s.event_type
 )
 WHERE abs(z) >= 3.0
+"""
+    # q_events_histogram: MIN/MAX doubles are exact both engines; the
+    # bucket expression mirrors Spark operation-for-operation
+    events_histogram_sql = """
+WITH edges AS (
+  SELECT event_type, MIN(value) AS mn, MAX(value) AS mx
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(CASE WHEN mx = mn THEN 0
+            ELSE LEAST(FLOOR((value - mn) / ((mx - mn) / 10)), 9) END AS INT)
+         AS bucket,
+       COUNT(*) AS n_events,
+       ROUND(ANY_VALUE(mn) + CAST(CASE WHEN mx = mn THEN 0
+             ELSE LEAST(FLOOR((value - mn) / ((mx - mn) / 10)), 9) END AS INT)
+             * ANY_VALUE((mx - mn) / 10), 6) AS bucket_lo
+FROM events e JOIN edges s ON e.event_type = s.event_type
+GROUP BY e.event_type, bucket
+"""
+    window_range_sql = """
+WITH daily AS (
+  SELECT CAST(l_shipdate AS DATE) AS d,
+         SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,8))) AS rev
+  FROM lineitem GROUP BY d
+)
+SELECT strftime(d, '%Y-%m-%d') AS day,
+       CAST(ROUND(rev, 6) AS DOUBLE) AS revenue,
+       CAST(ROUND(SUM(rev) OVER (ORDER BY d
+              RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW), 6)
+            AS DOUBLE) AS rolling_revenue
+FROM daily
 """
     rel_yoy_sql = """
 WITH yearly AS (
@@ -2589,6 +2636,8 @@ SELECT id AS doc_id, MIN(r) AS component_id FROM reach GROUP BY id
         "q_events_retention": events_retention_sql,
         "q_events_wau": events_wau_sql,
         "q_events_anomaly": events_anomaly_sql,
+        "q_events_histogram": events_histogram_sql,
+        "q_window_range": window_range_sql,
         "q_rel_yoy": rel_yoy_sql,
         "q_text_lmscore": text_lmscore_sql,
         "q_rel_forecast": rel_forecast_sql,

@@ -568,3 +568,43 @@ def value_anomalies(
         )
         .filter(F.abs(F.col("z")) >= z_threshold)
     )
+
+
+def value_histogram(
+    df: DataFrame,
+    n_buckets: int = 10,
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Fixed-width per-type histogram of the value column.
+
+    MIN/MAX of doubles are exact and order-independent, so the bucket
+    edges — unlike mean/stddev-based binning — are engine-reproducible
+    with no decimal machinery.  Two aggregation passes over the same
+    (type) key: the O(types) edge table broadcasts back onto the scan
+    and bucketing is a narrow expression; the top value clamps into the
+    last bucket (the standard right-closed final bin).
+
+    Output: (event_type, bucket, n_events, bucket_lo) — only non-empty
+    buckets appear.
+    """
+    x = F.col(value_col)
+    edges = df.groupBy(type_col).agg(
+        F.min(x).alias("_mn"), F.max(x).alias("_mx")
+    )
+    joined = df.join(F.broadcast(edges), type_col)
+    width = (F.col("_mx") - F.col("_mn")) / n_buckets
+    raw = F.floor((x - F.col("_mn")) / width)
+    bucket = F.when(F.col("_mx") == F.col("_mn"), F.lit(0)).otherwise(
+        F.least(raw, F.lit(n_buckets - 1))
+    ).cast("int")
+    return (
+        joined.select(type_col, bucket.alias("bucket"), "_mn", width.alias("_w"))
+        .groupBy(type_col, "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.first(F.col("_mn") + F.col("bucket") * F.col("_w")), 6).alias(
+                "bucket_lo"
+            ),
+        )
+    )

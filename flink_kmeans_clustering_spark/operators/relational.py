@@ -810,3 +810,36 @@ def yearly_revenue_growth(
         "revenue",
         F.round((F.col("revenue") - prev) / prev, 6).alias("yoy_growth"),
     )
+
+
+def rolling_weekly_revenue(lineitem: DataFrame, window_days: int = 7) -> DataFrame:
+    """Trailing-N-day revenue via a RANGE window frame.
+
+    The grouped decimal aggregate first reduces the fact table to
+    O(days) rows, so the global-ordered window is driver-scale at any
+    input size (same posture as :func:`daily_revenue_delta`).  The
+    frame sums DECIMAL values — exact regardless of how either engine
+    walks the frame (running sum vs segment tree) — and rounds to
+    double only on output.  RANGE (not ROWS) semantics: calendar gaps
+    shrink the frame instead of reaching further back.
+    """
+    from pyspark.sql.window import Window
+
+    daily = lineitem.groupBy(F.to_date("l_shipdate").alias("d")).agg(
+        F.sum(disc_price().cast(DEC_WIDE)).alias("_rev_dec")
+    )
+    day_num = F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.orderBy("day_num")
+        .rangeBetween(-(window_days - 1), Window.currentRow)
+    )
+    return (
+        daily.withColumn("day_num", day_num)
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.round(F.col("_rev_dec"), 6).cast("double").alias("revenue"),
+            F.round(F.sum("_rev_dec").over(w), 6)
+            .cast("double")
+            .alias("rolling_revenue"),
+        )
+    )
