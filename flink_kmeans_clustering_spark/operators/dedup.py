@@ -412,8 +412,10 @@ def embedding_cosine_pairs(
     sf0.1, measured).  The chained sum folds left-to-right like
     ``F.aggregate`` and DuckDB's ``list_sum``, so values stay
     bit-identical to the array form and the oracle.  Rows whose vector
-    is shorter than ``dim`` get NULL components → NULL cosine →
-    excluded; ``dim=None`` keeps the array form, whose zip_with
+    width differs from ``dim`` (shorter OR longer) are filtered out of
+    the pair space — a longer vector would otherwise dot only its first
+    ``dim`` components against a full-width norm and silently understate
+    the cosine.  ``dim=None`` keeps the array form, whose zip_with
     null-padding handles ragged widths.
 
     Output: (id_a, id_b, cosine) with id_a < id_b.
@@ -424,7 +426,7 @@ def embedding_cosine_pairs(
         if block_col is not None:
             head.append(F.col(block_col).alias("blk"))
         pre = df.select(*head, v.alias("_v"), l2_norm(v).alias("_n")).filter(
-            F.size("_v") > 0
+            F.size("_v") == dim
         )
         keep = ["id"] + (["blk"] if block_col is not None else [])
         base = pre.select(
@@ -649,20 +651,32 @@ def benchmark_overlap(
 
 def semantic_blocks(
     df: DataFrame,
-    k: int = 8,
+    k: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    target_block_size: int = 4096,
 ) -> DataFrame:
     """Assign every vector to its nearest of ``k`` seed vectors by
     cosine — deterministic coarse clustering for dedup blocking.
 
-    The seeds are the vectors with the ``k`` smallest ids (a fixed,
-    engine-independent choice — the same role KMeans.java:148's given
-    initial centroids play for the reference).  At corpus scale the
-    seeds would come from a trained k-means model instead; the
-    assignment plan is identical — a broadcast of k rows against the
-    scan, one argmax per row, no shuffle of the corpus.
+    ``k=None`` (default) derives the seed count from the corpus:
+    ``k = max(8, ceil(N / target_block_size))``, so the EXPECTED block
+    is ≤ ``target_block_size`` vectors and the within-block all-pairs
+    stage is bounded at ~``target²/2`` dots per block regardless of
+    corpus size — the property that keeps the downstream quadratic
+    stage flat at 100 TB (a fixed small k would leave blocks growing
+    as N/k and the pair stage as N²/k).  The sizing count is one
+    columnar metadata-cheap scan.  At real corpus scale the seeds
+    would come from a trained k-means model (``ivf_index``); the
+    assignment plan is identical either way — a broadcast of k rows
+    against the scan, one argmax per row, no shuffle of the corpus.
+
+    The seeds are the vectors with the ``k`` smallest ids — selected
+    by ``orderBy(id).limit(k)`` (a TakeOrdered, k rows), which is
+    correct for sparse / non-contiguous ids too (a ``id < k`` filter
+    would silently under-seed).  This mirrors the fixed given-centroid
+    role of KMeans.java:148's initial centroids.
 
     Ties break to the lowest seed id on the ROUNDED cosine (the
     struct-max trick: max over (cos, -seed_id) lexicographic), so an
@@ -676,7 +690,10 @@ def semantic_blocks(
         F.col(id_col).alias("id"),
         F.transform(v, lambda x: x / norm).alias("nv"),
     ).filter(F.size("nv") > 0)
-    seeds = base.filter(F.col("id") < k).select(
+    if k is None:
+        n = base.count()
+        k = max(8, -(-n // target_block_size))
+    seeds = base.orderBy("id").limit(k).select(
         F.col("id").alias("seed_id"), F.col("nv").alias("sv")
     )
     scored = base.join(F.broadcast(seeds)).select(
@@ -699,18 +716,21 @@ def semantic_blocks(
 
 def semantic_dedup_pairs(
     df: DataFrame,
-    k: int = 8,
+    k: int | None = None,
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    target_block_size: int = 4096,
 ) -> DataFrame:
     """Near-duplicate pairs within computed semantic blocks.
 
     The pipeline composition a 100 TB corpus dedup actually runs:
     coarse clustering confines the quadratic pair work to blocks
-    (~N/k² of the full cross join per block), then the exact cosine
-    test runs only inside blocks.  Contrast with
+    (expected block ≤ ``target_block_size`` under the default
+    ``k=None`` sizing — see :func:`semantic_blocks` — so per-block
+    pair work stays bounded as the corpus grows), then the exact
+    cosine test runs only inside blocks.  Contrast with
     :func:`embedding_cosine_pairs`, which blocks on a pre-existing
     label column — here the blocking itself is derived from the data.
 
@@ -719,7 +739,10 @@ def semantic_dedup_pairs(
 
     Output: (id_a, id_b, block, cosine) with id_a < id_b.
     """
-    blocks = semantic_blocks(df, k=k, id_col=id_col, vec_col=vec_col)
+    blocks = semantic_blocks(
+        df, k=k, id_col=id_col, vec_col=vec_col,
+        target_block_size=target_block_size,
+    )
     if dim is not None:
         blocks = blocks.select(
             "id",
@@ -761,6 +784,7 @@ def two_stage_dedup_pairs(
     vec_id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    candidates: str = "gemm",
 ) -> DataFrame:
     """Cheap-filter → expensive-verify dedup: embedding-cosine candidate
     pairs confirmed by exact n-gram Jaccard on the documents' text.
@@ -774,6 +798,21 @@ def two_stage_dedup_pairs(
     word shingles (``array_intersect`` / ``array_union`` — integer
     sizes, engine-exact division).
 
+    ``candidates`` picks the stage-1 physics:
+
+    * ``"gemm"`` (production default) — per-block BLAS matmul
+      (:func:`embedding_cosine_pairs_gemm`) generates the pair SET with
+      a tiny threshold margin (1e-9, far above BLAS-vs-fold ulp error
+      at any practical ``dim``), then the cosine VALUE is recomputed
+      for the shortlist only with the oracle's exact left-to-right fold
+      and re-filtered at the unmargined threshold.  Shortlist-sized
+      exact work, block-sized GEMM work, corpus never pays interpreted
+      per-pair expressions — and the emitted values are bit-identical
+      to the ``"exact"`` variant.
+    * ``"exact"`` — the expression-cosine candidate stage
+      (:func:`embedding_cosine_pairs`) end to end; the oracle-shaped
+      reference variant, quadratic in interpreted expressions.
+
     Output: (id_a, id_b, cosine, jaccard) for pairs passing BOTH
     thresholds, id_a < id_b.
     """
@@ -782,14 +821,58 @@ def two_stage_dedup_pairs(
         tokenize,
     )
 
-    cand = embedding_cosine_pairs(
-        emb,
-        id_col=vec_id_col,
-        vec_col=vec_col,
-        block_col=block_col,
-        threshold=cosine_threshold,
-        dim=dim,
-    ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    if candidates == "gemm":
+        shortlist = embedding_cosine_pairs_gemm(
+            emb,
+            id_col=vec_id_col,
+            vec_col=vec_col,
+            block_col=block_col if block_col is not None else "label",
+            threshold=cosine_threshold - 1e-9,
+        ).select("id_a", "id_b")
+        v = F.col(vec_col).cast("array<double>")
+        nrm = l2_norm(v)
+        if dim is not None:
+            base = emb.select(
+                F.col(vec_id_col).alias("_rid"),
+                *[
+                    (F.element_at(v, i + 1) / nrm).alias(f"_c{i}")
+                    for i in range(dim)
+                ],
+            ).filter(F.size(v) == dim)
+            exact = None
+            for i in range(dim):
+                term = F.col(f"a._c{i}") * F.col(f"b._c{i}")
+                exact = term if exact is None else exact + term
+        else:
+            base = emb.select(
+                F.col(vec_id_col).alias("_rid"),
+                F.transform(v, lambda x: x / nrm).alias("_nv"),
+            ).filter(F.size("_nv") > 0)
+            exact = dot(F.col("a._nv"), F.col("b._nv"))
+        ba, bb = base.alias("a"), base.alias("b")
+        # both lookups keep the corpus-sized side un-shuffled: the
+        # shortlist is broadcast into the a-side scan, and that
+        # (still shortlist-sized) result is broadcast into the b-side
+        with_a = ba.join(
+            F.broadcast(shortlist), F.col("a._rid") == F.col("id_a")
+        )
+        cand = (
+            bb.join(F.broadcast(with_a), F.col("b._rid") == F.col("id_b"))
+            .select("id_a", "id_b", exact.alias("cosine"))
+            .filter(F.col("cosine") >= cosine_threshold)
+            .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        )
+    elif candidates == "exact":
+        cand = embedding_cosine_pairs(
+            emb,
+            id_col=vec_id_col,
+            vec_col=vec_col,
+            block_col=block_col,
+            threshold=cosine_threshold,
+            dim=dim,
+        ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    else:
+        raise ValueError(f"candidates must be 'gemm' or 'exact', got {candidates!r}")
     # Shingle arrays only for documents that appear in a candidate pair:
     # a broadcast semi join narrows the corpus BEFORE the (interpreted)
     # shingle HOF runs — at scale candidates << corpus, so the verify

@@ -463,3 +463,57 @@ def lm_unigram_scores(
         )
     )
     return scored
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking — the context-length shaping step
+    of an LLM training pipeline (long documents become overlapping
+    ``chunk_tokens``-token windows with ``overlap`` tokens carried
+    between consecutive chunks).
+
+    Window starts are ``0, stride, 2·stride, …`` with ``stride =
+    chunk_tokens − overlap``, generated while ``start < max(n_tokens −
+    overlap, 1)`` — the standard rule (HF tokenizers' overflow
+    windows): every token lands in ≥1 chunk, no chunk is fully
+    contained in its predecessor, and a document shorter than one
+    window yields exactly one chunk.  Empty documents yield none.
+
+    Everything is JVM higher-order functions on the token array
+    (sequence → transform → slice → posexplode) — chunking a 100 TB
+    corpus is a scan-speed narrow map with zero shuffle; the output
+    fans out rows but never leaves the partition.
+
+    Output: (id, chunk_id, n_tokens, chunk_text) — ``chunk_id`` is the
+    0-based window index, ``chunk_text`` the space-joined tokens.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be < chunk_tokens ({chunk_tokens})"
+        )
+    stride = chunk_tokens - overlap
+    toks = df.select(
+        F.col(id_col), tokenize(F.col(text_col)).alias("_t")
+    ).filter(F.size("_t") > 0)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size("_t") - overlap - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    chunks = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(starts, lambda s: F.slice("_t", s + 1, chunk_tokens))
+        ).alias("chunk_id", "_ct"),
+    )
+    return chunks.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size("_ct").cast("long").alias("n_tokens"),
+        F.array_join("_ct", " ").alias("chunk_text"),
+    )

@@ -18,7 +18,7 @@ from __future__ import annotations
 import glob
 import os
 import shutil
-import tempfile
+from flink_kmeans_clustering_spark.scratch import scratch_dir
 
 from pyspark.sql import DataFrame
 
@@ -36,7 +36,7 @@ def write_csv_single(
     """
     if flink_compat:
         header = False
-    scratch = tempfile.mkdtemp(prefix="csv_sink_")
+    scratch = scratch_dir("csv_sink_")
     out_dir = os.path.join(scratch, "out")
     df.coalesce(1).write.mode("overwrite").option("header", header).csv(out_dir)
     [part] = glob.glob(os.path.join(out_dir, "part-*.csv"))

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import itertools
 import os
-import tempfile
+from flink_kmeans_clustering_spark.scratch import scratch_dir
 
 from pyspark.sql import DataFrame
 
@@ -41,7 +41,7 @@ def run_available_now(
     """
     spark = stream_df.sparkSession
     name = f"stream_result_{os.getpid()}_{next(_QUERY_SEQ)}"
-    checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    checkpoint = scratch_dir(f"ckpt_{name}_")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
@@ -83,7 +83,7 @@ def run_foreach_batch(
     least once and in order.
     """
     name = f"stream_feb_{os.getpid()}_{next(_QUERY_SEQ)}"
-    checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    checkpoint = scratch_dir(f"ckpt_{name}_")
     query = (
         stream_df.writeStream.foreachBatch(batch_fn)
         .option("checkpointLocation", checkpoint)

@@ -85,6 +85,15 @@ def sessionize_stream(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
             return
 
         rows = pd.concat(list(pdfs), ignore_index=True)
+        open_sess = list(state.get) if state.exists else None
+        if len(rows) == 0:
+            # Arrow batching can hand a key an empty pdf (no data, no
+            # timeout): no-op, but re-arm state + timeout so the open
+            # session still closes when the watermark passes it.
+            if open_sess is not None:
+                state.update(tuple(open_sess))
+                state.setTimeoutTimestamp((open_sess[1] + gap_us) // 1000)
+            return
         # pandas datetime64[ns] → epoch micros (integer floor-div, same
         # truncation as unix_micros / DuckDB epoch_us)
         rows["ts_us"] = rows["ts"].astype("int64") // 1000
@@ -92,7 +101,6 @@ def sessionize_stream(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
 
         import numpy as np
 
-        open_sess = list(state.get) if state.exists else None
         ts = rows["ts_us"].to_numpy(dtype="int64")
         vals = rows["value"].to_numpy(dtype="float64")
         # Vectorized session split (a Python per-event loop is the batch
@@ -112,17 +120,26 @@ def sessionize_stream(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
         # ulp (~1e-13 here), unlike a cumsum-difference whose cancellation
         # error scales with the GLOBAL running total and could cross the
         # round-6 grid the oracle comparison uses
-        sums = np.add.reduceat(vals, idx_first)
         counts = idx_last - idx_first + 1
         if open_sess is not None and gid[0] == 0:
+            # continuation: prepend the carried sum as a synthetic first
+            # element so the fold order is ((s+v0)+v1)+… — identical to a
+            # per-event accumulation, so the result can't drift an ulp
+            # from a single-batch run of the same events
+            sums = np.add.reduceat(
+                np.concatenate(([open_sess[3]], vals)),
+                np.concatenate(([0], idx_first[1:] + 1)),
+            )
             starts[0] = open_sess[0]
             counts[0] += open_sess[2]
-            sums[0] += open_sess[3]
         elif open_sess is not None:
+            sums = np.add.reduceat(vals, idx_first)
             starts = np.concatenate(([open_sess[0]], starts))
             ends = np.concatenate(([open_sess[1]], ends))
             counts = np.concatenate(([open_sess[2]], counts))
             sums = np.concatenate(([open_sess[3]], sums))
+        else:
+            sums = np.add.reduceat(vals, idx_first)
         closed = list(
             zip(
                 starts[:-1].tolist(),

@@ -329,3 +329,84 @@ def test_keep_best_per_group_tiebreak(spark):
     )
     got = {r["source"]: (r["doc_id"], r["n_chars"]) for r in keep_best_per_group(df).collect()}
     assert got == {"a": (1, 300), "b": (3, 50)}
+
+
+def test_semantic_blocks_adaptive_k_bounds_blocks(spark):
+    """k=None derives seed count from corpus size so the EXPECTED block
+    stays <= target_block_size: k = max(8, ceil(N/target))."""
+    from flink_kmeans_clustering_spark.operators.dedup import semantic_blocks
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 7) + 1.0, float(i % 3)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    # N=40, target=10 -> k = max(8, 4) = 8 distinct possible seeds
+    out = semantic_blocks(df, k=None, target_block_size=10)
+    blks = {r["blk"] for r in out.collect()}
+    assert blks <= set(range(8))
+    assert out.count() == 40
+    # N=40, target=3 -> k = max(8, ceil(40/3)=14) = 14: blk ids beyond 8
+    out2 = semantic_blocks(df, k=None, target_block_size=3)
+    assert {r["blk"] for r in out2.collect()} <= set(range(14))
+    # the sizing rule itself (pure math, the 100 TB contract):
+    # ceil-div keeps expected block size <= target for any N
+    for n, target in [(10**6, 4096), (10**9, 4096), (5, 4096)]:
+        k = max(8, -(-n // target))
+        assert n / k <= 4096 or k == 8
+
+
+def test_semantic_blocks_sparse_ids_get_full_seed_count(spark):
+    """Seeds are the k SMALLEST ids (orderBy+limit), not ids < k — with
+    sparse ids starting at 100 the old filter would have found none."""
+    from flink_kmeans_clustering_spark.operators.dedup import semantic_blocks
+
+    df = spark.createDataFrame(
+        [
+            (100, [1.0, 0.0]),
+            (200, [0.0, 1.0]),
+            (300, [0.95, 0.05]),
+            (400, [0.05, 0.95]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["id"]: r["blk"] for r in semantic_blocks(df, k=2).collect()}
+    # seeds are ids 100 and 200; 300 joins 100's block, 400 joins 200's
+    assert got == {100: 100, 200: 200, 300: 100, 400: 200}
+
+
+def test_two_stage_gemm_candidates_match_exact(spark):
+    """The production GEMM candidate stage emits the same pairs AND the
+    same (exact-fold, round-6) cosine values as the exact expression
+    variant — the shortlist recompute makes them bit-identical."""
+    from flink_kmeans_clustering_spark.operators.dedup import two_stage_dedup_pairs
+
+    sf = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    kw = dict(cosine_threshold=0.3, jaccard_threshold=0.01, dim=64)
+    gemm = two_stage_dedup_pairs(docs, emb, candidates="gemm", **kw).collect()
+    exact = two_stage_dedup_pairs(docs, emb, candidates="exact", **kw).collect()
+    as_set = lambda rows: {
+        (r["id_a"], r["id_b"], r["cosine"], r["jaccard"]) for r in rows
+    }
+    assert len(gemm) > 0
+    assert as_set(gemm) == as_set(exact)
+
+
+def test_embedding_pairs_dim_mismatch_rows_excluded(spark):
+    """A vector longer than dim must NOT silently understate its cosine
+    (truncated dot over a full-width norm); mismatched widths are
+    filtered out of the pair space entirely."""
+    from flink_kmeans_clustering_spark.operators.dedup import embedding_cosine_pairs
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [1.0, 0.0], 0),
+            (2, [1.0, 0.0, 5.0], 0),  # wider than dim=2: excluded
+            (3, [1.0], 0),            # narrower: excluded
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    pairs = embedding_cosine_pairs(df, threshold=0.5, dim=2).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}

@@ -205,3 +205,71 @@ def test_lm_unigram_scores_hand_checked(spark):
     assert abs(rows[1]["nll"] - want1) < 1e-6 and rows[1]["n_tokens"] == 2
     # rarer tokens -> higher NLL
     assert rows[1]["nll"] > rows[0]["nll"]
+
+
+def test_chunk_documents_window_rule(spark):
+    """Starts at 0, stride, … while start < max(n-overlap, 1): every
+    token covered, consecutive chunks share `overlap` tokens, no chunk
+    fully contained in its predecessor, short docs -> one chunk."""
+    from flink_kmeans_clustering_spark.operators.textstats import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(f"w{i}" for i in range(10))),  # 10 toks, 2 chunks
+            (1, "one two three"),                        # < window -> 1 chunk
+            (2, ""),                                     # empty -> none
+            (3, " ".join(f"w{i}" for i in range(17))),  # boundary: 17 toks
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=8, overlap=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for rows in by_doc.values():
+        rows.sort(key=lambda r: r["chunk_id"])
+
+    # doc 0: stride 6 -> starts 0, 6 (n-overlap = 8 -> start<8)
+    c0 = by_doc[0]
+    assert [r["chunk_id"] for r in c0] == [0, 1]
+    assert c0[0]["chunk_text"].split() == [f"w{i}" for i in range(8)]
+    assert c0[1]["chunk_text"].split() == [f"w{i}" for i in range(6, 10)]
+    assert c0[1]["n_tokens"] == 4
+    # overlap tokens shared between consecutive chunks
+    assert set(c0[0]["chunk_text"].split()) & set(c0[1]["chunk_text"].split()) == {"w6", "w7"}
+    # doc 1: single short chunk
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["n_tokens"] == 3
+    # doc 2: no chunks
+    assert 2 not in by_doc
+    # doc 3: n=17, starts 0,6,12 (start<15); union covers all 17 tokens
+    c3 = by_doc[3]
+    assert [r["chunk_id"] for r in c3] == [0, 1, 2]
+    covered = set()
+    for r in c3:
+        covered.update(r["chunk_text"].split())
+    assert covered == {f"w{i}" for i in range(17)}
+    # every chunk adds at least one new token vs its predecessor
+    seen = set()
+    for r in c3:
+        toks = set(r["chunk_text"].split())
+        assert toks - seen
+        seen |= toks
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    from flink_kmeans_clustering_spark.operators.textstats import chunk_documents
+
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=8, overlap=8)
+
+
+def test_chunk_documents_no_shuffle(spark):
+    """Chunking must stay a narrow map: zero exchanges in the plan."""
+    from flink_kmeans_clustering_spark.operators.textstats import chunk_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
