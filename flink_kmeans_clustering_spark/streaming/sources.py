@@ -112,38 +112,83 @@ def flush_sentinel_stream(
     Columns: ``user_id, event_id, ts, value`` — the sessionization
     input surface.
     """
-    # max(ts) as integer micros, computed engine-side (no float round
-    # trip through Python datetimes).  For a nanos-long generation the
-    # ns→us floor-div commutes with max because div is monotone; for a
-    # timestamp generation unix_micros is exact.  The scan (and the
-    # one-row sentinel write) run once per process, not once per query:
-    # a drain-heavy bench was paying a full events pass per stream.
+    # max(ts) as integer micros, read from the parquet FOOTER statistics
+    # (metadata-only — no data scan; every writer that produced this
+    # testdata records int64/timestamp min-max per row group, and max of
+    # row-group maxes is the column max).  For a nanos-long generation
+    # the footer stat is an int (ns→us floor-div commutes with max
+    # because div is monotone); for a timestamp generation it's a
+    # datetime at micro precision.  Falls back to an engine-side scan
+    # only when stats are absent.  Rounds 1-2 paid a full events pass
+    # per query here; now it's one footer read per process.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     events_path = os.path.join(sf_dir, "events.parquet")
     if events_path not in _MAX_US_CACHE:
-        raw = spark.read.parquet(events_path)
-        if dict(raw.dtypes)["ts"] == "bigint":
-            us = F.expr("ts div 1000")
-        else:
-            us = F.unix_micros(F.col("ts").cast("timestamp"))
-        [row] = raw.agg(F.max(us).alias("m")).collect()
-        # empty source -> max is NULL; any sentinel time flushes nothing,
-        # epoch keeps the stream well-formed
-        _MAX_US_CACHE[events_path] = int(row["m"]) if row["m"] is not None else 0
+        _MAX_US_CACHE[events_path] = _max_event_us(spark, events_path)
     sentinel_us = _MAX_US_CACHE[events_path] + advance_minutes * 60_000_000
     schema = (
         "user_id bigint, event_id bigint, ts timestamp, value double"
     )
     key = (events_path, advance_minutes)
     if key not in _SENTINEL_DIR_CACHE:
+        # one row, written driver-side with pyarrow: a Spark write of the
+        # same row costs seconds of first-write committer/codec spin-up
+        # per session for a 4-value file.
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         d = scratch_dir("flush_sentinel_")
-        one = spark.createDataFrame(
-            [(-1, -1, sentinel_us, 0.0)],
-            "user_id bigint, event_id bigint, ts_us bigint, value double",
-        ).select(
-            "user_id", "event_id", F.timestamp_micros("ts_us").alias("ts"), "value"
+        tbl = pa.table(
+            {
+                "user_id": pa.array([-1], pa.int64()),
+                "event_id": pa.array([-1], pa.int64()),
+                "ts": pa.array([sentinel_us], pa.timestamp("us")),
+                "value": pa.array([0.0], pa.float64()),
+            }
         )
-        one.coalesce(1).write.mode("overwrite").parquet(d)
+        pq.write_table(tbl, os.path.join(d, "part-00000.parquet"))
         _SENTINEL_DIR_CACHE[key] = d
     return spark.readStream.schema(schema).parquet(_SENTINEL_DIR_CACHE[key])
+
+
+def _max_event_us(spark: SparkSession, events_path: str) -> int:
+    """Column max of ``ts`` in integer micros, preferring footer stats."""
+    import datetime
+
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(events_path).metadata
+        ts_idx = next(
+            i
+            for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "ts"
+        )
+        maxes = []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ts_idx).statistics
+            if st is None or not st.has_min_max:
+                raise ValueError("row group without ts min/max stats")
+            maxes.append(st.max)
+        if not maxes:  # zero-row file: any sentinel time flushes nothing
+            return 0
+        if isinstance(maxes[0], datetime.datetime):
+            epoch = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+            return max(
+                int(
+                    (m.replace(tzinfo=datetime.timezone.utc) - epoch)
+                    / datetime.timedelta(microseconds=1)
+                )
+                for m in maxes
+            )
+        return max(int(m) for m in maxes) // 1000  # int64 nanos generation
+    except Exception:
+        # stats unavailable (encrypted/ancient writer): one engine scan
+        raw = spark.read.parquet(events_path)
+        if dict(raw.dtypes)["ts"] == "bigint":
+            us = F.expr("ts div 1000")
+        else:
+            us = F.unix_micros(F.col("ts").cast("timestamp"))
+        [row] = raw.agg(F.max(us).alias("m")).collect()
+        return int(row["m"]) if row["m"] is not None else 0
