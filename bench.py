@@ -102,11 +102,20 @@ def main() -> None:
         timings["kmeans_ref_100k_k8_10iter"] = round(sum(runs) / len(runs), 3)
         pts.unpersist()
 
+    import gc
+
     for name, q in entrymod.queries().items():
         t0 = time.perf_counter()
         df = q(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # drop py4j refs so the ContextCleaner can reclaim finished
+        # queries' localCheckpoint/broadcast blocks — without this the
+        # blocks pile up across ~100 queries and later queries pay the
+        # GC pressure (measured: multi-second per-query inflation late
+        # in the sweep)
+        del df
+        gc.collect()
 
     # Headline metric: the reference-comparable workload (same fixture,
     # same k/iterations as BASELINE.md's 2263 ms p=1 / 4021 ms p=4 rows)

@@ -649,6 +649,14 @@ def benchmark_overlap(
 # ---------------------------------------------------------------------------
 
 
+#: seed-count cutoff between the literal-projection assignment (seeds
+#: inlined into the plan; zero shuffles) and the distributed
+#: broadcast-join + struct-max form.  128 seeds × ~64 doubles is a few
+#: KB of plan references — far below literal-plan pain; beyond that the
+#: trained-cell/broadcast form is the right physics anyway.
+SEMANTIC_LITERAL_SEED_MAX = 128
+
+
 def semantic_blocks(
     df: DataFrame,
     k: int | None = None,
@@ -693,6 +701,35 @@ def semantic_blocks(
     if k is None:
         n = base.count()
         k = max(8, -(-n // target_block_size))
+    if k <= SEMANTIC_LITERAL_SEED_MAX:
+        # Small seed set → the k-means-assignment shape (see
+        # kmeans.assign_points): seeds are collected once (TakeOrdered,
+        # k rows) and entered as LITERAL vectors, so assignment is a
+        # single narrow projection — argmax over k fold-dots per row,
+        # zero joins, zero shuffles, and the downstream self-join reads
+        # a plain scan instead of re-running a 3-stage blocking DAG on
+        # each reference.  The collected nv values are the engine's own
+        # fold results, so every cosine is bit-identical to the join
+        # form (driver-side re-normalization would risk a ulp).
+        seed_rows = base.orderBy("id").limit(k).collect()
+        cands = F.array(
+            *[
+                F.struct(
+                    F.round(
+                        dot(F.col("nv"), F.lit([float(x) for x in r["nv"]])),
+                        round_to,
+                    ).alias("c"),
+                    F.lit(-int(r["id"])).cast("long").alias("neg"),
+                )
+                for r in seed_rows
+            ]
+        )
+        best = F.array_max(cands)
+        return base.select(
+            "id", "nv", (-best["neg"]).cast("int").alias("blk")
+        )
+    # Large-k scale path (trained-cell regimes): seeds stay distributed,
+    # broadcast-joined against the scan; argmax via struct-max groupBy.
     seeds = base.orderBy("id").limit(k).select(
         F.col("id").alias("seed_id"), F.col("nv").alias("sv")
     )
@@ -739,6 +776,97 @@ def semantic_dedup_pairs(
 
     Output: (id_a, id_b, block, cosine) with id_a < id_b.
     """
+    if dim is not None and (
+        k is None or k <= SEMANTIC_LITERAL_SEED_MAX
+    ):
+        # Fully-codegen'd fast path for a declared fixed width: the
+        # normalized components become ``dim`` plain double columns ONCE,
+        # the seed assignment is an array_max over k literal-seed sums of
+        # those columns (no HOF, no join — the same literal-centroid
+        # argmax as kmeans.assign_points), and the pair cosine reuses the
+        # identical columns.  Every sum is the same left-to-right
+        # multiply-add order as the fold form, so values (and the
+        # rounded oracle grid) are bit-identical.  Vectors whose width
+        # differs from ``dim`` are EXCLUDED outright (both stages) —
+        # same contract as embedding_cosine_pairs(dim=...).
+        # Expressions are authored as SQL STRINGS, not Column-by-Column:
+        # a dim=64 × k=8 expression tree built through per-operator
+        # Column calls is ~1500 py4j round trips (~2-3 s of driver
+        # latency before any work runs); selectExpr/expr parse the same
+        # AST JVM-side in a handful of calls.  Numeric semantics are
+        # unchanged — the '+' chains parse left-associated, identical to
+        # the fold order, and seed components are re-literalized via
+        # repr() (shortest round-trip decimal → the exact same double).
+        v_sql = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
+        nrm_sql = (
+            f"sqrt(aggregate({v_sql}, CAST(0 AS DOUBLE),"
+            " (acc, x) -> acc + x * x))"
+        )
+        wide = df.selectExpr(
+            f"{id_col} AS id",
+            *[
+                f"element_at({v_sql}, {i + 1}) / {nrm_sql} AS _c{i}"
+                for i in range(dim)
+            ],
+        ).where(f"size({v_sql}) = {dim}")
+        if k is None:
+            n = df.where(f"size({v_sql}) > 0").count()
+            k = max(8, -(-n // target_block_size))
+        if k > SEMANTIC_LITERAL_SEED_MAX:  # sizing crossed the cutoff
+            return _semantic_pairs_generic(
+                df, k, threshold, id_col, vec_col, dim, target_block_size
+            )
+        seed_rows = wide.orderBy("id").limit(k).collect()
+        cand_sql = "array(" + ", ".join(
+            "named_struct('c', round("
+            + " + ".join(
+                f"_c{i} * {float(r[f'_c{i}'])!r}D" for i in range(dim)
+            )
+            + ", 6), 'neg', CAST({} AS BIGINT))".format(-int(r["id"]))
+            for r in seed_rows
+        ) + ")"
+        blocks = wide.select(
+            "id",
+            F.expr(f"CAST(-(array_max({cand_sql}).neg) AS INT)").alias("blk"),
+            *[F.col(f"_c{i}") for i in range(dim)],
+        )
+        a, b = blocks.alias("a"), blocks.alias("b")
+        cos = F.expr(
+            " + ".join(f"a._c{i} * b._c{i}" for i in range(dim))
+        )
+    else:
+        return _semantic_pairs_generic(
+            df, k, threshold, id_col, vec_col, dim, target_block_size
+        )
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.blk").alias("block"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "block", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def _semantic_pairs_generic(
+    df: DataFrame,
+    k: int | None,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    dim: int | None,
+    target_block_size: int,
+) -> DataFrame:
+    """Array-form fallback for :func:`semantic_dedup_pairs`: unknown
+    vector width, or a seed count past the literal-plan cutoff.  Blocks
+    come from :func:`semantic_blocks` (HOF fold dots); the pair cosine
+    is the wide-column sum when ``dim`` is declared, else the fold."""
     blocks = semantic_blocks(
         df, k=k, id_col=id_col, vec_col=vec_col,
         target_block_size=target_block_size,
@@ -829,26 +957,25 @@ def two_stage_dedup_pairs(
             block_col=block_col if block_col is not None else "label",
             threshold=cosine_threshold - 1e-9,
         ).select("id_a", "id_b")
+        # Exact-value recompute in ARRAY-fold form: the cosine here only
+        # ever evaluates on shortlist-joined rows (candidates << corpus),
+        # so the wide-column codegen dot's big Janino compile buys
+        # nothing — the fold is the same left-to-right multiply-add
+        # order, so emitted values stay bit-identical to the "exact"
+        # variant and the oracle.  ``dim`` still gates width-mismatched
+        # vectors out (same contract as embedding_cosine_pairs).
         v = F.col(vec_col).cast("array<double>")
         nrm = l2_norm(v)
-        if dim is not None:
-            base = emb.select(
-                F.col(vec_id_col).alias("_rid"),
-                *[
-                    (F.element_at(v, i + 1) / nrm).alias(f"_c{i}")
-                    for i in range(dim)
-                ],
-            ).filter(F.size(v) == dim)
-            exact = None
-            for i in range(dim):
-                term = F.col(f"a._c{i}") * F.col(f"b._c{i}")
-                exact = term if exact is None else exact + term
-        else:
-            base = emb.select(
-                F.col(vec_id_col).alias("_rid"),
-                F.transform(v, lambda x: x / nrm).alias("_nv"),
-            ).filter(F.size("_nv") > 0)
-            exact = dot(F.col("a._nv"), F.col("b._nv"))
+        base = emb.select(
+            F.col(vec_id_col).alias("_rid"),
+            F.transform(v, lambda x: x / nrm).alias("_nv"),
+        )
+        base = (
+            base.filter(F.size(v) == dim)
+            if dim is not None
+            else base.filter(F.size("_nv") > 0)
+        )
+        exact = dot(F.col("a._nv"), F.col("b._nv"))
         ba, bb = base.alias("a"), base.alias("b")
         # both lookups keep the corpus-sized side un-shuffled: the
         # shortlist is broadcast into the a-side scan, and that
@@ -873,6 +1000,14 @@ def two_stage_dedup_pairs(
         ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     else:
         raise ValueError(f"candidates must be 'gemm' or 'exact', got {candidates!r}")
+    # The shortlist feeds FOUR downstream references (two id-projection
+    # union branches and the broadcast into the pair join); without a
+    # materialization each reference re-executes the whole candidate
+    # DAG — Arrow GEMM stage included.  localCheckpoint computes it
+    # once and truncates lineage; the shortlist is candidate-sized
+    # (<< corpus) by construction, so executor-local storage is cheap
+    # at any scale.
+    cand = cand.localCheckpoint()
     # Shingle arrays only for documents that appear in a candidate pair:
     # a broadcast semi join narrows the corpus BEFORE the (interpreted)
     # shingle HOF runs — at scale candidates << corpus, so the verify
@@ -891,6 +1026,10 @@ def two_stage_dedup_pairs(
         F.col(id_col).alias("_id"),
         ngram_shingles(tokenize(F.col(text_col)), n).alias("_sh"),
     )
+    # referenced by BOTH pair-side joins below; the tokenize+shingle
+    # HOFs are the most expensive interpreted work in the query, so
+    # compute them once (candidate-sized rows, same argument as cand)
+    sh = sh.localCheckpoint()
     with_a = (
         sh.join(F.broadcast(cand), F.col("_id") == F.col("id_a"))
         .drop("_id")
@@ -941,4 +1080,63 @@ def keep_best_per_group(
         F.col("grp").alias(group_col),
         (-F.col("m.neg")).alias(id_col),
         F.col("m.sc").alias(score_col),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy (edit-distance) deduplication
+# ---------------------------------------------------------------------------
+
+
+def fuzzy_name_pairs(
+    df: DataFrame,
+    name_col: str,
+    id_col: str,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Near-duplicate pairs by Levenshtein distance over the DISTINCT
+    value domain, with blocking.
+
+    Classic record-linkage shape for short strings (names, titles,
+    SKUs).  Two scale decisions:
+
+    * Dedup the VALUE DOMAIN, not the rows — a min-id aggregate first
+      collapses each distinct string to one representative (row count
+      drops from corpus-scale to vocabulary-scale; a raw self-join
+      over rows explodes quadratically in every duplicated value:
+      measured 790k pairs over 20k rows vs 24 pairs over the 64
+      distinct names in the same data).
+    * Candidates limited to a BLOCK — the last whitespace token (for
+      "color noun" names the noun carries the entity; a real pipeline
+      picks phonetic keys or q-gram buckets the same way), so the
+      remaining quadratic term is bounded by the largest block, not
+      the vocabulary.
+
+    ``levenshtein`` runs JVM-side, ``name_a < name_b`` halves the pair
+    space, and the distance cap filters in the same join stage.
+
+    Output: (id_a, id_b, name_a, name_b, distance) where the ids are
+    each name's minimum ``id_col`` (deterministic representative),
+    distance ≤ ``max_distance``.
+    """
+    reps = df.groupBy(F.col(name_col).alias("_nm")).agg(
+        F.min(id_col).alias("_rep")
+    )
+    block = F.element_at(F.split(F.col("_nm"), " "), -1)
+    left = reps.select(
+        F.col("_rep").alias("id_a"),
+        F.col("_nm").alias("name_a"),
+        block.alias("_blk"),
+    )
+    right = reps.select(
+        F.col("_rep").alias("id_b"),
+        F.col("_nm").alias("name_b"),
+        block.alias("_blk"),
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        left.join(right, "_blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("id_a", "id_b", "name_a", "name_b", dist.alias("distance"))
+        .filter(F.col("distance") <= max_distance)
     )
