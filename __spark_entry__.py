@@ -24,6 +24,7 @@ from flink_kmeans_clustering_spark.operators.dedup import (
     embedding_cosine_pairs,
     embedding_cosine_pairs_gemm,
     exact_duplicate_groups,
+    fuzzy_name_pairs,
     minhash_lsh_pairs,
     keep_best_per_group,
     ngram_jaccard_pairs,
@@ -100,6 +101,7 @@ from flink_kmeans_clustering_spark.operators.events import (
     asof_join,
     daily_retention,
     daily_type_pivot,
+    first_event_per_day,
     funnel_counts,
     extract_props,
     props_map_stats,
@@ -117,7 +119,13 @@ from flink_kmeans_clustering_spark.operators.events import (
     type_date_rollup,
     value_quantiles,
 )
-from flink_kmeans_clustering_spark.operators.relational import small_quantity_revenue
+from flink_kmeans_clustering_spark.operators.relational import (
+    PROFILE_COLS,
+    profile_columns,
+    revenue_grouping_sets,
+    small_quantity_revenue,
+    stats_by_flag,
+)
 from flink_kmeans_clustering_spark.operators.sampling import (
     approx_distinct,
     deterministic_sample,
@@ -800,6 +808,41 @@ def q_rel_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return small_quantity_revenue(load_table(spark, "lineitem", sf_dir))
 
 
+def q_rel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moment/regression aggregate family per return flag, one shuffle."""
+    return stats_by_flag(load_table(spark, "lineitem", sf_dir))
+
+
+def q_rel_groupsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS lattice (region,nation)/(region)/() with
+    grouping_id, dimension chain broadcast end-to-end."""
+    return revenue_grouping_sets(
+        load_table(spark, "lineitem", sf_dir),
+        load_table(spark, "orders", sf_dir),
+        load_table(spark, "customer", sf_dir),
+        load_table(spark, "nation", sf_dir),
+        load_table(spark, "region", sf_dir),
+    )
+
+
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profile of lineitem (count/null/distinct/min/max)."""
+    return profile_columns(load_table(spark, "lineitem", sf_dir))
+
+
+def q_events_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window dedup: each user's first event per day via struct-min agg."""
+    return first_event_per_day(load_events(spark, sf_dir))
+
+
+def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein near-dup pairs over the distinct part-name domain
+    (min-key representatives), noun-token blocking."""
+    return fuzzy_name_pairs(
+        load_table(spark, "part", sf_dir), "p_name", "p_partkey", max_distance=2
+    )
+
+
 def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static broadcast join: events stream enriched with a
     per-type average dimension computed batch-side."""
@@ -1251,6 +1294,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- queries below are outside the driver's 50-row window this
         # round (r04 rotates them in); new round-3 additions lead so
         # they verify first next round ---
+        "q_rel_stats": q_rel_stats,
+        "q_rel_groupsets": q_rel_groupsets,
+        "q_profile": q_profile,
+        "q_events_first": q_events_first,
+        "q_dedup_fuzzy": q_dedup_fuzzy,
         "q_update": q_update,
         "q_events_approx_users": q_events_approx_users,
         "q_events_approx_quantiles": q_events_approx_quantiles,
@@ -2360,6 +2408,75 @@ JOIN (SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_limit
   ON l.l_partkey = p.l_partkey
 WHERE l.l_quantity < p.qty_limit
 """
+    rel_stats_sql = """
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       ROUND(covar_samp(l_quantity, l_extendedprice), 6) AS covar_qty_price,
+       ROUND(stddev_samp(l_quantity), 6) AS std_qty,
+       ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope_price_on_qty,
+       ROUND(regr_intercept(l_extendedprice, l_quantity), 6) AS icept_price_on_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+    # gid bit order mirrors Spark's grouping_id(): first grouping column
+    # is the most significant bit
+    rel_groupsets_sql = """
+SELECT COALESCE(r_name, 'ALL') AS region,
+       COALESCE(n_name, 'ALL') AS nation,
+       CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS INT) AS gid,
+       COUNT(*) AS n_items,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(25,8))), 6) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+"""
+    # min/max rendered via printf/strftime so both engines format
+    # identically (bare double->varchar casts diverge on sci-notation)
+    _prof_parts = []
+    for c, kind in PROFILE_COLS:
+        if kind == "num":
+            mn, mx = f"printf('%.6f', MIN({c}))", f"printf('%.6f', MAX({c}))"
+        elif kind == "ts":
+            mn = f"strftime(MIN({c}), '%Y-%m-%d %H:%M:%S')"
+            mx = f"strftime(MAX({c}), '%Y-%m-%d %H:%M:%S')"
+        else:
+            mn, mx = f"CAST(MIN({c}) AS VARCHAR)", f"CAST(MAX({c}) AS VARCHAR)"
+        _prof_parts.append(f"""
+SELECT '{c}' AS col_name,
+       COUNT({c}) AS n_rows,
+       SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       {mn} AS min_s, {mx} AS max_s
+FROM lineitem""")
+    profile_sql = "\nUNION ALL\n".join(_prof_parts)
+    events_first_sql = """
+SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, epoch_us(ts) AS ts_us,
+       event_id, event_type, ROUND(value, 6) AS value
+FROM events
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY user_id, strftime(ts, '%Y-%m-%d')
+  ORDER BY epoch_us(ts), event_id) = 1
+"""
+    dedup_fuzzy_sql = """
+WITH reps AS (
+  SELECT p_name AS nm, MIN(p_partkey) AS rep FROM part GROUP BY p_name
+),
+p AS (
+  SELECT rep, nm, list_extract(string_split(nm, ' '), -1) AS blk
+  FROM reps
+)
+SELECT a.rep AS id_a, b.rep AS id_b,
+       a.nm AS name_a, b.nm AS name_b,
+       CAST(levenshtein(a.nm, b.nm) AS INT) AS distance
+FROM p a
+JOIN p b ON a.blk = b.blk AND a.nm < b.nm
+WHERE levenshtein(a.nm, b.nm) <= 2
+"""
     stream_enrich_sql = """
 WITH d AS (SELECT event_type, ROUND(AVG(value), 6) AS type_avg
            FROM events GROUP BY event_type)
@@ -2759,6 +2876,11 @@ FROM events GROUP BY event_type
         "q_events_asof": events_asof_sql,
         "q_events_running": events_running_sql,
         "q_rel_small_qty": rel_small_qty_sql,
+        "q_rel_stats": rel_stats_sql,
+        "q_rel_groupsets": rel_groupsets_sql,
+        "q_profile": profile_sql,
+        "q_events_first": events_first_sql,
+        "q_dedup_fuzzy": dedup_fuzzy_sql,
         "q_events_quantiles": """
 SELECT event_type, ROUND(quantile_cont(value, 0.25), 6) AS p25,
        ROUND(quantile_cont(value, 0.50), 6) AS p50,

@@ -608,3 +608,39 @@ def value_histogram(
             ),
         )
     )
+
+
+def first_event_per_day(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Keep each user's FIRST event per calendar day (ties broken by
+    event_id) — the keep-one-representative window dedup every
+    training-data pipeline runs on clickstreams.
+
+    A struct-MIN aggregate, not a row_number window: Spark compares
+    structs lexicographically, so ``min(struct(ts, event_id, ...))``
+    selects the earliest row with O(1) state per group, partial-
+    aggregated map-side.  A window would sort every partition's full
+    event list; the agg shuffles only one candidate row per (user,
+    day) — the difference between O(n log n) per key and O(n) at
+    100 TB.
+    """
+    day = F.date_format(ts_col, "yyyy-MM-dd").alias("day")
+    best = F.min(
+        F.struct(
+            F.unix_micros(ts_col).alias("ts_us"),
+            F.col("event_id"),
+            F.col("event_type"),
+            F.col("value"),
+        )
+    ).alias("f")
+    return (
+        df.groupBy("user_id", day)
+        .agg(best)
+        .select(
+            "user_id",
+            "day",
+            F.col("f.ts_us").alias("ts_us"),
+            F.col("f.event_id").alias("event_id"),
+            F.col("f.event_type").alias("event_type"),
+            F.round(F.col("f.value"), 6).alias("value"),
+        )
+    )

@@ -843,3 +843,134 @@ def rolling_weekly_revenue(lineitem: DataFrame, window_days: int = 7) -> DataFra
             .alias("rolling_revenue"),
         )
     )
+
+
+def stats_by_flag(lineitem: DataFrame) -> DataFrame:
+    """Statistical aggregates per return flag: the moment/regression
+    family (corr, covariance, stddev, OLS slope+intercept) in ONE
+    grouped pass.
+
+    All six moments come from the same partial-aggregation shuffle —
+    Spark's ImperativeAggregates for corr/covar/regr keep a constant
+    per-group state (n, means, co-moments) merged associatively, so
+    the plan is a single hash-aggregate pair (map-side combine) no
+    matter the row count.  Values are order-sensitive in the last few
+    ulps (double co-moment accumulation); rounding to 6 places keeps
+    both engines on the same grid at these magnitudes.
+    """
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.corr(q, p), 6).alias("corr_qty_price"),
+            F.round(F.covar_samp(q, p), 6).alias("covar_qty_price"),
+            F.round(F.stddev_samp(q), 6).alias("std_qty"),
+            F.round(F.regr_slope(p, q), 6).alias("slope_price_on_qty"),
+            F.round(F.regr_intercept(p, q), 6).alias("icept_price_on_qty"),
+        )
+    )
+
+
+def revenue_grouping_sets(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """Revenue at three explicit aggregation levels via GROUPING SETS:
+    (region, nation), (region), and grand total, with a grouping_id
+    discriminator.
+
+    GROUPING SETS beats unioning three groupBys: one scan, one
+    shuffle — the Expand operator replicates each row once per set
+    BEFORE the partial aggregate, so map-side combine still collapses
+    the fact side and the shuffle carries pre-aggregated rows.  The
+    dimension chain (customer→nation→region) is broadcast end-to-end.
+    """
+    joined = (
+        lineitem.select("l_orderkey", disc_price().cast(DEC_WIDE).alias("_rev"))
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.select("r_regionkey", "r_name")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.groupingSets(
+            [["r_name", "n_name"], ["r_name"], []], "r_name", "n_name"
+        )
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("_rev"), 6).cast("double").alias("revenue"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "gid",
+            "n_items",
+            "revenue",
+        )
+    )
+
+
+#: columns profiled by :func:`profile_columns` — (name, kind); kind picks
+#: the min/max string rendering ("num" → printf %.6f, "ts" → yyyy-MM-dd
+#: HH:mm:ss, "str" → identity) so every engine formats identically —
+#: bare double→string casts differ across engines (sci-notation cutoffs).
+PROFILE_COLS = (
+    ("l_quantity", "num"),
+    ("l_extendedprice", "num"),
+    ("l_discount", "num"),
+    ("l_returnflag", "str"),
+    ("l_shipdate", "ts"),
+)
+
+
+def _render(col: Column, kind: str) -> Column:
+    if kind == "num":
+        return F.format_string("%.6f", col)
+    if kind == "ts":
+        return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+    return col.cast("string")
+
+
+def profile_columns(lineitem: DataFrame) -> DataFrame:
+    """Data-quality profile: one row per column with count/null/distinct
+    /min/max — the first thing a pipeline runs on a new 100 TB drop.
+
+    Everything is computed in a SINGLE aggregate over one scan (not one
+    job per column): count+min+max are plain partial aggs; the exact
+    distincts make Catalyst rewrite the multi-distinct agg through one
+    Expand (rows × #distinct-cols) — still one shuffle, no join.  The
+    long/tidy output shape comes from stack() AFTER aggregation, when
+    the data is one row.  Min/max are emitted as strings so numeric,
+    string and date columns share one result schema.
+    """
+    aggs = []
+    for c, kind in PROFILE_COLS:
+        col = F.col(c)
+        aggs += [
+            F.count(col).alias(f"{c}__n"),
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.countDistinct(col).alias(f"{c}__distinct"),
+            _render(F.min(col), kind).alias(f"{c}__min"),
+            _render(F.max(col), kind).alias(f"{c}__max"),
+        ]
+    one = lineitem.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c, _ in PROFILE_COLS
+    )
+    n = len(PROFILE_COLS)
+    return one.select(
+        F.expr(
+            f"stack({n}, {stack_args}) AS "
+            "(col_name, n_rows, n_nulls, n_distinct, min_s, max_s)"
+        )
+    )

@@ -410,3 +410,45 @@ def test_embedding_pairs_dim_mismatch_rows_excluded(spark):
     )
     pairs = embedding_cosine_pairs(df, threshold=0.5, dim=2).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}
+
+
+def test_fuzzy_name_pairs_distinct_domain(spark):
+    from flink_kmeans_clustering_spark.operators.dedup import fuzzy_name_pairs
+
+    df = spark.createDataFrame(
+        [
+            (10, "red bolt"),
+            (3, "red bolt"),     # duplicate value: collapses to rep id 3
+            (7, "ted bolt"),     # distance 1 from "red bolt"
+            (8, "red widget"),   # different block (noun)
+            (9, "blue bolt"),    # distance 3 from "red bolt": filtered
+        ],
+        "pk long, name string",
+    )
+    rows = fuzzy_name_pairs(df, "name", "pk", max_distance=2).collect()
+    assert len(rows) == 1
+    [r] = rows
+    # min-id representative for the duplicated "red bolt"
+    assert {r["name_a"], r["name_b"]} == {"red bolt", "ted bolt"}
+    assert {r["id_a"], r["id_b"]} == {3, 7}
+    assert r["distance"] == 1
+
+
+def test_semantic_literal_path_matches_generic(spark):
+    from flink_kmeans_clustering_spark.operators.dedup import (
+        _semantic_pairs_generic,
+        semantic_dedup_pairs,
+    )
+    from tests.conftest import SF_CORRECTNESS
+
+    emb = spark.read.parquet(f"{SF_CORRECTNESS}/embeddings.parquet")
+    fast = semantic_dedup_pairs(emb, k=None, threshold=0.3, dim=64).collect()
+    slow = _semantic_pairs_generic(
+        emb, None, 0.3, "vec_id", "embedding", 64, 4096
+    ).collect()
+    key = lambda r: (r["id_a"], r["id_b"])
+    assert sorted(map(key, fast)) == sorted(map(key, slow))
+    # cosines bit-identical (same multiply-add order by construction)
+    fc = {key(r): r["cosine"] for r in fast}
+    for r in slow:
+        assert fc[key(r)] == r["cosine"]

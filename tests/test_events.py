@@ -242,3 +242,26 @@ def test_trailing_active_users_window(spark):
     assert rows["2024-01-01"] == 1
     assert rows["2024-01-03"] == 2          # users 1 (Jan 1) and 2 (Jan 3)
     assert rows["2024-01-08"] == 2          # user 2 (Jan 3) + user 1 (Jan 8); Jan 1 aged out
+
+
+def test_first_event_per_day_picks_earliest_with_id_tiebreak(spark):
+    from flink_kmeans_clustering_spark.operators.events import first_event_per_day
+    import datetime as dt
+
+    ev = spark.createDataFrame(
+        [
+            (1, 10, dt.datetime(2024, 1, 1, 8, 0), "view", 1.0),
+            (1, 11, dt.datetime(2024, 1, 1, 9, 0), "click", 2.0),
+            # same-instant tie on day 2: lower event_id wins
+            (1, 21, dt.datetime(2024, 1, 2, 7, 0), "view", 3.0),
+            (1, 20, dt.datetime(2024, 1, 2, 7, 0), "click", 4.0),
+            (2, 30, dt.datetime(2024, 1, 1, 23, 59), "buy", 5.0),
+        ],
+        "user_id long, event_id long, ts timestamp, event_type string,"
+        " value double",
+    )
+    rows = {(r["user_id"], r["day"]): r for r in first_event_per_day(ev).collect()}
+    assert len(rows) == 3
+    assert rows[(1, "2024-01-01")]["event_id"] == 10
+    assert rows[(1, "2024-01-02")]["event_id"] == 20  # tie -> lower id
+    assert rows[(2, "2024-01-01")]["event_type"] == "buy"

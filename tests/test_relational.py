@@ -193,3 +193,70 @@ def test_daily_revenue_delta_lag(spark):
     assert rows[0]["delta_vs_prev_day"] is None
     assert rows[1]["revenue"] == 200.0
     assert rows[1]["delta_vs_prev_day"] == 100.0
+
+
+def test_stats_by_flag_moments(spark):
+    from flink_kmeans_clustering_spark.operators.relational import stats_by_flag
+
+    li = spark.createDataFrame(
+        [("A", 1.0, 2.0), ("A", 2.0, 4.0), ("A", 3.0, 6.0), ("B", 5.0, 1.0)],
+        "l_returnflag string, l_quantity double, l_extendedprice double",
+    )
+    rows = {r["l_returnflag"]: r for r in stats_by_flag(li).collect()}
+    # perfectly linear A: corr 1, slope 2, intercept 0
+    assert rows["A"]["n"] == 3
+    assert rows["A"]["corr_qty_price"] == 1.0
+    assert rows["A"]["slope_price_on_qty"] == 2.0
+    assert rows["A"]["icept_price_on_qty"] == 0.0
+    # single-row group: sample moments undefined -> NULL, not crash
+    assert rows["B"]["std_qty"] is None
+
+
+def test_grouping_sets_matches_manual_union(spark):
+    from flink_kmeans_clustering_spark.operators.relational import (
+        revenue_grouping_sets,
+    )
+    from flink_kmeans_clustering_spark.sources.parquet import load_table
+    from tests.conftest import SF_SMOKE
+
+    got = revenue_grouping_sets(
+        load_table(spark, "lineitem", SF_SMOKE),
+        load_table(spark, "orders", SF_SMOKE),
+        load_table(spark, "customer", SF_SMOKE),
+        load_table(spark, "nation", SF_SMOKE),
+        load_table(spark, "region", SF_SMOKE),
+    ).collect()
+    by_gid = {}
+    for r in got:
+        by_gid.setdefault(r["gid"], []).append(r)
+    # gid 0 = (region, nation) detail; 1 = per-region; 3 = grand total
+    assert set(by_gid) == {0, 1, 3}
+    assert len(by_gid[3]) == 1
+    total = by_gid[3][0]
+    assert total["region"] == "ALL" and total["nation"] == "ALL"
+    # each level must re-aggregate to the same grand total
+    for gid in (0, 1):
+        assert sum(r["n_items"] for r in by_gid[gid]) == total["n_items"]
+        assert abs(sum(r["revenue"] for r in by_gid[gid]) - total["revenue"]) < 1e-3
+
+
+def test_profile_columns_counts_nulls_and_formats(spark):
+    from flink_kmeans_clustering_spark.operators.relational import profile_columns
+    import datetime as dt
+
+    li = spark.createDataFrame(
+        [
+            (1.0, 10.5, 0.1, "A", dt.datetime(1996, 1, 1, 12, 30)),
+            (2.0, None, 0.1, "R", dt.datetime(1997, 6, 2)),
+            (2.0, 20.0, None, None, None),
+        ],
+        "l_quantity double, l_extendedprice double, l_discount double,"
+        " l_returnflag string, l_shipdate timestamp",
+    )
+    rows = {r["col_name"]: r for r in profile_columns(li).collect()}
+    assert rows["l_quantity"]["n_distinct"] == 2
+    assert rows["l_extendedprice"]["n_nulls"] == 1
+    assert rows["l_extendedprice"]["n_rows"] == 2  # count() skips NULLs
+    assert rows["l_quantity"]["min_s"] == "1.000000"  # printf-stable render
+    assert rows["l_shipdate"]["min_s"] == "1996-01-01 12:30:00"
+    assert rows["l_returnflag"]["max_s"] == "R"
