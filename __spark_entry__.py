@@ -140,6 +140,7 @@ from flink_kmeans_clustering_spark.operators.kmeans import (
     lloyd,
     moved_centroids,
     objective_from_assigned,
+    scalable_init,
     update_centroids,
 )
 from flink_kmeans_clustering_spark.streaming import (
@@ -1227,6 +1228,46 @@ def q_kmeans_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mini-batch streaming K-Means: centroids refined once per
+    micro-batch (Sculley 2010 / MLlib StreamingKMeans update rule) with
+    the same literal-centroid narrow-map assignment as the batch path.
+    State is k (Σx, Σy, w) sums driver-side, so the α=1 single-batch
+    drain over the bounded fixture is bit-exactly one batch
+    assignment+update step — the q_update DuckDB oracle applies
+    verbatim (empty clusters dropped, same tie-break)."""
+    from flink_kmeans_clustering_spark.streaming.kmeans import streaming_kmeans
+
+    pts = stream_table(spark, "embeddings", sf_dir).select(
+        F.col("vec_id").alias("point_id"),
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        F.element_at("embedding", 2).cast("double").alias("y"),
+    )
+    final = streaming_kmeans(pts, centroids_v(spark, sf_dir), decay=1.0)
+    rows = [(cid, cx, cy, int(w)) for cid, cx, cy, w in final if w > 0]
+    out = spark.createDataFrame(rows, "id int, x double, y double, n long")
+    return out.select(
+        "id", F.round("x", 6).alias("x"), F.round("y", 6).alias("y"), "n"
+    )
+
+
+def q_kmeans_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means|| initialization (Bahmani et al., VLDB 2012) feeding the
+    same Lloyd refinement as q_kmeans: per-round parallel oversampling
+    replaces both the reference's random init (KMeans.java:88) and
+    recompnearest (KMeans.java:101-116) at cluster scale.  Rows-only:
+    the hash-seeded Bernoulli draw is engine-specific; determinism and
+    the ≤-random-init WCSS property are pinned in
+    tests/test_kmeans_ops.py."""
+    pts = points_v(spark, sf_dir)
+    init = scalable_init(pts, k=8, rounds=3, seed=11)
+    res = lloyd(pts, init, max_iterations=KMEANS_ITERS)
+    out = spark.createDataFrame(res.centroids, "id int, x double, y double")
+    return out.select(
+        "id", F.round("x", 6).alias("x"), F.round("y", 6).alias("y")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
@@ -1295,6 +1336,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round (r04 rotates them in); new round-3 additions lead so
         # they verify first next round ---
         "q_rel_stats": q_rel_stats,
+        "q_kmeans_scalable": q_kmeans_scalable,
+        "q_stream_kmeans": q_stream_kmeans,
         "q_rel_groupsets": q_rel_groupsets,
         "q_profile": q_profile,
         "q_events_first": q_events_first,
@@ -2794,6 +2837,8 @@ SELECT id AS doc_id, MIN(r) AS component_id FROM reach GROUP BY id
         "q_assign": assign,
         "q_assign_join": assign,
         "q_update": update,
+        # single-batch α=1 drain == one batch assignment+update step
+        "q_stream_kmeans": update,
         "q_objfun": objfun,
         "q_convergence": convergence,
         "q_kmeans": kmeans,

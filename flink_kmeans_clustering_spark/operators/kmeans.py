@@ -457,3 +457,162 @@ def recompute_nearest(
             rng.uniform(min_coord, max_coord),
         )
     return out
+
+
+def scalable_init(
+    points: DataFrame,
+    k: int,
+    l: int | None = None,
+    rounds: int = 5,
+    seed: int = 0,
+    x: str = "x",
+    y: str = "y",
+    id_col: str = "point_id",
+) -> list[Centroid]:
+    """k-means|| initialization (Bahmani et al., "Scalable K-Means++",
+    VLDB 2012) — the distributed replacement for both the reference's
+    random init (KMeans.java:88) and its ``recompnearest`` heuristic
+    (KMeans.java:101-116), and for sequential k-means++ (k dependent
+    passes): ``rounds`` passes each sample ~``l`` candidates in
+    PARALLEL with probability ∝ distance², then the O(l·rounds)
+    candidate set is reclustered driver-side.
+
+    Distributed physics per round: one narrow assignment pass against
+    the current candidate literals (:func:`assign_points_param` — no
+    join, no shuffle), a scalar Σd² reduce, and a Bernoulli sample
+    whose uniform comes from ``xxhash64(id, round, seed)`` — hash-
+    derived, so the draw is reproducible under any partitioning /
+    re-execution (``rand(seed)`` is partition-layout-dependent).  Per
+    round the driver collects only the ~l sampled rows.
+
+    The final weighted k-means++ + Lloyd refinement runs driver-side
+    over ≤ l·rounds+1 candidates (weights = points per candidate, one
+    more distributed count) — same cost argument as MLlib's
+    ``KMeans||`` implementation, which reclusters candidates locally.
+
+    Returns k centroids with ids 0..k-1 (fewer iff the input has fewer
+    distinct candidates).
+    """
+    l = l if l is not None else 2 * k
+    u53 = float(1 << 53)
+
+    # first center: seeded hash-order pick (the paper's uniform point)
+    first = (
+        points.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
+        .limit(1)
+        .collect()
+    )
+    if not first:
+        return []
+    cand: list[tuple[float, float]] = [(float(first[0][x]), float(first[0][y]))]
+
+    for r in range(rounds):
+        lits = [(i, cx, cy) for i, (cx, cy) in enumerate(cand)]
+        a = assign_points_param(points, lits, x=x, y=y, dist2_col="_d2")
+        [row] = a.agg(F.sum("_d2").alias("phi")).collect()
+        phi = float(row["phi"]) if row["phi"] else 0.0
+        if phi <= 0.0:
+            break  # every point coincides with a candidate
+        u = (
+            F.pmod(
+                F.xxhash64(F.col(id_col), F.lit(r), F.lit(seed)), F.lit(1 << 53)
+            ).cast("double")
+            / u53
+        )
+        new = (
+            a.filter(u * phi < F.lit(float(l)) * F.col("_d2"))
+            .select(x, y)
+            .collect()
+        )
+        cand.extend((float(p[x]), float(p[y])) for p in new)
+        # dedup exact coincidences (re-sampled points add no information)
+        cand = list(dict.fromkeys(cand))
+
+    # weights: points per nearest candidate (one distributed count)
+    lits = [(i, cx, cy) for i, (cx, cy) in enumerate(cand)]
+    counts = {
+        int(r["cluster"]): int(r["n"])
+        for r in assign_points_param(points, lits, x=x, y=y)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    weights = [float(counts.get(i, 0)) for i in range(len(cand))]
+
+    if len(cand) <= k:
+        return [(i, cx, cy) for i, (cx, cy) in enumerate(cand)]
+    picked = _weighted_kmeanspp(cand, weights, k, seed)
+    refined = _weighted_lloyd_local(cand, weights, picked, iters=5)
+    return [(i, cx, cy) for i, (cx, cy) in enumerate(refined)]
+
+
+def _weighted_kmeanspp(
+    cand: list[tuple[float, float]],
+    w: list[float],
+    k: int,
+    seed: int,
+) -> list[tuple[float, float]]:
+    """Sequential weighted k-means++ over the (small) candidate set."""
+    rng = random.Random(seed)
+    # first pick ∝ weight (fall back to uniform if all weights are 0)
+    total = sum(w)
+    probs = [wi / total for wi in w] if total > 0 else None
+    centers = [cand[_draw(rng, probs, len(cand))]]
+    d2 = [math.dist(c, centers[0]) ** 2 for c in cand]
+    while len(centers) < k:
+        mass = [wi * di for wi, di in zip(w, d2)]
+        tot = sum(mass)
+        if tot <= 0.0:
+            # all remaining mass is zero: top up with unpicked candidates
+            for c in cand:
+                if c not in centers:
+                    centers.append(c)
+                    if len(centers) == k:
+                        break
+            break
+        nxt = cand[_draw(rng, [m / tot for m in mass], len(cand))]
+        centers.append(nxt)
+        d2 = [min(di, math.dist(c, nxt) ** 2) for c, di in zip(cand, d2)]
+    return centers
+
+
+def _draw(rng: random.Random, probs: list[float] | None, n: int) -> int:
+    if probs is None:
+        return rng.randrange(n)
+    r = rng.random()
+    acc = 0.0
+    for i, p in enumerate(probs):
+        acc += p
+        if r < acc:
+            return i
+    return n - 1
+
+
+def _weighted_lloyd_local(
+    cand: list[tuple[float, float]],
+    w: list[float],
+    centers: list[tuple[float, float]],
+    iters: int,
+) -> list[tuple[float, float]]:
+    """A few weighted Lloyd steps over the candidate set (driver-side)."""
+    cur = list(centers)
+    for _ in range(iters):
+        sums = [[0.0, 0.0, 0.0] for _ in cur]  # Σwx, Σwy, Σw
+        for (cx, cy), wi in zip(cand, w):
+            if wi <= 0.0:
+                continue
+            j = min(
+                range(len(cur)),
+                key=lambda i: (cx - cur[i][0]) ** 2 + (cy - cur[i][1]) ** 2,
+            )
+            sums[j][0] += wi * cx
+            sums[j][1] += wi * cy
+            sums[j][2] += wi
+        nxt = [
+            (sx / sw, sy / sw) if sw > 0 else cur[i]
+            for i, (sx, sy, sw) in enumerate(sums)
+        ]
+        if nxt == cur:
+            break
+        cur = nxt
+    return cur

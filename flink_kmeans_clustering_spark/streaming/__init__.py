@@ -21,6 +21,7 @@ swapping the reader and the trigger.
 """
 
 from flink_kmeans_clustering_spark.streaming.dedup import dedup_stream
+from flink_kmeans_clustering_spark.streaming.kmeans import streaming_kmeans
 from flink_kmeans_clustering_spark.streaming.run import run_available_now
 from flink_kmeans_clustering_spark.streaming.sources import (
     flush_sentinel_stream,
@@ -41,5 +42,6 @@ __all__ = [
     "sessionize_stream",
     "stream_events",
     "stream_table",
+    "streaming_kmeans",
     "windowed_event_counts",
 ]

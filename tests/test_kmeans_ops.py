@@ -215,3 +215,48 @@ def test_assign_plan_is_narrow(spark, points):
     # the expression path must not shuffle: no Exchange in the plan
     plan = assign_points(points, CENTROIDS)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_scalable_init_deterministic_and_sized(spark):
+    from flink_kmeans_clustering_spark.operators.kmeans import scalable_init
+    from flink_kmeans_clustering_spark.views import points_v
+    from tests.conftest import SF_CORRECTNESS
+
+    pts = points_v(spark, SF_CORRECTNESS)
+    a = scalable_init(pts, k=8, rounds=3, seed=11)
+    b = scalable_init(pts, k=8, rounds=3, seed=11)
+    assert a == b  # hash-seeded sampling: reproducible bit-for-bit
+    assert [c[0] for c in a] == list(range(8))
+    c = scalable_init(pts, k=8, rounds=3, seed=12)
+    assert c != a  # the seed actually steers the draw
+
+
+def test_scalable_init_beats_random_init_wcss(spark):
+    from flink_kmeans_clustering_spark.operators.kmeans import (
+        lloyd,
+        random_centroids,
+        scalable_init,
+    )
+    from flink_kmeans_clustering_spark.views import points_v
+    from tests.conftest import SF_CORRECTNESS
+
+    pts = points_v(spark, SF_CORRECTNESS)
+    good = scalable_init(pts, k=8, rounds=3, seed=11)
+    res_good = lloyd(pts, good, max_iterations=3)
+    res_rand = lloyd(pts, random_centroids(8, seed=11), max_iterations=3)
+    # d²-weighted oversampling must not LOSE to blind uniform placement
+    # on the same fixture after the same refinement budget
+    assert res_good.wcss <= res_rand.wcss * 1.001
+
+
+def test_scalable_init_empty_and_degenerate(spark):
+    from flink_kmeans_clustering_spark.operators.kmeans import scalable_init
+
+    empty = spark.createDataFrame([], "point_id long, x double, y double")
+    assert scalable_init(empty, k=4) == []
+    # all points identical: one candidate, phi=0 short-circuit
+    same = spark.createDataFrame(
+        [(i, 1.0, 2.0) for i in range(5)], "point_id long, x double, y double"
+    )
+    out = scalable_init(same, k=4, rounds=2, seed=3)
+    assert out == [(0, 1.0, 2.0)]

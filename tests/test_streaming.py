@@ -182,3 +182,86 @@ def test_checkpoint_restart_processes_each_file_once(spark, tmp_path):
     # 15 rows, not 25: the first file was NOT reprocessed
     assert got.count() == 15
     assert got.filter("id >= 100").count() == 5
+
+
+def test_streaming_kmeans_single_batch_equals_batch_update(spark):
+    """α=1 over a one-file drain must reproduce update_centroids exactly."""
+    from flink_kmeans_clustering_spark.operators.kmeans import (
+        assign_points,
+        update_centroids,
+    )
+    from flink_kmeans_clustering_spark.streaming.kmeans import streaming_kmeans
+    from flink_kmeans_clustering_spark.streaming.sources import stream_table
+    from flink_kmeans_clustering_spark.views import centroids_v, points_v
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+
+    init = centroids_v(spark, SF_SMOKE)
+    pts = stream_table(spark, "embeddings", SF_SMOKE).select(
+        F.col("vec_id").alias("point_id"),
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        F.element_at("embedding", 2).cast("double").alias("y"),
+    )
+    got = {
+        cid: (cx, cy, w)
+        for cid, cx, cy, w in streaming_kmeans(pts, init, decay=1.0)
+        if w > 0
+    }
+    want = {
+        int(r["id"]): (float(r["x"]), float(r["y"]), float(r["n"]))
+        for r in update_centroids(
+            assign_points(points_v(spark, SF_SMOKE), init)
+        ).collect()
+    }
+    assert got == want  # bit-exact, not approximately
+
+
+def test_streaming_kmeans_decay_forgets_old_batches(spark, tmp_path):
+    """Two ordered micro-batches with α=0.5: old mass halves."""
+    import os
+    import time as _time
+
+    from flink_kmeans_clustering_spark.streaming.kmeans import streaming_kmeans
+
+    d = str(tmp_path / "pts")
+    # batch 1: two points at x=0; batch 2: one point at x=10 (y fixed)
+    b1 = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 0.0, 0.0)], "point_id long, x double, y double"
+    )
+    b2 = spark.createDataFrame(
+        [(3, 10.0, 0.0)], "point_id long, x double, y double"
+    )
+    b1.coalesce(1).write.parquet(d + "/f0")
+    _time.sleep(1.1)  # file-source batch order follows mtime
+    b2.coalesce(1).write.parquet(d + "/f1")
+    stream = (
+        spark.readStream.schema("point_id long, x double, y double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    [(cid, cx, cy, w)] = streaming_kmeans(
+        stream, [(0, 5.0, 0.0)], decay=0.5
+    )
+    # after b1: Σx=0, w=2 ; after b2: Σx=0*.5+10=10, w=2*.5+1=2
+    assert (cid, cy) == (0, 0.0)
+    assert w == 2.0 and cx == 5.0
+
+
+def test_streaming_kmeans_empty_cluster_keeps_init(spark):
+    from flink_kmeans_clustering_spark.streaming.kmeans import streaming_kmeans
+    from flink_kmeans_clustering_spark.streaming.sources import stream_table
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+
+    pts = stream_table(spark, "embeddings", SF_SMOKE).select(
+        F.col("vec_id").alias("point_id"),
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        F.element_at("embedding", 2).cast("double").alias("y"),
+    )
+    # one absurdly remote centroid never wins a point -> weight 0, kept
+    init = [(0, 0.0, 0.0), (1, 1e9, 1e9)]
+    out = dict(
+        (cid, (cx, cy, w)) for cid, cx, cy, w in streaming_kmeans(pts, init)
+    )
+    assert out[1] == (1e9, 1e9, 0.0)
+    assert out[0][2] > 0
