@@ -23,6 +23,7 @@ from flink_kmeans_clustering_spark.operators.dedup import (
     connected_components,
     embedding_cosine_pairs,
     embedding_cosine_pairs_gemm,
+    dedup_corpus,
     exact_duplicate_groups,
     fuzzy_name_pairs,
     minhash_lsh_pairs,
@@ -57,6 +58,7 @@ from flink_kmeans_clustering_spark.operators.textstats import (
     lm_unigram_scores,
     quality_score,
     repetition_stats,
+    source_token_drift,
     tfidf_top_terms,
     token_counts,
     token_frequencies,
@@ -125,6 +127,7 @@ from flink_kmeans_clustering_spark.operators.relational import (
     revenue_grouping_sets,
     small_quantity_revenue,
     stats_by_flag,
+    upsert_customer_balances,
 )
 from flink_kmeans_clustering_spark.operators.sampling import (
     approx_distinct,
@@ -814,6 +817,33 @@ def q_rel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats_by_flag(load_table(spark, "lineitem", sf_dir))
 
 
+def q_rel_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO shape without a table format: per-customer order
+    totals applied onto the customer snapshot via one full outer join
+    (UPDATE matched / keep target-only / INSERT source-only)."""
+    return upsert_customer_balances(
+        load_table(spark, "customer", sf_dir),
+        load_table(spark, "orders", sf_dir),
+    )
+
+
+def q_text_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL divergence vs the whole corpus — the
+    slice-drift monitoring statistic."""
+    return source_token_drift(load_table(spark, "documents", sf_dir))
+
+
+def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end deduplicated corpus: capped n-gram pairs → connected
+    components → keep each component's min-id representative plus all
+    untouched docs (components broadcast; corpus scanned once)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=NGRAM_JACCARD_THRESHOLD)
+    comp = connected_components(pairs, node_col="doc_id")
+    kept = dedup_corpus(docs, comp, id_col="doc_id")
+    return kept.select("doc_id", "source", "n_chars")
+
+
 def q_rel_groupsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS lattice (region,nation)/(region)/() with
     grouping_id, dimension chain broadcast end-to-end."""
@@ -1342,6 +1372,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_profile": q_profile,
         "q_events_first": q_events_first,
         "q_dedup_fuzzy": q_dedup_fuzzy,
+        "q_rel_upsert": q_rel_upsert,
+        "q_text_drift": q_text_drift,
+        "q_dedup_keep": q_dedup_keep,
         "q_update": q_update,
         "q_events_approx_users": q_events_approx_users,
         "q_events_approx_quantiles": q_events_approx_quantiles,
@@ -2833,6 +2866,55 @@ reach(id, r) AS (
 )
 SELECT id AS doc_id, MIN(r) AS component_id FROM reach GROUP BY id
 """
+    dedup_keep_sql = f"""
+WITH RECURSIVE {ngram_capped_ctes},
+cc_edges AS (
+  SELECT id_a AS src, id_b AS dst FROM capped_pairs
+  UNION
+  SELECT id_b, id_a FROM capped_pairs
+),
+reach(id, r) AS (
+  SELECT DISTINCT src, src FROM cc_edges
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN cc_edges e ON e.src = reach.id
+),
+comp AS (SELECT id AS doc_id, MIN(r) AS component_id FROM reach GROUP BY id)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d LEFT JOIN comp USING (doc_id)
+WHERE comp.component_id IS NULL OR comp.component_id = d.doc_id
+"""
+    rel_upsert_sql = """
+WITH chg AS (
+  SELECT o_custkey AS key,
+         SUM(CAST(o_totalprice AS DECIMAL(25,8))) AS spend,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+)
+SELECT COALESCE(c.c_custkey, chg.key) AS c_custkey,
+       COALESCE(c.c_name, 'UNKNOWN') AS c_name,
+       CAST(ROUND(CAST(COALESCE(c.c_acctbal, 0.0) AS DECIMAL(25,8))
+                  + COALESCE(chg.spend, 0), 6) AS DOUBLE) AS new_acctbal,
+       COALESCE(c.c_mktsegment, 'UNKNOWN') AS c_mktsegment,
+       CAST(COALESCE(chg.n_orders, 0) AS BIGINT) AS n_orders
+FROM customer c FULL OUTER JOIN chg ON c.c_custkey = chg.key
+"""
+    text_drift_sql = """
+WITH tok AS (
+  SELECT source AS grp,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS t
+  FROM documents
+),
+by_st AS (SELECT grp, t, COUNT(*) AS c_st FROM tok GROUP BY grp, t),
+gt AS (SELECT grp, SUM(c_st) AS n_s FROM by_st GROUP BY grp),
+gl AS (SELECT t, SUM(c_st) AS c_t FROM by_st GROUP BY t),
+nt AS (SELECT SUM(c_st) AS n_tot FROM by_st)
+SELECT grp AS source,
+       ROUND(SUM((c_st / n_s) * ln((c_st / n_s) / (c_t / n_tot))), 6)
+         AS kl_vs_corpus
+FROM by_st JOIN gt USING (grp) JOIN gl USING (t) CROSS JOIN nt
+GROUP BY grp
+"""
     return {
         "q_assign": assign,
         "q_assign_join": assign,
@@ -2846,6 +2928,9 @@ SELECT id AS doc_id, MIN(r) AS component_id FROM reach GROUP BY id
         "q_dedup_ngram": dedup_ngram_capped_sql,
         "q_dedup_ngram_exact": dedup_ngram_exact_sql,
         "q_dedup_cc": dedup_cc_sql,
+        "q_dedup_keep": dedup_keep_sql,
+        "q_rel_upsert": rel_upsert_sql,
+        "q_text_drift": text_drift_sql,
         "q_dedup_embedding": dedup_embedding_sql,
         "q_dedup_minhash": dedup_minhash_sql,
         "q_dedup_simhash": dedup_simhash_sql,

@@ -517,11 +517,14 @@ def connected_components(
     Output: one row per node that appears in any pair —
     (``node_col``, ``comp_col``) with ``comp_col`` = min reachable id.
     """
-    edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .cache()
-    )
+    # materialize the pair list BEFORE mirroring it: the union's two
+    # branches would otherwise each re-execute the (expensive — shingle
+    # explode + band join) upstream pair DAG once
+    p = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    p = p.localCheckpoint()
+    edges = p.union(
+        p.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).cache()
     labels = edges.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("comp")
     )
@@ -1139,4 +1142,29 @@ def fuzzy_name_pairs(
         .filter(F.col("name_a") < F.col("name_b"))
         .select("id_a", "id_b", "name_a", "name_b", dist.alias("distance"))
         .filter(F.col("distance") <= max_distance)
+    )
+
+
+def dedup_corpus(
+    docs: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    comp_col: str = "component_id",
+) -> DataFrame:
+    """The end product of the near-dup pipeline: the corpus with every
+    duplicate group collapsed to its min-id representative.
+
+    A doc survives iff it touches no near-dup pair (no component row)
+    or it IS its component's representative.  The components table is
+    pair-graph-sized (<< corpus), so the left join broadcasts it and
+    the corpus is scanned once, never shuffled — the same "corpus is
+    the big side" discipline as the pair generators upstream.
+    """
+    comp = components.select(
+        F.col(id_col).alias("_cid"), F.col(comp_col).alias("_rep")
+    )
+    return (
+        docs.join(F.broadcast(comp), docs[id_col] == F.col("_cid"), "left")
+        .filter(F.col("_rep").isNull() | (F.col("_rep") == docs[id_col]))
+        .drop("_cid", "_rep")
     )

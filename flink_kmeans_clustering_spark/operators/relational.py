@@ -972,3 +972,46 @@ def profile_columns(lineitem: DataFrame) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def upsert_customer_balances(
+    customer: DataFrame,
+    orders: DataFrame,
+) -> DataFrame:
+    """SCD-style MERGE shape without a table format: apply a change
+    batch (per-customer order totals) onto the customer snapshot.
+
+    The three MERGE arms in one full outer join:
+    * matched        → UPDATE (balance += order total, bump order count)
+    * target-only    → keep the existing row untouched
+    * source-only    → INSERT (new key, defaults for missing attributes)
+
+    On an engine with Delta/Iceberg this is literally ``MERGE INTO``;
+    the full-outer-join + coalesce projection is the portable plan —
+    and it is exactly what those formats execute underneath.  The join
+    shuffles both sides by key once; AQE picks broadcast when the
+    change batch is small (the common nightly-delta case).
+    """
+    chg = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.sum(F.col("o_totalprice").cast(DEC_WIDE)).alias("_spend"),
+        F.count(F.lit(1)).alias("_n_orders"),
+    )
+    tgt = customer.select(
+        F.col("c_custkey").alias("key"),
+        "c_name",
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    merged = tgt.join(chg, "key", "full_outer")
+    spend = F.coalesce(F.col("_spend"), F.lit(0).cast(DEC_WIDE))
+    return merged.select(
+        F.col("key").alias("c_custkey"),
+        F.coalesce("c_name", F.lit("UNKNOWN")).alias("c_name"),
+        F.round(
+            F.coalesce(F.col("c_acctbal"), F.lit(0.0)).cast(DEC_WIDE) + spend, 6
+        )
+        .cast("double")
+        .alias("new_acctbal"),
+        F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("c_mktsegment"),
+        F.coalesce("_n_orders", F.lit(0)).alias("n_orders"),
+    )

@@ -517,3 +517,47 @@ def chunk_documents(
         F.size("_ct").cast("long").alias("n_tokens"),
         F.array_join("_ct", " ").alias("chunk_text"),
     )
+
+
+def source_token_drift(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distribution drift per corpus slice: KL(slice ‖ corpus) over
+    unigram token distributions — the monitoring statistic a training-
+    data pipeline tracks per source/snapshot to catch a slice whose
+    language shifted from the corpus it is supposed to resemble.
+
+    KL(q_s ‖ p) = Σ_t q_s(t) · ln(q_s(t) / p(t)), with q_s the slice's
+    token distribution and p the corpus-wide one.  Every term is
+    well-defined: a token in the slice is by construction in the
+    corpus (p(t) > 0), and absent tokens contribute 0 (lim x·ln x = 0),
+    so the sum runs only over the slice's own (group, token) counts.
+
+    Plan: one explode → one (group, token) count → two broadcast-sized
+    re-aggregations (per-group totals, per-token corpus counts) joined
+    back — the heavy shuffle is the single (group, token) aggregate;
+    everything after operates on vocabulary-scale rows.
+    """
+    tok = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(tokenize(F.col(text_col))).alias("t"),
+    )
+    by = tok.groupBy("grp", "t").agg(F.count(F.lit(1)).alias("c_st"))
+    grp_tot = by.groupBy("grp").agg(F.sum("c_st").alias("n_s"))
+    glob = by.groupBy("t").agg(F.sum("c_st").alias("c_t"))
+    n_row = by.agg(F.sum("c_st").alias("n_tot"))
+    q = F.col("c_st") / F.col("n_s")
+    p = F.col("c_t") / F.col("n_tot")
+    terms = (
+        by.join(F.broadcast(grp_tot), "grp")
+        .join(F.broadcast(glob), "t")
+        .crossJoin(F.broadcast(n_row))
+        .select("grp", (q * F.log(q / p)).alias("term"))
+    )
+    return (
+        terms.groupBy("grp")
+        .agg(F.round(F.sum("term"), 6).alias("kl_vs_corpus"))
+        .select(F.col("grp").alias(group_col), "kl_vs_corpus")
+    )

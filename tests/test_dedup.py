@@ -452,3 +452,17 @@ def test_semantic_literal_path_matches_generic(spark):
     fc = {key(r): r["cosine"] for r in fast}
     for r in slow:
         assert fc[key(r)] == r["cosine"]
+
+
+def test_dedup_corpus_keeps_reps_and_untouched(spark):
+    from flink_kmeans_clustering_spark.operators.dedup import dedup_corpus
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(6)], "doc_id long, payload string"
+    )
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (4, 4), (5, 4)], "doc_id long, component_id long"
+    )
+    kept = sorted(r["doc_id"] for r in dedup_corpus(docs, comp).collect())
+    # 0,3 untouched; 1 and 4 are their components' min-id reps; 2,5 dropped
+    assert kept == [0, 1, 3, 4]

@@ -260,3 +260,21 @@ def test_profile_columns_counts_nulls_and_formats(spark):
     assert rows["l_quantity"]["min_s"] == "1.000000"  # printf-stable render
     assert rows["l_shipdate"]["min_s"] == "1996-01-01 12:30:00"
     assert rows["l_returnflag"]["max_s"] == "R"
+
+
+def test_upsert_three_merge_arms(spark):
+    from flink_kmeans_clustering_spark.operators.relational import (
+        upsert_customer_balances,
+    )
+
+    cust = spark.createDataFrame(
+        [(1, "alice", 100.0, "AUTO"), (2, "bob", 50.0, "HOME")],
+        "c_custkey long, c_name string, c_acctbal double, c_mktsegment string",
+    )
+    orders = spark.createDataFrame(
+        [(1, 10.0), (1, 2.5), (3, 7.0)], "o_custkey long, o_totalprice double"
+    )
+    rows = {r["c_custkey"]: r for r in upsert_customer_balances(cust, orders).collect()}
+    assert rows[1]["new_acctbal"] == 112.5 and rows[1]["n_orders"] == 2  # UPDATE
+    assert rows[2]["new_acctbal"] == 50.0 and rows[2]["n_orders"] == 0   # keep
+    assert rows[3]["c_name"] == "UNKNOWN" and rows[3]["new_acctbal"] == 7.0  # INSERT

@@ -273,3 +273,27 @@ def test_chunk_documents_no_shuffle(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_source_token_drift_zero_for_identical_slice(spark):
+    import math
+
+    from flink_kmeans_clustering_spark.operators.textstats import (
+        source_token_drift,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a", "a b"),
+            (1, "a", "a b"),
+            (2, "b", "a a a b"),  # skewed slice: drift > 0
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = {r["source"]: r["kl_vs_corpus"] for r in source_token_drift(docs).collect()}
+    # corpus: a=5/8, b=3/8.  slice 'a': a=1/2, b=1/2
+    exp_a = 0.5 * math.log(0.5 / (5 / 8)) + 0.5 * math.log(0.5 / (3 / 8))
+    exp_b = 0.75 * math.log(0.75 / (5 / 8)) + 0.25 * math.log(0.25 / (3 / 8))
+    assert abs(rows["a"] - round(exp_a, 6)) < 2e-6
+    assert abs(rows["b"] - round(exp_b, 6)) < 2e-6
+    assert rows["b"] > 0 and rows["a"] > 0  # KL >= 0, both slices skewed
