@@ -436,3 +436,88 @@ def test_rel_mktshare_only_fact_join_shuffles(spark):
     # seven-table tree; shuffles: orders⋈lineitem + the yearly agg
     # (+ customer join upgrades from broadcast at real scale)
     assert "SortMergeJoin" not in s
+
+
+def test_grouping_sets_single_expand_single_agg_shuffle(spark):
+    from flink_kmeans_clustering_spark.operators.relational import (
+        revenue_grouping_sets,
+    )
+
+    d = revenue_grouping_sets(
+        load_table(spark, "lineitem", SF),
+        load_table(spark, "orders", SF),
+        load_table(spark, "customer", SF),
+        load_table(spark, "nation", SF),
+        load_table(spark, "region", SF),
+    )
+    s = explain_str(d)
+    # the three grouping sets ride ONE Expand (never three scans/unions);
+    # formatted explain prints each node twice (tree + details)
+    import re
+
+    assert len(re.findall(r"\(\d+\) Expand", s)) == 1
+    # dimension chain broadcast; the only exchanges are the fact join
+    # and the grouped aggregate
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s
+
+
+def test_profile_branches_scan_single_columns(spark):
+    from flink_kmeans_clustering_spark.operators.relational import (
+        PROFILE_COLS,
+        profile_columns,
+    )
+
+    d = profile_columns(load_table(spark, "lineitem", SF))
+    schemas = read_schemas(d)
+    # each union branch reads exactly its own pruned column
+    singles = [s for s in schemas if s.count(":") == 1]
+    assert len(singles) == len(PROFILE_COLS)
+
+
+def test_events_first_is_aggregate_not_window(spark):
+    from flink_kmeans_clustering_spark.operators.events import first_event_per_day
+
+    d = first_event_per_day(load_events(spark, SF))
+    s = explain_str(d)
+    # struct-min aggregate: no Window/sort buffering whole partitions
+    assert "Window" not in s
+    assert_max_shuffles(d, 1)
+
+
+def test_fuzzy_pairs_no_cartesian(spark):
+    from flink_kmeans_clustering_spark.operators.dedup import fuzzy_name_pairs
+
+    d = fuzzy_name_pairs(load_table(spark, "part", SF), "p_name", "p_partkey")
+    s = explain_str(d)
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
+    # distinct-domain agg + blocked equi self-join
+    assert_max_shuffles(d, 3)
+
+
+def test_upsert_is_one_full_outer_join(spark):
+    from flink_kmeans_clustering_spark.operators.relational import (
+        upsert_customer_balances,
+    )
+
+    d = upsert_customer_balances(
+        load_table(spark, "customer", SF), load_table(spark, "orders", SF)
+    )
+    s = explain_str(d)
+    assert "FullOuter" in s
+    # change-batch aggregate + the merge join; nothing else shuffles
+    assert_max_shuffles(d, 3)
+
+
+def test_dedup_corpus_broadcasts_components(spark):
+    from flink_kmeans_clustering_spark.operators.dedup import dedup_corpus
+
+    docs = load_table(spark, "documents", SF)
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1)], "doc_id long, component_id long"
+    )
+    d = dedup_corpus(docs, comp)
+    s = explain_str(d)
+    # corpus side never shuffles: the components join is broadcast
+    assert "BroadcastHashJoin" in s
+    assert shuffle_count(d) == 0
