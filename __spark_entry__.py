@@ -12,6 +12,7 @@ between engines can't flip the value hash.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -817,6 +818,52 @@ def q_rel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats_by_flag(load_table(spark, "lineitem", sf_dir))
 
 
+def q_sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The co-located-join layout end-to-end: orders and lineitem
+    written as bucketed tables hash-clustered on the order key, then
+    joined back with ZERO Exchange on either side (bucketed SMJ; plan
+    pinned in tests/test_plans.py) and aggregated.  Oracle: the same
+    join+aggregate straight off the source files."""
+    from flink_kmeans_clustering_spark.sinks.parquet import write_bucketed
+
+    root = scratch_dir("bucketed_")
+    suffix = os.path.basename(root.rstrip("/")).split("_")[-1]
+    t_orders, t_lineitem = f"b_orders_{suffix}", f"b_lineitem_{suffix}"
+    write_bucketed(
+        load_table(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_orderpriority"
+        ),
+        t_orders,
+        f"{root}/orders",
+        "o_orderkey",
+    )
+    write_bucketed(
+        load_table(spark, "lineitem", sf_dir).select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        ),
+        t_lineitem,
+        f"{root}/lineitem",
+        "l_orderkey",
+    )
+    joined = spark.table(t_lineitem).join(
+        spark.table(t_orders),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(25,8)"
+                )
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
 def q_rel_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO shape without a table format: per-customer order
     totals applied onto the customer snapshot via one full outer join
@@ -1375,6 +1422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rel_upsert": q_rel_upsert,
         "q_text_drift": q_text_drift,
         "q_dedup_keep": q_dedup_keep,
+        "q_sink_bucketed": q_sink_bucketed,
         "q_update": q_update,
         "q_events_approx_users": q_events_approx_users,
         "q_events_approx_quantiles": q_events_approx_quantiles,
@@ -2898,6 +2946,14 @@ SELECT COALESCE(c.c_custkey, chg.key) AS c_custkey,
        CAST(COALESCE(chg.n_orders, 0) AS BIGINT) AS n_orders
 FROM customer c FULL OUTER JOIN chg ON c.c_custkey = chg.key
 """
+    sink_bucketed_sql = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_items,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(25,8))), 6) AS DOUBLE) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o_orderpriority
+"""
     text_drift_sql = """
 WITH tok AS (
   SELECT source AS grp,
@@ -2931,6 +2987,7 @@ GROUP BY grp
         "q_dedup_keep": dedup_keep_sql,
         "q_rel_upsert": rel_upsert_sql,
         "q_text_drift": text_drift_sql,
+        "q_sink_bucketed": sink_bucketed_sql,
         "q_dedup_embedding": dedup_embedding_sql,
         "q_dedup_minhash": dedup_minhash_sql,
         "q_dedup_simhash": dedup_simhash_sql,

@@ -10,6 +10,7 @@ min/max pruning on that column.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_partitioned(
@@ -27,3 +28,42 @@ def write_partitioned(
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.partitionBy(*partition_by).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_by: str,
+    n_buckets: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as a BUCKETED parquet table (hash-clustered files).
+
+    Bucketing is the co-located-join primitive: each output file holds
+    one hash bucket of ``bucket_by``, and the layout is recorded in the
+    catalog.  Two tables bucketed by their join key with the same
+    bucket count then join with ZERO Exchange on either side — at
+    100 TB that turns the nightly fact⋈fact join from a full dual
+    shuffle into a per-bucket merge.  ``sortBy`` the same key so the
+    sort-merge join's per-bucket sort is also free on read.
+
+    (``partitionBy`` splits by VALUE into directories — right for
+    low-cardinality pruning; ``bucketBy`` splits by HASH into a fixed
+    file count — right for high-cardinality join keys.)
+    """
+    # Repartition by the bucket key into exactly n_buckets tasks first:
+    # repartition and bucketBy share the same Murmur3 hash, so each task
+    # then holds exactly one bucket and writes ONE file.  Spark's scan
+    # only reports a bucket as sorted when it is a single file — with
+    # multiple files per bucket the sortBy is wasted and every SMJ
+    # re-sorts each bucket at read time.
+    (
+        df.repartition(n_buckets, F.col(bucket_by))
+        .write.mode(mode)
+        .option("path", path)
+        .bucketBy(n_buckets, bucket_by)
+        .sortBy(bucket_by)
+        .format("parquet")
+        .saveAsTable(table)
+    )

@@ -521,3 +521,30 @@ def test_dedup_corpus_broadcasts_components(spark):
     # corpus side never shuffles: the components join is broadcast
     assert "BroadcastHashJoin" in s
     assert shuffle_count(d) == 0
+
+
+def test_bucketed_join_no_exchange_below_join(spark):
+    """The 100 TB co-located-join story: both sides bucketed on the
+    join key -> SMJ with ZERO Exchange under it.  Broadcast is forced
+    off because at test scale AQE (correctly) prefers a broadcast —
+    the bucketed layout is exactly for the sizes where it can't."""
+    import re
+
+    import __spark_entry__ as entrymod
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        d = entrymod.q_sink_bucketed(spark, SF)
+        s = explain_str(d)
+        assert "SortMergeJoin" in s
+        assert "Bucketed: true" in s
+        # the ONLY exchange in the whole plan is the final group-by —
+        # neither join side shuffles (that IS the bucketed layout).
+        # Per-bucket Sorts remain: Spark 3+ ignores bucket-file sort
+        # order by default (SPARK-28595) — local O(bucket log bucket)
+        # work, zero network, so the scale property is intact.
+        assert shuffle_count(d) == 1
+        assert len(re.findall(r"\(\d+\) Sort\b", s)) == 2  # one per side
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
