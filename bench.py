@@ -116,6 +116,7 @@ def main() -> None:
         # in the sweep)
         del df
         gc.collect()
+        spark.catalog.clearCache()  # drop any cache a query leaked
 
     # Headline metric: the reference-comparable workload (same fixture,
     # same k/iterations as BASELINE.md's 2263 ms p=1 / 4021 ms p=4 rows)

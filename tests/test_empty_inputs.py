@@ -159,3 +159,46 @@ def test_pack_offsets_empty(spark, empty_docs):
     from flink_kmeans_clustering_spark.operators.packing import pack_offsets
 
     assert pack_offsets(empty_docs).count() == 0
+
+
+def test_round3_relational_ops_empty(spark):
+    from flink_kmeans_clustering_spark.operators.relational import (
+        profile_columns,
+        stats_by_flag,
+        upsert_customer_balances,
+    )
+
+    empty_li = spark.createDataFrame(
+        [],
+        "l_quantity double, l_extendedprice double, l_discount double,"
+        " l_returnflag string, l_shipdate timestamp",
+    )
+    assert stats_by_flag(empty_li).count() == 0
+    # profile over zero rows still yields one row per column (all-null mins)
+    rows = profile_columns(empty_li).collect()
+    assert len(rows) == 5 and all(r["n_rows"] == 0 for r in rows)
+    empty_cust = spark.createDataFrame(
+        [], "c_custkey long, c_name string, c_acctbal double, c_mktsegment string"
+    )
+    empty_orders = spark.createDataFrame([], "o_custkey long, o_totalprice double")
+    assert upsert_customer_balances(empty_cust, empty_orders).count() == 0
+
+
+def test_round3_text_and_dedup_ops_empty(spark, empty_docs):
+    from flink_kmeans_clustering_spark.operators.dedup import (
+        dedup_corpus,
+        fuzzy_name_pairs,
+    )
+    from flink_kmeans_clustering_spark.operators.events import first_event_per_day
+    from flink_kmeans_clustering_spark.operators.textstats import source_token_drift
+
+    empty_named = spark.createDataFrame([], "pk long, name string")
+    assert fuzzy_name_pairs(empty_named, "name", "pk").count() == 0
+    empty_comp = spark.createDataFrame([], "doc_id long, component_id long")
+    assert dedup_corpus(empty_docs, empty_comp).count() == empty_docs.count()
+    empty_ev = spark.createDataFrame(
+        [], "user_id long, event_id long, ts timestamp, event_type string, value double"
+    )
+    assert first_event_per_day(empty_ev).count() == 0
+    docs_with_source = spark.createDataFrame([], "doc_id long, source string, text string")
+    assert source_token_drift(docs_with_source).count() == 0
