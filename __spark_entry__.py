@@ -808,6 +808,25 @@ def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same chunking semantics as q_text_chunk, via a Python UDTF
+    (Spark-4 table function, Arrow-batched lateral join) — the escape
+    hatch for one-to-many row logic the built-ins can't express,
+    verified against the IDENTICAL DuckDB oracle as the HOF form."""
+    from flink_kmeans_clustering_spark.functions.udtf import chunking_udtf
+
+    spark.udtf.register(
+        "chunk_docs_udtf", chunking_udtf(CHUNK_TOKENS, CHUNK_OVERLAP)
+    )
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "_docs_for_chunk_udtf"
+    )
+    return spark.sql(
+        "SELECT f.* FROM _docs_for_chunk_udtf,"
+        " LATERAL chunk_docs_udtf(doc_id, text) f"
+    )
+
+
 def q_rel_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: revenue of below-20%-of-part-average orders."""
     return small_quantity_revenue(load_table(spark, "lineitem", sf_dir))
@@ -1423,6 +1442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_drift": q_text_drift,
         "q_dedup_keep": q_dedup_keep,
         "q_sink_bucketed": q_sink_bucketed,
+        "q_text_chunk_udtf": q_text_chunk_udtf,
         "q_update": q_update,
         "q_events_approx_users": q_events_approx_users,
         "q_events_approx_quantiles": q_events_approx_quantiles,
@@ -3017,6 +3037,8 @@ GROUP BY grp
         "q_rel_yoy": rel_yoy_sql,
         "q_text_lmscore": text_lmscore_sql,
         "q_text_chunk": text_chunk_sql,
+        # identical semantics by construction; same oracle
+        "q_text_chunk_udtf": text_chunk_sql,
         "q_rel_forecast": rel_forecast_sql,
         "q_rel_promo": rel_promo_sql,
         "q_rel_brandrev": rel_brandrev_sql,

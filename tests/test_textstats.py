@@ -297,3 +297,39 @@ def test_source_token_drift_zero_for_identical_slice(spark):
     assert abs(rows["a"] - round(exp_a, 6)) < 2e-6
     assert abs(rows["b"] - round(exp_b, 6)) < 2e-6
     assert rows["b"] > 0 and rows["a"] > 0  # KL >= 0, both slices skewed
+
+
+def test_chunking_udtf_matches_hof_form(spark):
+    """The Python-UDTF chunker must be row-for-row identical to the
+    JVM HOF chunk_documents (same tokenizer, same window rule)."""
+    from flink_kmeans_clustering_spark.functions.udtf import chunking_udtf
+    from flink_kmeans_clustering_spark.operators.textstats import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three four five six seven"),
+            (2, "short"),
+            (3, ""),
+            (4, "a-b,c  d!e"),  # punctuation-split tokenization
+        ],
+        "doc_id long, text string",
+    )
+    hof = chunk_documents(docs, chunk_tokens=3, overlap=1).collect()
+    spark.udtf.register("chunk_t3o1", chunking_udtf(3, 1))
+    docs.createOrReplaceTempView("_udtf_docs")
+    udtf_rows = spark.sql(
+        "SELECT f.* FROM _udtf_docs, LATERAL chunk_t3o1(doc_id, text) f"
+    ).collect()
+    key = lambda r: (r["doc_id"], r["chunk_id"])
+    assert sorted(map(tuple, hof), key=lambda t: (t[0], t[1])) == sorted(
+        map(tuple, udtf_rows), key=lambda t: (t[0], t[1])
+    )
+
+
+def test_chunking_udtf_rejects_bad_overlap():
+    import pytest
+
+    from flink_kmeans_clustering_spark.functions.udtf import chunking_udtf
+
+    with pytest.raises(ValueError):
+        chunking_udtf(4, 4)
