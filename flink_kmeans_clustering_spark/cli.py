@@ -73,6 +73,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-maxc", type=int, default=15)
     p.add_argument("-recompnearest", type=int, default=None)
     # engine extensions
+    p.add_argument(
+        "--init",
+        choices=("random", "kmeansparallel"),
+        default="random",
+        help="centroid init when -numcentroids is set: the reference's "
+        "uniform-random (default; -recompnearest applies) or k-means|| "
+        "scalable oversampling (Bahmani et al. VLDB'12; seeded, "
+        "distributed — see operators.kmeans.scalable_init)",
+    )
     p.add_argument("--seed", type=int, default=None, help="RNG seed (upgrade: reference is unseeded)")
     p.add_argument("--header", action="store_true", help="write header rows (default: flink-compat headerless)")
     p.add_argument("--master", default=None, help="Spark master override")
@@ -99,11 +108,20 @@ def main(argv: list[str] | None = None) -> int:
     points = read_points_csv(spark, args.points)
 
     if args.numcentroids is not None:
-        init = random_centroids(args.numcentroids, args.minc, args.maxc, seed=args.seed)
-        if args.recompnearest:
-            init = recompute_nearest(
-                init, args.recompnearest, args.minc, args.maxc, seed=args.seed
+        if args.init == "kmeansparallel":
+            from flink_kmeans_clustering_spark.operators.kmeans import scalable_init
+
+            init = scalable_init(
+                points, args.numcentroids, seed=args.seed if args.seed is not None else 0
             )
+        else:
+            init = random_centroids(
+                args.numcentroids, args.minc, args.maxc, seed=args.seed
+            )
+            if args.recompnearest:
+                init = recompute_nearest(
+                    init, args.recompnearest, args.minc, args.maxc, seed=args.seed
+                )
         if args.centroids:  # D3: echo generated centroids for later reuse
             gen = spark.createDataFrame(init, "id int, x double, y double")
             write_csv_single(gen, args.centroids, flink_compat=not args.header)

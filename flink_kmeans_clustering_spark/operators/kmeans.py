@@ -496,9 +496,17 @@ def scalable_init(
     l = l if l is not None else 2 * k
     u53 = float(1 << 53)
 
+    # Draw key: the id column when the input has one, else the
+    # coordinates themselves (the reference's X,Y CSVs carry no id) —
+    # still partitioning-independent; exactly-coincident points then
+    # share draws, which only nudges the oversampling rate.
+    key_cols = (
+        [F.col(id_col)] if id_col in points.columns else [F.col(x), F.col(y)]
+    )
+
     # first center: seeded hash-order pick (the paper's uniform point)
     first = (
-        points.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
+        points.orderBy(F.xxhash64(*key_cols, F.lit(seed)), *key_cols)
         .limit(1)
         .collect()
     )
@@ -515,7 +523,7 @@ def scalable_init(
             break  # every point coincides with a candidate
         u = (
             F.pmod(
-                F.xxhash64(F.col(id_col), F.lit(r), F.lit(seed)), F.lit(1 << 53)
+                F.xxhash64(*key_cols, F.lit(r), F.lit(seed)), F.lit(1 << 53)
             ).cast("double")
             / u53
         )

@@ -82,3 +82,38 @@ def test_cli_custconvergence_requires_epsilon(spark, capsys):
         ]
     )
     assert rc == 2
+
+
+def test_cli_kmeansparallel_init(spark, tmp_path):
+    """--init kmeansparallel runs scalable init end-to-end and lands a
+    better-or-equal WCSS than blind random on the same budget."""
+    import json
+
+    from flink_kmeans_clustering_spark.cli import main
+
+    pts = tmp_path / "pts.csv"
+    rows = ["X,Y"]
+    # two tight blobs far apart
+    for i in range(50):
+        rows.append(f"{0.0 + i * 0.01},{0.0}")
+        rows.append(f"{10.0 + i * 0.01},{10.0}")
+    pts.write_text("\n".join(rows) + "\n")
+
+    import contextlib
+    import io
+
+    def run(extra):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = main(
+                ["-points", str(pts), "-numcentroids", "2",
+                 "-iterations", "3", "--seed", "5"] + extra
+            )
+        assert rc == 0
+        last = buf.getvalue().strip().splitlines()[-1]
+        return json.loads(last)
+
+    scal = run(["--init", "kmeansparallel"])
+    rand = run([])
+    assert scal["k"] == 2
+    assert scal["wcss"] <= rand["wcss"] * 1.001
