@@ -49,7 +49,14 @@ def test_assignment_is_argmin_with_lowest_id_tiebreak(spark, pts, cs):
         for r in assign_points(_pdf(spark, pts), _cents(cs)).collect()
     }
     for i, (x, y) in enumerate(pts):
-        dists = [(math.dist((x, y), (cx, cy)) , cid) for cid, cx, cy in _cents(cs)]
+        # model with SQUARED distance — the engine's (and reference's)
+        # comparison metric.  math.dist would disagree on denormal
+        # deltas, where d² underflows to 0.0 but d does not (hypothesis
+        # found exactly that case)
+        dists = [
+            ((x - cx) * (x - cx) + (y - cy) * (y - cy), cid)
+            for cid, cx, cy in _cents(cs)
+        ]
         best = min(dists)[0]
         want = min(cid for d, cid in dists if d == best)
         assert got[i] == want
@@ -142,3 +149,108 @@ def test_benchmark_overlap_self_contains_all_nonempty(spark, texts):
     # a corpus checked against ITSELF flags every tokenizable doc
     flagged = benchmark_overlap(docs, docs, n=2).count()
     assert flagged == nonempty
+
+
+# --- round-3 operator invariants ------------------------------------------
+
+word = st.sampled_from(["table", "row", "scan", "key", "agg", "spark"])
+doc_strategy = st.lists(
+    st.lists(word, min_size=0, max_size=8).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(docs=doc_strategy)
+@SLOW
+def test_kl_drift_nonnegative_and_zero_for_whole_corpus(spark, docs):
+    """KL(slice ‖ corpus) ≥ 0 always; a slice that IS the corpus has
+    drift 0 (Gibbs' inequality, observable through the operator)."""
+    from flink_kmeans_clustering_spark.operators.textstats import (
+        source_token_drift,
+    )
+
+    rows = [(i, "all", t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = source_token_drift(df).collect()
+    if not any(t.strip() for t in docs):
+        assert out == []
+        return
+    [r] = out
+    assert r["kl_vs_corpus"] == 0.0  # q == p exactly
+
+    # now split into two sources: both KLs must be ≥ 0 (round-6 grid)
+    rows2 = [(i, "a" if i % 2 == 0 else "b", t) for i, t in enumerate(docs)]
+    df2 = spark.createDataFrame(rows2, "doc_id long, source string, text string")
+    for r in source_token_drift(df2).collect():
+        assert r["kl_vs_corpus"] >= -1e-6
+
+
+balances = st.lists(
+    st.tuples(st.integers(0, 5), st.floats(-100, 100, allow_nan=False)),
+    min_size=0,
+    max_size=8,
+)
+
+
+@given(cust=balances, orders=balances)
+@SLOW
+def test_upsert_conserves_total_balance(spark, cust, orders):
+    """Σ new_acctbal == Σ old acctbal + Σ order totals — the merge
+    never loses or double-counts money (decimal-exact arithmetic)."""
+    from flink_kmeans_clustering_spark.operators.relational import (
+        upsert_customer_balances,
+    )
+
+    cust_rows = [
+        (k, f"c{k}", round(b, 2), "SEG") for k, b in dict(cust).items()
+    ]
+    cdf = spark.createDataFrame(
+        cust_rows, "c_custkey long, c_name string, c_acctbal double, c_mktsegment string"
+    )
+    odf = spark.createDataFrame(
+        [(k, round(abs(v), 2)) for k, v in orders],
+        "o_custkey long, o_totalprice double",
+    )
+    got = sum(r["new_acctbal"] for r in upsert_customer_balances(cdf, odf).collect())
+    want = sum(r[2] for r in cust_rows) + sum(round(abs(v), 2) for _, v in orders)
+    assert abs(got - want) < 1e-6
+
+
+@given(pts=points_strategy)
+@SLOW
+def test_first_event_per_day_is_subset_and_one_per_key(spark, pts):
+    """Output ⊆ input, exactly one row per (user, day), and it is the
+    lexicographic (ts, event_id) minimum of its group."""
+    import datetime as dt
+
+    from flink_kmeans_clustering_spark.operators.events import first_event_per_day
+
+    rows = [
+        (
+            int(abs(x)) % 3,              # user
+            i,                            # event_id
+            dt.datetime(2024, 1, 1 + (int(abs(y)) % 3), int(abs(x)) % 24),
+            "t",
+            float(i),
+        )
+        for i, (x, y) in enumerate(pts)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string, value double"
+    )
+    out = first_event_per_day(df).collect()
+    seen = {}
+    for r in out:
+        key = (r["user_id"], r["day"])
+        assert key not in seen  # one per key
+        seen[key] = r
+    import collections
+
+    groups = collections.defaultdict(list)
+    for u, eid, ts, _t, _v in rows:
+        groups[(u, ts.strftime("%Y-%m-%d"))].append((int(ts.timestamp() * 1e6), eid))
+    assert set(seen) == set(groups)
+    for key, cand in groups.items():
+        want_ts, want_id = min(cand)
+        assert (seen[key]["ts_us"], seen[key]["event_id"]) == (want_ts, want_id)
