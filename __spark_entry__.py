@@ -71,6 +71,7 @@ from flink_kmeans_clustering_spark.operators.multimodal import (
     byte_histogram_features,
     features_rounded,
     frame_sample,
+    resize_nearest,
     synthesize_assets,
 )
 from flink_kmeans_clustering_spark.operators.relational import (
@@ -646,6 +647,17 @@ def q_multimodal_feat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return features_rounded(byte_histogram_features(synthesize_assets(docs)))
 
 
+RESIZE_STRIDE = 4
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor byte-grid resize (the image-resize stage of the
+    multimodal pipeline) over Arrow-batched mapInPandas; the oracle
+    recomputes the picked bytes positionally and md5s the same string."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return resize_nearest(synthesize_assets(docs), stride=RESIZE_STRIDE)
+
+
 # --- events / time-series (SURVEY.md §2.6) ----------------------------------
 
 SESSION_GAP_MINUTES = 30
@@ -897,6 +909,27 @@ def q_text_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source unigram KL divergence vs the whole corpus — the
     slice-drift monitoring statistic."""
     return source_token_drift(load_table(spark, "documents", sf_dir))
+
+
+PAGERANK_ITERS = 3
+PAGERANK_DAMPING = 0.85
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the n-gram near-dup pair graph: surfaces
+    template/boilerplate hub documents.  Fixed 3-iteration formulation
+    so the DuckDB oracle can unroll the identical join+sum levels and
+    match value-for-value."""
+    from flink_kmeans_clustering_spark.operators.graph import pagerank
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=NGRAM_JACCARD_THRESHOLD)
+    return pagerank(
+        pairs,
+        iterations=PAGERANK_ITERS,
+        damping=PAGERANK_DAMPING,
+        node_col="doc_id",
+    )
 
 
 def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1441,6 +1474,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rel_upsert": q_rel_upsert,
         "q_text_drift": q_text_drift,
         "q_dedup_keep": q_dedup_keep,
+        "q_graph_pagerank": q_graph_pagerank,
+        "q_multimodal_resize": q_multimodal_resize,
         "q_sink_bucketed": q_sink_bucketed,
         "q_text_chunk_udtf": q_text_chunk_udtf,
         "q_update": q_update,
@@ -2387,6 +2422,38 @@ SELECT asset_id, CAST(i AS INT) AS frame_no,
        md5(substring(text, CAST(i AS INT)*{FRAME_BYTES}+1, {FRAME_BYTES})) AS md5
 FROM idx WHERE i % {FRAME_EVERY_K} = 0
 """
+    multimodal_resize_sql = f"""
+WITH a AS (
+  SELECT doc_id AS asset_id, text,
+         CAST(n_chars % 640 + 16 AS INT) AS w,
+         CAST(n_chars % 480 + 16 AS INT) AS h,
+         length(text) AS n
+  FROM documents
+),
+rws AS (
+  SELECT asset_id, text, n, w, h,
+         unnest(range(0, (h + {RESIZE_STRIDE} - 1) // {RESIZE_STRIDE})) AS r
+  FROM a
+),
+cells AS (
+  SELECT asset_id, text, n, w, h, r,
+         unnest(range(0, (w + {RESIZE_STRIDE} - 1) // {RESIZE_STRIDE})) AS c
+  FROM rws
+),
+px AS (
+  SELECT asset_id, w, h, r, c,
+         r * {RESIZE_STRIDE} * w + c * {RESIZE_STRIDE} AS src, text, n
+  FROM cells
+  WHERE r * {RESIZE_STRIDE} * w + c * {RESIZE_STRIDE} < n
+)
+SELECT asset_id,
+       CAST(ANY_VALUE((w + {RESIZE_STRIDE} - 1) // {RESIZE_STRIDE}) AS INT) AS out_w,
+       CAST(ANY_VALUE((h + {RESIZE_STRIDE} - 1) // {RESIZE_STRIDE}) AS INT) AS out_h,
+       COUNT(*) AS n_out,
+       md5(string_agg(substring(text, CAST(src AS INT) + 1, 1), '' ORDER BY r, c))
+         AS digest
+FROM px GROUP BY asset_id
+"""
     multimodal_feat_sql = """
 WITH pos AS (
   SELECT doc_id, text, unnest(range(1, length(text)+1)) AS i FROM documents
@@ -2934,6 +3001,35 @@ reach(id, r) AS (
 )
 SELECT id AS doc_id, MIN(r) AS component_id FROM reach GROUP BY id
 """
+    # PageRank oracle: the same fixed iterations unrolled as CTE levels,
+    # replicating the operator's double arithmetic exactly —
+    # (CAST(1 AS DOUBLE) - 0.85) reproduces Python's 1.0-0.85
+    # (= 0.15000000000000002), and base + d·Σ keeps the same op order.
+    _pr_levels = []
+    for i in range(PAGERANK_ITERS):
+        _pr_levels.append(f"""
+r{i + 1} AS (
+  SELECT e.dst AS src,
+         (CAST(1 AS DOUBLE) - {PAGERANK_DAMPING}) / (SELECT n FROM prn)
+           + {PAGERANK_DAMPING} * SUM(r{i}.r / deg.deg) AS r
+  FROM pr_edges e
+  JOIN r{i} ON e.src = r{i}.src
+  JOIN deg ON e.src = deg.src
+  GROUP BY e.dst
+)""")
+    graph_pagerank_sql = f"""
+WITH {ngram_capped_ctes},
+pr_edges AS (
+  SELECT id_a AS src, id_b AS dst FROM capped_pairs
+  UNION ALL
+  SELECT id_b, id_a FROM capped_pairs
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM pr_edges GROUP BY src),
+prn AS (SELECT COUNT(*) AS n FROM deg),
+r0 AS (SELECT src, CAST(1 AS DOUBLE) / (SELECT n FROM prn) AS r FROM deg),
+{",".join(_pr_levels)}
+SELECT src AS doc_id, ROUND(r, 6) AS rank FROM r{PAGERANK_ITERS}
+"""
     dedup_keep_sql = f"""
 WITH RECURSIVE {ngram_capped_ctes},
 cc_edges AS (
@@ -3005,6 +3101,7 @@ GROUP BY grp
         "q_dedup_ngram_exact": dedup_ngram_exact_sql,
         "q_dedup_cc": dedup_cc_sql,
         "q_dedup_keep": dedup_keep_sql,
+        "q_graph_pagerank": graph_pagerank_sql,
         "q_rel_upsert": rel_upsert_sql,
         "q_text_drift": text_drift_sql,
         "q_sink_bucketed": sink_bucketed_sql,
@@ -3052,6 +3149,7 @@ GROUP BY grp
         "q_multimodal_meta": multimodal_meta_sql,
         "q_multimodal_frames": multimodal_frames_sql,
         "q_multimodal_feat": multimodal_feat_sql,
+        "q_multimodal_resize": multimodal_resize_sql,
         "q_events_window": events_window_sql,
         "q_events_sessionize": events_sessionize_sql,
         "q_events_topk": events_topk_sql,

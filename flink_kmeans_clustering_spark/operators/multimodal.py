@@ -190,3 +190,66 @@ def features_rounded(features: DataFrame, decimals: int = 6) -> DataFrame:
         "asset_id",
         F.posexplode("feat").alias("pos", "val"),
     ).select("asset_id", "pos", F.round(F.col("val").cast("double"), 6).alias("val"))
+
+
+def resize_nearest(assets: DataFrame, stride: int = 4) -> DataFrame:
+    """Deterministic nearest-neighbor "resize" of the byte-grid image.
+
+    The content bytes are treated as a row-major ``meta.width ×
+    meta.height`` pixel grid (truncated to the blob's actual length);
+    the output keeps pixel ``(r·stride)·width + c·stride`` for every
+    output cell ``(r, c)`` — exactly the nearest-neighbor downsample a
+    real image pipeline runs, on the deterministic stand-in bytes.
+    The Spark plumbing is the real thing: Arrow-batched ``mapInPandas``
+    (binary in, binary digest out), zero shuffle, and a row-local
+    output an engine-independent oracle can recompute byte-for-byte.
+
+    Output: (asset_id, out_w, out_h, n_out, digest) where ``digest`` is
+    the md5 of the resized bytes in (r, c) order; zero-byte blobs are
+    dropped (nothing to resize).
+    """
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    out_schema = "asset_id long, out_w int, out_h int, n_out long, digest string"
+
+    def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for aid, blob, w, h in zip(
+                pdf["asset_id"], pdf["content"], pdf["_w"], pdf["_h"]
+            ):
+                arr = np.frombuffer(bytes(blob), dtype=np.uint8)
+                n = arr.size
+                if n == 0:
+                    continue
+                out_h = -(-int(h) // stride)
+                out_w = -(-int(w) // stride)
+                r = np.arange(out_h) * stride * int(w)
+                c = np.arange(out_w) * stride
+                idx = (r[:, None] + c[None, :]).ravel()  # (r, c) order
+                idx = idx[idx < n]
+                resized = arr[idx].tobytes()
+                rows.append(
+                    (
+                        int(aid),
+                        out_w,
+                        out_h,
+                        len(resized),
+                        hashlib.md5(resized).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "out_w", "out_h", "n_out", "digest"]
+            )
+
+    return assets.select(
+        "asset_id",
+        "content",
+        F.col("meta.width").alias("_w"),
+        F.col("meta.height").alias("_h"),
+    ).mapInPandas(resize, schema=out_schema)

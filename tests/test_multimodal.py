@@ -87,3 +87,42 @@ def test_byte_histogram_matches_numpy(spark):
 def test_decode_real_is_explicit_stub(spark):
     with pytest.raises(NotImplementedError):
         decode_real(synthesize_assets(_docs(spark)))
+
+
+def test_resize_nearest_known_grid(spark):
+    """4x4 'image' with stride 2 keeps pixels (0,0),(0,2),(2,0),(2,2)."""
+    import hashlib
+
+    from flink_kmeans_clustering_spark.operators.multimodal import resize_nearest
+
+    content = bytes(range(16))  # 0..15 row-major on a 4x4 grid
+    assets = spark.createDataFrame(
+        [(1, "image", bytearray(content), ("IMG", 4, 4, 8000, 1))],
+        "asset_id long, modality string, content binary,"
+        " meta struct<format string, width int, height int,"
+        " sample_rate int, n_frames int>",
+    )
+    [r] = resize_nearest(assets, stride=2).collect()
+    want = bytes([0, 2, 8, 10])
+    assert (r["out_w"], r["out_h"], r["n_out"]) == (2, 2, 4)
+    assert r["digest"] == hashlib.md5(want).hexdigest()
+
+
+def test_resize_nearest_truncated_blob_and_empty(spark):
+    from flink_kmeans_clustering_spark.operators.multimodal import resize_nearest
+
+    # blob shorter than w*h: out-of-range pixels dropped; empty blob: no row
+    assets = spark.createDataFrame(
+        [
+            (1, "image", bytearray(b"abcde"), ("IMG", 4, 4, 8000, 1)),
+            (2, "image", bytearray(b""), ("IMG", 4, 4, 8000, 1)),
+        ],
+        "asset_id long, modality string, content binary,"
+        " meta struct<format string, width int, height int,"
+        " sample_rate int, n_frames int>",
+    )
+    rows = resize_nearest(assets, stride=2).collect()
+    assert len(rows) == 1
+    [r] = rows
+    # kept sources: 0 and 2 (positions 8, 10 exceed length 5)
+    assert r["n_out"] == 2
