@@ -1039,6 +1039,29 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(joined, state_partitions=8)
 
 
+def q_stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded streaming dedup (dropDuplicatesWithinWatermark)
+    under at-least-once ingestion: the event stream unioned with itself
+    (every record delivered twice) dedups back to exactly-once on
+    event_id.  State is bounded by the watermark horizon — the
+    scale-safe variant of q_stream_dedup's exact unbounded state.
+    Oracle: the source events, each exactly once."""
+    ev = stream_events(spark, sf_dir).select(
+        "event_id", "ts", "event_type", "value"
+    )
+    dup = ev.unionByName(
+        stream_events(spark, sf_dir).select(
+            "event_id", "ts", "event_type", "value"
+        )
+    )
+    out = run_available_now(
+        dedup_stream(dup, ["event_id"], ts_col="ts", watermark_delay="1 hour")
+    )
+    return out.select(
+        "event_id", "event_type", F.round("value", 6).alias("value")
+    )
+
+
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time gap sessionization with EventTimeTimeout, flush-on-drain.
 
@@ -1476,6 +1499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_keep": q_dedup_keep,
         "q_graph_pagerank": q_graph_pagerank,
         "q_multimodal_resize": q_multimodal_resize,
+        "q_stream_dedup_wm": q_stream_dedup_wm,
         "q_sink_bucketed": q_sink_bucketed,
         "q_text_chunk_udtf": q_text_chunk_udtf,
         "q_update": q_update,
@@ -3254,6 +3278,10 @@ FROM c
         "q_stream_enrich": stream_enrich_sql,
         "q_stream_window": events_window_sql,
         "q_stream_dedup": "SELECT DISTINCT md5(text) AS digest FROM documents",
+        # doubled ingestion dedups back to the source, exactly once each
+        "q_stream_dedup_wm": (
+            "SELECT event_id, event_type, ROUND(value, 6) AS value FROM events"
+        ),
         "q_stream_totals": (
             "SELECT user_id, COUNT(*) AS n_events,"
             " ROUND(SUM(value), 6) AS sum_value FROM events GROUP BY user_id"

@@ -265,3 +265,37 @@ def test_streaming_kmeans_empty_cluster_keeps_init(spark):
     )
     assert out[1] == (1e9, 1e9, 0.0)
     assert out[0][2] > 0
+
+
+def test_dedup_within_watermark_drops_late_duplicate(spark, tmp_path):
+    """A duplicate key arriving in a later micro-batch inside the
+    watermark horizon is dropped (state-bounded exactly-once)."""
+    import datetime as dt
+    import time as _time
+
+    from flink_kmeans_clustering_spark.streaming.dedup import dedup_stream
+    from flink_kmeans_clustering_spark.streaming.run import run_available_now
+
+    d = str(tmp_path / "dup_ev")
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+    b1 = spark.createDataFrame(
+        [(1, t0, 1.0), (2, t0, 2.0)], "event_id long, ts timestamp, value double"
+    )
+    # batch 2: event 1 retransmitted 5 min later (inside the 1h horizon)
+    b2 = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(minutes=5), 1.0), (3, t0, 3.0)],
+        "event_id long, ts timestamp, value double",
+    )
+    b1.coalesce(1).write.parquet(d + "/f0")
+    _time.sleep(1.1)
+    b2.coalesce(1).write.parquet(d + "/f1")
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    out = run_available_now(
+        dedup_stream(stream, ["event_id"], ts_col="ts", watermark_delay="1 hour")
+    )
+    ids = sorted(r["event_id"] for r in out.collect())
+    assert ids == [1, 2, 3]  # the retransmission emitted nothing new
