@@ -133,6 +133,7 @@ from flink_kmeans_clustering_spark.operators.relational import (
 )
 from flink_kmeans_clustering_spark.operators.sampling import (
     approx_distinct,
+    cms_heavy_hitters,
     deterministic_sample,
     stratified_hash_sample,
     train_val_test_split,
@@ -645,6 +646,23 @@ def q_multimodal_feat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic fake decode: byte-histogram features via mapInPandas."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return features_rounded(byte_histogram_features(synthesize_assets(docs)))
+
+
+CMS_TOP_N = 20
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def q_text_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch heavy hitters: sketch estimates beside exact
+    counts for the top-20 tokens (md5-lane buckets — engine-portable,
+    so the oracle rebuilds the identical sketch)."""
+    return cms_heavy_hitters(
+        load_table(spark, "documents", sf_dir),
+        top_n=CMS_TOP_N,
+        depth=CMS_DEPTH,
+        width=CMS_WIDTH,
+    )
 
 
 RESIZE_STRIDE = 4
@@ -1500,6 +1518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_graph_pagerank": q_graph_pagerank,
         "q_multimodal_resize": q_multimodal_resize,
         "q_stream_dedup_wm": q_stream_dedup_wm,
+        "q_text_heavyhitters": q_text_heavyhitters,
         "q_sink_bucketed": q_sink_bucketed,
         "q_text_chunk_udtf": q_text_chunk_udtf,
         "q_update": q_update,
@@ -2446,6 +2465,34 @@ SELECT asset_id, CAST(i AS INT) AS frame_no,
        md5(substring(text, CAST(i AS INT)*{FRAME_BYTES}+1, {FRAME_BYTES})) AS md5
 FROM idx WHERE i % {FRAME_EVERY_K} = 0
 """
+    cms_sql = f"""
+WITH cms_toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS t
+  FROM documents
+),
+lanes AS (SELECT unnest(range(0, {CMS_DEPTH})) AS lane),
+cells AS (
+  SELECT lane,
+         CAST(('0x' || substring(md5(t || '#' || lane), 1, 8)) AS BIGINT)
+           % {CMS_WIDTH} AS bucket
+  FROM cms_toks, lanes
+),
+cms AS (SELECT lane, bucket, COUNT(*) AS c FROM cells GROUP BY 1, 2),
+exact AS (
+  SELECT t, COUNT(*) AS exact_freq FROM cms_toks GROUP BY t
+  ORDER BY exact_freq DESC, t LIMIT {CMS_TOP_N}
+),
+probes AS (
+  SELECT t, exact_freq, lane,
+         CAST(('0x' || substring(md5(t || '#' || lane), 1, 8)) AS BIGINT)
+           % {CMS_WIDTH} AS bucket
+  FROM exact, lanes
+)
+SELECT p.t AS token, p.exact_freq, MIN(c.c) AS cms_estimate
+FROM probes p JOIN cms c USING (lane, bucket)
+GROUP BY 1, 2
+"""
     multimodal_resize_sql = f"""
 WITH a AS (
   SELECT doc_id AS asset_id, text,
@@ -3174,6 +3221,7 @@ GROUP BY grp
         "q_multimodal_frames": multimodal_frames_sql,
         "q_multimodal_feat": multimodal_feat_sql,
         "q_multimodal_resize": multimodal_resize_sql,
+        "q_text_heavyhitters": cms_sql,
         "q_events_window": events_window_sql,
         "q_events_sessionize": events_sessionize_sql,
         "q_events_topk": events_topk_sql,

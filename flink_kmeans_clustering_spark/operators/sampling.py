@@ -125,3 +125,68 @@ def train_val_test_split(
         .when(b < test_buckets + val_buckets, F.lit("val"))
         .otherwise(F.lit("train")),
     )
+
+
+def _cms_bucket(token: Column, lane: int, width: int) -> Column:
+    """Lane hash: first 8 md5-hex chars of 'token#lane' as int, mod width.
+
+    md5 (not xxhash64) so an independent engine reproduces the exact
+    bucket assignment — same portability decision as the MinHash/SimHash
+    lane families.  The 32-bit value is non-negative, so plain ``%`` is
+    already a positive modulus in every engine.
+    """
+    h = F.md5(F.concat(token, F.lit(f"#{lane}")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % width
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 20,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-Min sketch estimates beside exact counts for the corpus'
+    top-``top_n`` tokens — the heavy-hitter primitive (Cormode &
+    Muthukrishnan 2005) that answers "how often does X occur?" from
+    ``depth × width`` counters instead of a full-vocabulary table.
+
+    Sketch build is pure aggregation: explode tokens, fan each
+    occurrence out to its ``depth`` (lane, bucket) cells (posexplode of
+    a codegen'd bucket array — rows × depth, map-side combined), one
+    grouped count.  At 100 TB the sketch is ``depth·width`` rows
+    regardless of vocabulary size — it broadcasts; the estimate for a
+    token is the MIN over its lanes' cells, which upper-bounds the true
+    count (one-sided error ≤ e/width·total with prob 1−e^−depth).
+
+    Output: (token, exact_freq, cms_estimate) for the exact top-N
+    (ties broken by token), with ``cms_estimate ≥ exact_freq`` always.
+    """
+    from flink_kmeans_clustering_spark.functions.text import tokenize
+
+    tok = df.select(F.explode(tokenize(F.col(text_col))).alias("t"))
+    cells = tok.select(
+        F.posexplode(
+            F.array(*[_cms_bucket(F.col("t"), i, width) for i in range(depth)])
+        ).alias("lane", "bucket")
+    )
+    cms = cells.groupBy("lane", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    exact = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("exact_freq"))
+        .orderBy(F.desc("exact_freq"), F.col("t"))
+        .limit(top_n)
+    )
+    probes = exact.select(
+        "t",
+        "exact_freq",
+        F.posexplode(
+            F.array(*[_cms_bucket(F.col("t"), i, width) for i in range(depth)])
+        ).alias("lane", "bucket"),
+    )
+    return (
+        probes.join(F.broadcast(cms), ["lane", "bucket"])
+        .groupBy("t", "exact_freq")
+        .agg(F.min("c").alias("cms_estimate"))
+        .select(F.col("t").alias("token"), "exact_freq", "cms_estimate")
+    )

@@ -149,3 +149,27 @@ def test_train_val_test_split_validates_budget(spark):
     docs = spark.range(10).withColumnRenamed("id", "doc_id")
     with _pytest.raises(ValueError):
         train_val_test_split(docs, "doc_id", val_buckets=8, test_buckets=8)
+
+
+def test_cms_heavy_hitters_upper_bound_and_exact_on_sparse(spark):
+    from flink_kmeans_clustering_spark.operators.sampling import cms_heavy_hitters
+
+    docs = spark.createDataFrame(
+        [(0, "spark " * 10 + "row " * 5 + "scan"), (1, "spark row key")],
+        "doc_id long, text string",
+    )
+    rows = {r["token"]: r for r in cms_heavy_hitters(docs, top_n=4).collect()}
+    assert rows["spark"]["exact_freq"] == 11
+    # CMS never underestimates
+    for r in rows.values():
+        assert r["cms_estimate"] >= r["exact_freq"]
+    # with 4 tokens in a 4x256 sketch, collisions are (deterministically)
+    # absent here: estimates are exact
+    assert all(r["cms_estimate"] == r["exact_freq"] for r in rows.values())
+
+
+def test_cms_heavy_hitters_empty(spark):
+    from flink_kmeans_clustering_spark.operators.sampling import cms_heavy_hitters
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert cms_heavy_hitters(empty).count() == 0
