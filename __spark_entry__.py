@@ -105,6 +105,7 @@ from flink_kmeans_clustering_spark.operators.events import (
     asof_join,
     daily_retention,
     daily_type_pivot,
+    event_type_runs,
     first_event_per_day,
     funnel_counts,
     extract_props,
@@ -983,6 +984,13 @@ def q_events_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     return first_event_per_day(load_events(spark, sf_dir))
 
 
+def q_events_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: consecutive same-type events per user collapsed
+    to runs (one shuffle; both windows + the aggregate share one
+    exchange)."""
+    return event_type_runs(load_events(spark, sf_dir))
+
+
 def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Levenshtein near-dup pairs over the distinct part-name domain
     (min-key representatives), noun-token blocking."""
@@ -1519,6 +1527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal_resize": q_multimodal_resize,
         "q_stream_dedup_wm": q_stream_dedup_wm,
         "q_text_heavyhitters": q_text_heavyhitters,
+        "q_events_runs": q_events_runs,
         "q_sink_bucketed": q_sink_bucketed,
         "q_text_chunk_udtf": q_text_chunk_udtf,
         "q_update": q_update,
@@ -2465,6 +2474,25 @@ SELECT asset_id, CAST(i AS INT) AS frame_no,
        md5(substring(text, CAST(i AS INT)*{FRAME_BYTES}+1, {FRAME_BYTES})) AS md5
 FROM idx WHERE i % {FRAME_EVERY_K} = 0
 """
+    events_runs_sql = """
+WITH marked AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+runs AS (
+  SELECT user_id, event_type, ts_us,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM marked
+)
+SELECT user_id, CAST(run_id AS BIGINT) AS run_id, event_type,
+       COUNT(*) AS run_len, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+FROM runs GROUP BY 1, 2, 3
+"""
     cms_sql = f"""
 WITH cms_toks AS (
   SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
@@ -3222,6 +3250,7 @@ GROUP BY grp
         "q_multimodal_feat": multimodal_feat_sql,
         "q_multimodal_resize": multimodal_resize_sql,
         "q_text_heavyhitters": cms_sql,
+        "q_events_runs": events_runs_sql,
         "q_events_window": events_window_sql,
         "q_events_sessionize": events_sessionize_sql,
         "q_events_topk": events_topk_sql,

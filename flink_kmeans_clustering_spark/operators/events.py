@@ -644,3 +644,38 @@ def first_event_per_day(df: DataFrame, ts_col: str = "ts") -> DataFrame:
             F.round(F.col("f.value"), 6).alias("value"),
         )
     )
+
+
+def event_type_runs(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Gaps-and-islands: collapse each user's consecutive same-type
+    events into runs — the run-length encoding of a behavior stream
+    (and the canonical sessionization-adjacent SQL pattern).
+
+    Two windows over ONE partitioning (user, ordered by time): a lag
+    marks type changes, a running sum of change-markers numbers the
+    runs, then a grouped aggregate emits one row per run.  Catalyst
+    reuses the single hash-partition exchange for both windows and the
+    final aggregate — one shuffle end-to-end.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(ts_col), F.col("event_id")
+    )
+    chg = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type")),
+        1,
+    ).otherwise(0)
+    runs = df.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(ts_col).alias("ts_us"),
+        "event_id",
+        F.sum(chg).over(w).alias("run_id"),
+    )
+    return runs.groupBy("user_id", "run_id", "event_type").agg(
+        F.count(F.lit(1)).alias("run_len"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+    )

@@ -265,3 +265,31 @@ def test_first_event_per_day_picks_earliest_with_id_tiebreak(spark):
     assert rows[(1, "2024-01-01")]["event_id"] == 10
     assert rows[(1, "2024-01-02")]["event_id"] == 20  # tie -> lower id
     assert rows[(2, "2024-01-01")]["event_type"] == "buy"
+
+
+def test_event_type_runs_islands(spark):
+    from flink_kmeans_clustering_spark.operators.events import event_type_runs
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2024, 1, 1, 12, m)
+    ev = spark.createDataFrame(
+        [
+            (1, 10, t(0), "view", 0.0),
+            (1, 11, t(1), "view", 0.0),
+            (1, 12, t(2), "click", 0.0),
+            (1, 13, t(3), "view", 0.0),  # view again: NEW run, not merged
+            (2, 20, t(0), "buy", 0.0),
+        ],
+        "user_id long, event_id long, ts timestamp, event_type string,"
+        " value double",
+    )
+    runs = sorted(
+        event_type_runs(ev).collect(), key=lambda r: (r["user_id"], r["run_id"])
+    )
+    assert [(r["user_id"], r["event_type"], r["run_len"]) for r in runs] == [
+        (1, "view", 2),
+        (1, "click", 1),
+        (1, "view", 1),
+        (2, "buy", 1),
+    ]
+    assert runs[0]["start_us"] < runs[0]["end_us"]

@@ -548,3 +548,10 @@ def test_bucketed_join_no_exchange_below_join(spark):
         assert len(re.findall(r"\(\d+\) Sort\b", s)) == 2  # one per side
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_event_runs_single_shuffle(spark):
+    from flink_kmeans_clustering_spark.operators.events import event_type_runs
+
+    # both windows and the final aggregate share one user-hash exchange
+    assert_max_shuffles(event_type_runs(load_events(spark, SF)), 1)
