@@ -107,6 +107,7 @@ from flink_kmeans_clustering_spark.operators.events import (
     daily_type_pivot,
     event_type_runs,
     first_event_per_day,
+    match_pattern,
     funnel_counts,
     extract_props,
     props_map_stats,
@@ -991,6 +992,13 @@ def q_events_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_type_runs(load_events(spark, sf_dir))
 
 
+def q_events_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP strict-contiguity pattern: view→click adjacent per user
+    within 30 min (the Flink-CEP begin.next().within() shape as window
+    leads — O(pattern) state per key, one shuffle)."""
+    return match_pattern(load_events(spark, sf_dir), ["view", "click"])
+
+
 def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Levenshtein near-dup pairs over the distinct part-name domain
     (min-key representatives), noun-token blocking."""
@@ -1528,6 +1536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_dedup_wm": q_stream_dedup_wm,
         "q_text_heavyhitters": q_text_heavyhitters,
         "q_events_runs": q_events_runs,
+        "q_events_pattern": q_events_pattern,
         "q_sink_bucketed": q_sink_bucketed,
         "q_text_chunk_udtf": q_text_chunk_udtf,
         "q_update": q_update,
@@ -2474,6 +2483,20 @@ SELECT asset_id, CAST(i AS INT) AS frame_no,
        md5(substring(text, CAST(i AS INT)*{FRAME_BYTES}+1, {FRAME_BYTES})) AS md5
 FROM idx WHERE i % {FRAME_EVERY_K} = 0
 """
+    events_pattern_sql = """
+WITH c AS (
+  SELECT user_id, event_id AS start_id, event_type,
+         epoch_us(ts) AS start_us,
+         lead(event_type, 1) OVER w AS t1,
+         lead(epoch_us(ts), 1) OVER w AS end_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+)
+SELECT user_id, start_id, start_us, end_us, end_us - start_us AS span_us
+FROM c
+WHERE event_type = 'view' AND t1 = 'click'
+  AND end_us - start_us <= 30 * 60 * 1000000
+"""
     events_runs_sql = """
 WITH marked AS (
   SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
@@ -3251,6 +3274,7 @@ GROUP BY grp
         "q_multimodal_resize": multimodal_resize_sql,
         "q_text_heavyhitters": cms_sql,
         "q_events_runs": events_runs_sql,
+        "q_events_pattern": events_pattern_sql,
         "q_events_window": events_window_sql,
         "q_events_sessionize": events_sessionize_sql,
         "q_events_topk": events_topk_sql,

@@ -679,3 +679,55 @@ def event_type_runs(df: DataFrame, ts_col: str = "ts") -> DataFrame:
         F.min("ts_us").alias("start_us"),
         F.max("ts_us").alias("end_us"),
     )
+
+
+def match_pattern(
+    df: DataFrame,
+    steps: list[str],
+    within_minutes: int = 30,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """CEP-style STRICT-contiguity pattern match: ``len(steps)``
+    consecutive events ``steps[0] → steps[1] → …`` per user with the
+    whole match inside ``within_minutes`` — the Flink-CEP
+    ``begin.next().next()…`` pattern with a ``within`` clause, as
+    window leads.
+
+    Unlike :func:`funnel_counts` (steps ordered SOMEWHERE in the
+    stream — relaxed contiguity), this demands adjacency: no other
+    event may sit between the steps.  ``len(steps)−1`` ``lead``s over
+    one user-time window turn every event row into a candidate
+    pattern window; the match predicate is then a row-local filter —
+    one shuffle total, and the window state is O(pattern length) per
+    key, exactly like a CEP NFA's.
+
+    Output: one row per match — (user_id, start_id, start_us, end_us,
+    span_us), deterministic on the (ts, event_id) order.
+    """
+    if len(steps) < 2:
+        raise ValueError("pattern needs at least 2 steps")
+    from pyspark.sql.window import Window
+
+    n = len(steps)
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(ts_col), F.col("event_id")
+    )
+    cols = [
+        "user_id",
+        F.col("event_id").alias("start_id"),
+        "event_type",
+        F.unix_micros(ts_col).alias("start_us"),
+        F.lead(F.unix_micros(ts_col), n - 1).over(w).alias("end_us"),
+    ]
+    cols += [
+        F.lead("event_type", i).over(w).alias(f"_t{i}") for i in range(1, n)
+    ]
+    cand = df.select(*cols)
+    pred = F.col("event_type") == steps[0]
+    for i in range(1, n):
+        pred = pred & (F.col(f"_t{i}") == steps[i])
+    span = F.col("end_us") - F.col("start_us")
+    return (
+        cand.filter(pred & (span <= within_minutes * 60_000_000))
+        .select("user_id", "start_id", "start_us", "end_us", span.alias("span_us"))
+    )

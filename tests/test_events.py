@@ -293,3 +293,37 @@ def test_event_type_runs_islands(spark):
         (2, "buy", 1),
     ]
     assert runs[0]["start_us"] < runs[0]["end_us"]
+
+
+def test_match_pattern_strict_contiguity(spark):
+    """An interloping event between the steps breaks the match (unlike
+    funnel's relaxed ordering); 3-step form works too."""
+    import datetime as dt
+
+    from flink_kmeans_clustering_spark.operators.events import match_pattern
+
+    t = lambda m: dt.datetime(2024, 1, 1, 12, m)
+    ev = spark.createDataFrame(
+        [
+            (1, 10, t(0), "view", 0.0),
+            (1, 11, t(1), "click", 0.0),
+            (1, 12, t(2), "purchase", 0.0),
+            (2, 20, t(0), "view", 0.0),
+            (2, 21, t(1), "error", 0.0),   # interloper: breaks adjacency
+            (2, 22, t(2), "click", 0.0),
+            (3, 30, t(0), "view", 0.0),
+            (3, 31, t(45), "click", 0.0),  # adjacent but outside 30 min
+        ],
+        "user_id long, event_id long, ts timestamp, event_type string,"
+        " value double",
+    )
+    two = match_pattern(ev, ["view", "click"]).collect()
+    assert [(r["user_id"], r["start_id"]) for r in two] == [(1, 10)]
+    three = match_pattern(ev, ["view", "click", "purchase"]).collect()
+    assert [(r["user_id"], r["start_id"], r["span_us"]) for r in three] == [
+        (1, 10, 120_000_000)
+    ]
+    import pytest
+
+    with pytest.raises(ValueError):
+        match_pattern(ev, ["view"])
