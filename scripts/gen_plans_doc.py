@@ -75,7 +75,9 @@ PICKS = [
     (
         "q_dedup_twostage",
         "Two-stage dedup — cosine candidates broadcast into both text "
-        "lookups; the corpus is never shuffled",
+        "lookups; the corpus is never shuffled (candidate + shingle "
+        "stages materialize via localCheckpoint, so this final DAG "
+        "reads their checkpointed results)",
     ),
     (
         "q_dedup_semantic",
@@ -86,6 +88,31 @@ PICKS = [
         "q_text_lmscore",
         "Unigram LM score — vocab/total from (doc,token) partials, "
         "broadcast back; text scanned once",
+    ),
+    (
+        "q_rel_groupsets",
+        "GROUPING SETS lattice — ONE Expand + one aggregate shuffle, "
+        "dimension chain broadcast end-to-end",
+    ),
+    (
+        "q_profile",
+        "Column profiling — one pruned aggregate branch per column "
+        "unioned (no N+1-way Expand of the full scan)",
+    ),
+    (
+        "q_events_runs",
+        "Gaps-and-islands — both windows and the aggregate share one "
+        "user-hash exchange",
+    ),
+    (
+        "q_events_pattern",
+        "CEP strict-contiguity match — window leads, row-local predicate, "
+        "O(pattern) state per key",
+    ),
+    (
+        "q_rel_upsert",
+        "MERGE shape — one full outer join + coalesce arms over the "
+        "change-batch aggregate",
     ),
 ]
 
