@@ -1088,8 +1088,12 @@ def q_stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id", "ts", "event_type", "value"
         )
     )
+    # dedup state is tiny (one key per event id seen); 8 state stores
+    # beat the 32-core default's per-batch commit overhead (1.0 vs
+    # 1.6-3.7 s measured) — same sizing rule as the other stateful drains
     out = run_available_now(
-        dedup_stream(dup, ["event_id"], ts_col="ts", watermark_delay="1 hour")
+        dedup_stream(dup, ["event_id"], ts_col="ts", watermark_delay="1 hour"),
+        state_partitions=8,
     )
     return out.select(
         "event_id", "event_type", F.round("value", 6).alias("value")
