@@ -104,6 +104,7 @@ from flink_kmeans_clustering_spark.operators.events import (
     approx_value_quantiles,
     asof_join,
     daily_retention,
+    band_join_bucketed,
     daily_type_pivot,
     event_type_runs,
     first_event_per_day,
@@ -999,6 +1000,13 @@ def q_events_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     return match_pattern(load_events(spark, sf_dir), ["view", "click"])
 
 
+def q_events_bandjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join rewritten as an equi join on overlap buckets + a
+    residual BETWEEN filter — O(rows) probes instead of the
+    nested-loop O(rows × bands).  Oracle: the naive BETWEEN join."""
+    return band_join_bucketed(load_events(spark, sf_dir))
+
+
 def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Levenshtein near-dup pairs over the distinct part-name domain
     (min-key representatives), noun-token blocking."""
@@ -1541,6 +1549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_heavyhitters": q_text_heavyhitters,
         "q_events_runs": q_events_runs,
         "q_events_pattern": q_events_pattern,
+        "q_events_bandjoin": q_events_bandjoin,
         "q_sink_bucketed": q_sink_bucketed,
         "q_text_chunk_udtf": q_text_chunk_udtf,
         "q_update": q_update,
@@ -2487,6 +2496,18 @@ SELECT asset_id, CAST(i AS INT) AS frame_no,
        md5(substring(text, CAST(i AS INT)*{FRAME_BYTES}+1, {FRAME_BYTES})) AS md5
 FROM idx WHERE i % {FRAME_EVERY_K} = 0
 """
+    from flink_kmeans_clustering_spark.operators.events import VALUE_BANDS
+
+    _band_values = ", ".join(
+        f"('{n}', CAST({lo!r} AS DOUBLE), CAST({hi!r} AS DOUBLE))"
+        for n, lo, hi in VALUE_BANDS
+    )
+    events_bandjoin_sql = f"""
+WITH bands(band, lo, hi) AS (VALUES {_band_values})
+SELECT band, COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY band
+"""
     events_pattern_sql = """
 WITH c AS (
   SELECT user_id, event_id AS start_id, event_type,
@@ -3279,6 +3300,7 @@ GROUP BY grp
         "q_text_heavyhitters": cms_sql,
         "q_events_runs": events_runs_sql,
         "q_events_pattern": events_pattern_sql,
+        "q_events_bandjoin": events_bandjoin_sql,
         "q_events_window": events_window_sql,
         "q_events_sessionize": events_sessionize_sql,
         "q_events_topk": events_topk_sql,

@@ -731,3 +731,70 @@ def match_pattern(
         cand.filter(pred & (span <= within_minutes * 60_000_000))
         .select("user_id", "start_id", "start_us", "end_us", span.alias("span_us"))
     )
+
+
+#: (band name, lo inclusive, hi exclusive) — the value-band dimension
+VALUE_BANDS: tuple[tuple[str, float, float], ...] = (
+    ("tiny", 0.0, 5.0),
+    ("small", 5.0, 20.0),
+    ("medium", 20.0, 60.0),
+    ("large", 60.0, 85.0),
+    ("huge", 85.0, 1e9),
+)
+
+
+def band_join_bucketed(
+    df: DataFrame,
+    bands: tuple[tuple[str, float, float], ...] = VALUE_BANDS,
+    bucket_width: float = 10.0,
+    max_value: float | None = None,
+) -> DataFrame:
+    """Range join (``value BETWEEN lo AND hi``) rewritten as an equi
+    join on overlap buckets — the standard scale fix for non-equi
+    joins, which Spark otherwise plans as a (Broadcast)NestedLoopJoin
+    evaluating every (row, band) pair.
+
+    Each band is exploded to the fixed-width buckets it overlaps; each
+    event computes its bucket with one ``floor``; the join is then a
+    plain hash equi-join on the bucket with the BETWEEN predicate left
+    as a residual.  The nested-loop O(rows × bands) comparison becomes
+    O(rows) probes — and unlike the nested loop, the shape survives a
+    non-broadcastable band table (band dimensions with thousands of
+    SLAs/tiers are real).  Results are identical to the naive form by
+    construction: every qualifying pair shares the bucket of the
+    event's value.
+
+    Output: per-band (band, n_events, sum_value) over non-overlapping
+    [lo, hi) bands.
+    """
+    spark = df.sparkSession
+    if max_value is None:
+        # one tiny job clamps open-ended bands ('hi = ∞' tiers are
+        # normal) to the buckets that can actually match — without it
+        # the expansion materializes millions of empty buckets
+        [row] = df.agg(F.max("value").alias("m")).collect()
+        max_value = float(row["m"]) if row["m"] is not None else 0.0
+    cap = int(max_value // bucket_width)
+    rows = []
+    for name, lo, hi in bands:
+        b0 = int(lo // bucket_width)
+        b1 = int(
+            (hi // bucket_width)
+            if hi % bucket_width != 0
+            else hi // bucket_width - 1
+        )
+        b1 = min(b1, cap)
+        rows += [(name, lo, hi, b) for b in range(b0, b1 + 1)]
+    band_buckets = spark.createDataFrame(
+        rows, "band string, lo double, hi double, bucket long"
+    )
+    ev = df.select(
+        "value", F.floor(F.col("value") / bucket_width).alias("bucket")
+    )
+    joined = ev.join(F.broadcast(band_buckets), "bucket").filter(
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi"))
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )

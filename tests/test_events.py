@@ -327,3 +327,40 @@ def test_match_pattern_strict_contiguity(spark):
 
     with pytest.raises(ValueError):
         match_pattern(ev, ["view"])
+
+
+def test_band_join_bucketed_equals_naive(spark):
+    """The bucket-rewrite must equal the naive BETWEEN join exactly,
+    including boundary values landing in the half-open [lo, hi) band."""
+    from flink_kmeans_clustering_spark.operators.events import (
+        VALUE_BANDS,
+        band_join_bucketed,
+    )
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        [(float(v),) for v in (0.0, 4.999, 5.0, 19.9, 20.0, 60.0, 85.0, 99.5)],
+        "value double",
+    )
+    got = {
+        r["band"]: (r["n_events"], r["sum_value"])
+        for r in band_join_bucketed(ev, bucket_width=10.0).collect()
+    }
+    bands_df = spark.createDataFrame(
+        list(VALUE_BANDS), "band string, lo double, hi double"
+    )
+    naive = {
+        r["band"]: (r["n_events"], r["sum_value"])
+        for r in ev.join(
+            bands_df,
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got == naive
+    assert got["tiny"][0] == 2  # 0.0 and 4.999; 5.0 went to 'small'

@@ -555,3 +555,14 @@ def test_event_runs_single_shuffle(spark):
 
     # both windows and the final aggregate share one user-hash exchange
     assert_max_shuffles(event_type_runs(load_events(spark, SF)), 1)
+
+
+def test_band_join_is_hash_join_not_nested_loop(spark):
+    from flink_kmeans_clustering_spark.operators.events import band_join_bucketed
+
+    d = band_join_bucketed(load_events(spark, SF))
+    s = explain_str(d)
+    # the whole point of the bucket rewrite: an equi probe, never a
+    # per-(row, band) nested loop
+    assert "BroadcastNestedLoopJoin" not in s and "CartesianProduct" not in s
+    assert "BroadcastHashJoin" in s
