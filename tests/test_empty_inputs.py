@@ -202,3 +202,10 @@ def test_round3_text_and_dedup_ops_empty(spark, empty_docs):
     assert first_event_per_day(empty_ev).count() == 0
     docs_with_source = spark.createDataFrame([], "doc_id long, source string, text string")
     assert source_token_drift(docs_with_source).count() == 0
+
+
+def test_band_join_empty_events(spark):
+    from flink_kmeans_clustering_spark.operators.events import band_join_bucketed
+
+    empty = spark.createDataFrame([], "value double")
+    assert band_join_bucketed(empty).count() == 0
