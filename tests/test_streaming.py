@@ -299,3 +299,38 @@ def test_dedup_within_watermark_drops_late_duplicate(spark, tmp_path):
     )
     ids = sorted(r["event_id"] for r in out.collect())
     assert ids == [1, 2, 3]  # the retransmission emitted nothing new
+
+
+def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
+    """Exactly-once restart: a second availableNow drain from the SAME
+    checkpoint skips everything the first drain committed — the
+    recovery contract every streaming docstring here leans on."""
+    import time as _time
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    seen: list[int] = []
+
+    def drain():
+        stream = spark.readStream.schema("id long").parquet(src + "/*")
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda b, _e: seen.extend(r["id"] for r in b.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame([(1,), (2,)], "id long").coalesce(1).write.parquet(
+        src + "/f0"
+    )
+    drain()
+    assert sorted(seen) == [1, 2]
+    _time.sleep(1.1)
+    spark.createDataFrame([(3,)], "id long").coalesce(1).write.parquet(
+        src + "/f1"
+    )
+    drain()  # same checkpoint: f0 must NOT be reprocessed
+    assert sorted(seen) == [1, 2, 3]
