@@ -42,9 +42,11 @@ from flink_kmeans_clustering_spark.operators.similarity import (
     ann_search,
     cell_centroids,
     ivf_index,
+    knn_join,
     random_hyperplanes,
     topk_cosine,
 )
+from flink_kmeans_clustering_spark.operators.linalg import covariance_matrix
 from flink_kmeans_clustering_spark.operators.textstats import (
     BPE_TOKEN_RE,
     clean_text,
@@ -53,6 +55,7 @@ from flink_kmeans_clustering_spark.operators.textstats import (
     GATE_MAX_DUP_FRAC,
     GATE_MIN_QUALITY,
     GATE_MIN_WORDS,
+    bm25_scores,
     doc_fingerprint,
     document_gate,
     language_id,
@@ -140,9 +143,13 @@ from flink_kmeans_clustering_spark.operators.sampling import (
     deterministic_sample,
     stratified_hash_sample,
     train_val_test_split,
+    weighted_sample,
 )
 from flink_kmeans_clustering_spark.streaming.enrich import enrich_with_static
-from flink_kmeans_clustering_spark.streaming.joins import interval_join_streams
+from flink_kmeans_clustering_spark.streaming.joins import (
+    interval_join_streams,
+    interval_join_streams_outer,
+)
 from flink_kmeans_clustering_spark.operators.kmeans import (
     assign_points,
     assign_points_join,
@@ -1466,6 +1473,139 @@ def q_kmeans_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- round-3b additions -------------------------------------------------------
+
+KNN_QUERY_MAX = 5  # embeddings with vec_id < 5 form the query batch
+KNN_K = 5
+GRAM_DIM = 64
+WSAMPLE_K = 20
+BM25_TERMS = ("spark", "window", "merge")
+STREAM_OUTER_INTERVAL_MIN = 30
+COMPACT_TARGET_ROWS = 4096
+
+
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN JOIN: top-5 cosine neighbors for EACH of a 5-query batch
+    (vec_id < 5) against the rest of the corpus — query side broadcast,
+    corpus scanned once, per-query ranking via WindowGroupLimit (each
+    partition pre-filters to its local top-k before the only shuffle)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return knn_join(
+        emb.filter(F.col("vec_id") >= KNN_QUERY_MAX),
+        emb.filter(F.col("vec_id") < KNN_QUERY_MAX),
+        k=KNN_K,
+        query_id_col="vec_id",
+    )
+
+
+def q_embed_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed XᵀX: upper-triangle Gram + sample covariance of the
+    embedding corpus in ONE pass (per-partition Arrow-batch GEMM →
+    O(dim²) partials shuffled, intercept trick folds count/sums into
+    the same product).  The sufficient-statistics job of PCA/whitening
+    at 100 TB: exchange size is partitions×dim², independent of rows."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return covariance_matrix(emb, dim=GRAM_DIM)
+
+
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sample (k=20, weight = n_chars):
+    rank by ln(u)/w with u from the content hash — deterministic across
+    engines, TakeOrderedAndProject plan (no global sort)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return weighted_sample(docs, "doc_id", "n_chars", k=WSAMPLE_K)
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle counts over the bought-together co-occurrence
+    graph (parts sharing ≥2 orders — the support threshold that keeps a
+    low-cardinality item graph from saturating into a clique union):
+    degree-ordered orientation bounds wedge work at O(m^1.5) — the
+    hub-node fix for the 'curse of the last reducer' at 100 TB."""
+    from flink_kmeans_clustering_spark.operators.graph import (
+        cooccurrence_edges,
+        triangle_counts,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir)
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
+    return triangle_counts(edges, node_col="l_partkey")
+
+
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval for a fixed query over the documents
+    table: corpus token stream filtered to query terms in-scan, df and
+    the corpus-stats row broadcast back, top-20 by rounded score."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25_scores(docs, list(BM25_TERMS), top_n=20)
+
+
+def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every purchase, with the
+    same user's views in the preceding 30 min or NULLs once the
+    watermark proves no match can arrive.  Flush sentinels pushed
+    through BOTH streams (the global watermark is the min across
+    inputs) so the bounded drain emits every unmatched row — result
+    equals the batch left range join (the oracle)."""
+    cols = ["user_id", "event_id", "ts", "value"]
+    sentinel_advance = STREAM_OUTER_INTERVAL_MIN + 24 * 60
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(*cols)
+        .unionByName(
+            flush_sentinel_stream(
+                spark, sf_dir, advance_minutes=sentinel_advance
+            ).select(*cols)
+        )
+    )
+    views = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(*cols)
+        .unionByName(
+            flush_sentinel_stream(
+                spark, sf_dir, advance_minutes=sentinel_advance
+            ).select(*cols)
+        )
+    )
+    joined = interval_join_streams_outer(
+        purchases,
+        views,
+        interval=f"{STREAM_OUTER_INTERVAL_MIN} minutes",
+        watermark_delay="1 hour",
+    )
+    out = run_available_now(joined, state_partitions=8)
+    return out.filter(F.col("user_id") >= 0)
+
+
+def q_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction end-to-end: events landed as 32 dribble
+    files (the streaming-sink pathology), compacted to ⌈n/4096⌉
+    right-sized files via one round-robin repartition (row count from
+    parquet footers — no data scan), then verified for fidelity.
+    Oracle: expected file counts are pure functions of the row count;
+    the decimal sum proves no row was lost or doubled."""
+    from flink_kmeans_clustering_spark.sinks.parquet import compact_small_files
+
+    ev = load_events(spark, sf_dir).select("event_id", "event_type", "value")
+    small = scratch_dir("compact_src_")
+    big = scratch_dir("compact_dst_")
+    ev.repartition(32).write.mode("overwrite").parquet(small)
+    before, after = compact_small_files(
+        spark, small, big, target_rows_per_file=COMPACT_TARGET_ROWS
+    )
+    back = spark.read.parquet(big)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(25,8)")), 6
+        ).cast("double").alias("sum_value"),
+        F.lit(before).alias("files_before"),
+        F.lit(after).alias("files_after"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
@@ -1533,6 +1673,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- queries below are outside the driver's 50-row window this
         # round (r04 rotates them in); new round-3 additions lead so
         # they verify first next round ---
+        "q_knn_join": q_knn_join,
+        "q_embed_cov": q_embed_cov,
+        "q_sample_weighted": q_sample_weighted,
+        "q_graph_triangles": q_graph_triangles,
+        "q_text_bm25": q_text_bm25,
+        "q_stream_outer_join": q_stream_outer_join,
+        "q_sink_compact": q_sink_compact,
         "q_rel_stats": q_rel_stats,
         "q_kmeans_scalable": q_kmeans_scalable,
         "q_stream_kmeans": q_stream_kmeans,
@@ -3234,7 +3381,124 @@ SELECT grp AS source,
 FROM by_st JOIN gt USING (grp) JOIN gl USING (t) CROSS JOIN nt
 GROUP BY grp
 """
+    knn_join_sql = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv,
+             sqrt(list_sum(list_transform(v, x -> x*x))) AS qn
+      FROM e WHERE vec_id < {KNN_QUERY_MAX}),
+scored AS (
+  SELECT query_id, vec_id AS neighbor_id,
+         ROUND(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*qv[i]))
+               / (sqrt(list_sum(list_transform(v, x -> x*x))) * qn), 6) AS cosine
+  FROM e CROSS JOIN q WHERE vec_id >= {KNN_QUERY_MAX}
+)
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored WHERE cosine IS NOT NULL
+) WHERE rnk <= {KNN_K}
+"""
+    # XᵀX sufficient statistics: the oracle recomputes the Gram upper
+    # triangle and sample covariance from first principles (per-doc dim
+    # pair join); both engines round the order-dependent double sums to
+    # the shared 1e-6 grid (FIXTURES.md determinism rule).
+    embed_cov_sql = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE len(embedding) = {GRAM_DIM}),
+ex AS (SELECT vec_id, unnest(v) AS x,
+              unnest(range(0, {GRAM_DIM})) AS i FROM e),
+g AS (SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) AS g
+      FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.i >= a.i
+      GROUP BY a.i, b.i),
+s AS (SELECT i, SUM(x) AS s FROM ex GROUP BY i),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM e)
+SELECT CAST(g.i AS INT) AS i, CAST(g.j AS INT) AS j,
+       ROUND(g.g, 6) + 0.0 AS gram,
+       ROUND((g.g - sa.s * sb.s / n.c) / (n.c - 1), 6) + 0.0 AS cov
+FROM g JOIN s sa ON g.i = sa.i JOIN s sb ON g.j = sb.i CROSS JOIN n
+"""
+    # Efraimidis-Spirakis keys replicated literally: u from the same
+    # md5 prefix, same (h+1)/2^32 and ln(u)/w op order.
+    sample_weighted_sql = f"""
+WITH w AS (
+  SELECT doc_id, n_chars AS weight,
+         ROUND(ln((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) + 1.0) / 4294967296.0)
+               / CAST(n_chars AS DOUBLE), 6) AS es_key
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, weight, es_key FROM w ORDER BY es_key DESC, doc_id
+LIMIT {WSAMPLE_K}
+"""
+    # orientation-free triangle enumeration (a<b<c each once) — the
+    # independent check on the engine's degree-ordered wedge counting
+    graph_triangles_sql = """
+WITH ed AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM ed e1 JOIN ed e2 ON e2.u = e1.v
+             JOIN ed e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+nodes AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT node AS l_partkey, COUNT(*) AS n_triangles FROM nodes GROUP BY node
+"""
+    _bm25_terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    text_bm25_sql = f"""
+WITH {_TOKS_CTE},
+lens AS (SELECT doc_id, len(t) AS dl FROM toks),
+corpus AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avglen FROM lens),
+tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM (
+    SELECT doc_id, unnest(t) AS tok FROM toks
+  ) WHERE tok IN ({_bm25_terms})
+  GROUP BY doc_id, tok
+),
+dfq AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df_ct FROM tf GROUP BY tok)
+SELECT doc_id,
+       ROUND(SUM(ln(1.0 + (n - df_ct + 0.5) / (df_ct + 0.5))
+                 * tf * 2.2
+                 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avglen))), 6) AS bm25,
+       COUNT(*) AS n_hits
+FROM tf JOIN dfq USING (tok) JOIN lens USING (doc_id) CROSS JOIN corpus
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id LIMIT 20
+"""
+    stream_outer_join_sql = f"""
+WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view')
+SELECT p.user_id, p.event_id AS l_id, epoch_us(p.ts) AS l_ts_us,
+       v.event_id AS r_id, epoch_us(v.ts) AS r_ts_us,
+       epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+FROM p LEFT JOIN v ON p.user_id = v.user_id
+ AND v.ts <= p.ts AND v.ts > p.ts - INTERVAL {STREAM_OUTER_INTERVAL_MIN} MINUTE
+"""
+    # expected file counts are pure functions of the row count: 32
+    # dribble files in (round-robin repartition leaves none empty at
+    # n ≥ 32), ⌈n/target⌉ out; the decimal sum is the fidelity check
+    sink_compact_sql = f"""
+SELECT COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(25,8))), 6) AS DOUBLE) AS sum_value,
+       32 AS files_before,
+       CAST(ceil(COUNT(*) / {COMPACT_TARGET_ROWS}.0) AS INT) AS files_after
+FROM events
+"""
     return {
+        "q_knn_join": knn_join_sql,
+        "q_embed_cov": embed_cov_sql,
+        "q_sample_weighted": sample_weighted_sql,
+        "q_graph_triangles": graph_triangles_sql,
+        "q_text_bm25": text_bm25_sql,
+        "q_stream_outer_join": stream_outer_join_sql,
+        "q_sink_compact": sink_compact_sql,
         "q_assign": assign,
         "q_assign_join": assign,
         "q_update": update,

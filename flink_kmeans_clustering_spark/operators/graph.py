@@ -19,6 +19,102 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def cooccurrence_edges(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_support: int = 1,
+) -> DataFrame:
+    """Undirected co-occurrence edge list: items sharing ≥ ``min_support``
+    groups.
+
+    The graph-construction step of recommendation / basket analysis
+    ("parts bought together").  The self-join is keyed on the GROUP —
+    one shuffle by group id, pair blowup bounded by the largest group
+    (items-per-order here, not corpus size); the canonical ``a < b``
+    ordering plus the grouped count collapses multiplicity.
+
+    ``min_support`` is the classic market-basket pruning knob: on a
+    low-cardinality item domain the support-1 graph saturates toward a
+    clique union (every popular item co-occurs with every other at
+    least once somewhere) and EVERY downstream graph algorithm pays for
+    edges that carry no signal.  Support ≥ 2 keeps only pairs that
+    co-occur more often than a single coincidence — at 100 TB this is
+    the difference between a graph that fits its algorithms and one
+    that is quadratic noise.
+
+    Output: (id_a, id_b) with ``id_a < id_b``, each pair once.
+    """
+    a = df.select(F.col(group_col).alias("_g"), F.col(item_col).alias("id_a"))
+    b = df.select(F.col(group_col).alias("_g"), F.col(item_col).alias("id_b"))
+    pairs = (
+        a.join(b, "_g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_support"))
+    )
+    if min_support > 1:
+        pairs = pairs.filter(F.col("_support") >= min_support)
+    return pairs.select("id_a", "id_b")
+
+
+def triangle_counts(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    node_col: str = "node",
+) -> DataFrame:
+    """Per-node triangle participation counts over an undirected graph.
+
+    The clustering-coefficient numerator (community density, spam-farm
+    detection over link graphs).  Uses the degree-ordered orientation
+    (Schank & Wagner 2005 / Suri & Vassilvitskii WWW'11 "Counting
+    triangles and the curse of the last reducer"): every edge is
+    directed from its lower (degree, id) endpoint to the higher, so
+    wedge enumeration at an apex of degree d generates O(d²) pairs only
+    for nodes whose ORIENTED out-degree is small — total wedge work is
+    O(m^{3/2}) instead of Σ deg² (which a hub node makes quadratic).
+    Two shuffles: wedge join on the apex, existence join on the closing
+    edge; each triangle is found exactly once.
+
+    Output: (``node_col``, n_triangles) for nodes in ≥1 triangle.
+    """
+    e = (
+        pairs.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("u"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("v"),
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+    )
+    both = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    ranked = (
+        both.join(deg, "u")
+        .withColumnRenamed("deg", "deg_u")
+        .join(
+            deg.select(F.col("u").alias("v"), F.col("deg").alias("deg_v")), "v"
+        )
+    )
+    # orient low (deg, id) -> high (deg, id): a strict total order, so
+    # each undirected edge appears exactly once
+    directed = ranked.filter(
+        (F.col("deg_u") < F.col("deg_v"))
+        | ((F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v")))
+    ).select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    directed = directed.localCheckpoint()  # 3 consumers; edge-list sized
+    w1 = directed.select(F.col("src").alias("apex"), F.col("dst").alias("x"))
+    w2 = directed.select(F.col("src").alias("apex"), F.col("dst").alias("y"))
+    wedges = w1.join(w2, "apex").filter(F.col("x") < F.col("y"))
+    closing = directed.select(
+        F.least("src", "dst").alias("x"), F.greatest("src", "dst").alias("y")
+    )
+    tri = wedges.join(closing, ["x", "y"]).select(
+        F.explode(F.array("apex", "x", "y")).alias(node_col)
+    )
+    return tri.groupBy(node_col).agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
 def pagerank(
     pairs: DataFrame,
     iterations: int = 3,

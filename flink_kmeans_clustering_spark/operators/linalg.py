@@ -1,0 +1,118 @@
+"""Distributed dense linear algebra over embedding columns.
+
+The sufficient-statistics pass of every large-scale embedding job
+(PCA/whitening/covariance shift detection) is one matrix product:
+``Xᵀ X`` over the corpus.  The distributed shape is classic: each
+partition computes its own small ``(dim+1)²`` partial product with a
+local GEMM (Arrow batch → one ``numpy`` matmul — vectorized, not
+per-row), and only those ``O(dim²)``-sized partials are shuffled and
+summed.  At 100 TB the exchange carries ``partitions × dim²`` doubles
+regardless of row count — the scan is the whole cost.
+
+The intercept trick makes it single-pass: ``X`` is augmented with a
+constant-1 column, so ``XᵀX`` simultaneously yields the second moments
+(``G[i][j]``), the per-dimension sums (``G[i][dim]``) and the row count
+(``G[dim][dim]``) — count, mean and covariance all come from ONE job.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_GRAM_SCHEMA = "i int, j int, g double"
+
+
+def gram_matrix(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    add_intercept: bool = True,
+) -> DataFrame:
+    """Upper-triangle of the (optionally augmented) Gram matrix ``XᵀX``.
+
+    Rows whose vector length differs from ``dim`` are EXCLUDED up front
+    (never silently truncated or zero-padded — the ADVICE.md dim-
+    mismatch rule).  With ``add_intercept`` the index ``dim`` is the
+    constant-1 column: ``G[i][dim] = Σ xᵢ`` and ``G[dim][dim] = n``.
+
+    Output: (i, j, g) for ``0 ≤ i ≤ j ≤ last``; ``O(dim²)`` rows total.
+    """
+    import numpy as np
+
+    width = dim + 1 if add_intercept else dim
+    iu, ju = np.triu_indices(width)
+    iu_l, ju_l = iu.astype("int32"), ju.astype("int32")
+
+    def partial_gram(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = np.zeros((width, width), dtype="float64")
+        seen = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.asarray(list(pdf["_v"]), dtype="float64")
+            if add_intercept:
+                v = np.hstack([v, np.ones((v.shape[0], 1))])
+            acc += v.T @ v
+            seen = True
+        if seen:
+            yield pd.DataFrame({"i": iu_l, "j": ju_l, "g": acc[iu, ju]})
+
+    vecs = (
+        df.select(F.col(vec_col).cast("array<double>").alias("_v"))
+        .filter(F.size("_v") == dim)
+    )
+    partials = vecs.mapInPandas(partial_gram, schema=_GRAM_SCHEMA)
+    return partials.groupBy("i", "j").agg(F.sum("g").alias("g"))
+
+
+def covariance_matrix(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Upper-triangle sample covariance beside the raw second moments.
+
+    One corpus pass (see :func:`gram_matrix`); the count and the
+    per-dimension sums are read back out of the augmented Gram result
+    itself, which is ``O(dim²)`` rows — it is localCheckpointed so the
+    three references (moments, sums, count) don't re-run the GEMM, and
+    the sums/count sides are broadcast into the final join.
+
+    cov(i,j) = (G[i][j] − Sᵢ·Sⱼ/n) / (n−1).
+
+    Output: (i, j, gram, cov) for ``0 ≤ i ≤ j < dim``.
+    """
+    g = gram_matrix(df, vec_col=vec_col, dim=dim, add_intercept=True)
+    g = g.localCheckpoint()  # O(dim²) rows; 3 consumers below
+    n_row = g.filter((F.col("i") == dim) & (F.col("j") == dim)).select(
+        F.col("g").alias("_n")
+    )
+    sums = g.filter((F.col("j") == dim) & (F.col("i") < dim)).select(
+        F.col("i").alias("_si"), F.col("g").alias("_s")
+    )
+    moments = g.filter(F.col("j") < dim)
+    out = (
+        moments.join(F.broadcast(sums), moments["i"] == sums["_si"])
+        .drop("_si")
+        .withColumnRenamed("_s", "_s_i")
+        .join(F.broadcast(sums), moments["j"] == sums["_si"])
+        .drop("_si")
+        .withColumnRenamed("_s", "_s_j")
+        .join(F.broadcast(n_row))
+    )
+    cov = (F.col("g") - F.col("_s_i") * F.col("_s_j") / F.col("_n")) / (
+        F.col("_n") - F.lit(1.0)
+    )
+    gram = F.col("g")
+    if round_to is not None:
+        # + 0.0 canonicalizes IEEE negative zero (−0.0 + 0.0 = +0.0):
+        # a cov that rounds to zero must hash identically in any engine
+        cov = F.round(cov, round_to) + F.lit(0.0)
+        gram = F.round(gram, round_to) + F.lit(0.0)
+    return out.select("i", "j", gram.alias("gram"), cov.alias("cov"))

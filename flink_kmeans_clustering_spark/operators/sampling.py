@@ -127,6 +127,48 @@ def train_val_test_split(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int = 20,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Deterministic weighted sample without replacement of size ``k``
+    (Efraimidis & Spirakis 2006): row i is kept iff its key
+    ``ln(uᵢ)/wᵢ`` is among the k largest, where ``uᵢ ∈ (0,1]`` —
+    equivalent to ranking by ``uᵢ^(1/wᵢ)`` and exactly the weighted
+    inclusion probabilities of sequential sampling.
+
+    ``uᵢ`` comes from the row key's md5 (first 8 hex chars as a uniform
+    32-bit value, +1 so u is never 0), not an RNG — the same
+    content-hash contract as :func:`deterministic_sample`: reproducible
+    across engines, runs, and repartitioning.  One narrow projection
+    plus ORDER BY+LIMIT → ``TakeOrderedAndProject``: each partition
+    keeps its own k best, no global sort, no shuffle of the scan.
+
+    Zero/negative weights are excluded (they have no sampling mass).
+    Output: (key, weight, es_key) — es_key rounded BEFORE ranking so an
+    independent engine ranks identically (ties broken by key).
+    """
+    key_s = F.col(key_col).cast("string")
+    h = F.conv(F.substring(F.md5(key_s), 1, 8), 16, 10).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(4294967296.0)  # (0, 1]
+    es = F.log(u) / F.col(weight_col).cast("double")
+    if round_to is not None:
+        es = F.round(es, round_to)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .select(
+            F.col(key_col),
+            F.col(weight_col).alias("weight"),
+            es.alias("es_key"),
+        )
+        .orderBy(F.desc("es_key"), F.col(key_col))
+        .limit(k)
+    )
+
+
 def _cms_bucket(token: Column, lane: int, width: int) -> Column:
     """Lane hash: first 8 md5-hex chars of 'token#lane' as int, mod width.
 

@@ -126,6 +126,64 @@ def ann_search(
     )
 
 
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """k-NN JOIN: top-k cosine neighbors per QUERY ROW (a batch of
+    queries, not one literal vector — the retrieval shape of embedding
+    pipelines: "for every eval prompt, its nearest training docs").
+
+    Execution: the query side is broadcast (it is small by contract —
+    a query batch, not a corpus), so the corpus is scanned ONCE with no
+    shuffle for the join; the per-query ranking is a window
+    ``row_number() ≤ k`` which Spark compiles to ``WindowGroupLimit`` —
+    each input partition pre-filters to its own top-k per query BEFORE
+    the single shuffle on query_id, so the exchange carries at most
+    k·queries·partitions rows instead of queries×corpus.  At 100 TB
+    this is the scan-bound plan: broadcast, narrow score, bounded
+    exchange.
+
+    Determinism (FIXTURES.md): cosine rounded to ``round_to`` BEFORE
+    ranking, ties broken by neighbor id ascending; NULL cosines
+    (zero vectors) are filtered, never ranked.
+
+    Output: (query_id, neighbor_id, cosine, rnk), rnk in 1..k.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).cast("array<double>").alias("_qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    sim = cosine_similarity(F.col("_v"), F.col("_qv"))
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    scored = (
+        c.join(F.broadcast(q))
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+        .filter(F.col("cosine").isNotNull())
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
 def normalize_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Add ``<vec_col>_norm``: the L2-normalized vector (array<double>).
 

@@ -366,6 +366,72 @@ def tfidf_top_terms(
     return scored.withColumn("rk", F.rank().over(w)).filter(F.col("rk") <= k)
 
 
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 retrieval scores (Robertson/Sparck Jones probabilistic idf)
+    for a fixed query term set — the lexical ranking half of every
+    retrieval pipeline beside the embedding ANN path.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·len_d/avglen)),
+    idf(t) = ln(1 + (N−df+0.5)/(df+0.5)).
+
+    Distributed shape mirrors :func:`tfidf_top_terms`: the exploded
+    token stream is FILTERED to the query terms before the tf shuffle
+    (a handful of terms — the groupBy state is O(docs·|q|), the filter
+    prunes the corpus token stream in-scan); doc lengths come from a
+    narrow per-row projection; df and the 2-value corpus row (N,
+    avglen) broadcast back.  Final ORDER BY+LIMIT is
+    TakeOrderedAndProject — no global sort.
+
+    Output: top ``top_n`` docs by (rounded score DESC, id ASC) with
+    n_hits = how many query terms matched.
+    """
+    terms = [t.lower() for t in query_terms]
+    toks = df.select(
+        F.col(id_col), tokenize(F.col(text_col)).alias("_toks")
+    )
+    lens = toks.select(F.col(id_col), F.size("_toks").alias("dl"))
+    corpus = lens.agg(
+        F.count(F.lit(1)).alias("_n"), F.avg("dl").alias("_avglen")
+    )
+    tf = (
+        toks.select(F.col(id_col), F.explode("_toks").alias("token"))
+        .filter(F.col("token").isin(terms))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_ct"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(lens, id_col)
+        .crossJoin(F.broadcast(corpus))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n") - F.col("df_ct") + F.lit(0.5)) / (F.col("df_ct") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("_avglen")
+    )
+    contrib = idf * F.col("tf") * F.lit(k1 + 1.0) / denom
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.round(F.sum(contrib), 6).alias("bm25"),
+            F.count(F.lit(1)).alias("n_hits"),
+        )
+        .orderBy(F.desc("bm25"), F.col(id_col))
+        .limit(top_n)
+    )
+
+
 GATE_MIN_WORDS = 20
 GATE_MIN_QUALITY = 0.45
 GATE_MAX_DUP_FRAC = 0.12

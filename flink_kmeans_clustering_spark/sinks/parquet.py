@@ -30,6 +30,44 @@ def write_partitioned(
     writer.partitionBy(*partition_by).parquet(path)
 
 
+def compact_small_files(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_rows_per_file: int,
+) -> tuple[int, int]:
+    """Rewrite a directory of parquet files as ⌈n/target⌉ right-sized
+    files — the small-files compaction every streaming/landing pipeline
+    needs (a 100 TB table accreted in per-trigger dribbles becomes
+    millions of KB-files whose open/footer cost dominates every scan).
+
+    The row count comes from parquet FOOTER metadata (Spark's
+    count(*) over parquet never touches row data), the rewrite is ONE
+    round-robin repartition to exactly the target file count — no key
+    shuffle, no sort.  In production the same pass runs per partition
+    directory with `target` derived from the table's row width; here
+    row count is the deterministic stand-in for byte size.
+
+    Returns (files_before, files_after) as counted on disk.
+    """
+    import math
+    import os
+
+    def _n_files(p: str) -> int:
+        return sum(
+            1
+            for root, _, files in os.walk(p)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    df = spark.read.parquet(src_path)
+    n = df.count()
+    n_out = max(1, math.ceil(n / target_rows_per_file))
+    df.repartition(n_out).write.mode("overwrite").parquet(dst_path)
+    return _n_files(src_path), _n_files(dst_path)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

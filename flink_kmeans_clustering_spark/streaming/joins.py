@@ -54,3 +54,52 @@ def interval_join_streams(
         F.unix_micros("r_ts").alias("r_ts_us"),
         (F.unix_micros("l_ts") - F.unix_micros("r_ts")).alias("gap_us"),
     )
+
+
+def interval_join_streams_outer(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    interval: str = "1 hour",
+    watermark_delay: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every left event is
+    emitted — matched rows as they pair up, unmatched rows NULL-padded
+    once the watermark proves no future right row can still match
+    (``wm > l_ts + delay``, the state-expiry bound the time-range
+    condition gives Spark).
+
+    This is the "did a click precede this purchase?" shape where
+    ABSENCE is the signal; an inner join silently drops exactly the
+    rows you wanted to see.  Unlike the inner variant, the unmatched
+    output only materializes when the watermark ADVANCES past the left
+    row — a bounded drain must push a flush sentinel through BOTH
+    streams (the global watermark is the min across inputs), same
+    contract as sessionize's flush-on-drain.
+
+    Output: left id/ts, nullable right id/ts, nullable gap in µs.
+    """
+    l = left.withWatermark(ts_col, watermark_delay).select(
+        F.col(key).alias("l_key"),
+        F.col("event_id").alias("l_id"),
+        F.col(ts_col).alias("l_ts"),
+    )
+    r = right.withWatermark(ts_col, watermark_delay).select(
+        F.col(key).alias("r_key"),
+        F.col("event_id").alias("r_id"),
+        F.col(ts_col).alias("r_ts"),
+    )
+    cond = (
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+        & (F.col("r_ts") > F.col("l_ts") - F.expr(f"INTERVAL {interval}"))
+    )
+    return l.join(r, cond, "leftOuter").select(
+        F.col("l_key").alias(key),
+        "l_id",
+        F.unix_micros("l_ts").alias("l_ts_us"),
+        "r_id",
+        F.unix_micros("r_ts").alias("r_ts_us"),
+        (F.unix_micros("l_ts") - F.unix_micros("r_ts")).alias("gap_us"),
+    )

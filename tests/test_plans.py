@@ -566,3 +566,54 @@ def test_band_join_is_hash_join_not_nested_loop(spark):
     # per-(row, band) nested loop
     assert "BroadcastNestedLoopJoin" not in s and "CartesianProduct" not in s
     assert "BroadcastHashJoin" in s
+
+
+def test_knn_join_broadcasts_queries_and_bounds_window(spark):
+    """The k-NN join must broadcast the query batch (corpus scanned
+    once, no shuffle for the join) and rank through WindowGroupLimit
+    (per-partition top-k before the only exchange)."""
+    from flink_kmeans_clustering_spark.operators.similarity import knn_join
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = knn_join(
+        emb.filter("vec_id >= 5"),
+        emb.filter("vec_id < 5"),
+        k=5,
+        query_id_col="vec_id",
+    )
+    plan = explain_str(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert_has_node(df, "WindowGroupLimit")
+    # one exchange for the window partitioning; the broadcast is free
+    assert_max_shuffles(df, 1)
+
+
+def test_gram_exchange_is_dim_squared_not_corpus(spark):
+    """XᵀX: the only exchange sits ABOVE the mapInPandas partials —
+    O(partitions·dim²) rows — never below it (which would shuffle the
+    corpus)."""
+    from flink_kmeans_clustering_spark.operators.linalg import gram_matrix
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = gram_matrix(emb, dim=64)
+    plan = explain_str(df)
+    assert shuffle_count(df) == 1
+    # partial-GEMM (ArrowEvalPython/MapInPandas) must run BEFORE the
+    # exchange in the plan tree (parquet scan side)
+    import re
+
+    ex = plan.find("Exchange")
+    mip = max(plan.find("MapInPandas"), plan.find("ArrowEvalPython"))
+    assert mip != -1, f"no Arrow map stage in plan:\n{plan}"
+    # formatted explain lists children below parents: the map stage
+    # appears after the exchange textually, meaning it is the child
+    assert ex != -1 and mip > ex
+
+
+def test_weighted_sample_is_take_ordered(spark):
+    from flink_kmeans_clustering_spark.operators.sampling import weighted_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = weighted_sample(docs, "doc_id", "n_chars", k=20)
+    assert_has_node(df, "TakeOrderedAndProject")
+    assert shuffle_count(df) == 0

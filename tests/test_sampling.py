@@ -173,3 +173,50 @@ def test_cms_heavy_hitters_empty(spark):
 
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert cms_heavy_hitters(empty).count() == 0
+
+
+def test_weighted_sample_formula_and_determinism(spark):
+    import hashlib
+    import math
+
+    from flink_kmeans_clustering_spark.operators.sampling import weighted_sample
+
+    rows = [(i, float(10 + 7 * i)) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = weighted_sample(df, "doc_id", "w", k=10).collect()
+    assert len(got) == 10
+
+    def es_key(doc_id, w):
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+        return round(math.log((h + 1.0) / 4294967296.0) / w, 6)
+
+    want = sorted(rows, key=lambda r: (-es_key(*r), r[0]))[:10]
+    assert [(r["doc_id"], r["weight"]) for r in got] == want
+    # re-run: byte-identical (content hash, no RNG)
+    again = weighted_sample(df, "doc_id", "w", k=10).collect()
+    assert got == again
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from flink_kmeans_clustering_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, -3.0), (3, 5.0)], "doc_id long, w double"
+    )
+    got = weighted_sample(df, "doc_id", "w", k=10).collect()
+    assert [r["doc_id"] for r in got] == [3]
+
+
+def test_compact_small_files_counts_and_fidelity(spark, tmp_path):
+    from flink_kmeans_clustering_spark.sinks.parquet import compact_small_files
+
+    src, dst = str(tmp_path / "small"), str(tmp_path / "big")
+    df = spark.range(10_000).withColumnRenamed("id", "v")
+    df.repartition(25).write.parquet(src)
+    before, after = compact_small_files(
+        spark, src, dst, target_rows_per_file=4096
+    )
+    assert (before, after) == (25, 3)  # ceil(10000/4096) = 3
+    back = spark.read.parquet(dst)
+    assert back.count() == 10_000
+    assert back.agg({"v": "sum"}).collect()[0][0] == 10_000 * 9_999 // 2

@@ -198,3 +198,49 @@ def test_ann_quantized_zero_vector_excluded(spark):
     ids = {r["vec_id"] for r in ann_quantized(df, [1.0, 0.0], k=5).collect()}
     assert 1 not in ids  # amax=0 row cannot be quantized; never a candidate
     assert {0, 2} == ids
+
+
+def test_knn_join_matches_per_query_topk(spark):
+    import numpy as np
+
+    from flink_kmeans_clustering_spark.operators.similarity import (
+        knn_join,
+        topk_cosine,
+    )
+
+    rng = np.random.RandomState(5)
+    vecs = rng.standard_normal((30, 4))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in vecs[i]]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = df.filter("vec_id >= 3")
+    queries = df.filter("vec_id < 3")
+    got = knn_join(corpus, queries, k=4, query_id_col="vec_id").collect()
+    assert len(got) == 3 * 4
+    for qid in range(3):
+        mine = [
+            (r["neighbor_id"], r["cosine"], r["rnk"])
+            for r in got
+            if r["query_id"] == qid
+        ]
+        mine.sort(key=lambda t: t[2])
+        want = topk_cosine(corpus, [float(v) for v in vecs[qid]], k=4).collect()
+        assert [(m[0], m[1]) for m in mine] == [
+            (w["vec_id"], w["cosine"]) for w in want
+        ]
+
+
+def test_knn_join_drops_zero_vectors(spark):
+    from flink_kmeans_clustering_spark.operators.similarity import knn_join
+
+    corpus = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(0, [1.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    got = knn_join(corpus, queries, k=5, query_id_col="vec_id").collect()
+    # the zero vector has NULL cosine: never ranked, never displaces
+    assert sorted(r["neighbor_id"] for r in got) == [2, 3]

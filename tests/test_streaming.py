@@ -334,3 +334,40 @@ def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
     )
     drain()  # same checkpoint: f0 must NOT be reprocessed
     assert sorted(seen) == [1, 2, 3]
+
+
+def test_outer_interval_join_equals_batch_left_join(spark):
+    """The LEFT OUTER stream-stream join, drained with flush sentinels
+    in BOTH streams, must equal the batch left range join — including
+    the NULL-padded unmatched left rows (the rows an inner join eats)."""
+    import __spark_entry__ as em
+    from tests.conftest import SF_SMOKE
+    from flink_kmeans_clustering_spark.sources.parquet import load_events
+    from pyspark.sql import functions as F
+
+    got = {
+        (r["l_id"], r["r_id"])
+        for r in em.q_stream_outer_join(spark, SF_SMOKE).collect()
+    }
+    ev = load_events(spark, SF_SMOKE)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("k"),
+        F.col("event_id").alias("l_id"),
+        F.col("ts").alias("l_ts"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vk"),
+        F.col("event_id").alias("r_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    cond = (
+        (p["k"] == v["vk"])
+        & (v["r_ts"] <= p["l_ts"])
+        & (v["r_ts"] > p["l_ts"] - F.expr("INTERVAL 30 minutes"))
+    )
+    want = {
+        (r["l_id"], r["r_id"])
+        for r in p.join(v, cond, "leftOuter").collect()
+    }
+    assert got == want
+    assert any(r_id is None for _, r_id in got)  # unmatched rows flushed

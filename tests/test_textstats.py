@@ -333,3 +333,56 @@ def test_chunking_udtf_rejects_bad_overlap():
 
     with pytest.raises(ValueError):
         chunking_udtf(4, 4)
+
+
+def test_bm25_matches_hand_computation(spark):
+    import math
+
+    from flink_kmeans_clustering_spark.operators.textstats import bm25_scores
+
+    docs = [
+        (0, "spark join spark window"),
+        (1, "merge sort table"),
+        (2, "spark spark spark spark"),
+        (3, "row scan filter value"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["bm25"], r["n_hits"])
+        for r in bm25_scores(df, ["spark", "merge"], top_n=10).collect()
+    }
+    # hand replication
+    toks = {i: t.split() for i, t in docs}
+    n, avglen = 4.0, sum(len(v) for v in toks.values()) / 4.0
+    dfreq = {"spark": 2.0, "merge": 1.0}
+    k1, b = 1.2, 0.75
+    want = {}
+    for i, t in toks.items():
+        s, hits = 0.0, 0
+        for term in ("spark", "merge"):
+            tf = t.count(term)
+            if tf == 0:
+                continue
+            hits += 1
+            idf = math.log(1 + (n - dfreq[term] + 0.5) / (dfreq[term] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(t) / avglen))
+        if hits:
+            want[i] = (round(s, 6), hits)
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][1] == want[i][1]
+        assert abs(got[i][0] - want[i][0]) < 1e-9
+
+
+def test_bm25_rare_term_outranks_common_at_equal_tf(spark):
+    from flink_kmeans_clustering_spark.operators.textstats import bm25_scores
+
+    # 'rare' appears in 1 of 6 docs, 'common' in 5 of 6 — equal tf and
+    # equal doc length, so the rare-term doc must score higher
+    docs = [(0, "rare pad")] + [(i, "common pad") for i in range(1, 6)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(df, ["rare", "common"], top_n=10).collect()
+    }
+    assert got[0] > max(v for k, v in got.items() if k != 0)
