@@ -1508,6 +1508,19 @@ def q_embed_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
     return covariance_matrix(emb, dim=GRAM_DIM)
 
 
+def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection onto the top-2 principal components: one-pass
+    distributed sufficient statistics (q_embed_cov's GEMM), 64×64
+    eigensolve driver-side, loadings re-entering the plan as literals
+    in a narrow codegen map.  Rows-only: eigensolves aren't
+    SQL-expressible; the projection is pinned against numpy in
+    tests/test_linalg.py."""
+    from flink_kmeans_clustering_spark.operators.linalg import pca_project
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pca_project(emb, n_components=2, dim=GRAM_DIM)
+
+
 def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Efraimidis-Spirakis weighted sample (k=20, weight = n_chars):
     rank by ln(u)/w with u from the content hash — deterministic across
@@ -1675,6 +1688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # they verify first next round ---
         "q_knn_join": q_knn_join,
         "q_embed_cov": q_embed_cov,
+        "q_embed_pca": q_embed_pca,
         "q_sample_weighted": q_sample_weighted,
         "q_graph_triangles": q_graph_triangles,
         "q_text_bm25": q_text_bm25,

@@ -70,6 +70,73 @@ def gram_matrix(
     return partials.groupBy("i", "j").agg(F.sum("g").alias("g"))
 
 
+def pca_project(
+    df: DataFrame,
+    n_components: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Project the corpus onto its top principal components — the
+    standard embedding-space reduction (visualization, whitening,
+    drift monitors) composed exactly the way it scales:
+
+    1. sufficient statistics: ONE corpus pass via :func:`gram_matrix`
+       (O(dim²) exchange, see module docstring);
+    2. eigendecomposition DRIVER-side: the covariance is dim×dim —
+       64×64 here — a microsecond `numpy.linalg.eigh` no matter how
+       many rows fed it (never a distributed job);
+    3. projection: loadings re-enter the plan as LITERALS in a narrow
+       per-row map (`pc_k = Σᵢ (xᵢ−μᵢ)·vᵢₖ`), authored as ONE SQL
+       expression string per component (the TUNING.md py4j lesson) —
+       codegen end-to-end, zero shuffle, composes with any downstream
+       write.
+
+    Eigenvector sign is canonicalized (largest-|component| made
+    positive) so results are deterministic across LAPACK builds.
+    Rows-only correctness contract: eigensolves aren't SQL-expressible;
+    tests pin the projection against numpy on the same data.
+
+    Output: (id, pc1..pcK), one row per in-width input row.
+    """
+    import numpy as np
+
+    rows = gram_matrix(df, vec_col=vec_col, dim=dim, add_intercept=True).collect()
+    g = np.zeros((dim + 1, dim + 1))
+    for r in rows:
+        g[r["i"], r["j"]] = r["g"]
+        g[r["j"], r["i"]] = r["g"]
+    n = g[dim, dim]
+    if n < 2:
+        raise ValueError("PCA needs at least 2 in-width rows")
+    mu = g[:dim, dim] / n
+    cov = (g[:dim, :dim] - np.outer(mu, mu) * n) / (n - 1.0)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:n_components]
+    comps = vecs[:, order]  # dim × k
+    # sign canonicalization: flip so the largest-|x| entry is positive
+    for k in range(comps.shape[1]):
+        j = int(np.argmax(np.abs(comps[:, k])))
+        if comps[j, k] < 0:
+            comps[:, k] = -comps[:, k]
+
+    exprs = [id_col]
+    for k in range(n_components):
+        terms = " + ".join(
+            f"(element_at(_v, {i + 1}) - {mu[i]!r}) * {comps[i, k]!r}"
+            for i in range(dim)
+        )
+        e = f"({terms})"
+        if round_to is not None:
+            e = f"round({e}, {round_to})"
+        exprs.append(f"{e} AS pc{k + 1}")
+    vecs_df = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    ).filter(F.size("_v") == dim)
+    return vecs_df.selectExpr(*exprs)
+
+
 def covariance_matrix(
     df: DataFrame,
     vec_col: str = "embedding",
