@@ -1592,6 +1592,45 @@ def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("user_id") >= 0)
 
 
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon token entropy (information-density quality
+    signal): distinct tokens + counts via per-row HOFs — zero-shuffle
+    narrow map at any corpus size."""
+    from flink_kmeans_clustering_spark.operators.textstats import token_entropy
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_entropy(docs)
+
+
+def q_sink_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution end-to-end: a legacy batch written WITHOUT the
+    ``value`` column and a current batch WITH it land in the same
+    table; ``mergeSchema`` unifies the footers at read time and
+    NULL-backfills the legacy rows — the additive-column migration
+    every long-lived 100 TB table goes through (no rewrite of old
+    files).  Oracle: the same aggregate with the split replayed as a
+    CASE on the deterministic batch rule (event_id parity)."""
+    ev = load_events(spark, sf_dir)
+    legacy_dir = scratch_dir("evolve_legacy_")
+    current_dir = scratch_dir("evolve_current_")
+    ev.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "event_type"
+    ).write.mode("overwrite").parquet(legacy_dir)
+    ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "event_type", "value"
+    ).write.mode("overwrite").parquet(current_dir)
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        legacy_dir, current_dir
+    )
+    return merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").isNull().cast("long")).alias("n_legacy"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(25,8)")), 6
+        ).cast("double").alias("sum_value"),
+    )
+
+
 def q_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-files compaction end-to-end: events landed as 32 dribble
     files (the streaming-sink pathology), compacted to ⌈n/4096⌉
@@ -1694,6 +1733,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_bm25": q_text_bm25,
         "q_stream_outer_join": q_stream_outer_join,
         "q_sink_compact": q_sink_compact,
+        "q_text_entropy": q_text_entropy,
+        "q_sink_evolve": q_sink_evolve,
         "q_rel_stats": q_rel_stats,
         "q_kmeans_scalable": q_kmeans_scalable,
         "q_stream_kmeans": q_stream_kmeans,
@@ -3505,7 +3546,38 @@ SELECT COUNT(*) AS n_rows,
        CAST(ceil(COUNT(*) / {COMPACT_TARGET_ROWS}.0) AS INT) AS files_after
 FROM events
 """
+    # per-doc Shannon entropy over the shared tokenization; −0.0 → +0.0
+    # canonicalized on both sides (one-token docs)
+    text_entropy_sql = f"""
+WITH {_TOKS_CTE},
+tf AS (
+  SELECT doc_id, tok, COUNT(*) AS c FROM (
+    SELECT doc_id, unnest(t) AS tok FROM toks
+  ) GROUP BY doc_id, tok
+),
+tot AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS n,
+               COUNT(*) AS n_distinct
+        FROM tf GROUP BY doc_id)
+SELECT tf.doc_id,
+       CAST(tot.n AS BIGINT) AS n_tokens,
+       CAST(tot.n_distinct AS INT) AS n_distinct,
+       ROUND(SUM(-(tf.c / tot.n) * ln(tf.c / tot.n)), 6) + 0.0 AS entropy
+FROM tf JOIN tot USING (doc_id)
+GROUP BY tf.doc_id, tot.n, tot.n_distinct
+"""
+    sink_evolve_sql = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_legacy,
+       CAST(ROUND(SUM(CASE WHEN event_id % 2 = 1
+                           THEN CAST(value AS DECIMAL(25,8)) END), 6)
+            AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type
+"""
     return {
+        "q_text_entropy": text_entropy_sql,
+        "q_sink_evolve": sink_evolve_sql,
         "q_knn_join": knn_join_sql,
         "q_embed_cov": embed_cov_sql,
         "q_sample_weighted": sample_weighted_sql,

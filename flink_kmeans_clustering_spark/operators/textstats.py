@@ -366,6 +366,61 @@ def tfidf_top_terms(
     return scored.withColumn("rk", F.rank().over(w)).filter(F.col("rk") <= k)
 
 
+def token_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution — the
+    information-density quality signal (low entropy = template/spam,
+    keyboard mash; complements :func:`repetition_stats`' n-gram rules).
+
+    H(d) = −Σ_t (c_t/n)·ln(c_t/n) over d's distinct tokens.
+
+    Every metric is a function of ONE row: distinct tokens and their
+    counts come from higher-order functions over the token array — a
+    narrow zero-shuffle map at any corpus size (per-doc work O(D·T),
+    bounded by document length).  The corpus-shuffling alternative
+    (explode → groupBy doc,token) moves every token across the wire to
+    compute numbers each row already contains.
+
+    Empty documents (no tokens) are EXCLUDED — entropy of nothing is
+    undefined, and emitting 0.0 would alias them with single-token
+    spam.  Output: (id, n_tokens, n_distinct, entropy); a one-token
+    doc has entropy exactly 0.0 (+0.0 canonicalized).
+    """
+    toks = tokenize(F.col(text_col))
+    out = (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .filter(F.size("_toks") > 0)
+        .withColumn("_n", F.size("_toks").cast("double"))
+        .withColumn("_distinct", F.array_distinct("_toks"))
+        .withColumn(
+            "_counts",
+            F.transform(
+                F.col("_distinct"),
+                lambda t: F.size(
+                    F.filter(F.col("_toks"), lambda x: x == t)
+                ).cast("double"),
+            ),
+        )
+    )
+    h = F.aggregate(
+        F.col("_counts"),
+        F.lit(0.0),
+        lambda acc, c: acc - (c / F.col("_n")) * F.log(c / F.col("_n")),
+    )
+    if round_to is not None:
+        h = F.round(h, round_to) + F.lit(0.0)  # −0.0 → +0.0
+    return out.select(
+        F.col(id_col),
+        F.col("_n").cast("long").alias("n_tokens"),
+        F.size("_distinct").alias("n_distinct"),
+        h.alias("entropy"),
+    )
+
+
 def bm25_scores(
     df: DataFrame,
     query_terms: list[str],

@@ -254,3 +254,40 @@ def test_first_event_per_day_is_subset_and_one_per_key(spark, pts):
     for key, cand in groups.items():
         want_ts, want_id = min(cand)
         assert (seen[key]["ts_us"], seen[key]["event_id"]) == (want_ts, want_id)
+
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(edges=edges_strategy)
+@SLOW
+def test_triangle_counts_match_bruteforce(spark, edges):
+    """Degree-ordered wedge counting equals brute-force triangle
+    enumeration on arbitrary small graphs (self-loops dropped,
+    duplicates/direction collapsed) — and 3·(#triangles) equals the
+    sum of per-node counts."""
+    from itertools import combinations
+
+    from flink_kmeans_clustering_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [(0, 0)], "id_a long, id_b long"
+    )
+    got = {
+        r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()
+    }
+    und = {frozenset(e) for e in edges if e[0] != e[1]}
+    nodes = sorted({n for e in und for n in e})
+    want: dict[int, int] = {}
+    n_tri = 0
+    for a, b, c in combinations(nodes, 3):
+        if {frozenset((a, b)), frozenset((b, c)), frozenset((a, c))} <= und:
+            n_tri += 1
+            for v in (a, b, c):
+                want[v] = want.get(v, 0) + 1
+    assert got == want
+    assert sum(got.values()) == 3 * n_tri

@@ -386,3 +386,38 @@ def test_bm25_rare_term_outranks_common_at_equal_tf(spark):
         for r in bm25_scores(df, ["rare", "common"], top_n=10).collect()
     }
     assert got[0] > max(v for k, v in got.items() if k != 0)
+
+
+def test_token_entropy_known_values(spark):
+    import math
+
+    from flink_kmeans_clustering_spark.operators.textstats import token_entropy
+
+    docs = [
+        (0, "a a a a"),          # one distinct token -> 0.0
+        (1, "a b a b"),          # uniform over 2 -> ln 2
+        (2, "a a a b"),          # 3/4, 1/4
+        (3, ""),                 # empty -> excluded
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_distinct"], r["entropy"])
+        for r in token_entropy(df).collect()
+    }
+    assert set(got) == {0, 1, 2}
+    assert got[0] == (4, 1, 0.0)
+    import struct
+
+    # one-token-class entropy is +0.0, never -0.0 (hash determinism)
+    assert struct.pack("<d", got[0][2]) == struct.pack("<d", 0.0)
+    assert got[1][2] == round(math.log(2), 6)
+    h = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert got[2] == (4, 2, round(h, 6))
+
+
+def test_token_entropy_is_narrow(spark):
+    from flink_kmeans_clustering_spark.operators.textstats import token_entropy
+    from flink_kmeans_clustering_spark.plans import shuffle_count
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    assert shuffle_count(token_entropy(docs)) == 0
