@@ -1631,6 +1631,34 @@ def q_sink_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL roundtrip — the LLM-corpus interchange path: documents
+    written as newline-delimited JSON, read back with an EXPLICIT
+    schema (inference is a full extra pass at 100 TB) in FAILFAST
+    mode, then fidelity-aggregated per language (text byte-exactness
+    via distinct md5 counts).  Oracle: the same aggregate straight off
+    the parquet source — any escape/encoding loss in the roundtrip
+    flips a digest and the hash."""
+    from flink_kmeans_clustering_spark.sources.json import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = scratch_dir("jsonl_")
+    write_jsonl(docs, out)
+    back = read_jsonl(
+        spark,
+        out,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.countDistinct(F.md5("text")).alias("n_distinct_texts"),
+    )
+
+
 def q_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-files compaction end-to-end: events landed as 32 dribble
     files (the streaming-sink pathology), compacted to ⌈n/4096⌉
@@ -1735,6 +1763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sink_compact": q_sink_compact,
         "q_text_entropy": q_text_entropy,
         "q_sink_evolve": q_sink_evolve,
+        "q_source_jsonl": q_source_jsonl,
         "q_rel_stats": q_rel_stats,
         "q_kmeans_scalable": q_kmeans_scalable,
         "q_stream_kmeans": q_stream_kmeans,
@@ -3575,7 +3604,14 @@ SELECT event_type, COUNT(*) AS n,
 FROM events
 GROUP BY event_type
 """
+    source_jsonl_sql = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       COUNT(DISTINCT md5(text)) AS n_distinct_texts
+FROM documents GROUP BY lang
+"""
     return {
+        "q_source_jsonl": source_jsonl_sql,
         "q_text_entropy": text_entropy_sql,
         "q_sink_evolve": sink_evolve_sql,
         "q_knn_join": knn_join_sql,

@@ -220,3 +220,38 @@ def test_compact_small_files_counts_and_fidelity(spark, tmp_path):
     back = spark.read.parquet(dst)
     assert back.count() == 10_000
     assert back.agg({"v": "sum"}).collect()[0][0] == 10_000 * 9_999 // 2
+
+
+def test_jsonl_roundtrip_preserves_text_exactly(spark, tmp_path):
+    """Escapes, quotes, newlines, unicode — the characters JSONL
+    encoding actually touches — must survive the write/read cycle
+    byte-for-byte."""
+    from flink_kmeans_clustering_spark.sources.json import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    rows = [
+        (0, 'quote " backslash \\ tab \t'),
+        (1, "newline \n inside"),
+        (2, "unicode naïve café 中文 🙂"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    p = str(tmp_path / "docs_jsonl")
+    write_jsonl(df, p)
+    back = read_jsonl(spark, p, "doc_id bigint, text string")
+    got = {r["doc_id"]: r["text"] for r in back.collect()}
+    assert got == dict(rows)
+
+
+def test_jsonl_failfast_raises_on_corrupt_line(spark, tmp_path):
+    import pytest as _pytest
+
+    from flink_kmeans_clustering_spark.sources.json import read_jsonl
+
+    p = tmp_path / "bad"
+    p.mkdir()
+    (p / "part-0.json").write_text('{"doc_id": 1}\nnot json at all\n')
+    with _pytest.raises(Exception):
+        read_jsonl(spark, str(p), "doc_id bigint").collect()
