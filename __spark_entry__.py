@@ -1631,6 +1631,19 @@ def q_sink_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EWMA_ALPHA = 0.1
+
+
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA recurrence (α=0.1): one shuffle on user_id, O(1)
+    state per group in an applyInPandas fold.  The oracle replays the
+    identical multiply-add recurrence as a DuckDB recursive CTE —
+    bit-identical before the shared rounding."""
+    from flink_kmeans_clustering_spark.operators.events import ewma_per_user
+
+    return ewma_per_user(load_events(spark, sf_dir), alpha=EWMA_ALPHA)
+
+
 def q_source_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL roundtrip — the LLM-corpus interchange path: documents
     written as newline-delimited JSON, read back with an EXPLICIT
@@ -1764,6 +1777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_entropy": q_text_entropy,
         "q_sink_evolve": q_sink_evolve,
         "q_source_jsonl": q_source_jsonl,
+        "q_events_ewma": q_events_ewma,
         "q_rel_stats": q_rel_stats,
         "q_kmeans_scalable": q_kmeans_scalable,
         "q_stream_kmeans": q_stream_kmeans,
@@ -3610,7 +3624,28 @@ SELECT lang, COUNT(*) AS n_docs,
        COUNT(DISTINCT md5(text)) AS n_distinct_texts
 FROM documents GROUP BY lang
 """
+    # the engine's applyInPandas fold and this recursive CTE apply the
+    # SAME multiply-add per step (0.1·x + 0.9·prev, 1.0−0.1 == 0.9 in
+    # doubles), so values are bit-identical before the shared rounding
+    events_ewma_sql = f"""
+WITH RECURSIVE ordered AS (
+  SELECT event_id, user_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+rec AS (
+  SELECT user_id, rn, event_id, value, value AS ewma
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.rn, o.event_id, o.value,
+         {EWMA_ALPHA} * o.value + {1.0 - EWMA_ALPHA} * r.ewma
+  FROM rec r JOIN ordered o ON o.user_id = r.user_id AND o.rn = r.rn + 1
+)
+SELECT event_id, user_id, value, ROUND(ewma, 6) + 0.0 AS ewma FROM rec
+"""
     return {
+        "q_events_ewma": events_ewma_sql,
         "q_source_jsonl": source_jsonl_sql,
         "q_text_entropy": text_entropy_sql,
         "q_sink_evolve": sink_evolve_sql,

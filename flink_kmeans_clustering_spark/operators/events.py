@@ -798,3 +798,61 @@ def band_join_bucketed(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 6).alias("sum_value"),
     )
+
+
+def ewma_per_user(
+    df: DataFrame,
+    alpha: float = 0.1,
+    ts_col: str = "ts",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Per-user exponentially weighted moving average of ``value`` —
+    the streaming-feature recurrence (anomaly baselines, engagement
+    decay) that windowed SQL cannot express without an overflow-prone
+    ``(1−α)^{-i}`` rescaling trick.
+
+    ewma_i = α·x_i + (1−α)·ewma_{i−1},  ewma_0 = x_0.
+
+    Execution: one shuffle on user_id, then an ``applyInPandas`` whose
+    per-group state is a single float — the honest shape for an
+    inherently sequential scan (each group sorts its own rows by
+    (ts, event_id); groups run in parallel, rows within a group do
+    not, which is the recurrence's data dependency, not an
+    implementation limit).  The fold applies EXACTLY one multiply-add
+    pair per step in fixed order, so an oracle replaying the same
+    recurrence (DuckDB recursive CTE) is bit-identical before
+    rounding.
+
+    Output: (event_id, user_id, value, ewma).
+    """
+    import pandas as pd
+
+    one_minus = 1.0 - alpha
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_ts_us", "event_id"])
+        x = pdf["value"].to_numpy(dtype="float64")
+        out = x.copy()
+        prev = 0.0
+        for i in range(len(x)):
+            if i == 0:
+                prev = x[0]
+            else:
+                prev = alpha * x[i] + one_minus * prev
+            out[i] = prev
+        pdf = pdf.assign(ewma=out)
+        return pdf[["event_id", "user_id", "value", "ewma"]]
+
+    base = df.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.unix_micros(F.col(ts_col)).alias("_ts_us"),
+    )
+    out = base.groupBy("user_id").applyInPandas(
+        fold, schema="event_id long, user_id long, value double, ewma double"
+    )
+    e = F.col("ewma")
+    if round_to is not None:
+        e = F.round(e, round_to) + F.lit(0.0)
+    return out.select("event_id", "user_id", "value", e.alias("ewma"))

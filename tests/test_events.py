@@ -364,3 +364,44 @@ def test_band_join_bucketed_equals_naive(spark):
     }
     assert got == naive
     assert got["tiny"][0] == 2  # 0.0 and 4.999; 5.0 went to 'small'
+
+
+def test_ewma_recurrence_known_sequence(spark):
+    from flink_kmeans_clustering_spark.operators.events import ewma_per_user
+
+    rows = [
+        (1, 7, "2024-01-01 00:00:00", 10.0),
+        (2, 7, "2024-01-01 00:01:00", 20.0),
+        (3, 7, "2024-01-01 00:02:00", 30.0),
+        (4, 9, "2024-01-01 00:00:30", 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double"
+    ).selectExpr("event_id", "user_id", "CAST(ts AS TIMESTAMP) AS ts", "value")
+    got = {
+        r["event_id"]: r["ewma"]
+        for r in ewma_per_user(df, alpha=0.5, round_to=None).collect()
+    }
+    assert got[1] == 10.0
+    assert got[2] == 0.5 * 20.0 + 0.5 * 10.0
+    assert got[3] == 0.5 * 30.0 + 0.5 * (0.5 * 20.0 + 0.5 * 10.0)
+    assert got[4] == 5.0  # independent user starts fresh
+
+
+def test_ewma_partitioning_invariance(spark):
+    """The fold's result cannot depend on how input rows were split
+    across partitions (the group sort owns the order)."""
+    from flink_kmeans_clustering_spark.operators.events import ewma_per_user
+    from flink_kmeans_clustering_spark.sources.parquet import load_events
+    from tests.conftest import SF_SMOKE
+
+    ev = load_events(spark, SF_SMOKE)
+    a = {
+        (r["event_id"], r["ewma"])
+        for r in ewma_per_user(ev.repartition(13)).collect()
+    }
+    b = {
+        (r["event_id"], r["ewma"])
+        for r in ewma_per_user(ev.coalesce(1)).collect()
+    }
+    assert a == b
