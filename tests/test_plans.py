@@ -617,3 +617,63 @@ def test_weighted_sample_is_take_ordered(spark):
     df = weighted_sample(docs, "doc_id", "n_chars", k=20)
     assert_has_node(df, "TakeOrderedAndProject")
     assert shuffle_count(df) == 0
+
+
+def test_aqe_splits_skewed_sort_merge_join(spark):
+    """The skew-join config in session.py must actually fire: a join
+    with one pathological hot key gets its skewed partition split at
+    runtime (executedPlan shows the skew=true SMJ marker).  This is
+    the runtime half of the 100 TB skew story (salting is the static
+    half, pinned by the q_salted_* tests)."""
+    import pyspark.sql.functions as SF
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.forceOptimizeSkewedJoin",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        # the downstream agg means splitting adds a shuffle; production
+        # flips this knob when the skew cost exceeds the extra exchange
+        spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # 90% of rows on key 0, with a UNIQUE string payload that (a)
+        # survives column pruning into the shuffle (the agg reads it)
+        # and (b) doesn't compress away — skew stats are COMPRESSED
+        # map-output sizes, and a partition of constant longs lz4-packs
+        # under any threshold (found the hard way)
+        left = spark.range(0, 500_000).select(
+            SF.when(SF.col("id") % 10 != 0, SF.lit(0))
+            .otherwise(SF.col("id") % 50)
+            .alias("k"),
+            SF.concat(SF.lit("payload-xxxxxxxxxxxxxxxx-"), SF.col("id")).alias(
+                "payload"
+            ),
+        )
+        right = spark.range(0, 50).select(
+            SF.col("id").alias("k"), SF.lit("dim").alias("name")
+        )
+        joined = (
+            left.join(right, "k")
+            .groupBy("name")
+            .agg(SF.sum(SF.length("payload")).alias("bytes"))
+        )
+        joined.collect()  # AQE decisions exist only after execution
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, f"AQE skew split did not fire:\n{plan[:2000]}"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
