@@ -1672,6 +1672,44 @@ def q_source_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered layout end-to-end: events written range-
+    partitioned + sorted on the Morton key of (user_id, hours-since-
+    epoch-2024), so parquet min/max stats prune box queries on EITHER
+    column — the Delta/Iceberg Z-ORDER technique from plain codegen
+    expressions.  The read-back filters on the REAL columns (the key
+    is layout-only, dropped before write); the pruning benefit is
+    measured in tests/test_plans.py via written-file footer stats.
+    Oracle: the same box aggregate straight off the source."""
+    from flink_kmeans_clustering_spark.functions.zorder import zorder_key
+    from flink_kmeans_clustering_spark.sinks.parquet import write_zordered
+
+    ev = load_events(spark, sf_dir)
+    hours = F.floor(
+        (F.unix_micros("ts") - F.lit(1704067200000000)) / F.lit(3600000000)
+    )
+    out = scratch_dir("zorder_")
+    write_zordered(
+        ev.withColumn("_h", hours),
+        out,
+        zorder_key([F.col("user_id"), F.col("_h")], bits=16),
+        n_files=16,
+    )
+    back = spark.read.parquet(out)
+    box = back.filter(
+        (F.col("user_id").between(10, 19))
+        & (F.col("ts") >= "2024-01-01")
+        & (F.col("ts") < "2024-01-04")
+    )
+    return box.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(25,8)")), 6
+        ).cast("double").alias("sum_value"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
 def q_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-files compaction end-to-end: events landed as 32 dribble
     files (the streaming-sink pathology), compacted to ⌈n/4096⌉
@@ -1778,6 +1816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sink_evolve": q_sink_evolve,
         "q_source_jsonl": q_source_jsonl,
         "q_events_ewma": q_events_ewma,
+        "q_sink_zorder": q_sink_zorder,
         "q_rel_stats": q_rel_stats,
         "q_kmeans_scalable": q_kmeans_scalable,
         "q_stream_kmeans": q_stream_kmeans,
@@ -3644,7 +3683,16 @@ rec AS (
 )
 SELECT event_id, user_id, value, ROUND(ewma, 6) + 0.0 AS ewma FROM rec
 """
+    sink_zorder_sql = """
+SELECT COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(25,8))), 6) AS DOUBLE) AS sum_value,
+       COUNT(DISTINCT event_type) AS n_types
+FROM events
+WHERE user_id BETWEEN 10 AND 19
+  AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-04'
+"""
     return {
+        "q_sink_zorder": sink_zorder_sql,
         "q_events_ewma": events_ewma_sql,
         "q_source_jsonl": source_jsonl_sql,
         "q_text_entropy": text_entropy_sql,

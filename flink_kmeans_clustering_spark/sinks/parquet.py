@@ -68,6 +68,32 @@ def compact_small_files(
     return _n_files(src_path), _n_files(dst_path)
 
 
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zcol,
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` clustered by a Z-order key expression.
+
+    ``repartitionByRange`` on the key gives globally disjoint key
+    ranges per file; the within-partition sort additionally tightens
+    per-row-group min/max inside each file — the two levels parquet
+    readers prune at.  The key column is layout-only and dropped
+    before the write (filters run on the real columns; their
+    statistics are what the clustering tightens).
+    """
+    (
+        df.withColumn("_z", zcol)
+        .repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -114,6 +114,32 @@ PICKS = [
         "MERGE shape — one full outer join + coalesce arms over the "
         "change-batch aggregate",
     ),
+    (
+        "q_knn_join",
+        "k-NN join — query batch broadcast (corpus scanned once), "
+        "WindowGroupLimit bounds the per-query ranking before the only "
+        "exchange",
+    ),
+    (
+        "q_embed_cov",
+        "Distributed XᵀX — Arrow-batch GEMM partials below the single "
+        "O(dim²) exchange; count/sums/moments from one pass",
+    ),
+    (
+        "q_sample_weighted",
+        "Efraimidis-Spirakis weighted sample — narrow hash projection, "
+        "TakeOrderedAndProject, zero shuffles",
+    ),
+    (
+        "q_graph_triangles",
+        "Triangle counting — degree-ordered wedge join over the "
+        "support-thresholded co-occurrence graph",
+    ),
+    (
+        "q_text_bm25",
+        "BM25 — corpus token stream filtered to query terms in-scan; "
+        "df and corpus stats broadcast back; TakeOrdered top-20",
+    ),
 ]
 
 

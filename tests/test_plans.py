@@ -677,3 +677,88 @@ def test_aqe_splits_skewed_sort_merge_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_zorder_key_bit_interleave(spark):
+    from pyspark.sql import functions as F
+
+    from flink_kmeans_clustering_spark.functions.zorder import zorder_key
+
+    df = spark.createDataFrame([(3, 1), (0, 0), (5, 2)], "x long, y long")
+    got = [
+        r["z"]
+        for r in df.select(
+            zorder_key([F.col("x"), F.col("y")], bits=4).alias("z")
+        ).collect()
+    ]
+
+    def morton(x, y):
+        z = 0
+        for b in range(4):
+            z |= ((x >> b) & 1) << (2 * b)      # dim 0 -> even positions
+            z |= ((y >> b) & 1) << (2 * b + 1)  # dim 1 -> odd positions
+        return z
+
+    assert got == [morton(3, 1), morton(0, 0), morton(5, 2)]
+
+
+def test_zorder_layout_prunes_time_boxes_user_sort_cannot(spark, tmp_path):
+    """The measurable Z-order claim: for a box filter that constrains
+    the SECOND dimension (time), fewer written files' min/max ranges
+    overlap the box under Z-order clustering than under a plain
+    user-sorted layout (where every file spans the full time range).
+    File footer stats are exactly what a parquet reader prunes with."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from flink_kmeans_clustering_spark.functions.zorder import zorder_key
+    from flink_kmeans_clustering_spark.sinks.parquet import write_zordered
+    from flink_kmeans_clustering_spark.sources.parquet import load_events
+
+    ev = load_events(spark, "/root/testdata/sf0.01").select(
+        "user_id",
+        F.floor(
+            (F.unix_micros("ts") - F.lit(1704067200000000)) / F.lit(3600000000)
+        ).alias("h"),
+        "value",
+    )
+    zpath, upath = str(tmp_path / "zorder"), str(tmp_path / "usersort")
+    write_zordered(
+        ev, zpath, zorder_key([F.col("user_id"), F.col("h")], bits=16), n_files=16
+    )
+    (
+        ev.repartitionByRange(16, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.parquet(upath)
+    )
+
+    def overlapping(path, lo_h, hi_h):
+        import os
+
+        n = 0
+        for root, _, files in os.walk(path):
+            for fname in files:
+                if not fname.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(root, fname)).metadata
+                idx = next(
+                    i
+                    for i in range(md.num_columns)
+                    if md.row_group(0).column(i).path_in_schema == "h"
+                )
+                mn = min(
+                    md.row_group(g).column(idx).statistics.min
+                    for g in range(md.num_row_groups)
+                )
+                mx = max(
+                    md.row_group(g).column(idx).statistics.max
+                    for g in range(md.num_row_groups)
+                )
+                if mx >= lo_h and mn <= hi_h:
+                    n += 1
+        return n
+
+    # a 12-hour box: user-sorted files all span the full time range
+    z_hits = overlapping(zpath, 0, 11)
+    u_hits = overlapping(upath, 0, 11)
+    assert z_hits < u_hits, f"zorder {z_hits} !< usersort {u_hits}"
