@@ -1672,6 +1672,35 @@ def q_source_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_mview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: events re-staged as 8
+    landing files and drained 2 files per micro-batch (4 genuine
+    increments), each batch's delta folded into an epoch-versioned
+    parquet view through foreachBatch.  Count + decimal-sum merges are
+    associative, so the final view equals the batch aggregate no matter
+    how the stream was chopped — which is exactly what the oracle
+    checks."""
+    from flink_kmeans_clustering_spark.streaming.mview import (
+        maintain_user_totals,
+    )
+
+    ev = load_events(spark, sf_dir).select("event_id", "user_id", "value")
+    landing = scratch_dir("mview_landing_")
+    ev.repartition(8).write.mode("overwrite").parquet(landing)
+    schema = spark.read.parquet(landing).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(landing)
+    )
+    view = maintain_user_totals(stream, scratch_dir("mview_state_"))
+    return view.select(
+        "user_id",
+        "n_events",
+        F.round(F.col("sum_v"), 6).cast("double").alias("sum_value"),
+    )
+
+
 def q_sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustered layout end-to-end: events written range-
     partitioned + sorted on the Morton key of (user_id, hours-since-
@@ -1817,6 +1846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_source_jsonl": q_source_jsonl,
         "q_events_ewma": q_events_ewma,
         "q_sink_zorder": q_sink_zorder,
+        "q_stream_mview": q_stream_mview,
         "q_rel_stats": q_rel_stats,
         "q_kmeans_scalable": q_kmeans_scalable,
         "q_stream_kmeans": q_stream_kmeans,
@@ -3691,7 +3721,14 @@ FROM events
 WHERE user_id BETWEEN 10 AND 19
   AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-04'
 """
+    stream_mview_sql = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(25,8))), 6) AS DOUBLE)
+         AS sum_value
+FROM events GROUP BY user_id
+"""
     return {
+        "q_stream_mview": stream_mview_sql,
         "q_sink_zorder": sink_zorder_sql,
         "q_events_ewma": events_ewma_sql,
         "q_source_jsonl": source_jsonl_sql,

@@ -1,0 +1,79 @@
+"""Incremental materialized-view maintenance over a stream.
+
+``run_available_now`` + a state-store aggregation keeps running totals
+INSIDE the engine; this module is the other production pattern: the
+view lives OUTSIDE the stream as a queryable table, and every
+micro-batch folds its delta in through ``foreachBatch`` — the
+"streaming upsert into the serving table" shape (JDBC/MERGE INTO in a
+warehouse, parquet versions here).
+
+Merge math: the view stores (count, decimal sum) per key.  Both are
+associative and commutative, so folding per-batch partial aggregates
+is EXACTLY the batch aggregate over all data seen — decimal sums make
+that independent of batch boundaries and partition order (the same
+FIXTURES.md rule the batch oracles rely on).
+
+State versioning: epoch ``e`` writes ``v{e}`` built from the previous
+version — never overwriting a file a concurrent reader (or this job's
+own lineage) may still be scanning, and re-delivery of an epoch after
+a crash rewrites the same ``v{e}`` deterministically (idempotent
+exactly-once on top of foreachBatch's at-least-once contract).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_kmeans_clustering_spark.streaming.run import run_foreach_batch
+
+_SUM_T = "decimal(30,8)"
+
+
+def maintain_user_totals(
+    stream_df: DataFrame,
+    state_root: str,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Drain ``stream_df`` maintaining a per-key (n_events, sum) view.
+
+    Returns the final view as a batch DataFrame:
+    (key, n_events long, sum decimal).
+    """
+    spark = stream_df.sparkSession
+    holder: dict[str, str | None] = {"path": None}
+
+    def merge(batch: DataFrame, epoch_id: int) -> None:
+        delta = batch.groupBy(key_col).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(25,8)"))
+            .cast(_SUM_T)
+            .alias("sum_v"),
+        )
+        prev = holder["path"]
+        if prev is not None:
+            merged = (
+                spark.read.parquet(prev)
+                .unionByName(delta)
+                .groupBy(key_col)
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("sum_v").cast(_SUM_T).alias("sum_v"),
+                )
+            )
+        else:
+            merged = delta
+        new = os.path.join(state_root, f"v{epoch_id}")
+        merged.write.mode("overwrite").parquet(new)
+        holder["path"] = new
+
+    run_foreach_batch(stream_df, merge, timeout_sec=timeout_sec)
+    if holder["path"] is None:  # empty source: an empty, typed view
+        return spark.createDataFrame(
+            [], f"{key_col} long, n_events long, sum_v {_SUM_T}"
+        )
+    return stream_df.sparkSession.read.parquet(holder["path"])

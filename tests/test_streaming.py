@@ -371,3 +371,64 @@ def test_outer_interval_join_equals_batch_left_join(spark):
     }
     assert got == want
     assert any(r_id is None for _, r_id in got)  # unmatched rows flushed
+
+
+def test_mview_multi_batch_equals_batch_and_is_incremental(spark, tmp_path):
+    """The maintained view must equal the batch aggregate regardless of
+    micro-batch chopping, AND the state directory must show one version
+    per epoch (proof the maintenance was actually incremental)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from flink_kmeans_clustering_spark.sources.parquet import load_events
+    from flink_kmeans_clustering_spark.streaming.mview import (
+        maintain_user_totals,
+    )
+    from tests.conftest import SF_SMOKE
+
+    ev = load_events(spark, SF_SMOKE).select("event_id", "user_id", "value")
+    landing = str(tmp_path / "landing")
+    ev.repartition(6).write.parquet(landing)
+    schema = spark.read.parquet(landing).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(landing)
+    )
+    state = str(tmp_path / "state")
+    view = maintain_user_totals(stream, state)
+    got = {
+        r["user_id"]: (r["n_events"], r["sum_v"])
+        for r in view.collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(25,8)"))
+            .cast("decimal(30,8)")
+            .alias("s"),
+        )
+        .collect()
+    }
+    assert got == want
+    versions = [d for d in os.listdir(state) if d.startswith("v")]
+    assert len(versions) == 3  # 6 files / 2 per trigger
+
+
+def test_mview_empty_source(spark, tmp_path):
+    from flink_kmeans_clustering_spark.streaming.mview import (
+        maintain_user_totals,
+    )
+
+    landing = str(tmp_path / "landing")
+    spark.createDataFrame(
+        [], "event_id long, user_id long, value double"
+    ).write.parquet(landing)
+    schema = spark.read.parquet(landing).schema
+    stream = spark.readStream.schema(schema).parquet(landing)
+    view = maintain_user_totals(stream, str(tmp_path / "state"))
+    assert view.count() == 0
+    assert set(view.columns) == {"user_id", "n_events", "sum_v"}
