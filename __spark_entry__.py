@@ -1672,6 +1672,18 @@ def q_source_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_packed_seqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packed training windows themselves (not just the layout):
+    per-doc token slices explode to ≤n_seqs pieces, ONE shuffle on the
+    window id reassembles each 256-token window, md5 digests keep the
+    comparison token-exact without hauling window bodies.  Same bucket
+    params as q_text_packing, whose layout this materializes."""
+    from flink_kmeans_clustering_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_sequences(docs, max_tokens=256, bucket_size=100)
+
+
 def q_stream_mview(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance: events re-staged as 8
     landing files and drained 2 files per micro-batch (4 genuine
@@ -1847,6 +1859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_ewma": q_events_ewma,
         "q_sink_zorder": q_sink_zorder,
         "q_stream_mview": q_stream_mview,
+        "q_text_packed_seqs": q_text_packed_seqs,
         "q_rel_stats": q_rel_stats,
         "q_kmeans_scalable": q_kmeans_scalable,
         "q_stream_kmeans": q_stream_kmeans,
@@ -3727,7 +3740,26 @@ SELECT user_id, COUNT(*) AS n_events,
          AS sum_value
 FROM events GROUP BY user_id
 """
+    # concat-and-chunk ground truth: flatten every doc's tokens in
+    # doc_id order, chunk by position — window digests must match the
+    # engine's piecewise reassembly token-for-token
+    text_packed_seqs_sql = f"""
+WITH {_TOKS_CTE},
+ordered AS (
+  SELECT flatten(list(t ORDER BY doc_id)) AS allt FROM toks
+),
+tok AS (
+  SELECT unnest(allt) AS tk,
+         unnest(range(0, len(allt))) AS pos
+  FROM ordered
+)
+SELECT pos // 256 AS seq_id,
+       COUNT(*) AS n_tokens,
+       md5(string_agg(tk, ' ' ORDER BY pos)) AS digest
+FROM tok GROUP BY pos // 256
+"""
     return {
+        "q_text_packed_seqs": text_packed_seqs_sql,
         "q_stream_mview": stream_mview_sql,
         "q_sink_zorder": sink_zorder_sql,
         "q_events_ewma": events_ewma_sql,

@@ -50,3 +50,47 @@ def test_pack_offsets_contiguous(spark):
     for r in rows:
         assert r["start_offset"] == expect
         expect += r["n_tokens"]
+
+
+def test_pack_sequences_window_sizes_and_bucket_invariance(spark):
+    from pyspark.sql import functions as F
+
+    from flink_kmeans_clustering_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    seqs = pack_sequences(docs, max_tokens=64, bucket_size=10).collect()
+    assert len(seqs) > 1
+    last = max(r["seq_id"] for r in seqs)
+    for r in seqs:
+        if r["seq_id"] != last:
+            assert r["n_tokens"] == 64
+        else:
+            assert 1 <= r["n_tokens"] <= 64
+    # window contents cannot depend on the prefix-sum bucketing
+    again = pack_sequences(docs, max_tokens=64, bucket_size=1000).collect()
+    assert {(r["seq_id"], r["digest"]) for r in seqs} == {
+        (r["seq_id"], r["digest"]) for r in again
+    }
+
+
+def test_pack_sequences_straddling_doc_reassembles_in_order(spark):
+    from flink_kmeans_clustering_spark.operators.packing import pack_sequences
+
+    # 3 docs of 3 tokens each, windows of 4: w0 = [a0 a1 a2 b0],
+    # w1 = [b1 b2 c0 c1], w2 = [c2]
+    docs = spark.createDataFrame(
+        [(0, "a0 a1 a2"), (1, "b0 b1 b2"), (2, "c0 c1 c2")],
+        "doc_id long, text string",
+    )
+    import hashlib
+
+    got = {
+        r["seq_id"]: (r["n_tokens"], r["digest"])
+        for r in pack_sequences(docs, max_tokens=4).collect()
+    }
+    want_windows = {0: "a0 a1 a2 b0", 1: "b1 b2 c0 c1", 2: "c2"}
+    want = {
+        s: (len(w.split()), hashlib.md5(w.encode()).hexdigest())
+        for s, w in want_windows.items()
+    }
+    assert got == want
