@@ -1672,6 +1672,24 @@ def q_source_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming sessionization: the SAME session_window_agg
+    expression as batch q_events_session_native over readStream +
+    watermark — Spark's built-in session state instead of
+    q_stream_session's custom applyInPandasWithState fold.  The flush
+    sentinel closes every real session before the drain ends, so the
+    batch oracle applies verbatim (sessions emit on close, append
+    mode)."""
+    cols = ["user_id", "event_id", "ts", "value"]
+    ev = stream_events(spark, sf_dir).select(*cols)
+    sentinel = flush_sentinel_stream(
+        spark, sf_dir, advance_minutes=SESSION_GAP_MINUTES + 120
+    ).select(*cols)
+    stream = ev.unionByName(sentinel).withWatermark("ts", "1 hour")
+    out = run_available_now(session_window_agg(stream), state_partitions=8)
+    return out.filter(F.col("user_id") >= 0)
+
+
 def q_text_packed_seqs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The packed training windows themselves (not just the layout):
     per-doc token slices explode to ≤n_seqs pieces, ONE shuffle on the
@@ -1860,6 +1878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sink_zorder": q_sink_zorder,
         "q_stream_mview": q_stream_mview,
         "q_text_packed_seqs": q_text_packed_seqs,
+        "q_stream_session_native": q_stream_session_native,
         "q_rel_stats": q_rel_stats,
         "q_kmeans_scalable": q_kmeans_scalable,
         "q_stream_kmeans": q_stream_kmeans,
@@ -3868,6 +3887,9 @@ FROM events GROUP BY event_type
 """,
         "q_events_sliding": events_sliding_sql,
         "q_events_session_native": events_session_native_sql,
+        # same expression over readStream + watermark; sentinel closes
+        # all sessions before the drain ends, so the batch oracle holds
+        "q_stream_session_native": events_session_native_sql,
         "q_events_cube": events_cube_sql,
         "q_events_asof": events_asof_sql,
         "q_events_running": events_running_sql,
