@@ -1672,6 +1672,15 @@ def q_source_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling: 6-hour candles of value per event type —
+    open/close via struct-MIN/MAX (O(1) state per group, no window
+    sort), one shuffle total."""
+    from flink_kmeans_clustering_spark.operators.events import ohlc_downsample
+
+    return ohlc_downsample(load_events(spark, sf_dir), bucket_hours=6)
+
+
 def q_stream_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native streaming sessionization: the SAME session_window_agg
     expression as batch q_events_session_native over readStream +
@@ -1879,6 +1888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_mview": q_stream_mview,
         "q_text_packed_seqs": q_text_packed_seqs,
         "q_stream_session_native": q_stream_session_native,
+        "q_events_ohlc": q_events_ohlc,
         "q_rel_stats": q_rel_stats,
         "q_kmeans_scalable": q_kmeans_scalable,
         "q_stream_kmeans": q_stream_kmeans,
@@ -3777,7 +3787,29 @@ SELECT pos // 256 AS seq_id,
        md5(string_agg(tk, ' ' ORDER BY pos)) AS digest
 FROM tok GROUP BY pos // 256
 """
+    events_ohlc_sql = """
+WITH b AS (
+  SELECT event_type, event_id, value, epoch_us(ts) AS ts_us,
+         (epoch_us(ts) // 21600000000) * 21600000000 AS bucket_start_us
+  FROM events
+),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type, bucket_start_us
+                            ORDER BY ts_us, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, bucket_start_us
+                            ORDER BY ts_us DESC, event_id DESC) AS rn_d
+  FROM b
+)
+SELECT event_type, bucket_start_us, COUNT(*) AS n,
+       ROUND(MAX(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
+       ROUND(MAX(value), 6) AS high,
+       ROUND(MIN(value), 6) AS low,
+       ROUND(MAX(CASE WHEN rn_d = 1 THEN value END), 6) AS close
+FROM r GROUP BY event_type, bucket_start_us
+"""
     return {
+        "q_events_ohlc": events_ohlc_sql,
         "q_text_packed_seqs": text_packed_seqs_sql,
         "q_stream_mview": stream_mview_sql,
         "q_sink_zorder": sink_zorder_sql,

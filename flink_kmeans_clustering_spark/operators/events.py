@@ -856,3 +856,42 @@ def ewma_per_user(
     if round_to is not None:
         e = F.round(e, round_to) + F.lit(0.0)
     return out.select("event_id", "user_id", "value", e.alias("ewma"))
+
+
+def ohlc_downsample(
+    df: DataFrame,
+    bucket_hours: int = 6,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """OHLC time-bucket downsampling of ``value`` per event_type — the
+    candlestick/dashboard reduction of a metric stream (keep
+    open/high/low/close per bucket instead of every point).
+
+    Open/close come from struct-MIN/MAX aggregates over
+    (ts, event_id, value) — the same O(1)-state-per-group trick as
+    :func:`first_event_per_day` (a window would sort whole partitions);
+    high/low/count ride the same single shuffle.  Bucket = epoch time
+    floor-divided, integer-exact in any engine.
+
+    Output: (event_type, bucket_start_us, n, open, high, low, close).
+    """
+    us_per_bucket = bucket_hours * 3600 * 1_000_000
+    bucket = (
+        (F.unix_micros(F.col(ts_col)) / us_per_bucket).cast("long")
+        * us_per_bucket
+    ).alias("bucket_start_us")
+    key = F.struct(
+        F.unix_micros(F.col(ts_col)).alias("ts_us"),
+        F.col("event_id"),
+        F.col("value"),
+    )
+    return (
+        df.groupBy("event_type", bucket)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min(key)["value"], 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max(key)["value"], 6).alias("close"),
+        )
+    )

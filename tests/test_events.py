@@ -405,3 +405,41 @@ def test_ewma_partitioning_invariance(spark):
         for r in ewma_per_user(ev.coalesce(1)).collect()
     }
     assert a == b
+
+
+def test_ohlc_known_candle(spark):
+    from flink_kmeans_clustering_spark.operators.events import ohlc_downsample
+
+    rows = [
+        (1, "click", "2024-01-01 00:10:00", 5.0),
+        (2, "click", "2024-01-01 01:00:00", 9.0),
+        (3, "click", "2024-01-01 02:00:00", 1.0),
+        (4, "click", "2024-01-01 05:59:59", 7.0),
+        (5, "click", "2024-01-01 06:00:00", 2.0),  # next 6h bucket
+        (6, "view", "2024-01-01 00:30:00", 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts string, value double"
+    ).selectExpr(
+        "event_id", "event_type", "CAST(ts AS TIMESTAMP) AS ts", "value"
+    )
+    got = {
+        (r["event_type"], r["bucket_start_us"]): (
+            r["n"], r["open"], r["high"], r["low"], r["close"]
+        )
+        for r in ohlc_downsample(df, bucket_hours=6).collect()
+    }
+    day0 = 1704067200000000
+    six_h = 21600000000
+    assert got[("click", day0)] == (4, 5.0, 9.0, 1.0, 7.0)
+    assert got[("click", day0 + six_h)] == (1, 2.0, 2.0, 2.0, 2.0)
+    assert got[("view", day0)] == (1, 3.0, 3.0, 3.0, 3.0)
+
+
+def test_ohlc_single_shuffle(spark):
+    from flink_kmeans_clustering_spark.operators.events import ohlc_downsample
+    from flink_kmeans_clustering_spark.plans import assert_max_shuffles
+    from flink_kmeans_clustering_spark.sources.parquet import load_events
+    from tests.conftest import SF_SMOKE
+
+    assert_max_shuffles(ohlc_downsample(load_events(spark, SF_SMOKE)), 1)
