@@ -1808,15 +1808,17 @@ def q_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
+    136 queries; 129 carry DuckDB oracles, 7 are rows-only by design
+    (MLlib placements/init, sketch estimates, GEMM ulp twin, PCA
+    eigensolve).
+
     Registry ORDER is load-bearing: the driver's correctness artifact
     records the first 50 entries only.  Round 3 leads with 4 §2-core
     K-Means queries plus the 46 oracle-bearing queries that had no
-    driver row in rounds 1-2 (registry positions ≥ 51 back then,
-    including round-2's late addition q_text_chunk), so EVERY
-    oracle-bearing query (95/95) has a green driver row cumulatively
-    across r02+r03.  q_update (r02-green, subsumed by q_kmeans) and the
-    already-r02-green queries plus the 4 rows-only-by-design ones
-    follow.
+    driver row in rounds 1-2, so every query that existed at r03's
+    start has a green driver row cumulatively across r02+r03.  The 17
+    round-3b additions (q_knn_join .. q_events_ohlc) sit at positions
+    51-67, leading the block that rotates into the r04 window.
     """
     return {
         "q_assign": q_assign,
@@ -1870,8 +1872,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_tfidf": q_text_tfidf,
         "q_dedup_decontam": q_dedup_decontam,
         # --- queries below are outside the driver's 50-row window this
-        # round (r04 rotates them in); new round-3 additions lead so
-        # they verify first next round ---
+        # round (r04 rotates them in); new round-3 additions lead —
+        # q_knn_join .. q_events_ohlc (17 round-3b queries) then the
+        # round-3a block — so they verify first next round ---
         "q_knn_join": q_knn_join,
         "q_embed_cov": q_embed_cov,
         "q_embed_pca": q_embed_pca,
