@@ -1672,6 +1672,22 @@ def q_source_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram Jaccard pairs via prefix filtering (AllPairs /
+    PPJoin): candidates bounded by rare shingles instead of df-capped
+    (approximate) or unconditioned (quadratic).  Shares the uncapped
+    exact oracle with q_dedup_ngram_exact — same pairs, scale-safe
+    plan."""
+    from flink_kmeans_clustering_spark.operators.dedup import (
+        ngram_jaccard_pairs_prefix,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_jaccard_pairs_prefix(
+        docs, n=3, threshold=NGRAM_JACCARD_THRESHOLD
+    )
+
+
 def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OHLC downsampling: 6-hour candles of value per event type —
     open/close via struct-MIN/MAX (O(1) state per group, no window
@@ -1892,6 +1908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_packed_seqs": q_text_packed_seqs,
         "q_stream_session_native": q_stream_session_native,
         "q_events_ohlc": q_events_ohlc,
+        "q_dedup_prefix": q_dedup_prefix,
         "q_rel_stats": q_rel_stats,
         "q_kmeans_scalable": q_kmeans_scalable,
         "q_stream_kmeans": q_stream_kmeans,
@@ -3838,6 +3855,8 @@ FROM r GROUP BY event_type, bucket_start_us
         "q_dedup_exact": dedup_exact_sql,
         "q_dedup_ngram": dedup_ngram_capped_sql,
         "q_dedup_ngram_exact": dedup_ngram_exact_sql,
+        # prefix filtering is exact: same pairs as the uncapped oracle
+        "q_dedup_prefix": dedup_ngram_exact_sql,
         "q_dedup_cc": dedup_cc_sql,
         "q_dedup_keep": dedup_keep_sql,
         "q_graph_pagerank": graph_pagerank_sql,

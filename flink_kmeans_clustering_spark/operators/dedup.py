@@ -1168,3 +1168,88 @@ def dedup_corpus(
         .filter(F.col("_rep").isNull() | (F.col("_rep") == docs[id_col]))
         .drop("_cid", "_rep")
     )
+
+
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram Jaccard pairs via prefix filtering (the
+    AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al.
+    WWW'08): the third point in the ngram-join design space.
+    ``ngram_jaccard_pairs`` trades exactness for safety (df-capped) or
+    safety for exactness (uncapped, quadratic under a hot shingle);
+    prefix filtering gives BOTH — exact results with candidate work
+    bounded by RARE shingles.
+
+    With shingles globally ordered rarest-first (df asc, shingle asc),
+    any pair with Jaccard ≥ t must share a shingle inside both docs'
+    prefixes of length ``|S| − ⌈t·|S|⌉ + 1`` (if all shared shingles
+    sat in A's suffix, the suffix's ⌈t|A|⌉ − 1 slots couldn't hold the
+    ≥ ⌈t|A|⌉ intersection a qualifying pair needs).  So the candidate
+    join touches only prefix rows — the ubiquitous shingle that makes
+    the uncapped join quadratic lands at the END of the global order
+    and never enters a prefix unless a document consists of almost
+    nothing else.
+
+    Stages (shuffles): df counts (1, vocab-sized), per-doc rank window
+    (1, by id — reuses the spread partitioning), candidate equi-join on
+    prefix shingles (1), per-doc set assembly + verification joins.
+    Verification computes the exact integer intersection per CANDIDATE
+    via ``array_intersect`` over the two docs' (doc-bounded) shingle
+    arrays — work proportional to candidates, never to the corpus².
+
+    Output: (id_a, id_b, jaccard), identical to the uncapped form.
+    """
+    from pyspark.sql import Window
+
+    base = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col)), "id")
+    ex = exploded_shingles(base, "id", text_col, n=n, with_size=True)
+    dfreq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = ex.join(dfreq, "sh")
+    w = Window.partitionBy("id").orderBy("_df", "sh")
+    prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    prefix = (
+        ranked.withColumn("_pos", F.row_number().over(w))
+        .filter(F.col("_pos") <= prefix_len)
+        .select("id", "sh")
+    )
+    cands = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sets = ex.groupBy("id").agg(
+        F.collect_set("sh").alias("shs"), F.first("sz").alias("sz")
+    )
+    joined = (
+        cands.join(
+            sets.select(
+                F.col("id").alias("id_a"),
+                F.col("shs").alias("_shs_a"),
+                F.col("sz").alias("_sz_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            sets.select(
+                F.col("id").alias("id_b"),
+                F.col("shs").alias("_shs_b"),
+                F.col("sz").alias("_sz_b"),
+            ),
+            "id_b",
+        )
+    )
+    inter = F.size(F.array_intersect("_shs_a", "_shs_b"))
+    jac = inter / (F.col("_sz_a") + F.col("_sz_b") - inter)
+    return joined.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )

@@ -466,3 +466,54 @@ def test_dedup_corpus_keeps_reps_and_untouched(spark):
     kept = sorted(r["doc_id"] for r in dedup_corpus(docs, comp).collect())
     # 0,3 untouched; 1 and 4 are their components' min-id reps; 2,5 dropped
     assert kept == [0, 1, 3, 4]
+
+
+def test_prefix_filter_pairs_equal_uncapped_exact(spark):
+    from flink_kmeans_clustering_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for t in (0.2, 0.5, 0.8):
+        exact = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in ngram_jaccard_pairs(
+                docs, n=3, threshold=t, max_df=None
+            ).collect()
+        }
+        pref = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in ngram_jaccard_pairs_prefix(
+                docs, n=3, threshold=t
+            ).collect()
+        }
+        assert pref == exact, f"threshold {t}"
+
+
+def test_prefix_filter_skips_hot_shingle_candidates(spark):
+    """A ubiquitous shingle shared by every doc must not generate the
+    quadratic candidate set: two long docs that share ONLY the hot
+    boilerplate (low Jaccard) never become a candidate pair, while a
+    genuinely near-duplicate pair still qualifies."""
+    from flink_kmeans_clustering_spark.operators.dedup import (
+        ngram_jaccard_pairs_prefix,
+    )
+
+    boiler = "all rights reserved"
+    rows = [
+        (0, f"alpha beta gamma delta epsilon zeta {boiler}"),
+        (1, f"eta theta iota kappa lambda mu {boiler}"),
+        (2, f"nu xi omicron pi rho sigma {boiler}"),
+        # 3/4: near-dups of each other
+        (3, f"tau upsilon phi chi psi omega {boiler}"),
+        (4, f"tau upsilon phi chi psi omega extra {boiler}"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs_prefix(
+            docs, n=3, threshold=0.5
+        ).collect()
+    }
+    assert got == {(3, 4)}
