@@ -260,6 +260,10 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- dedup (SURVEY.md §2.6) -------------------------------------------------
 
 NGRAM_JACCARD_THRESHOLD = 0.2
+# prefix filtering earns its keep at real near-dup thresholds: at 0.2
+# the prefix is 80% of every doc and candidate generation approaches
+# the uncapped join's cost; 0.5 is the standard near-dup operating point
+PREFIX_JACCARD_THRESHOLD = 0.5
 EMBEDDING_COSINE_THRESHOLD = 0.3
 EMBEDDING_DIM = 64  # fixed width of the testdata embeddings table
 
@@ -1683,9 +1687,7 @@ def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return ngram_jaccard_pairs_prefix(
-        docs, n=3, threshold=NGRAM_JACCARD_THRESHOLD
-    )
+    return ngram_jaccard_pairs_prefix(docs, n=3, threshold=PREFIX_JACCARD_THRESHOLD)
 
 
 def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3855,8 +3857,10 @@ FROM r GROUP BY event_type, bucket_start_us
         "q_dedup_exact": dedup_exact_sql,
         "q_dedup_ngram": dedup_ngram_capped_sql,
         "q_dedup_ngram_exact": dedup_ngram_exact_sql,
-        # prefix filtering is exact: same pairs as the uncapped oracle
-        "q_dedup_prefix": dedup_ngram_exact_sql,
+        # prefix filtering is exact: the uncapped oracle at its threshold
+        "q_dedup_prefix": dedup_ngram_exact_sql.replace(
+            f">= {NGRAM_JACCARD_THRESHOLD}", f">= {PREFIX_JACCARD_THRESHOLD}"
+        ),
         "q_dedup_cc": dedup_cc_sql,
         "q_dedup_keep": dedup_keep_sql,
         "q_graph_pagerank": graph_pagerank_sql,

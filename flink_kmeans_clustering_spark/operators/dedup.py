@@ -1207,15 +1207,33 @@ def ngram_jaccard_pairs_prefix(
     from pyspark.sql import Window
 
     base = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col)), "id")
+    # Per-doc shingle SETS, materialized ONCE: every later stage (df
+    # counts, prefixes, verification) derives from the checkpoint
+    # instead of re-running tokenization per consumer (measured 3× ≈
+    # 9-10 s at sf0.1 for a ~3.5 s job; the TUNING.md DAG-re-evaluation
+    # rule).  Built through the exploded-shingle stream + collect_set —
+    # NOT the row-local ngram_shingles() HOF, whose per-position
+    # interpreted lambda measured 4.6× slower over the corpus (1.06 vs
+    # 4.88 s warm at sf0.1; TUNING.md's per-element-lambda rule).  One
+    # row per document: the standard persist-the-projection trade of
+    # every multi-pass set-similarity join — O(corpus tokens)
+    # disk-backed state at cluster scale, never O(corpus²).
     ex = exploded_shingles(base, "id", text_col, n=n, with_size=True)
-    dfreq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
-    ranked = ex.join(dfreq, "sh")
+    sets = (
+        ex.groupBy("id")
+        .agg(F.collect_set("sh").alias("shs"), F.first("sz").alias("sz"))
+        .localCheckpoint()
+    )
+    exs = sets.select("id", "sz", F.explode("shs").alias("sh"))
+    dfreq = exs.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = exs.join(dfreq, "sh")
     w = Window.partitionBy("id").orderBy("_df", "sh")
     prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
     prefix = (
         ranked.withColumn("_pos", F.row_number().over(w))
         .filter(F.col("_pos") <= prefix_len)
         .select("id", "sh")
+        .localCheckpoint()  # prefix rows: two consumers of a small set
     )
     cands = (
         prefix.alias("a")
@@ -1226,9 +1244,6 @@ def ngram_jaccard_pairs_prefix(
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
-    )
-    sets = ex.groupBy("id").agg(
-        F.collect_set("sh").alias("shs"), F.first("sz").alias("sz")
     )
     joined = (
         cands.join(
