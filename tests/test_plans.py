@@ -762,3 +762,19 @@ def test_zorder_layout_prunes_time_boxes_user_sort_cannot(spark, tmp_path):
     z_hits = overlapping(zpath, 0, 11)
     u_hits = overlapping(upath, 0, 11)
     assert z_hits < u_hits, f"zorder {z_hits} !< usersort {u_hits}"
+
+
+def test_prefix_join_no_cartesian_and_verify_is_candidate_bounded(spark):
+    """The prefix-filter join must never plan a cartesian/unconditioned
+    self-join of the corpus: the only self-join key is the prefix
+    shingle, and verification joins candidates to the (checkpointed)
+    per-doc set table by id."""
+    from flink_kmeans_clustering_spark.operators.dedup import (
+        ngram_jaccard_pairs_prefix,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = ngram_jaccard_pairs_prefix(docs, n=3, threshold=0.5)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
