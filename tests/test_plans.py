@@ -778,3 +778,32 @@ def test_prefix_join_no_cartesian_and_verify_is_candidate_bounded(spark):
     plan = explain_str(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_observation_metrics_ride_the_job(spark):
+    """Data-quality counters via df.observe(): null counts / row counts
+    / sums are collected DURING the one pass the query already makes —
+    at 100 TB this is the difference between free quality telemetry and
+    doubling the scan.  Pinned: the observed values equal separately
+    computed aggregates."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    ev = load_events(spark, SF)
+    obs = Observation("quality")
+    out = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("long")).alias("n_null_value"),
+        F.min("value").alias("min_value"),
+    ).groupBy("event_type").count()
+    out.collect()  # one action drives both the query and the metrics
+    got = obs.get
+    [want] = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").isNull().cast("long")).alias("nn"),
+        F.min("value").alias("mv"),
+    ).collect()
+    assert got["n_rows"] == want["n"]
+    assert got["n_null_value"] == (want["nn"] or 0)
+    assert got["min_value"] == want["mv"]

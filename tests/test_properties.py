@@ -291,3 +291,26 @@ def test_triangle_counts_match_bruteforce(spark, edges):
                 want[v] = want.get(v, 0) + 1
     assert got == want
     assert sum(got.values()) == 3 * n_tri
+
+
+@given(texts=texts_strategy, t=st.sampled_from([0.3, 0.5, 0.8]))
+@SLOW
+def test_prefix_filter_join_is_exact(spark, texts, t):
+    """Prefix filtering must lose NO qualifying pair and admit no
+    extra pair on arbitrary corpora (short docs, empty docs, repeated
+    tokens, ties in the df order) at any threshold."""
+    from flink_kmeans_clustering_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    docs = _docs(spark, texts)
+    exact = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=t, max_df=None).collect()
+    }
+    pref = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_pairs_prefix(docs, n=3, threshold=t).collect()
+    }
+    assert pref == exact
