@@ -1676,6 +1676,66 @@ def q_source_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through the VARIANT type (Spark 4):
+    parse_json once into the binary variant encoding, typed
+    variant_get extraction — the open-schema column pattern that
+    replaces per-query JSON string re-parsing (variant decode is
+    a binary field lookup, not a text parse, on every later read).
+    Oracle: plain JSON extraction of the same key."""
+    ev = load_events(spark, sf_dir)
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("k").isNull().cast("long")).alias("n_null_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+SYNTH_ROWS = 20_000
+SYNTH_BUCKETS = 16
+
+
+def q_source_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python Data Source (Spark 4 DataSource API): a
+    deterministic synthetic-readings source whose ``read(partition)``
+    runs per-task on executors (8 declared splits — the same
+    parallelism contract as a file scan, for systems with no built-in
+    connector).  Oracle recomputes the Knuth-hash readings from plain
+    SQL over range(); matching sums prove every partition produced
+    exactly its id range, no overlap, no gaps."""
+    from flink_kmeans_clustering_spark.sources.pyds import (
+        SyntheticReadingsDataSource,
+    )
+
+    try:
+        spark.dataSource.register(SyntheticReadingsDataSource)
+    except Exception:
+        pass  # already registered in this session
+    df = (
+        spark.read.format("synthetic_readings")
+        .option("rows", SYNTH_ROWS)
+        .option("partitions", 8)
+        .load()
+    )
+    return (
+        df.groupBy((F.col("id") % SYNTH_BUCKETS).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("reading"), 6).alias("sum_reading"),
+            F.round(F.min("reading"), 6).alias("min_reading"),
+            F.round(F.max("reading"), 6).alias("max_reading"),
+        )
+    )
+
+
 def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT n-gram Jaccard pairs via prefix filtering (AllPairs /
     PPJoin): candidates bounded by rare shingles instead of df-capped
@@ -1911,6 +1971,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_session_native": q_stream_session_native,
         "q_events_ohlc": q_events_ohlc,
         "q_dedup_prefix": q_dedup_prefix,
+        "q_events_variant": q_events_variant,
+        "q_source_custom": q_source_custom,
         "q_rel_stats": q_rel_stats,
         "q_kmeans_scalable": q_kmeans_scalable,
         "q_stream_kmeans": q_stream_kmeans,
@@ -3830,7 +3892,31 @@ SELECT event_type, bucket_start_us, COUNT(*) AS n,
        ROUND(MAX(CASE WHEN rn_d = 1 THEN value END), 6) AS close
 FROM r GROUP BY event_type, bucket_start_us
 """
+    events_variant_sql = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+         AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events GROUP BY event_type
+"""
+    source_custom_sql = f"""
+WITH r AS (
+  SELECT range AS id,
+         ((range * {2654435761}) % {1 << 32}) / {float(1 << 32)} AS reading
+  FROM range({SYNTH_ROWS})
+)
+SELECT id % {SYNTH_BUCKETS} AS bucket, COUNT(*) AS n,
+       ROUND(SUM(reading), 6) AS sum_reading,
+       ROUND(MIN(reading), 6) AS min_reading,
+       ROUND(MAX(reading), 6) AS max_reading
+FROM r GROUP BY id % {SYNTH_BUCKETS}
+"""
     return {
+        "q_events_variant": events_variant_sql,
+        "q_source_custom": source_custom_sql,
         "q_events_ohlc": events_ohlc_sql,
         "q_text_packed_seqs": text_packed_seqs_sql,
         "q_stream_mview": stream_mview_sql,

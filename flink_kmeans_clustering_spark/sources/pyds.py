@@ -1,0 +1,65 @@
+"""Custom Python Data Source (Spark 4 DataSource API).
+
+The extension point for reading systems Spark has no built-in
+connector for — internal services, bespoke formats, simulation
+generators — while keeping Spark's parallelism model: ``partitions()``
+declares the split layout, ``read(partition)`` runs ON THE EXECUTORS
+(one task per partition), so a 1000-partition source fans out across
+the cluster exactly like a parquet scan.  This is the modern
+replacement for the old "parallelize a list of URLs and flatMap a
+fetch" RDD idiom.
+
+The synthetic source here is deterministic (Knuth multiplicative hash
+of the row id), so an engine-independent oracle can recompute every
+value from plain SQL over ``range()`` — the data-source plumbing is
+what's under test, not the numbers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+KNUTH = 2654435761  # 2^32 / phi, the classic multiplicative-hash constant
+M32 = 1 << 32
+
+
+def synth_value(row_id: int) -> float:
+    """Deterministic uniform-ish reading in [0, 1): exact integer
+    arithmetic (< 2^63), identical in any engine."""
+    return ((row_id * KNUTH) % M32) / M32
+
+
+class SyntheticReadingsDataSource(DataSource):
+    """``spark.read.format("synthetic_readings")`` — options:
+    ``rows`` (total), ``partitions`` (split count)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_readings"
+
+    def schema(self) -> str:
+        return "id bigint, reading double"
+
+    def reader(self, schema) -> DataSourceReader:
+        return _Reader(
+            int(self.options.get("rows", 1000)),
+            int(self.options.get("partitions", 4)),
+        )
+
+
+class _Reader(DataSourceReader):
+    def __init__(self, rows: int, partitions: int) -> None:
+        self.rows = rows
+        self.n_parts = max(1, partitions)
+
+    def partitions(self):
+        return [InputPartition(i) for i in range(self.n_parts)]
+
+    def read(self, partition):
+        # contiguous id ranges per partition; the last one takes the tail
+        per = self.rows // self.n_parts
+        i = partition.value
+        start = i * per
+        end = self.rows if i == self.n_parts - 1 else (i + 1) * per
+        for row_id in range(start, end):
+            yield (row_id, synth_value(row_id))

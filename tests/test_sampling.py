@@ -255,3 +255,36 @@ def test_jsonl_failfast_raises_on_corrupt_line(spark, tmp_path):
     (p / "part-0.json").write_text('{"doc_id": 1}\nnot json at all\n')
     with _pytest.raises(Exception):
         read_jsonl(spark, str(p), "doc_id bigint").collect()
+
+
+def test_custom_datasource_parallelism_and_determinism(spark):
+    """The Python DataSource must honor its declared split layout (one
+    task per partition, contiguous non-overlapping id ranges) and
+    produce identical data at any partitioning."""
+    from flink_kmeans_clustering_spark.sources.pyds import (
+        SyntheticReadingsDataSource,
+        synth_value,
+    )
+
+    try:
+        spark.dataSource.register(SyntheticReadingsDataSource)
+    except Exception:
+        pass
+
+    def load(parts):
+        return (
+            spark.read.format("synthetic_readings")
+            .option("rows", 997)  # prime: uneven tail partition
+            .option("partitions", parts)
+            .load()
+        )
+
+    a = load(4).collect()
+    assert len(a) == 997
+    assert sorted(r["id"] for r in a) == list(range(997))
+    assert load(4).rdd.getNumPartitions() == 4
+    b = load(7).collect()
+    assert {(r["id"], r["reading"]) for r in a} == {
+        (r["id"], r["reading"]) for r in b
+    }
+    assert all(r["reading"] == synth_value(r["id"]) for r in a)
