@@ -1676,6 +1676,51 @@ def q_source_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic Partition Pruning end-to-end: orders landed PARTITIONED
+    BY priority, joined to a dimension TABLE whose tier filter is only
+    resolvable by reading the dim file (no literal list the optimizer
+    could fold into static pruning) — Spark injects a dynamicpruning
+    subquery into the fact scan's PartitionFilters, so only the
+    surviving priorities' directories are read.  At 100 TB this is THE
+    star-join scan reducer.  Plan shape pinned in tests/test_plans.py;
+    the oracle replays the dim semantics statically."""
+    orders = load_table(spark, "orders", sf_dir)
+    fact_dir = scratch_dir("dpp_fact_")
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(
+        fact_dir
+    )
+    fact = spark.read.parquet(fact_dir)
+    # a real dimension TABLE (landed to parquet, read back): the tier
+    # values live in the file, so the optimizer cannot fold the tier
+    # filter into a static priority list — the fact scan can only be
+    # pruned by the runtime subquery over the filtered dim
+    dim_dir = scratch_dir("dpp_dim_")
+    (
+        orders.select("o_orderpriority")
+        .distinct()
+        .withColumn(
+            "tier",
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+                F.lit("hot"),
+            ).otherwise(F.lit("cold")),
+        )
+        .write.mode("overwrite")
+        .parquet(dim_dir)
+    )
+    dim = spark.read.parquet(dim_dir).filter(F.col("tier") == "hot")
+    joined = fact.join(
+        F.broadcast(dim.select("o_orderpriority")), "o_orderpriority"
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(25,8)")), 6
+        ).cast("double").alias("total_price"),
+    )
+
+
 def q_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured props through the VARIANT type (Spark 4):
     parse_json once into the binary variant encoding, typed
@@ -1973,6 +2018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_prefix": q_dedup_prefix,
         "q_events_variant": q_events_variant,
         "q_source_custom": q_source_custom,
+        "q_rel_dpp": q_rel_dpp,
         "q_rel_stats": q_rel_stats,
         "q_kmeans_scalable": q_kmeans_scalable,
         "q_stream_kmeans": q_stream_kmeans,
@@ -3914,7 +3960,16 @@ SELECT id % {SYNTH_BUCKETS} AS bucket, COUNT(*) AS n,
        ROUND(MAX(reading), 6) AS max_reading
 FROM r GROUP BY id % {SYNTH_BUCKETS}
 """
+    rel_dpp_sql = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(25,8))), 6) AS DOUBLE)
+         AS total_price
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY o_orderpriority
+"""
     return {
+        "q_rel_dpp": rel_dpp_sql,
         "q_events_variant": events_variant_sql,
         "q_source_custom": source_custom_sql,
         "q_events_ohlc": events_ohlc_sql,

@@ -807,3 +807,16 @@ def test_observation_metrics_ride_the_job(spark):
     assert got["n_rows"] == want["n"]
     assert got["n_null_value"] == (want["nn"] or 0)
     assert got["min_value"] == want["mv"]
+
+
+def test_dpp_prunes_fact_partitions_dynamically(spark):
+    """q_rel_dpp's fact scan must carry a dynamicpruning expression in
+    its PartitionFilters AND no statically folded priority list — the
+    qualifying priorities are a runtime aggregate, so only DPP can
+    shrink the scan."""
+    import __spark_entry__ as em
+
+    df = em.q_rel_dpp(spark, SF)
+    plan = explain_str(df)
+    assert "dynamicpruning" in plan, plan[:1500]
+    assert "IN (1-URGENT" not in plan  # nothing foldable to static
