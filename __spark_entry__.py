@@ -1757,11 +1757,11 @@ def q_source_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL over range(); matching sums prove every partition produced
     exactly its id range, no overlap, no gaps."""
     from flink_kmeans_clustering_spark.sources.pyds import (
-        SyntheticReadingsDataSource,
+        make_synthetic_readings_datasource,
     )
 
     try:
-        spark.dataSource.register(SyntheticReadingsDataSource)
+        spark.dataSource.register(make_synthetic_readings_datasource())
     except Exception:
         pass  # already registered in this session
     df = (
@@ -1931,7 +1931,7 @@ def q_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    136 queries; 129 carry DuckDB oracles, 7 are rows-only by design
+    140 queries; 133 carry DuckDB oracles, 7 are rows-only by design
     (MLlib placements/init, sketch estimates, GEMM ulp twin, PCA
     eigensolve).
 
@@ -1939,9 +1939,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     records the first 50 entries only.  Round 3 leads with 4 §2-core
     K-Means queries plus the 46 oracle-bearing queries that had no
     driver row in rounds 1-2, so every query that existed at r03's
-    start has a green driver row cumulatively across r02+r03.  The 17
-    round-3b additions (q_knn_join .. q_events_ohlc) sit at positions
-    51-67, leading the block that rotates into the r04 window.
+    start has a green driver row cumulatively across r02+r03.  The 21
+    round-3b additions (q_knn_join .. q_rel_dpp) sit at positions
+    51-71, leading the block that rotates into the r04 window.
     """
     return {
         "q_assign": q_assign,

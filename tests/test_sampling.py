@@ -262,12 +262,12 @@ def test_custom_datasource_parallelism_and_determinism(spark):
     task per partition, contiguous non-overlapping id ranges) and
     produce identical data at any partitioning."""
     from flink_kmeans_clustering_spark.sources.pyds import (
-        SyntheticReadingsDataSource,
+        make_synthetic_readings_datasource,
         synth_value,
     )
 
     try:
-        spark.dataSource.register(SyntheticReadingsDataSource)
+        spark.dataSource.register(make_synthetic_readings_datasource())
     except Exception:
         pass
 
