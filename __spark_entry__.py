@@ -1676,6 +1676,46 @@ def q_source_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark-4 SQL PIPE syntax (|> operators): the same declarative
+    plan as chained DataFrame calls, authored as linear SQL — filter →
+    aggregate → top-k.  Catalyst sees identical logical operators, so
+    every optimization (pushdown, partial agg, TakeOrdered) applies
+    unchanged.  Oracle: classic SQL of the same query."""
+    load_events(spark, sf_dir).createOrReplaceTempView("events_v")
+    return spark.sql(
+        """
+FROM events_v
+|> WHERE value > 10
+|> AGGREGATE COUNT(*) AS n_events,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(25,8))), 6) AS DOUBLE)
+               AS sum_value
+   GROUP BY user_id
+|> ORDER BY sum_value DESC, user_id
+|> LIMIT 10
+"""
+    )
+
+
+def q_rel_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: each event type's top-2 events by
+    value — the per-group-top-k shape as the SQL standard writes it.
+    Spark plans the correlated limit via DomainJoin rewrite; the oracle
+    states the same query as a window QUALIFY."""
+    load_events(spark, sf_dir).createOrReplaceTempView("events_v")
+    return spark.sql(
+        """
+SELECT t.event_type, b.event_id, ROUND(b.value, 6) AS value
+FROM (SELECT DISTINCT event_type FROM events_v) t,
+LATERAL (
+  SELECT event_id, value FROM events_v e
+  WHERE e.event_type = t.event_type
+  ORDER BY value DESC, event_id LIMIT 2
+) b
+"""
+    )
+
+
 def q_rel_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic Partition Pruning end-to-end: orders landed PARTITIONED
     BY priority, joined to a dimension TABLE whose tier filter is only
@@ -1931,7 +1971,7 @@ def q_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    140 queries; 133 carry DuckDB oracles, 7 are rows-only by design
+    142 queries; 135 carry DuckDB oracles, 7 are rows-only by design
     (MLlib placements/init, sketch estimates, GEMM ulp twin, PCA
     eigensolve).
 
@@ -1939,9 +1979,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     records the first 50 entries only.  Round 3 leads with 4 §2-core
     K-Means queries plus the 46 oracle-bearing queries that had no
     driver row in rounds 1-2, so every query that existed at r03's
-    start has a green driver row cumulatively across r02+r03.  The 21
-    round-3b additions (q_knn_join .. q_rel_dpp) sit at positions
-    51-71, leading the block that rotates into the r04 window.
+    start has a green driver row cumulatively across r02+r03.  The 23
+    round-3b additions (q_knn_join .. q_rel_lateral) sit at positions
+    51-73, leading the block that rotates into the r04 window.
     """
     return {
         "q_assign": q_assign,
@@ -2019,6 +2059,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_variant": q_events_variant,
         "q_source_custom": q_source_custom,
         "q_rel_dpp": q_rel_dpp,
+        "q_sql_pipe": q_sql_pipe,
+        "q_rel_lateral": q_rel_lateral,
         "q_rel_stats": q_rel_stats,
         "q_kmeans_scalable": q_kmeans_scalable,
         "q_stream_kmeans": q_stream_kmeans,
@@ -3968,7 +4010,25 @@ FROM orders
 WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
 GROUP BY o_orderpriority
 """
+    sql_pipe_sql = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(25,8))), 6) AS DOUBLE)
+         AS sum_value
+FROM events WHERE value > 10
+GROUP BY user_id
+ORDER BY sum_value DESC, user_id LIMIT 10
+"""
+    rel_lateral_sql = """
+SELECT event_type, event_id, ROUND(value, 6) AS value FROM (
+  SELECT event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rn
+  FROM events
+) WHERE rn <= 2
+"""
     return {
+        "q_sql_pipe": sql_pipe_sql,
+        "q_rel_lateral": rel_lateral_sql,
         "q_rel_dpp": rel_dpp_sql,
         "q_events_variant": events_variant_sql,
         "q_source_custom": source_custom_sql,
