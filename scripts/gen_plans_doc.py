@@ -140,6 +140,16 @@ PICKS = [
         "BM25 — corpus token stream filtered to query terms in-scan; "
         "df and corpus stats broadcast back; TakeOrdered top-20",
     ),
+    (
+        "q_rel_dpp",
+        "Dynamic Partition Pruning — the fact scan's PartitionFilters "
+        "carry a dynamicpruning subquery over the filtered dim",
+    ),
+    (
+        "q_dedup_prefix",
+        "Prefix-filter exact set-similarity join — candidates from "
+        "rarest-first prefixes, per-candidate exact verification",
+    ),
 ]
 
 
