@@ -1976,68 +1976,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     eigensolve).
 
     Registry ORDER is load-bearing: the driver's correctness artifact
-    records the first 50 entries only.  Round 3 leads with 4 §2-core
-    K-Means queries plus the 46 oracle-bearing queries that had no
-    driver row in rounds 1-2, so every query that existed at r03's
-    start has a green driver row cumulatively across r02+r03.  The 23
-    round-3b additions (q_knn_join .. q_rel_lateral) sit at positions
-    51-73, leading the block that rotates into the r04 window.
+    records the first 50 entries only.  Round 4 leads with the 43
+    queries that had no driver row in rounds 1-3 (positions 1-43),
+    then re-confirms the 7 slowest already-green oracle-bearing
+    queries (44-50).  With this window, cumulative driver coverage
+    reaches 142/142.
     """
     return {
-        "q_assign": q_assign,
-        "q_text_chunk": q_text_chunk,
-        "q_objfun": q_objfun,
-        "q_convergence": q_convergence,
-        "q_kmeans": q_kmeans,
-        "q_events_cube": q_events_cube,
-        "q_events_asof": q_events_asof,
-        "q_events_running": q_events_running,
-        "q_events_quantiles": q_events_quantiles,
-        "q_sample_docs": q_sample_docs,
-        "q_sample_stratified": q_sample_stratified,
-        "q_text_gate": q_text_gate,
-        "q_text_packing": q_text_packing,
-        "q_rel_small_qty": q_rel_small_qty,
-        "q_stream_enrich": q_stream_enrich,
-        "q_stream_window": q_stream_window,
-        "q_stream_dedup": q_stream_dedup,
-        "q_stream_totals": q_stream_totals,
-        "q_stream_interval_join": q_stream_interval_join,
-        "q_stream_session": q_stream_session,
-        "q_stream_sink": q_stream_sink,
-        "q_stream_gate": q_stream_gate,
-        "q_topk_sim": q_topk_sim,
-        "q_ann_ivf": q_ann_ivf,
-        "q_ann_lsh": q_ann_lsh,
-        "q_ann_quantized": q_ann_quantized,
-        "q_ann_pruned": q_ann_pruned,
-        "q_dedup_semantic": q_dedup_semantic,
-        "q_dedup_twostage": q_dedup_twostage,
-        "q_dedup_canonical": q_dedup_canonical,
-        "q_events_funnel": q_events_funnel,
-        "q_events_retention": q_events_retention,
-        "q_events_wau": q_events_wau,
-        "q_events_anomaly": q_events_anomaly,
-        "q_events_histogram": q_events_histogram,
-        "q_window_range": q_window_range,
-        "q_rel_yoy": q_rel_yoy,
-        "q_text_lmscore": q_text_lmscore,
-        "q_sample_split": q_sample_split,
-        "q_sink_roundtrip": q_sink_roundtrip,
-        "q_text_tokens": q_text_tokens,
-        "q_text_clean": q_text_clean,
-        "q_text_tokenfreq_salted": q_text_tokenfreq_salted,
-        "q_text_langid": q_text_langid,
-        "q_text_quality": q_text_quality,
-        "q_text_fingerprint": q_text_fingerprint,
-        "q_text_tokenfreq": q_text_tokenfreq,
-        "q_text_repetition": q_text_repetition,
-        "q_text_tfidf": q_text_tfidf,
-        "q_dedup_decontam": q_dedup_decontam,
-        # --- queries below are outside the driver's 50-row window this
-        # round (r04 rotates them in); new round-3 additions lead —
-        # q_knn_join .. q_events_ohlc (17 round-3b queries) then the
-        # round-3a block — so they verify first next round ---
         "q_knn_join": q_knn_join,
         "q_embed_cov": q_embed_cov,
         "q_embed_pca": q_embed_pca,
@@ -2080,21 +2025,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_bandjoin": q_events_bandjoin,
         "q_sink_bucketed": q_sink_bucketed,
         "q_text_chunk_udtf": q_text_chunk_udtf,
+        "q_events_approx_quantiles": q_events_approx_quantiles,
+        "q_dedup_cc": q_dedup_cc,
+        "q_dedup_embedding": q_dedup_embedding,
+        "q_dedup_minhash": q_dedup_minhash,
+        "q_dedup_simhash": q_dedup_simhash,
+        "q_rel_pricing": q_rel_pricing,
+        "q_dedup_ngram": q_dedup_ngram,
+        "q_dedup_twostage": q_dedup_twostage,
+        # --- below: all 99 queries already driver-green in rounds 1-3;
+        # outside the driver's 50-row window this round ---
+        "q_assign": q_assign,
+        "q_text_chunk": q_text_chunk,
+        "q_objfun": q_objfun,
+        "q_convergence": q_convergence,
+        "q_kmeans": q_kmeans,
+        "q_events_cube": q_events_cube,
+        "q_events_asof": q_events_asof,
+        "q_events_running": q_events_running,
+        "q_events_quantiles": q_events_quantiles,
+        "q_sample_docs": q_sample_docs,
+        "q_sample_stratified": q_sample_stratified,
+        "q_text_gate": q_text_gate,
+        "q_text_packing": q_text_packing,
+        "q_rel_small_qty": q_rel_small_qty,
+        "q_stream_enrich": q_stream_enrich,
+        "q_stream_window": q_stream_window,
+        "q_stream_dedup": q_stream_dedup,
+        "q_stream_totals": q_stream_totals,
+        "q_stream_interval_join": q_stream_interval_join,
+        "q_stream_session": q_stream_session,
+        "q_stream_sink": q_stream_sink,
+        "q_stream_gate": q_stream_gate,
+        "q_topk_sim": q_topk_sim,
+        "q_ann_ivf": q_ann_ivf,
+        "q_ann_lsh": q_ann_lsh,
+        "q_ann_quantized": q_ann_quantized,
+        "q_ann_pruned": q_ann_pruned,
+        "q_dedup_semantic": q_dedup_semantic,
+        "q_dedup_canonical": q_dedup_canonical,
+        "q_events_funnel": q_events_funnel,
+        "q_events_retention": q_events_retention,
+        "q_events_wau": q_events_wau,
+        "q_events_anomaly": q_events_anomaly,
+        "q_events_histogram": q_events_histogram,
+        "q_window_range": q_window_range,
+        "q_rel_yoy": q_rel_yoy,
+        "q_text_lmscore": q_text_lmscore,
+        "q_sample_split": q_sample_split,
+        "q_sink_roundtrip": q_sink_roundtrip,
+        "q_text_tokens": q_text_tokens,
+        "q_text_clean": q_text_clean,
+        "q_text_tokenfreq_salted": q_text_tokenfreq_salted,
+        "q_text_langid": q_text_langid,
+        "q_text_quality": q_text_quality,
+        "q_text_fingerprint": q_text_fingerprint,
+        "q_text_tokenfreq": q_text_tokenfreq,
+        "q_text_repetition": q_text_repetition,
+        "q_text_tfidf": q_text_tfidf,
+        "q_dedup_decontam": q_dedup_decontam,
         "q_update": q_update,
         "q_events_approx_users": q_events_approx_users,
-        "q_events_approx_quantiles": q_events_approx_quantiles,
         "q_ann_trained": q_ann_trained,
         "q_kmeans_ml": q_kmeans_ml,
         "q_assign_join": q_assign_join,
         "q_dedup_exact": q_dedup_exact,
-        "q_dedup_ngram": q_dedup_ngram,
         "q_dedup_ngram_exact": q_dedup_ngram_exact,
-        "q_dedup_cc": q_dedup_cc,
-        "q_dedup_embedding": q_dedup_embedding,
         "q_dedup_gemm": q_dedup_gemm,
-        "q_dedup_minhash": q_dedup_minhash,
-        "q_dedup_simhash": q_dedup_simhash,
-        "q_rel_pricing": q_rel_pricing,
         "q_rel_shipping": q_rel_shipping,
         "q_rel_local_supplier": q_rel_local_supplier,
         "q_rel_late_orders": q_rel_late_orders,
