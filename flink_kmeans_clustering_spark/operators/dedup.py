@@ -1170,6 +1170,78 @@ def dedup_corpus(
     )
 
 
+def _prefix_candidates(
+    prefix: DataFrame,
+    threshold: float,
+    length_filter: bool = True,
+    positional_filter: bool = True,
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs from prefix rows (id, sh, sz, _pos)
+    via self equi-join on the shared prefix shingle, with PPJoin's
+    length and positional filters (each independently toggleable so
+    tests can measure the cut).
+
+    The positional filter runs twice.  Per-match (join condition, cuts
+    shuffle input): overlap ≤ min(p_a,p_b) + min(sz_a−p_a, sz_b−p_b),
+    valid at EVERY shared position of a true pair.  Per-pair
+    (first-match, replaces the bare distinct with the same-shuffle
+    min-struct agg): because a prefix is the FIRST L positions of the
+    global rarest-first order, "in prefix" is downward-closed — any
+    shared token ordered before a prefix∩prefix match has strictly
+    smaller positions in both rings, hence is itself a match row.  So
+    the min-(p_a,p_b) match row IS the pair's globally first shared
+    token, no shared token precedes it, and the tight PPJoin bound
+    overlap ≤ 1 + min(sz_a−p_a, sz_b−p_b) applies safely there.
+    """
+    # The 1e-9 slack keeps fp ceil() from landing one above the exact
+    # rational bound (which would prune a TRUE pair); one-too-low only
+    # admits an extra candidate the exact verify step rejects anyway.
+    t = threshold
+    cond = (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id"))
+    if length_filter:
+        # min_sz >= ceil(t * max_sz), written symmetrically
+        cond = (
+            cond
+            & (F.col("b.sz") >= F.ceil(F.lit(t) * F.col("a.sz") - 1e-9))
+            & (F.col("a.sz") >= F.ceil(F.lit(t) * F.col("b.sz") - 1e-9))
+        )
+    if positional_filter:
+        alpha_m = F.ceil(
+            F.lit(t / (1.0 + t)) * (F.col("a.sz") + F.col("b.sz")) - 1e-9
+        )
+        loose = F.least(F.col("a._pos"), F.col("b._pos")) - 1 + F.least(
+            F.col("a.sz") - F.col("a._pos") + 1,
+            F.col("b.sz") - F.col("b._pos") + 1,
+        )
+        cond = cond & (loose >= alpha_m)
+    matches = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+            F.col("a._pos").alias("pos_a"),
+            F.col("b._pos").alias("pos_b"),
+        )
+    )
+    if not positional_filter:
+        return matches.select("id_a", "id_b").distinct()
+    first = matches.groupBy("id_a", "id_b").agg(
+        F.min(F.struct("pos_a", "pos_b")).alias("_fm"),
+        F.first("sz_a").alias("sz_a"),
+        F.first("sz_b").alias("sz_b"),
+    )
+    alpha_p = F.ceil(
+        F.lit(t / (1.0 + t)) * (F.col("sz_a") + F.col("sz_b")) - 1e-9
+    )
+    tight = 1 + F.least(
+        F.col("sz_a") - F.col("_fm.pos_a"), F.col("sz_b") - F.col("_fm.pos_b")
+    )
+    return first.filter(tight >= alpha_p).select("id_a", "id_b")
+
+
 def ngram_jaccard_pairs_prefix(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1195,6 +1267,24 @@ def ngram_jaccard_pairs_prefix(
     and never enters a prefix unless a document consists of almost
     nothing else.
 
+    Two further PPJoin cuts (Xiao et al. WWW'08 §3) ride the candidate
+    join as pure column predicates — no new shuffles:
+
+    * LENGTH filter: J(A,B) ≥ t forces t·(|A|+|B|) ≤ (1+t)·|A∩B| ≤
+      (1+t)·min(|A|,|B|), i.e. ``min_sz ≥ ⌈t·max_sz⌉`` — both
+      ``sz_b ≥ ⌈t·sz_a⌉`` and ``sz_a ≥ ⌈t·sz_b⌉`` go straight into the
+      join condition, pruning cross-size candidates before any
+      ``array_intersect``.
+    * POSITIONAL filter: for a shared prefix token at (global-order)
+      positions p_a, p_b, every shared token either precedes it in BOTH
+      rings (≤ min(p_a,p_b) − 1 of those) or is it / follows it
+      (≤ 1 + min(sz_a−p_a, sz_b−p_b)); so overlap ≤ min(p_a,p_b) +
+      min(sz_a−p_a, sz_b−p_b).  A qualifying pair needs overlap ≥
+      α = ⌈t/(1+t)·(sz_a+sz_b)⌉, and the bound holds at EVERY shared
+      position, so rows where it dips below α are safely dropped before
+      the pair-distinct (a pair survives iff some match passes —
+      a superset of PPJoin's scan-order candidates, never a miss).
+
     Stages (shuffles): df counts (1, vocab-sized), per-doc rank window
     (1, by id — reuses the spread partitioning), candidate equi-join on
     prefix shingles (1), per-doc set assembly + verification joins.
@@ -1219,6 +1309,18 @@ def ngram_jaccard_pairs_prefix(
     # every multi-pass set-similarity join — O(corpus tokens)
     # disk-backed state at cluster scale, never O(corpus²).
     ex = exploded_shingles(base, "id", text_col, n=n, with_size=True)
+    # 64-bit shingle identity from here on: df counts, prefix ranking,
+    # the candidate join and the verify intersection all run on longs
+    # instead of ~n-word strings (with the PPJoin filters, 7.5 → 2.5 s
+    # warm at sf0.1 — integer array_intersect + 8-byte shuffle rows).
+    # sz stays the
+    # exact distinct-STRING count.  An xxhash64 collision would merge
+    # two shingles corpus-wide (P ≈ V²/2⁶⁵ for V distinct shingles —
+    # ~1e-10 at test scale, still < 1e-4 per-pair-affected at 10¹²
+    # shingles), nudging one intersection count by 1; the same
+    # identity-hash trade every production MinHash/shingle pipeline
+    # makes.
+    ex = ex.select("id", "sz", F.xxhash64("sh").alias("sh"))
     sets = (
         ex.groupBy("id")
         .agg(F.collect_set("sh").alias("shs"), F.first("sz").alias("sz"))
@@ -1232,19 +1334,10 @@ def ngram_jaccard_pairs_prefix(
     prefix = (
         ranked.withColumn("_pos", F.row_number().over(w))
         .filter(F.col("_pos") <= prefix_len)
-        .select("id", "sh")
+        .select("id", "sh", "sz", "_pos")
         .localCheckpoint()  # prefix rows: two consumers of a small set
     )
-    cands = (
-        prefix.alias("a")
-        .join(
-            prefix.alias("b"),
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
+    cands = _prefix_candidates(prefix, threshold)
     joined = (
         cands.join(
             sets.select(

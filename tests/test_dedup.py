@@ -517,3 +517,55 @@ def test_prefix_filter_skips_hot_shingle_candidates(spark):
         ).collect()
     }
     assert got == {(3, 4)}
+
+
+def test_ppjoin_length_positional_filters_cut_candidates(spark):
+    """PPJoin's length + positional filters must (a) strictly shrink the
+    candidate set vs the bare prefix filter on a size-skewed corpus and
+    (b) never drop a candidate that verification would keep."""
+    from pyspark.sql import functions as F
+    from flink_kmeans_clustering_spark.operators.dedup import (
+        _prefix_candidates,
+        exploded_shingles,
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    t = 0.5
+    base = docs.select(F.col("doc_id").alias("id"), "text")
+    ex = exploded_shingles(base, "id", "text", n=3, with_size=True)
+    sets = ex.groupBy("id").agg(
+        F.collect_set("sh").alias("shs"), F.first("sz").alias("sz")
+    )
+    exs = sets.select("id", "sz", F.explode("shs").alias("sh"))
+    dfreq = exs.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy("id").orderBy("_df", "sh")
+    prefix = (
+        exs.join(dfreq, "sh")
+        .withColumn("_pos", F.row_number().over(w))
+        .filter(F.col("_pos") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1)
+        .select("id", "sh", "sz", "_pos")
+        .localCheckpoint()
+    )
+    bare = _prefix_candidates(
+        prefix, t, length_filter=False, positional_filter=False
+    ).count()
+    cut = _prefix_candidates(prefix, t).count()
+    assert cut < bare, (cut, bare)
+    # every TRUE pair is still a candidate after the filters
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=t, max_df=None).collect()
+    }
+    kept = {
+        (r["id_a"], r["id_b"]) for r in _prefix_candidates(prefix, t).collect()
+    }
+    assert truth <= kept
+    # and the end-to-end result with filters equals the exact join
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs_prefix(docs, n=3, threshold=t).collect()
+    }
+    assert got == truth
