@@ -131,10 +131,14 @@ from flink_kmeans_clustering_spark.operators.events import (
 )
 from flink_kmeans_clustering_spark.operators.relational import (
     PROFILE_COLS,
+    excess_inventory_suppliers,
+    min_cost_suppliers,
     profile_columns,
     revenue_grouping_sets,
     small_quantity_revenue,
     stats_by_flag,
+    supplier_count_by_part,
+    synth_partsupp,
     upsert_customer_balances,
 )
 from flink_kmeans_clustering_spark.operators.sampling import (
@@ -587,6 +591,46 @@ def q_rel_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, "supplier", sf_dir),
         load_table(spark, "part", sf_dir),
         load_table(spark, "orders", sf_dir),
+        load_table(spark, "lineitem", sf_dir),
+    )
+
+
+def q_rel_mincost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: minimum-cost in-region supplier per part, over
+    the deterministic synthesized partsupp (hash-derived availqty/
+    supplycost regenerated identically by the DuckDB oracle)."""
+    part = load_table(spark, "part", sf_dir)
+    supplier = load_table(spark, "supplier", sf_dir)
+    return min_cost_suppliers(
+        part,
+        supplier,
+        load_table(spark, "nation", sf_dir),
+        load_table(spark, "region", sf_dir),
+        synth_partsupp(part, supplier),
+    )
+
+
+def q_rel_suppcnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per (brand, type,
+    size), broadcast anti join for the supplier blacklist."""
+    part = load_table(spark, "part", sf_dir)
+    supplier = load_table(spark, "supplier", sf_dir)
+    return supplier_count_by_part(
+        part, supplier, synth_partsupp(part, supplier)
+    )
+
+
+def q_rel_excess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers holding more than half a year's
+    shipped quantity of any prefix-named part, decorrelated to one
+    fact-table aggregate + broadcast semi joins."""
+    part = load_table(spark, "part", sf_dir)
+    supplier = load_table(spark, "supplier", sf_dir)
+    return excess_inventory_suppliers(
+        supplier,
+        load_table(spark, "nation", sf_dir),
+        synth_partsupp(part, supplier),
+        part,
         load_table(spark, "lineitem", sf_dir),
     )
 
@@ -2026,6 +2070,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sink_bucketed": q_sink_bucketed,
         "q_text_chunk_udtf": q_text_chunk_udtf,
         "q_events_approx_quantiles": q_events_approx_quantiles,
+        "q_rel_mincost": q_rel_mincost,
+        "q_rel_suppcnt": q_rel_suppcnt,
+        "q_rel_excess": q_rel_excess,
         "q_dedup_cc": q_dedup_cc,
         "q_dedup_embedding": q_dedup_embedding,
         "q_dedup_minhash": q_dedup_minhash,
@@ -2892,6 +2939,81 @@ SELECT s_suppkey, s_name,
 FROM rev CROSS JOIN mx
 JOIN supplier ON l_suppkey = s_suppkey
 WHERE rev_dec = max_dec
+"""
+    # Deterministic synthesized partsupp — the same contract as
+    # operators.relational.synth_partsupp, regenerated from the part
+    # and supplier views (4 suppliers per part at (p + i*floor(S/4))
+    # mod S; availqty/supplycost from md5 of "tag:partkey:suppkey").
+    partsupp_cte = """
+partsupp AS (
+  SELECT ps_partkey, ps_suppkey,
+         1 + CAST(('0x' || substring(md5('aq:' || ps_partkey || ':' || ps_suppkey), 1, 8)) AS BIGINT) % 9999 AS ps_availqty,
+         CAST(100 + CAST(('0x' || substring(md5('sc:' || ps_partkey || ':' || ps_suppkey), 1, 8)) AS BIGINT) % 99900 AS DOUBLE) / 100 AS ps_supplycost
+  FROM (
+    SELECT p_partkey AS ps_partkey,
+           (p_partkey + i.i * greatest((SELECT count(*) FROM supplier) // 4, 1))
+             % (SELECT count(*) FROM supplier) AS ps_suppkey
+    FROM part, (VALUES (0), (1), (2), (3)) AS i(i)
+  )
+)"""
+    rel_mincost_sql = f"""
+WITH {partsupp_cte},
+eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+pst AS (
+  SELECT ps_partkey, ps_supplycost, s_name, n_name, s_acctbal, p_type
+  FROM partsupp
+  JOIN eu ON ps_suppkey = s_suppkey
+  JOIN part ON ps_partkey = p_partkey
+  WHERE p_size = 15
+),
+mins AS (
+  SELECT ps_partkey, MIN(ps_supplycost) AS min_cost
+  FROM pst GROUP BY ps_partkey
+)
+SELECT pst.ps_partkey AS p_partkey, p_type, s_name, n_name, s_acctbal,
+       mins.min_cost AS supplycost
+FROM pst
+JOIN mins ON pst.ps_partkey = mins.ps_partkey
+         AND pst.ps_supplycost = mins.min_cost
+"""
+    rel_suppcnt_sql = f"""
+WITH {partsupp_cte}
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+FROM partsupp
+JOIN part ON ps_partkey = p_partkey
+WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+    rel_excess_sql = f"""
+WITH {partsupp_cte},
+pk AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+qty AS (
+  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS q
+  FROM lineitem
+  WHERE year(l_shipdate) = 1997
+    AND l_partkey IN (SELECT p_partkey FROM pk)
+  GROUP BY l_partkey, l_suppkey
+),
+ex AS (
+  SELECT DISTINCT ps_suppkey
+  FROM partsupp
+  JOIN qty ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+          AND ps_availqty > CAST(0.5 AS DOUBLE) * q
+)
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+  AND s_suppkey IN (SELECT ps_suppkey FROM ex)
 """
     rel_mktshare_sql = """
 SELECT o_year, nation_volume, total_volume,
@@ -4100,6 +4222,9 @@ SELECT event_type, event_id, ROUND(value, 6) AS value FROM (
         "q_rel_promo": rel_promo_sql,
         "q_rel_brandrev": rel_brandrev_sql,
         "q_rel_topsupplier": rel_topsupplier_sql,
+        "q_rel_mincost": rel_mincost_sql,
+        "q_rel_suppcnt": rel_suppcnt_sql,
+        "q_rel_excess": rel_excess_sql,
         "q_rel_mktshare": rel_mktshare_sql,
         "q_rel_profit": rel_profit_sql,
         "q_window_ranks": window_ranks_sql,

@@ -1015,3 +1015,204 @@ def upsert_customer_balances(
         F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("c_mktsegment"),
         F.coalesce("_n_orders", F.lit(0)).alias("n_orders"),
     )
+
+
+def synth_partsupp(part: DataFrame, supplier: DataFrame) -> DataFrame:
+    """Deterministic partsupp synthesized from part × supplier.
+
+    ``/root/testdata`` ships no partsupp table, which blocked the
+    TPC-H Q2/Q16/Q20 shapes; this derives one from the two dimension
+    tables with a contract any engine can replay exactly:
+
+    * each part lists 4 suppliers at ``(p_partkey + i·⌊S/4⌋) mod S``
+      for i ∈ 0..3 (S = supplier count ≥ 4·⌊S/4⌋, so the four keys are
+      distinct — the dbgen spread formula, 0-based);
+    * ``ps_availqty``  = 1 + md5int("aq:<p>:<s>") % 9999        (1..9999)
+    * ``ps_supplycost`` = (100 + md5int("sc:<p>:<s>") % 99900)/100
+      (1.00..999.99, exact integer cents over IEEE /100 — identical
+      doubles in every engine),
+
+    where md5int = first 8 md5-hex chars as a BIGINT (the repo-wide
+    cross-engine hash contract, see operators.sampling).  The supplier
+    count is dimension METADATA (a driver scalar, like a k-row
+    centroid state) — the synthesized table itself is a row-local
+    projection of part, explode + hash, no shuffle, no RNG state, and
+    regenerating it on 1000 executors yields byte-identical rows.
+    """
+    s_cnt = supplier.count()
+    if s_cnt < 4:
+        raise ValueError("synth_partsupp needs >= 4 suppliers")
+    step = max(s_cnt // 4, 1)
+    ps = part.select(
+        F.col("p_partkey").alias("ps_partkey"),
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("_i"),
+    )
+    suppkey = (F.col("ps_partkey") + F.col("_i") * F.lit(step)) % F.lit(s_cnt)
+
+    def md5int(tag: str) -> Column:
+        s = F.concat(
+            F.lit(tag + ":"),
+            F.col("ps_partkey").cast("string"),
+            F.lit(":"),
+            F.col("ps_suppkey").cast("string"),
+        )
+        return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+    return ps.select(
+        "ps_partkey", suppkey.cast("long").alias("ps_suppkey")
+    ).select(
+        "ps_partkey",
+        "ps_suppkey",
+        (F.lit(1) + md5int("aq") % 9999).alias("ps_availqty"),
+        ((F.lit(100) + md5int("sc") % 99900).cast("double") / F.lit(100)).alias(
+            "ps_supplycost"
+        ),
+    )
+
+
+def min_cost_suppliers(
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    partsupp: DataFrame,
+    region_name: str = "EUROPE",
+    size: int = 15,
+) -> DataFrame:
+    """TPC-H Q2 shape: for every part of a given size, the in-region
+    supplier(s) offering the minimum supply cost.
+
+    The correlated MIN subquery decorrelates to a per-part aggregate
+    + equality join back — the plan Catalyst itself produces for the
+    subquery form, written directly: region/nation/supplier reduce to
+    a broadcast supplier→nation map, partsupp is scanned ONCE, and the
+    per-part min re-joins the same in-region rows.  Cost equality is
+    exact: both sides carry the identical synthesized double.  Ties
+    (two suppliers at the min) are all kept — LIMIT-free output keeps
+    the result deterministic without a total-order sort.
+    """
+    eu_supp = (
+        supplier.join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == region_name)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps_eu = partsupp.join(
+        F.broadcast(eu_supp), F.col("ps_suppkey") == F.col("s_suppkey")
+    )
+    target = part.filter(F.col("p_size") == size).select(
+        "p_partkey", "p_type", "p_retailprice"
+    )
+    ps_t = ps_eu.join(
+        F.broadcast(target), F.col("ps_partkey") == F.col("p_partkey")
+    )
+    mins = ps_t.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    return (
+        ps_t.join(
+            mins,
+            (ps_t["ps_partkey"] == mins["ps_partkey"])
+            & (ps_t["ps_supplycost"] == mins["min_cost"]),
+        )
+        .select(
+            "p_partkey",
+            "p_type",
+            "s_name",
+            "n_name",
+            "s_acctbal",
+            F.col("min_cost").alias("supplycost"),
+        )
+    )
+
+
+def supplier_count_by_part(
+    part: DataFrame,
+    supplier: DataFrame,
+    partsupp: DataFrame,
+    excl_brand: str = "Brand#3",
+    excl_type: str = "PROMO",
+    sizes: tuple[int, ...] = (1, 4, 9, 16, 25, 36, 49),
+) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per (brand, type,
+    size) over qualifying parts, excluding blacklisted suppliers.
+
+    Both exclusion arms are the scale-safe forms: the part predicate
+    pushes to the scan, and the supplier blacklist (negative acctbal —
+    the testdata stand-in for Q16's complaint comments) is a broadcast
+    LEFT ANTI join, i.e. NOT IN without the NULL trap or a shuffle.
+    count(DISTINCT ps_suppkey) shuffles once on the (brand, type,
+    size) group key with partial dedup map-side.
+    """
+    good_parts = part.filter(
+        (F.col("p_brand") != excl_brand)
+        & (F.col("p_type") != excl_type)
+        & F.col("p_size").isin(list(sizes))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    blacklist = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        partsupp.join(
+            F.broadcast(good_parts), F.col("ps_partkey") == F.col("p_partkey")
+        )
+        .join(
+            F.broadcast(blacklist),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+def excess_inventory_suppliers(
+    supplier: DataFrame,
+    nation: DataFrame,
+    partsupp: DataFrame,
+    part: DataFrame,
+    lineitem: DataFrame,
+    nation_name: str = "NATION_3",
+    year: int = 1997,
+    name_prefix: str = "small",
+) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in one nation holding more than half
+    a year's shipped quantity of any part with a given name prefix.
+
+    The nested EXISTS/IN chain decorrelates to: year-filtered lineitem
+    aggregates once on (l_partkey, l_suppkey) — the only fact-table
+    shuffle; the prefix-part key set broadcasts as a semi join on BOTH
+    the aggregate and partsupp; the availqty > ½·qty comparison is
+    exact (sum of small integral doubles, below 2⁵³).  The qualifying
+    (part, supplier) rows semi-join supplier, so each supplier emits
+    once however many parts qualify.
+    """
+    pkeys = part.filter(F.col("p_name").startswith(name_prefix)).select(
+        "p_partkey"
+    )
+    qty = (
+        lineitem.filter(F.year("l_shipdate") == year)
+        .join(
+            F.broadcast(pkeys), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+    )
+    excess = partsupp.join(
+        qty,
+        (F.col("ps_partkey") == F.col("l_partkey"))
+        & (F.col("ps_suppkey") == F.col("l_suppkey"))
+        & (F.col("ps_availqty") > 0.5 * F.col("_qty")),
+        "inner",
+    ).select("ps_suppkey")
+    nat = nation.filter(F.col("n_name") == nation_name)
+    return (
+        supplier.join(
+            F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(excess, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )

@@ -278,3 +278,31 @@ def test_upsert_three_merge_arms(spark):
     assert rows[1]["new_acctbal"] == 112.5 and rows[1]["n_orders"] == 2  # UPDATE
     assert rows[2]["new_acctbal"] == 50.0 and rows[2]["n_orders"] == 0   # keep
     assert rows[3]["c_name"] == "UNKNOWN" and rows[3]["new_acctbal"] == 7.0  # INSERT
+
+
+def test_synth_partsupp_contract(spark):
+    """4 distinct suppliers per part, value ranges, and partitioning
+    independence (row-local derivation => identical under reshuffle)."""
+    from pyspark.sql import functions as F
+    from flink_kmeans_clustering_spark.operators.relational import synth_partsupp
+
+    part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+    supplier = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
+    ps = synth_partsupp(part, supplier)
+    n_part = part.count()
+    assert ps.count() == 4 * n_part
+    per = ps.groupBy("ps_partkey").agg(
+        F.countDistinct("ps_suppkey").alias("n")
+    )
+    assert per.filter(F.col("n") != 4).count() == 0
+    rng = ps.agg(
+        F.min("ps_availqty"), F.max("ps_availqty"),
+        F.min("ps_supplycost"), F.max("ps_supplycost"),
+        F.min("ps_suppkey"), F.max("ps_suppkey"),
+    ).first()
+    assert 1 <= rng[0] and rng[1] <= 9999
+    assert 1.0 <= rng[2] and rng[3] <= 999.99
+    assert 0 <= rng[4] and rng[5] < supplier.count()
+    again = synth_partsupp(part.repartition(7), supplier)
+    assert ps.exceptAll(again).count() == 0
+    assert again.exceptAll(ps).count() == 0
