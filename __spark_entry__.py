@@ -328,11 +328,15 @@ def q_dedup_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates, md5-prefix lane hashes — the
     DuckDB oracle recomputes the exact 60-bit lane values, band
-    membership, and agreement fractions.  Production corpora keep the
-    operator's xxhash64 default (pair-set equivalence on this corpus is
-    pinned in tests/test_dedup.py)."""
+    membership, and agreement fractions.  The CHECKED query runs 16
+    lanes / 4 bands (8 md5 evaluations per shingle — the md5 oracle
+    contract dominated the old 32-lane runtime at 5.4 s warm; LSH
+    recall quality is irrelevant to an oracle-equivalence query).
+    Production corpora keep the operator's 32-lane xxhash64 default
+    (pair-set equivalence on this corpus is pinned in
+    tests/test_dedup.py)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return minhash_lsh_pairs(docs, num_hashes=32, bands=8, threshold=0.5, hash_fn="md5")
+    return minhash_lsh_pairs(docs, num_hashes=16, bands=4, threshold=0.5, hash_fn="md5")
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1508,12 +1512,16 @@ def q_kmeans_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-means|| initialization (Bahmani et al., VLDB 2012) feeding the
     same Lloyd refinement as q_kmeans: per-round parallel oversampling
     replaces both the reference's random init (KMeans.java:88) and
-    recompnearest (KMeans.java:101-116) at cluster scale.  Rows-only:
-    the hash-seeded Bernoulli draw is engine-specific; determinism and
-    the ≤-random-init WCSS property are pinned in
-    tests/test_kmeans_ops.py."""
+    recompnearest (KMeans.java:101-116) at cluster scale.  FULL oracle:
+    with draw_fn="md5" every draw is a replayable md5 uniform and every
+    order-sensitive reduction is decimal-exact, so the DuckDB oracle
+    replays the whole pipeline — 3 oversampling rounds, candidate ids,
+    weights, 8 k-means++ picks, 5 local Lloyd steps, then the same
+    3-iteration distributed Lloyd CTE as q_kmeans.  The xxhash64
+    production default stays (tests/test_kmeans_ops.py pins its
+    determinism and ≤-random-init WCSS)."""
     pts = points_v(spark, sf_dir)
-    init = scalable_init(pts, k=8, rounds=3, seed=11)
+    init = scalable_init(pts, k=8, rounds=3, seed=11, draw_fn="md5")
     res = lloyd(pts, init, max_iterations=KMEANS_ITERS)
     out = spark.createDataFrame(res.centroids, "id int, x double, y double")
     return out.select(
@@ -2015,8 +2023,8 @@ def q_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    142 queries; 135 carry DuckDB oracles, 7 are rows-only by design
-    (MLlib placements/init, sketch estimates, GEMM ulp twin, PCA
+    145 queries; 139 carry DuckDB oracles, 6 are rows-only by design
+    (MLlib placements, sketch estimates, GEMM ulp twin, PCA
     eigensolve).
 
     Registry ORDER is load-bearing: the driver's correctness artifact
@@ -2210,6 +2218,145 @@ c{i} AS (
     return sql
 
 
+def _kmeans_scalable_oracle_sql(
+    k: int = 8, l: int = 16, rounds: int = 3, seed: int = 11,
+    local_iters: int = 5, lloyd_iters: int = KMEANS_ITERS,
+) -> str:
+    """Full SQL replay of scalable_init(draw_fn="md5") + lloyd.
+
+    Mirrors operators.kmeans.scalable_init step for step: md5 uniforms
+    ("k0:/kr:/pp:" tags), DECIMAL(38,12)-exact Σd² and weighted sums,
+    candidate ids in (round, point_id) first-occurrence order, picks by
+    cumulative-mass crossing, ties to the lowest id everywhere.  The
+    k-means++ pick uniforms depend only on (seed, pick index), so they
+    are computed here and inlined as double literals.
+    """
+    import hashlib
+
+    def u32(tag: str) -> float:
+        return int(hashlib.md5(tag.encode()).hexdigest()[:8], 16) / 4294967296.0
+
+    sql = f"WITH {ORACLE_CTE}, cset0 AS MATERIALIZED (\n"
+    sql += f"""  SELECT -1 AS rnd, point_id AS pid, x, y FROM points_v
+  ORDER BY md5('k0:{seed}:' || CAST(point_id AS VARCHAR)) LIMIT 1
+)"""
+    for r in range(rounds):
+        sql += f""",
+a_r{r} AS MATERIALIZED (
+  SELECT p.point_id, p.x, p.y,
+         MIN((p.x-c.x)*(p.x-c.x) + (p.y-c.y)*(p.y-c.y)) AS d2
+  FROM points_v p CROSS JOIN cset{r} c
+  GROUP BY p.point_id, p.x, p.y
+),
+phi{r} AS MATERIALIZED (
+  SELECT CAST(SUM(CAST(d2 AS DECIMAL(38,12))) AS DOUBLE) AS phi FROM a_r{r}
+),
+cset{r + 1} AS MATERIALIZED (
+  SELECT * FROM cset{r}
+  UNION ALL
+  SELECT {r} AS rnd, point_id AS pid, x, y
+  FROM a_r{r}, phi{r}
+  WHERE (CAST(('0x' || substring(md5('kr:{seed}:{r}:' || CAST(point_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         / CAST(4294967296 AS DOUBLE)) * phi < CAST({l} AS DOUBLE) * d2
+)"""
+    # first-occurrence dedup of coincident coordinates, then dense ids
+    sql += f""",
+cands AS MATERIALIZED (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY rnd, pid) - 1 AS INT) AS cid, x, y
+  FROM (
+    SELECT rnd, pid, x, y,
+           ROW_NUMBER() OVER (PARTITION BY x, y ORDER BY rnd, pid) AS rr
+    FROM cset{rounds}
+  ) WHERE rr = 1
+),
+wts AS MATERIALIZED (
+  SELECT cid, COUNT(*) AS n FROM (
+    SELECT c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY p.point_id
+             ORDER BY (p.x-c.x)*(p.x-c.x) + (p.y-c.y)*(p.y-c.y), c.cid
+           ) AS rn
+    FROM points_v p CROSS JOIN cands c
+  ) WHERE rn = 1 GROUP BY cid
+),
+cw AS MATERIALIZED (
+  SELECT c.cid, c.x, c.y, CAST(COALESCE(w.n, 0) AS DOUBLE) AS w
+  FROM cands c LEFT JOIN wts w USING (cid)
+)"""
+    # k-means++ pick 0: cross the cumulative WEIGHT mass at u(pp:seed:0)
+    sql += f""",
+pk0 AS MATERIALIZED (
+  SELECT 0 AS pid, cid, x, y FROM (
+    SELECT cid, x, y,
+           CAST(SUM(CAST(w AS DECIMAL(38,12)))
+                OVER (ORDER BY cid) AS DOUBLE) AS cum,
+           CAST(SUM(CAST(w AS DECIMAL(38,12))) OVER () AS DOUBLE) AS tot
+    FROM cw
+  ) WHERE cum > {u32(f'pp:{seed}:0')!r} * tot
+  ORDER BY cid LIMIT 1
+)"""
+    for j in range(1, k):
+        sql += f""",
+m{j} AS MATERIALIZED (
+  SELECT c.cid, c.x, c.y,
+         CAST(c.w * (SELECT MIN((c.x-p.x)*(c.x-p.x) + (c.y-p.y)*(c.y-p.y))
+                     FROM pk{j - 1} p) AS DECIMAL(38,12)) AS mass
+  FROM cw c
+),
+p{j} AS MATERIALIZED (
+  SELECT {j} AS pid, cid, x, y FROM (
+    SELECT cid, x, y,
+           CAST(SUM(mass) OVER (ORDER BY cid) AS DOUBLE) AS cum,
+           CAST(SUM(mass) OVER () AS DOUBLE) AS tot
+    FROM m{j}
+  ) WHERE cum > {u32(f'pp:{seed}:{j}')!r} * tot
+  ORDER BY cid LIMIT 1
+),
+pk{j} AS MATERIALIZED (SELECT * FROM pk{j - 1} UNION ALL SELECT * FROM p{j})"""
+    # local weighted Lloyd over the candidate set (w > 0 rows only;
+    # empty clusters keep their current center)
+    sql += f""",
+lc0 AS MATERIALIZED (SELECT pid, x, y FROM pk{k - 1})"""
+    for t in range(1, local_iters + 1):
+        sql += f""",
+la{t} AS MATERIALIZED (
+  SELECT cid, cx, cy, w, pid FROM (
+    SELECT c.cid, c.x AS cx, c.y AS cy, c.w, s.pid,
+           ROW_NUMBER() OVER (
+             PARTITION BY c.cid
+             ORDER BY (c.x-s.x)*(c.x-s.x) + (c.y-s.y)*(c.y-s.y), s.pid
+           ) AS rn
+    FROM cw c CROSS JOIN lc{t - 1} s
+    WHERE c.w > 0
+  ) WHERE rn = 1
+),
+lm{t} AS MATERIALIZED (
+  SELECT pid,
+         CAST(SUM(CAST(w*cx AS DECIMAL(38,12))) AS DOUBLE)
+           / CAST(SUM(CAST(w AS DECIMAL(38,12))) AS DOUBLE) AS x,
+         CAST(SUM(CAST(w*cy AS DECIMAL(38,12))) AS DOUBLE)
+           / CAST(SUM(CAST(w AS DECIMAL(38,12))) AS DOUBLE) AS y
+  FROM la{t} GROUP BY pid
+),
+lc{t} AS MATERIALIZED (
+  SELECT p.pid, COALESCE(m.x, p.x) AS x, COALESCE(m.y, p.y) AS y
+  FROM lc{t - 1} p LEFT JOIN lm{t} m USING (pid)
+)"""
+    # distributed Lloyd from the replayed init (same loop as q_kmeans)
+    sql += f""",
+c0 AS MATERIALIZED (SELECT pid AS id, x, y FROM lc{local_iters})"""
+    for i in range(1, lloyd_iters + 1):
+        sql += f""",
+a{i} AS MATERIALIZED ({oracle_assign_sql('points_v', f'c{i - 1}')}),
+c{i} AS MATERIALIZED (
+  SELECT cluster AS id, SUM(x)/COUNT(*) AS x, SUM(y)/COUNT(*) AS y
+  FROM a{i} GROUP BY cluster
+)"""
+    sql += f"""
+SELECT id, ROUND(x, 6) AS x, ROUND(y, 6) AS y FROM c{lloyd_iters}"""
+    return sql
+
+
 def oracle_sql() -> dict[str, str]:
     assign = f"""
 WITH {ORACLE_CTE}
@@ -2283,7 +2430,7 @@ WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {NGRAM_JACCARD_THRESHOL
     # md5-lane MinHash: md5 digest g of a shingle is md5("g:<shingle>");
     # lane 2g / 2g+1 are its 60-bit hex slices (chars 1-15 / 16-30).
     # Banding = equality of 4-lane signature slices; the
-    # estimate is the fraction of agreeing lanes (exact n/32 ratio).
+    # estimate is the fraction of agreeing lanes (exact n/16 ratio).
     dedup_minhash_sql = """
 WITH toks AS (
   SELECT doc_id,
@@ -2304,7 +2451,7 @@ lanes AS (
          MIN(CAST(('0x' || substring(md5(CAST(g.g AS VARCHAR) || ':' || s),
                                      1 + 15 * h.h, 15)) AS BIGINT)) AS mv
   FROM ex
-  CROSS JOIN (SELECT unnest(range(0, 16)) AS g) g
+  CROSS JOIN (SELECT unnest(range(0, 8)) AS g) g
   CROSS JOIN (SELECT unnest(range(0, 2)) AS h) h
   GROUP BY doc_id, g.g, h.h
 ),
@@ -2312,14 +2459,14 @@ sig AS (SELECT doc_id, list(mv ORDER BY lane) AS sig FROM lanes GROUP BY doc_id)
 cand AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
   FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-  WHERE len(list_filter(range(0, 8),
+  WHERE len(list_filter(range(0, 4),
         j -> list_slice(a.sig, j*4+1, j*4+4) = list_slice(b.sig, j*4+1, j*4+4))) > 0
 )
 SELECT id_a, id_b,
-       CAST(len(list_filter(range(1, 33), i -> sa[i] = sb[i])) AS DOUBLE) / 32
+       CAST(len(list_filter(range(1, 17), i -> sa[i] = sb[i])) AS DOUBLE) / 16
          AS est_jaccard
 FROM cand
-WHERE CAST(len(list_filter(range(1, 33), i -> sa[i] = sb[i])) AS DOUBLE) / 32 >= 0.5
+WHERE CAST(len(list_filter(range(1, 17), i -> sa[i] = sb[i])) AS DOUBLE) / 16 >= 0.5
 """
     # md5-half SimHash: 64 bit lanes from the two 32-bit md5-hex halves
     # of each token; bit b of a doc = sign of the summed ±1 votes.
@@ -4174,6 +4321,7 @@ SELECT event_type, event_id, ROUND(value, 6) AS value FROM (
         "q_objfun": objfun,
         "q_convergence": convergence,
         "q_kmeans": kmeans,
+        "q_kmeans_scalable": _kmeans_scalable_oracle_sql(),
         "q_dedup_exact": dedup_exact_sql,
         "q_dedup_ngram": dedup_ngram_capped_sql,
         "q_dedup_ngram_exact": dedup_ngram_exact_sql,

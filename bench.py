@@ -93,13 +93,18 @@ def main() -> None:
             assert abs(res.wcss - 264993.3526094555) / 264993.3526094555 < 1e-9
 
         _fixture_run()  # untimed warm run (codegen + class loading)
+        # MEDIAN of 5, not mean of 3: single-JVM runs occasionally catch
+        # a GC/JIT hiccup that inflated one run by 2-3 s in rounds 2-3,
+        # and the mean dragged the headline with it while builder/judge
+        # re-profiled phantom regressions.  The median of 5 ignores up
+        # to two outliers in either direction.
         runs = []
-        for i in range(3):
+        for i in range(5):
             t0 = time.perf_counter()
             _fixture_run()
             runs.append(round(time.perf_counter() - t0, 3))
             timings[f"kmeans_ref_run{i + 1}"] = runs[-1]
-        timings["kmeans_ref_100k_k8_10iter"] = round(sum(runs) / len(runs), 3)
+        timings["kmeans_ref_100k_k8_10iter"] = sorted(runs)[len(runs) // 2]
         pts.unpersist()
 
     import gc
@@ -117,6 +122,24 @@ def main() -> None:
         del df
         gc.collect()
         spark.catalog.clearCache()  # drop any cache a query leaked
+
+    # Second timed pass over the 10 slowest sweep entries: the sweep
+    # runs ~100 queries through one JVM, so late entries absorb GC/JIT
+    # noise that focused profiles don't reproduce (BENCH_r03 had 8.3 s
+    # sweep vs 3.8 s warm on the same query — a 2.2x phantom).  The
+    # warm re-times land in the sidecar next to the sweep numbers so
+    # a regression is only chased when BOTH agree it exists.
+    sweep_only = {
+        k: v for k, v in timings.items() if not k.startswith("kmeans_ref")
+    }
+    warm_retimes: dict[str, float] = {}
+    qs = entrymod.queries()
+    for name in sorted(sweep_only, key=sweep_only.get, reverse=True)[:10]:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        warm_retimes[name] = round(time.perf_counter() - t0, 3)
+        gc.collect()
+        spark.catalog.clearCache()
 
     # Headline metric: the reference-comparable workload (same fixture,
     # same k/iterations as BASELINE.md's 2263 ms p=1 / 4021 ms p=4 rows)
@@ -142,6 +165,7 @@ def main() -> None:
         "value": value,
         "unit": "sec",
         "queries": timings,
+        "warm_retimes": warm_retimes,
         "sf": sf,
     }
     with open(

@@ -468,6 +468,7 @@ def scalable_init(
     x: str = "x",
     y: str = "y",
     id_col: str = "point_id",
+    draw_fn: str = "xxhash64",
 ) -> list[Centroid]:
     """k-means|| initialization (Bahmani et al., "Scalable K-Means++",
     VLDB 2012) — the distributed replacement for both the reference's
@@ -492,9 +493,27 @@ def scalable_init(
 
     Returns k centroids with ids 0..k-1 (fewer iff the input has fewer
     distinct candidates).
+
+    ``draw_fn`` picks the uniform-draw family, the same split as
+    :func:`~flink_kmeans_clustering_spark.operators.dedup.minhash_lsh_pairs`:
+    ``"xxhash64"`` (default — fastest, JVM-only) or ``"md5"`` — every
+    draw and every order-sensitive reduction becomes replayable by an
+    independent SQL engine: uniforms are the first 8 md5-hex chars of
+    ``"tag:seed[:round]:point_id"`` over 2³², Σd² and the local
+    recluster's weighted sums accumulate in DECIMAL(38,12) (associative
+    → partition-order-independent), and the driver-side k-means++ uses
+    hash-derived picks instead of ``random.Random``.  The md5 path
+    requires ``id_col``.  q_kmeans_scalable's DuckDB oracle replays the
+    whole pipeline — rounds, candidate ids, weights, picks, local
+    refinement — from the same parquet.
     """
     l = l if l is not None else 2 * k
     u53 = float(1 << 53)
+
+    if draw_fn not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown draw_fn: {draw_fn!r}")
+    if draw_fn == "md5" and id_col not in points.columns:
+        raise ValueError("draw_fn='md5' needs an id column (engine replay)")
 
     # Draw key: the id column when the input has one, else the
     # coordinates themselves (the reference's X,Y CSVs carry no id) —
@@ -505,11 +524,17 @@ def scalable_init(
     )
 
     # first center: seeded hash-order pick (the paper's uniform point)
-    first = (
-        points.orderBy(F.xxhash64(*key_cols, F.lit(seed)), *key_cols)
-        .limit(1)
-        .collect()
-    )
+    if draw_fn == "md5":
+        first_key = F.md5(
+            F.concat(F.lit(f"k0:{seed}:"), F.col(id_col).cast("string"))
+        )
+        first = points.orderBy(first_key).limit(1).collect()
+    else:
+        first = (
+            points.orderBy(F.xxhash64(*key_cols, F.lit(seed)), *key_cols)
+            .limit(1)
+            .collect()
+        )
     if not first:
         return []
     cand: list[tuple[float, float]] = [(float(first[0][x]), float(first[0][y]))]
@@ -517,21 +542,51 @@ def scalable_init(
     for r in range(rounds):
         lits = [(i, cx, cy) for i, (cx, cy) in enumerate(cand)]
         a = assign_points_param(points, lits, x=x, y=y, dist2_col="_d2")
-        [row] = a.agg(F.sum("_d2").alias("phi")).collect()
+        if draw_fn == "md5":
+            # associative-exact Σd²: any engine summing the same
+            # DECIMAL(38,12) terms gets the same phi, in any order
+            [row] = a.agg(
+                F.sum(F.col("_d2").cast("decimal(38,12)")).alias("phi")
+            ).collect()
+        else:
+            [row] = a.agg(F.sum("_d2").alias("phi")).collect()
         phi = float(row["phi"]) if row["phi"] else 0.0
         if phi <= 0.0:
             break  # every point coincides with a candidate
-        u = (
-            F.pmod(
-                F.xxhash64(*key_cols, F.lit(r), F.lit(seed)), F.lit(1 << 53)
-            ).cast("double")
-            / u53
-        )
-        new = (
-            a.filter(u * phi < F.lit(float(l)) * F.col("_d2"))
-            .select(x, y)
-            .collect()
-        )
+        if draw_fn == "md5":
+            u = (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(f"kr:{seed}:{r}:"),
+                                F.col(id_col).cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("double")
+                / F.lit(4294967296.0)
+            )
+            new_df = a.filter(u * phi < F.lit(float(l)) * F.col("_d2"))
+            # collect in id order: candidate ids must be reproducible,
+            # not an artifact of partition-collect order
+            new = new_df.select(id_col, x, y).orderBy(id_col).collect()
+        else:
+            u = (
+                F.pmod(
+                    F.xxhash64(*key_cols, F.lit(r), F.lit(seed)), F.lit(1 << 53)
+                ).cast("double")
+                / u53
+            )
+            new = (
+                a.filter(u * phi < F.lit(float(l)) * F.col("_d2"))
+                .select(x, y)
+                .collect()
+            )
         cand.extend((float(p[x]), float(p[y])) for p in new)
         # dedup exact coincidences (re-sampled points add no information)
         cand = list(dict.fromkeys(cand))
@@ -549,8 +604,12 @@ def scalable_init(
 
     if len(cand) <= k:
         return [(i, cx, cy) for i, (cx, cy) in enumerate(cand)]
-    picked = _weighted_kmeanspp(cand, weights, k, seed)
-    refined = _weighted_lloyd_local(cand, weights, picked, iters=5)
+    if draw_fn == "md5":
+        picked = _weighted_kmeanspp_hash(cand, weights, k, seed)
+        refined = _weighted_lloyd_local_exact(cand, weights, picked, iters=5)
+    else:
+        picked = _weighted_kmeanspp(cand, weights, k, seed)
+        refined = _weighted_lloyd_local(cand, weights, picked, iters=5)
     return [(i, cx, cy) for i, (cx, cy) in enumerate(refined)]
 
 
@@ -582,6 +641,115 @@ def _weighted_kmeanspp(
         centers.append(nxt)
         d2 = [min(di, math.dist(c, nxt) ** 2) for c, di in zip(cand, d2)]
     return centers
+
+
+def _md5_u32(s: str) -> float:
+    """Uniform in [0,1): first 8 md5-hex chars over 2³² (the repo-wide
+    cross-engine hash contract — any SQL engine reproduces it)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) / 4294967296.0
+
+
+def _weighted_kmeanspp_hash(
+    cand: list[tuple[float, float]],
+    w: list[float],
+    k: int,
+    seed: int,
+) -> list[tuple[float, float]]:
+    """Weighted k-means++ with md5-derived picks and DECIMAL-exact
+    cumulative sums — the engine-replayable twin of
+    :func:`_weighted_kmeanspp`.
+
+    Pick j crosses the cumulative (weight·d²) mass at the uniform
+    ``md5_u32("pp:seed:j")``: cum and total accumulate as quantized
+    Decimals (order-exact), comparisons happen on their nearest
+    doubles — precisely ``CAST(SUM(CAST(mass AS DECIMAL(38,12))) OVER
+    (ORDER BY cid) AS DOUBLE) > u * CAST(total AS DOUBLE)`` in SQL.
+    Distances are the naive ``dx²+dy²`` (NOT ``math.dist``, whose
+    scaled evaluation differs from SQL arithmetic by an ulp).
+    """
+    from decimal import Decimal
+
+    q12 = Decimal("1e-12")
+
+    def _cross(mass: list[Decimal], u: float) -> int:
+        total = Decimal(0)
+        for m in mass:
+            total += m
+        target = u * float(total)
+        acc = Decimal(0)
+        for i, m in enumerate(mass):
+            acc += m
+            if float(acc) > target:
+                return i
+        return len(mass) - 1
+
+    w_mass = [Decimal(wi).quantize(q12) for wi in w]
+    if sum(w_mass) <= 0:
+        w_mass = [Decimal(1)] * len(cand)  # degenerate: uniform
+    centers = [cand[_cross(w_mass, _md5_u32(f"pp:{seed}:0"))]]
+    d2 = [
+        (cx - centers[0][0]) ** 2 + (cy - centers[0][1]) ** 2
+        for cx, cy in cand
+    ]
+    while len(centers) < k:
+        mass = [Decimal(wi * di).quantize(q12) for wi, di in zip(w, d2)]
+        if sum(mass) <= 0:
+            # all remaining mass is zero: top up with unpicked candidates
+            for c in cand:
+                if c not in centers:
+                    centers.append(c)
+                    if len(centers) == k:
+                        break
+            break
+        j = len(centers)
+        nxt = cand[_cross(mass, _md5_u32(f"pp:{seed}:{j}"))]
+        centers.append(nxt)
+        d2 = [
+            min(di, (cx - nxt[0]) ** 2 + (cy - nxt[1]) ** 2)
+            for (cx, cy), di in zip(cand, d2)
+        ]
+    return centers
+
+
+def _weighted_lloyd_local_exact(
+    cand: list[tuple[float, float]],
+    w: list[float],
+    centers: list[tuple[float, float]],
+    iters: int,
+) -> list[tuple[float, float]]:
+    """:func:`_weighted_lloyd_local` with DECIMAL-exact weighted sums —
+    each term ``w·x`` quantizes to 12 decimal places and accumulates
+    exactly, so an engine summing the same terms in ANY order (SQL
+    ``SUM(CAST(w*x AS DECIMAL(38,12)))``) lands on the same mean.
+    Assignment ties break to the lowest center index (= ``ORDER BY
+    d2, pid`` in the replay)."""
+    from decimal import Decimal
+
+    q12 = Decimal("1e-12")
+    cur = list(centers)
+    for _ in range(iters):
+        zero = Decimal(0)
+        sums = [[zero, zero, zero] for _ in cur]
+        for (cx, cy), wi in zip(cand, w):
+            if wi <= 0.0:
+                continue
+            j = min(
+                range(len(cur)),
+                key=lambda i: ((cx - cur[i][0]) ** 2 + (cy - cur[i][1]) ** 2, i),
+            )
+            sums[j][0] += Decimal(wi * cx).quantize(q12)
+            sums[j][1] += Decimal(wi * cy).quantize(q12)
+            sums[j][2] += Decimal(wi).quantize(q12)
+        nxt = [
+            (float(sx) / float(sw), float(sy) / float(sw)) if sw > 0 else cur[i]
+            for i, (sx, sy, sw) in enumerate(sums)
+        ]
+        if nxt == cur:
+            break
+        cur = nxt
+    return cur
 
 
 def _draw(rng: random.Random, probs: list[float] | None, n: int) -> int:
