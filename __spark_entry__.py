@@ -1680,7 +1680,12 @@ def q_sink_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return merged.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").isNull().cast("long")).alias("n_legacy"),
+        # n_legacy from the deterministic batch rule, NOT value
+        # NULL-ness: a naturally-NULL value on a current-batch row must
+        # not count as legacy.  n_null verifies the NULL-backfill
+        # separately (legacy rows OR natural NULLs).
+        F.sum((F.col("event_id") % 2 == 0).cast("long")).alias("n_legacy"),
+        F.sum(F.col("value").isNull().cast("long")).alias("n_null"),
         F.round(
             F.sum(F.col("value").cast("decimal(25,8)")), 6
         ).cast("double").alias("sum_value"),
@@ -1852,10 +1857,10 @@ def q_source_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_synthetic_readings_datasource,
     )
 
-    try:
-        spark.dataSource.register(make_synthetic_readings_datasource())
-    except Exception:
-        pass  # already registered in this session
+    # re-registration just replaces (DataSourceManager warns, no error),
+    # so a failure here is REAL (bad pickle, API change) and must
+    # propagate instead of resurfacing later as format-not-found
+    spark.dataSource.register(make_synthetic_readings_datasource())
     df = (
         spark.read.format("synthetic_readings")
         .option("rows", SYNTH_ROWS)
@@ -4080,9 +4085,10 @@ LIMIT {WSAMPLE_K}
     # orientation-free triangle enumeration (a<b<c each once) — the
     # independent check on the engine's degree-ordered wedge counting
     graph_triangles_sql = """
-WITH ed AS (
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+ed AS (
   SELECT a.l_partkey AS u, b.l_partkey AS v
-  FROM lineitem a JOIN lineitem b
+  FROM li a JOIN li b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   GROUP BY 1, 2 HAVING COUNT(*) >= 2
 ),
@@ -4161,6 +4167,8 @@ GROUP BY tf.doc_id, tot.n, tot.n_distinct
 SELECT event_type, COUNT(*) AS n,
        CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_legacy,
+       CAST(SUM(CASE WHEN event_id % 2 = 0 OR value IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_null,
        CAST(ROUND(SUM(CASE WHEN event_id % 2 = 1
                            THEN CAST(value AS DECIMAL(25,8)) END), 6)
             AS DOUBLE) AS sum_value

@@ -44,9 +44,17 @@ def cooccurrence_edges(
     that is quadratic noise.
 
     Output: (id_a, id_b) with ``id_a < id_b``, each pair once.
+
+    (group, item) dedups BEFORE the self-join so support counts
+    DISTINCT shared groups, exactly as documented — without it an item
+    listed twice in one group (duplicate l_partkey lines in an order)
+    would inflate the pair's support multiplicatively.  The distinct is
+    a map-side-combined aggregate on the same group key the join
+    shuffles on, so it adds no extra exchange.
     """
-    a = df.select(F.col(group_col).alias("_g"), F.col(item_col).alias("id_a"))
-    b = df.select(F.col(group_col).alias("_g"), F.col(item_col).alias("id_b"))
+    d = df.select(F.col(group_col).alias("_g"), F.col(item_col).alias("_i")).distinct()
+    a = d.select("_g", F.col("_i").alias("id_a"))
+    b = d.select("_g", F.col("_i").alias("id_b"))
     pairs = (
         a.join(b, "_g")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -78,6 +78,16 @@ def interval_join_streams_outer(
     streams (the global watermark is the min across inputs), same
     contract as sessionize's flush-on-drain.
 
+    ``watermark_delay`` cuts the OPPOSITE way from the inner variant's
+    generous 30-day default: a larger delay here postpones NULL-pad
+    emission by the same amount (flush needs ``wm > l_ts + delay``), so
+    the sentinel must advance past ``interval + delay``.  The 1-hour
+    default assumes the caller drains everything in one availableNow
+    pass with such a sentinel (as q_stream_outer_join does); a caller
+    trickling input via ``maxFilesPerTrigger`` WITHOUT sentinel
+    coverage must raise the delay above the data's real lateness or
+    late matches arrive after their left row was already NULL-padded.
+
     Output: left id/ts, nullable right id/ts, nullable gap in µs.
     """
     l = left.withWatermark(ts_col, watermark_delay).select(
