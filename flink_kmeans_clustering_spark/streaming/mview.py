@@ -32,20 +32,47 @@ from flink_kmeans_clustering_spark.streaming.run import run_foreach_batch
 _SUM_T = "decimal(30,8)"
 
 
+def _latest_version(state_root: str, below: int | None = None) -> str | None:
+    """Path of the highest-epoch ``v{e}`` under ``state_root`` (with
+    ``e < below`` when given), or None.  Recovery reads THIS, never an
+    in-memory pointer: after a crash the resumed run must fold its
+    first redelivered batch into the last version a COMMITTED epoch
+    wrote — and a redelivered epoch ``e`` must rebuild ``v{e}`` from
+    the version strictly below ``e`` (its own half-written ``v{e}``
+    from the crashed attempt is rewritten, not compounded)."""
+    if not os.path.isdir(state_root):
+        return None
+    best: int | None = None
+    for name in os.listdir(state_root):
+        if name.startswith("v") and name[1:].isdigit():
+            e = int(name[1:])
+            if below is not None and e >= below:
+                continue
+            if best is None or e > best:
+                best = e
+    return None if best is None else os.path.join(state_root, f"v{best}")
+
+
 def maintain_user_totals(
     stream_df: DataFrame,
     state_root: str,
     key_col: str = "user_id",
     value_col: str = "value",
     timeout_sec: int = 300,
+    checkpoint: str | None = None,
 ) -> DataFrame:
     """Drain ``stream_df`` maintaining a per-key (n_events, sum) view.
 
     Returns the final view as a batch DataFrame:
     (key, n_events long, sum decimal).
+
+    Restart contract (pinned in tests/test_streaming.py): pass the same
+    ``checkpoint`` and ``state_root`` to resume — committed epochs are
+    skipped by the checkpoint, the first new epoch folds into the
+    latest on-disk version, and a redelivered (uncommitted) epoch
+    rewrites its own version deterministically from the one below it.
     """
     spark = stream_df.sparkSession
-    holder: dict[str, str | None] = {"path": None}
 
     def merge(batch: DataFrame, epoch_id: int) -> None:
         delta = batch.groupBy(key_col).agg(
@@ -54,7 +81,7 @@ def maintain_user_totals(
             .cast(_SUM_T)
             .alias("sum_v"),
         )
-        prev = holder["path"]
+        prev = _latest_version(state_root, below=int(epoch_id))
         if prev is not None:
             merged = (
                 spark.read.parquet(prev)
@@ -69,11 +96,13 @@ def maintain_user_totals(
             merged = delta
         new = os.path.join(state_root, f"v{epoch_id}")
         merged.write.mode("overwrite").parquet(new)
-        holder["path"] = new
 
-    run_foreach_batch(stream_df, merge, timeout_sec=timeout_sec)
-    if holder["path"] is None:  # empty source: an empty, typed view
+    run_foreach_batch(
+        stream_df, merge, timeout_sec=timeout_sec, checkpoint=checkpoint
+    )
+    final = _latest_version(state_root)
+    if final is None:  # empty source: an empty, typed view
         return spark.createDataFrame(
             [], f"{key_col} long, n_events long, sum_v {_SUM_T}"
         )
-    return stream_df.sparkSession.read.parquet(holder["path"])
+    return spark.read.parquet(final)

@@ -72,6 +72,7 @@ def run_foreach_batch(
     stream_df: DataFrame,
     batch_fn,
     timeout_sec: int = 300,
+    checkpoint: str | None = None,
 ) -> None:
     """Drain a stream through ``foreachBatch(batch_fn)`` (availableNow).
 
@@ -80,10 +81,13 @@ def run_foreach_batch(
     batch writer works — parquet appends, JDBC upserts, MERGE INTO —
     with exactly-once achievable by making the write idempotent on the
     epoch id.  The checkpoint guarantees each epoch is delivered at
-    least once and in order.
+    least once and in order.  Pass an explicit ``checkpoint`` to resume
+    a previous drain (restart recovery — committed epochs are skipped,
+    an uncommitted epoch is REDELIVERED with the same id).
     """
     name = f"stream_feb_{os.getpid()}_{next(_QUERY_SEQ)}"
-    checkpoint = scratch_dir(f"ckpt_{name}_")
+    if checkpoint is None:
+        checkpoint = scratch_dir(f"ckpt_{name}_")
     query = (
         stream_df.writeStream.foreachBatch(batch_fn)
         .option("checkpointLocation", checkpoint)

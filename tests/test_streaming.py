@@ -432,3 +432,60 @@ def test_mview_empty_source(spark, tmp_path):
     view = maintain_user_totals(stream, str(tmp_path / "state"))
     assert view.count() == 0
     assert set(view.columns) == {"user_id", "n_events", "sum_v"}
+
+
+def test_mview_restart_resumes_from_on_disk_state(spark, tmp_path):
+    """Kill-and-resume for the epoch-versioned materialized view: a
+    second drain sharing the checkpoint AND state_root must fold only
+    the new files into the on-disk state, landing on exactly the batch
+    aggregate over everything — and a stale half-written version of an
+    upcoming epoch must be rebuilt from the version below it, not
+    compounded."""
+    import time as _time
+    from decimal import Decimal
+    from flink_kmeans_clustering_spark.streaming.mview import (
+        _latest_version,
+        maintain_user_totals,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+
+    def land(rows, name):
+        spark.createDataFrame(
+            rows, "user_id long, value double"
+        ).coalesce(1).write.parquet(f"{src}/{name}")
+
+    def drain():
+        stream = (
+            spark.readStream.schema("user_id long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        return maintain_user_totals(
+            stream, state, timeout_sec=120, checkpoint=ckpt
+        )
+
+    land([(1, 10.0), (2, 5.0)], "f0")
+    land([(1, 2.5)], "f1")
+    v1 = {r["user_id"]: (r["n_events"], r["sum_v"]) for r in drain().collect()}
+    assert v1 == {1: (2, Decimal("12.5")), 2: (1, Decimal("5.0"))}
+
+    _time.sleep(1.1)
+    land([(2, 1.0), (3, 7.0)], "f2")
+    v2 = {r["user_id"]: (r["n_events"], r["sum_v"]) for r in drain().collect()}
+    assert v2 == {
+        1: (2, Decimal("12.5")),
+        2: (2, Decimal("6.0")),
+        3: (1, Decimal("7.0")),
+    }
+
+    # resume with NO new files: the view must simply be re-read, intact
+    v3 = {r["user_id"]: (r["n_events"], r["sum_v"]) for r in drain().collect()}
+    assert v3 == v2
+
+    # redelivery rule: the version preceding an epoch wins, the epoch's
+    # own (possibly half-written) version is ignored as merge input
+    assert _latest_version(state, below=1) == f"{state}/v0"
+    assert _latest_version(state, below=0) is None
