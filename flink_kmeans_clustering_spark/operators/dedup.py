@@ -493,26 +493,26 @@ def connected_components(
     node_col: str = "id",
     comp_col: str = "component_id",
     max_iterations: int = 50,
+    method: str = "label_prop",
 ) -> DataFrame:
-    """Connected components over a near-dup pair graph (min-label).
+    """Connected components over a near-dup pair graph.
 
     Transitive closure for dedup: if A~B and B~C, all three belong to
-    one duplicate group even when A~C was never emitted.  Each node's
-    label starts as its own id; every round it takes the min of its
-    label and its neighbors' labels — at fixpoint the label is the
-    smallest id reachable, a deterministic component representative.
+    one duplicate group even when A~C was never emitted.  Two
+    interchangeable engines (property-tested label-equal):
 
-    Scale shape: the edge list is cached once; each round is one
-    hash-join + per-node min aggregation (both shuffle on node id, so
-    a co-partitioned reuse), and the k-round loop runs on the driver
-    with ``localCheckpoint`` truncating lineage.  Convergence is
-    detected by a *scalar*: labels only ever decrease, so Σlabel
-    strictly decreases until fixpoint — one cheap aggregate per round
-    instead of an old-vs-new join.  Rounds needed = graph diameter;
-    LSH duplicate clusters are shallow (near-cliques), so this
-    converges in a handful of rounds.  (For adversarially deep graphs
-    the large-star/small-star variant halves diameter per round; not
-    needed for dedup workloads.)
+    * ``method="label_prop"`` (default) — each node's label starts as
+      its own id and every round takes the min over its neighborhood;
+      rounds needed = graph diameter.  LSH duplicate clusters are
+      shallow near-cliques, so this converges in a handful of rounds
+      and each round is ONE co-partitioned join + min agg.
+    * ``method="star"`` — alternating large-star/small-star (Kiveris
+      et al., "Connected Components in MapReduce and Beyond", SoCC
+      2014): each round rewires the edge set itself toward min-rooted
+      stars, roughly halving effective diameter per round — O(log d)
+      rounds on adversarially deep graphs (long chains) where
+      label_prop needs O(d).  Costs two groupBy+join passes per round,
+      so it only wins when the diameter is genuinely large.
 
     Output: one row per node that appears in any pair —
     (``node_col``, ``comp_col``) with ``comp_col`` = min reachable id.
@@ -522,6 +522,23 @@ def connected_components(
     # explode + band join) upstream pair DAG once
     p = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     p = p.localCheckpoint()
+    if method == "star":
+        labels, _ = _cc_star(p, max_iterations)
+    elif method == "label_prop":
+        labels, _ = _cc_label_prop(p, max_iterations)
+    else:
+        raise ValueError(f"unknown method: {method!r}")
+    return labels.select(F.col("id").alias(node_col), F.col("comp").alias(comp_col))
+
+
+def _cc_label_prop(p: DataFrame, max_iterations: int) -> tuple[DataFrame, int]:
+    """Min-label propagation; returns (labels(id, comp), rounds run).
+
+    Convergence is detected by a *scalar*: labels only ever decrease,
+    so Σlabel strictly decreases until fixpoint — one cheap aggregate
+    per round instead of an old-vs-new join.  ``localCheckpoint``
+    truncates lineage each round.
+    """
     edges = p.union(
         p.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).cache()
@@ -530,6 +547,7 @@ def connected_components(
     )
     labels = labels.localCheckpoint()
     prev_sum = None
+    rounds = 0
     for _ in range(max_iterations):
         nbr = (
             edges.join(labels, edges["src"] == labels["id"])
@@ -546,13 +564,87 @@ def connected_components(
             )
             .localCheckpoint()
         )
+        rounds += 1
         row = labels.agg(F.sum("comp").alias("s")).collect()[0]
         cur_sum = row["s"]
         if cur_sum is None or cur_sum == prev_sum:
             break
         prev_sum = cur_sum
     edges.unpersist()
-    return labels.select(F.col("id").alias(node_col), F.col("comp").alias(comp_col))
+    return labels, rounds
+
+
+def _cc_star(p: DataFrame, max_iterations: int) -> tuple[DataFrame, int]:
+    """Alternating large-star/small-star; returns (labels, rounds).
+
+    Per round (one round = large-star then small-star, each a
+    groupBy-min + join on the node id):
+
+    * large-star: for every node u with undirected neighborhood Γ(u),
+      m = min(Γ(u) ∪ {u}); every LARGER neighbor v > u re-attaches as
+      (v, m) — strictly-larger nodes hop toward the local minimum.
+    * small-star: direct every edge large→small; for u with smaller
+      neighbors N(u), m = min(N(u) ∪ {u}); emit (v, m) for
+      v ∈ N(u) ∪ {u} \\ {m} — compresses the small side into a star.
+
+    The edge set converges to min-rooted stars; labels read directly
+    off the final edges.  Fixpoint detection compares a canonical
+    (count, Σu, Σv, Σxxhash64(u,v)) signature of the distinct edge
+    set across rounds — one scalar aggregate per round, same cost
+    discipline as label_prop's Σlabel.
+    """
+    edges = p.filter(F.col("src") != F.col("dst")).select(
+        F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+    ).distinct().localCheckpoint()
+    prev_sig = None
+    rounds = 0
+    for _ in range(max_iterations):
+        # large-star over the undirected view
+        bidir = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).union(
+            edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
+        )
+        mins = bidir.groupBy("a").agg(
+            F.least(F.min("b"), F.first("a")).alias("m")
+        )
+        large = (
+            bidir.filter(F.col("b") > F.col("a"))
+            .join(mins, "a")
+            .filter(F.col("b") != F.col("m"))
+            .select(F.col("b").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star over large→small directed edges
+        sm = large.groupBy("u").agg(F.min("v").alias("m"))
+        attach = (
+            large.join(sm, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        edges = (
+            attach.union(sm.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        rounds += 1
+        sig = tuple(
+            edges.agg(
+                F.count(F.lit(1)),
+                F.sum("u"),
+                F.sum("v"),
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+            ).collect()[0]
+        )
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    roots = edges.select(F.col("v").alias("id")).distinct().join(
+        edges.select(F.col("u").alias("id")).distinct(), "id", "left_anti"
+    )
+    labels = edges.select(
+        F.col("u").alias("id"), F.col("v").alias("comp")
+    ).union(roots.select("id", F.col("id").alias("comp")))
+    return labels, rounds
 
 
 def embedding_cosine_pairs_gemm(

@@ -569,3 +569,27 @@ def test_ppjoin_length_positional_filters_cut_candidates(spark):
         for r in ngram_jaccard_pairs_prefix(docs, n=3, threshold=t).collect()
     }
     assert got == truth
+
+
+def test_cc_star_fewer_rounds_on_chain_graph(spark):
+    """On a long chain (diameter = n) label propagation needs O(n)
+    rounds while the star alternation collapses it in O(log n) — the
+    adversarial-depth case the star variant exists for; both must land
+    on the single min-rooted component."""
+    from pyspark.sql import functions as F
+    from flink_kmeans_clustering_spark.operators.dedup import (
+        _cc_label_prop,
+        _cc_star,
+    )
+
+    n = 64
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "src long, dst long"
+    ).localCheckpoint()
+    lp_labels, lp_rounds = _cc_label_prop(chain, max_iterations=200)
+    st_labels, st_rounds = _cc_star(chain, max_iterations=200)
+    lp = {(r["id"], r["comp"]) for r in lp_labels.collect()}
+    st = {(r["id"], r["comp"]) for r in st_labels.collect()}
+    assert lp == {(i, 0) for i in range(n + 1)}
+    assert st == lp
+    assert st_rounds < lp_rounds / 2, (st_rounds, lp_rounds)

@@ -314,3 +314,33 @@ def test_prefix_filter_join_is_exact(spark, texts, t):
         for r in ngram_jaccard_pairs_prefix(docs, n=3, threshold=t).collect()
     }
     assert pref == exact
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_cc_star_equals_label_propagation(spark, raw_pairs):
+    """Large-star/small-star must produce exactly the min-label
+    components of the propagation engine on arbitrary small graphs."""
+    from flink_kmeans_clustering_spark.operators.dedup import (
+        connected_components,
+    )
+
+    rows = [(min(a, b), max(a, b)) for a, b in raw_pairs]
+    pairs = spark.createDataFrame(rows, "id_a long, id_b long")
+    lp = {
+        (r["id"], r["component_id"])
+        for r in connected_components(pairs, method="label_prop").collect()
+    }
+    star = {
+        (r["id"], r["component_id"])
+        for r in connected_components(pairs, method="star").collect()
+    }
+    assert star == lp
