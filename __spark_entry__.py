@@ -135,11 +135,13 @@ from flink_kmeans_clustering_spark.operators.relational import (
     min_cost_suppliers,
     profile_columns,
     revenue_grouping_sets,
+    shipmode_priority_counts,
     small_quantity_revenue,
     stats_by_flag,
     supplier_count_by_part,
     synth_partsupp,
     upsert_customer_balances,
+    waiting_suppliers,
 )
 from flink_kmeans_clustering_spark.operators.sampling import (
     approx_distinct,
@@ -635,6 +637,29 @@ def q_rel_excess(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, "nation", sf_dir),
         synth_partsupp(part, supplier),
         part,
+        load_table(spark, "lineitem", sf_dir),
+    )
+
+
+def q_rel_shipmodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: late-commit lines received in 1997 by ship
+    mode, split by order priority — over the deterministic shipping
+    enrichment (md5-derived mode/commit/receipt, replayed by the
+    oracle)."""
+    return shipmode_priority_counts(
+        load_table(spark, "lineitem", sf_dir),
+        load_table(spark, "orders", sf_dir),
+    )
+
+
+def q_rel_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: sole-late suppliers on finalized multi-supplier
+    orders — the double EXISTS/NOT EXISTS decorrelated into one
+    per-order aggregate."""
+    return waiting_suppliers(
+        load_table(spark, "supplier", sf_dir),
+        load_table(spark, "nation", sf_dir),
+        load_table(spark, "orders", sf_dir),
         load_table(spark, "lineitem", sf_dir),
     )
 
@@ -2028,7 +2053,7 @@ def q_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    145 queries; 139 carry DuckDB oracles, 6 are rows-only by design
+    147 queries; 141 carry DuckDB oracles, 6 are rows-only by design
     (MLlib placements, sketch estimates, GEMM ulp twin, PCA
     eigensolve).
 
@@ -2086,6 +2111,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rel_mincost": q_rel_mincost,
         "q_rel_suppcnt": q_rel_suppcnt,
         "q_rel_excess": q_rel_excess,
+        "q_rel_shipmodes": q_rel_shipmodes,
+        "q_rel_waiting": q_rel_waiting,
         "q_dedup_cc": q_dedup_cc,
         "q_dedup_embedding": q_dedup_embedding,
         "q_dedup_minhash": q_dedup_minhash,
@@ -3166,6 +3193,66 @@ FROM supplier
 JOIN nation ON s_nationkey = n_nationkey
 WHERE n_name = 'NATION_3'
   AND s_suppkey IN (SELECT ps_suppkey FROM ex)
+"""
+    # Deterministic shipping enrichment — the same contract as
+    # operators.relational.synth_shipping (md5-derived shipmode and
+    # commit/receipt day offsets from the (orderkey, linenumber) key).
+    ship_cte = """
+li_ship AS (
+  SELECT l_orderkey, l_suppkey, l_shipdate, l_linenumber,
+         ['AIR','MAIL','RAIL','SHIP','TRUCK'][
+           1 + CAST(CAST(('0x' || substring(md5('sm:' || l_orderkey || ':' || l_linenumber), 1, 8)) AS BIGINT) % 5 AS INT)
+         ] AS l_shipmode,
+         CAST(l_shipdate AS DATE)
+           + CAST(CAST(('0x' || substring(md5('cd:' || l_orderkey || ':' || l_linenumber), 1, 8)) AS BIGINT) % 61 - 30 AS INT)
+           AS l_commitdate,
+         CAST(l_shipdate AS DATE)
+           + CAST(1 + CAST(('0x' || substring(md5('rd:' || l_orderkey || ':' || l_linenumber), 1, 8)) AS BIGINT) % 30 AS INT)
+           AS l_receiptdate
+  FROM lineitem
+)"""
+    rel_shipmodes_sql = f"""
+WITH {ship_cte}
+SELECT l_shipmode,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM li_ship
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipmode IN ('MAIL', 'SHIP')
+  AND l_commitdate < l_receiptdate
+  AND CAST(l_shipdate AS DATE) < l_commitdate
+  AND year(l_receiptdate) = 1997
+GROUP BY l_shipmode
+"""
+    rel_waiting_sql = f"""
+WITH {ship_cte},
+li AS (
+  SELECT l_orderkey, l_suppkey,
+         (l_receiptdate > l_commitdate) AS late
+  FROM li_ship
+  WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+),
+per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+  FROM li GROUP BY l_orderkey
+),
+w AS (SELECT DISTINCT l_orderkey, l_suppkey FROM li WHERE late),
+agg AS (
+  SELECT w.l_suppkey, COUNT(*) AS numwait
+  FROM w
+  JOIN per_order p ON w.l_orderkey = p.l_orderkey
+                  AND p.n_supp >= 2 AND p.n_late = 1
+  GROUP BY w.l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(numwait AS BIGINT) AS numwait
+FROM agg
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_7'
 """
     rel_mktshare_sql = """
 SELECT o_year, nation_volume, total_volume,
@@ -4381,6 +4468,8 @@ SELECT event_type, event_id, ROUND(value, 6) AS value FROM (
         "q_rel_mincost": rel_mincost_sql,
         "q_rel_suppcnt": rel_suppcnt_sql,
         "q_rel_excess": rel_excess_sql,
+        "q_rel_shipmodes": rel_shipmodes_sql,
+        "q_rel_waiting": rel_waiting_sql,
         "q_rel_mktshare": rel_mktshare_sql,
         "q_rel_profit": rel_profit_sql,
         "q_window_ranks": window_ranks_sql,

@@ -1111,14 +1111,16 @@ def min_cost_suppliers(
     ps_t = ps_eu.join(
         F.broadcast(target), F.col("ps_partkey") == F.col("p_partkey")
     )
-    mins = ps_t.groupBy("ps_partkey").agg(
+    # group key renamed: joining an aggregate back onto its own input
+    # is a self-join, and same-name columns would resolve ambiguously
+    mins = ps_t.groupBy(F.col("ps_partkey").alias("_min_pk")).agg(
         F.min("ps_supplycost").alias("min_cost")
     )
     return (
         ps_t.join(
             mins,
-            (ps_t["ps_partkey"] == mins["ps_partkey"])
-            & (ps_t["ps_supplycost"] == mins["min_cost"]),
+            (F.col("ps_partkey") == F.col("_min_pk"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
         )
         .select(
             "p_partkey",
@@ -1215,4 +1217,144 @@ def excess_inventory_suppliers(
         )
         .join(excess, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
         .select("s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+SHIP_MODES = ("AIR", "MAIL", "RAIL", "SHIP", "TRUCK")
+
+
+def synth_shipping(lineitem: DataFrame) -> DataFrame:
+    """Deterministic shipping enrichment of lineitem: the
+    ``l_shipmode`` / ``l_commitdate`` / ``l_receiptdate`` columns the
+    testdata lacks, derived row-locally so any engine regenerates them
+    byte-identically (the same contract as :func:`synth_partsupp`):
+
+    * ``l_shipmode``    = SHIP_MODES[md5int("sm:<ok>:<ln>") % 5]
+    * ``l_commitdate``  = ship date + (md5int("cd:…") % 61 − 30) days
+    * ``l_receiptdate`` = ship date + (1 + md5int("rd:…") % 30) days
+
+    (ok, ln) = (l_orderkey, l_linenumber), the lineitem primary key;
+    md5int = first 8 md5-hex chars as BIGINT.  A pure projection: no
+    shuffle, no RNG state, pushes through any plan.  Unblocks the
+    TPC-H Q12/Q21 shapes (commit-vs-receipt lateness semantics).
+    """
+    def md5int(tag: str) -> Column:
+        s = F.concat(
+            F.lit(tag + ":"),
+            F.col("l_orderkey").cast("string"),
+            F.lit(":"),
+            F.col("l_linenumber").cast("string"),
+        )
+        return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+    ship = F.col("l_shipdate").cast("date")
+    mode = F.array(*[F.lit(m) for m in SHIP_MODES])[
+        (md5int("sm") % 5).cast("int")
+    ]
+    return lineitem.select(
+        "*",
+        mode.alias("l_shipmode"),
+        F.date_add(ship, (md5int("cd") % 61 - 30).cast("int")).alias(
+            "l_commitdate"
+        ),
+        F.date_add(ship, (1 + md5int("rd") % 30).cast("int")).alias(
+            "l_receiptdate"
+        ),
+    )
+
+
+def shipmode_priority_counts(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    modes: tuple[str, ...] = ("MAIL", "SHIP"),
+    year: int = 1997,
+) -> DataFrame:
+    """TPC-H Q12 shape: per ship mode, count of late-committed lines
+    received in a year, split by order priority.
+
+    All three date predicates are row-local on the enriched scan (the
+    receipt-year filter pushes as far as the synthesized projection
+    allows); the orders join carries only (orderkey, priority) and the
+    CASE split folds into the single group-by-mode aggregate — one
+    shuffle on l_shipmode after a key-join the optimizer is free to
+    broadcast or sort-merge from runtime sizes.
+    """
+    li = synth_shipping(lineitem).filter(
+        F.col("l_shipmode").isin(list(modes))
+        & (F.col("l_commitdate") < F.col("l_receiptdate"))
+        & (F.col("l_shipdate").cast("date") < F.col("l_commitdate"))
+        & (F.year("l_receiptdate") == year)
+    )
+    hi = F.col("o_orderpriority").isin(["1-URGENT", "2-HIGH"])
+    return (
+        li.join(
+            orders.select("o_orderkey", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_shipmode")
+        .agg(
+            F.sum(hi.cast("long")).alias("high_line_count"),
+            F.sum((~hi).cast("long")).alias("low_line_count"),
+        )
+    )
+
+
+def waiting_suppliers(
+    supplier: DataFrame,
+    nation: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation_name: str = "NATION_7",
+) -> DataFrame:
+    """TPC-H Q21 shape: suppliers in one nation who were the SOLE late
+    supplier on a finalized multi-supplier order.
+
+    The double-correlated EXISTS / NOT EXISTS decorrelates into ONE
+    aggregate over the enriched lineitem: per order, the distinct
+    supplier count and the distinct LATE supplier count.  A qualifying
+    (order, supplier) is a late pair in an order with ≥ 2 suppliers
+    and exactly 1 late one — pure column predicates on the aggregate,
+    no self-joins of the fact table.  Orders('F') reduces to a semi
+    join; supplier/nation broadcast at the end.
+    """
+    li = synth_shipping(lineitem).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_receiptdate") > F.col("l_commitdate")).alias("_late"),
+    )
+    f_orders = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    li = li.join(
+        f_orders, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi"
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+        F.countDistinct(
+            F.when(F.col("_late"), F.col("l_suppkey"))
+        ).alias("_n_late"),
+    )
+    waiters = (
+        li.filter(F.col("_late"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            per_order.filter(
+                (F.col("_n_supp") >= 2) & (F.col("_n_late") == 1)
+            ),
+            "l_orderkey",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    nat = nation.filter(F.col("n_name") == nation_name)
+    return (
+        waiters.join(
+            F.broadcast(
+                supplier.join(
+                    F.broadcast(nat),
+                    F.col("s_nationkey") == F.col("n_nationkey"),
+                )
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "numwait")
     )

@@ -820,3 +820,59 @@ def test_dpp_prunes_fact_partitions_dynamically(spark):
     plan = explain_str(df)
     assert "dynamicpruning" in plan, plan[:1500]
     assert "IN (1-URGENT" not in plan  # nothing foldable to static
+
+
+def test_synth_partsupp_is_narrow(spark):
+    """The synthesized partsupp must be a pure projection of the part
+    scan — zero exchanges (the supplier count is driver metadata)."""
+    from flink_kmeans_clustering_spark.operators.relational import synth_partsupp
+
+    ps = synth_partsupp(
+        load_table(spark, "part", SF), load_table(spark, "supplier", SF)
+    )
+    assert shuffle_count(ps) == 0, explain_str(ps)
+
+
+def test_mincost_broadcasts_all_dims(spark):
+    """Q2 shape: supplier/nation/region/part all broadcast; the only
+    exchanges shuffle the synthesized partsupp for the per-part MIN and
+    its equality join-back."""
+    from flink_kmeans_clustering_spark.operators.relational import (
+        min_cost_suppliers,
+        synth_partsupp,
+    )
+
+    part = load_table(spark, "part", SF)
+    supplier = load_table(spark, "supplier", SF)
+    df = min_cost_suppliers(
+        part,
+        supplier,
+        load_table(spark, "nation", SF),
+        load_table(spark, "region", SF),
+        synth_partsupp(part, supplier),
+    )
+    plan = explain_str(df)
+    assert plan.count("BroadcastExchange") >= 3, plan
+    # per-part MIN + equality join-back: both sides hash on the join
+    # key, plus the aggregate's own exchange — never more than 3
+    assert_max_shuffles(df, 3)
+
+
+def test_waiting_suppliers_single_fact_pass(spark):
+    """Q21 shape: the double EXISTS/NOT EXISTS must NOT self-join the
+    fact table — lineitem is scanned for the semi join and ONE
+    per-order aggregate, with supplier/nation broadcast."""
+    from flink_kmeans_clustering_spark.operators.relational import waiting_suppliers
+
+    df = waiting_suppliers(
+        load_table(spark, "supplier", SF),
+        load_table(spark, "nation", SF),
+        load_table(spark, "orders", SF),
+        load_table(spark, "lineitem", SF),
+    )
+    plan = explain_str(df)
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # lineitem appears in the semi-join probe and the aggregate inputs;
+    # a correlated-rewrite blowup would triple this
+    assert plan.count("lineitem") <= 4, plan

@@ -306,3 +306,29 @@ def test_synth_partsupp_contract(spark):
     again = synth_partsupp(part.repartition(7), supplier)
     assert ps.exceptAll(again).count() == 0
     assert again.exceptAll(ps).count() == 0
+
+
+def test_synth_shipping_contract(spark):
+    """Enrichment ranges, mode domain, and partitioning independence."""
+    from pyspark.sql import functions as F
+    from flink_kmeans_clustering_spark.operators.relational import (
+        SHIP_MODES,
+        synth_shipping,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    s = synth_shipping(li)
+    assert s.count() == li.count()
+    modes = {r["l_shipmode"] for r in s.select("l_shipmode").distinct().collect()}
+    assert modes <= set(SHIP_MODES)
+    rng = s.select(
+        F.min(F.datediff("l_commitdate", F.col("l_shipdate").cast("date"))),
+        F.max(F.datediff("l_commitdate", F.col("l_shipdate").cast("date"))),
+        F.min(F.datediff("l_receiptdate", F.col("l_shipdate").cast("date"))),
+        F.max(F.datediff("l_receiptdate", F.col("l_shipdate").cast("date"))),
+    ).first()
+    assert -30 <= rng[0] and rng[1] <= 30
+    assert 1 <= rng[2] and rng[3] <= 30
+    again = synth_shipping(li.repartition(7))
+    assert s.exceptAll(again).count() == 0
+    assert again.exceptAll(s).count() == 0
