@@ -68,6 +68,21 @@ PICKS = [
         "numerator+denominator in one aggregation pass",
     ),
     (
+        "q_rel_mincost",
+        "TPC-H Q2 shape — zero-exchange synthesized partsupp, dims "
+        "broadcast, decorrelated per-part MIN + equality join-back",
+    ),
+    (
+        "q_rel_waiting",
+        "TPC-H Q21 shape — double EXISTS/NOT EXISTS as ONE per-order "
+        "distinct aggregate; no fact self-join",
+    ),
+    (
+        "q_dedup_prefix",
+        "PPJoin prefix join — length+positional filters in the candidate "
+        "join condition, first-match min-struct agg replaces distinct",
+    ),
+    (
         "q_ann_quantized",
         "int8-quantized ANN — integer-dot shortlist and exact rerank, both "
         "TakeOrderedAndProject, shuffle-free",
