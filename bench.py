@@ -132,9 +132,17 @@ def main() -> None:
     sweep_only = {
         k: v for k, v in timings.items() if not k.startswith("kmeans_ref")
     }
+    # fresh session for the re-times: ~150 sweep jobs leave broadcast /
+    # checkpoint / code-cache residue that clearCache+gc can't reclaim,
+    # and re-times taken in that state measured HIGHER than the sweep
+    # itself (6.9 vs 4.1 s on the same query; fresh-process truth 2.4 s)
+    spark.stop()
+    spark = get_spark(app_name="bench-retime")
+    spark.range(2).mapInPandas(_warm, schema="id long").count()
     warm_retimes: dict[str, float] = {}
     qs = entrymod.queries()
     for name in sorted(sweep_only, key=sweep_only.get, reverse=True)[:10]:
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         warm_retimes[name] = round(time.perf_counter() - t0, 3)
