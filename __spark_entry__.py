@@ -147,6 +147,7 @@ from flink_kmeans_clustering_spark.operators.sampling import (
     approx_distinct,
     cms_heavy_hitters,
     deterministic_sample,
+    mixture_sample,
     stratified_hash_sample,
     train_val_test_split,
     weighted_sample,
@@ -638,6 +639,21 @@ def q_rel_excess(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_partsupp(part, supplier),
         part,
         load_table(spark, "lineitem", sf_dir),
+    )
+
+
+MIXTURE_TARGETS = {"src1": 0.5, "src2": 0.3, "src3": 0.2}
+
+
+def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture sampling: downsample the corpus to a 50/30/20 source
+    mix — the training-data mixing step.  Per-stratum rates derive
+    from the targets and observed counts (k-row metadata), the filter
+    is the md5-bucket hash predicate, and the oracle replays the
+    identical arithmetic."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mixture_sample(docs, "source", MIXTURE_TARGETS, "doc_id").select(
+        "doc_id", "lang", "source"
     )
 
 
@@ -2053,7 +2069,7 @@ def q_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    147 queries; 141 carry DuckDB oracles, 6 are rows-only by design
+    148 queries; 142 carry DuckDB oracles, 6 are rows-only by design
     (MLlib placements, sketch estimates, GEMM ulp twin, PCA
     eigensolve).
 
@@ -2113,6 +2129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rel_excess": q_rel_excess,
         "q_rel_shipmodes": q_rel_shipmodes,
         "q_rel_waiting": q_rel_waiting,
+        "q_sample_mixture": q_sample_mixture,
         "q_dedup_cc": q_dedup_cc,
         "q_dedup_embedding": q_dedup_embedding,
         "q_dedup_minhash": q_dedup_minhash,
@@ -3253,6 +3270,23 @@ FROM agg
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
 WHERE n_name = 'NATION_7'
+"""
+    _mix_vals = ", ".join(
+        f"('{s_}', CAST({t} AS DOUBLE))" for s_, t in sorted(MIXTURE_TARGETS.items())
+    )
+    sample_mixture_sql = f"""
+WITH tgt(s, t) AS (VALUES {_mix_vals}),
+cnt AS (
+  SELECT source AS s, COUNT(*) AS n FROM documents
+  WHERE source IN (SELECT s FROM tgt) GROUP BY source
+),
+nout AS (SELECT MIN(c.n / t.t) AS n_out FROM cnt c JOIN tgt t USING (s))
+SELECT doc_id, lang, source
+FROM documents d
+JOIN tgt t ON d.source = t.s
+JOIN cnt c ON c.s = d.source
+WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT) % 256
+      < CAST(FLOOR(256 * t.t * (SELECT n_out FROM nout) / c.n) AS INT)
 """
     rel_mktshare_sql = """
 SELECT o_year, nation_volume, total_volume,
@@ -4470,6 +4504,7 @@ SELECT event_type, event_id, ROUND(value, 6) AS value FROM (
         "q_rel_excess": rel_excess_sql,
         "q_rel_shipmodes": rel_shipmodes_sql,
         "q_rel_waiting": rel_waiting_sql,
+        "q_sample_mixture": sample_mixture_sql,
         "q_rel_mktshare": rel_mktshare_sql,
         "q_rel_profit": rel_profit_sql,
         "q_window_ranks": window_ranks_sql,

@@ -232,3 +232,51 @@ def cms_heavy_hitters(
         .agg(F.min("c").alias("cms_estimate"))
         .select(F.col("t").alias("token"), "exact_freq", "cms_estimate")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    targets: dict[str, float],
+    key_col: str,
+    buckets: int = 256,
+) -> DataFrame:
+    """Sample a corpus DOWN to target mixture proportions — the
+    "data mixing" step of a training pipeline ("make the batch 60%
+    curated / 30% web / 10% code") where :func:`stratified_hash_sample`
+    takes rates as given, this derives them.
+
+    The largest achievable output honoring ``targets`` with per-stratum
+    rate ≤ 1 is bounded by the stratum that would have to over-sample:
+    ``N_out = min_s(count_s / target_s)``; then ``rate_s = target_s ·
+    N_out / count_s`` and rows keep iff their md5 bucket clears
+    ``⌊rate_s · buckets⌋``.  The per-stratum counts are k-row driver
+    metadata (one aggregate); the filter itself is the same narrow,
+    engine-reproducible hash predicate as every sampler here, so the
+    exact mixture is replayable by the DuckDB oracle from the same
+    arithmetic.  Bucket quantization makes proportions exact to
+    1/buckets; strata missing from ``targets`` are dropped (weight 0).
+    """
+    if not (1 <= buckets <= 256) or 256 % buckets != 0:
+        raise ValueError("buckets must be a divisor of 256 (1, 2, 4, ..., 256)")
+    if not targets or any(t <= 0 for t in targets.values()):
+        raise ValueError("targets must be positive")
+    counts = {
+        r["s"]: r["n"]
+        for r in df.groupBy(F.col(strata_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+        if r["s"] in targets
+    }
+    if not counts:
+        return df.filter(F.lit(False))
+    # same left-to-right float evaluation as the SQL replay
+    n_out = min(counts[s] / targets[s] for s in sorted(counts))
+    keep = F.lit(0)
+    for s in sorted(counts):
+        keep = F.when(
+            F.col(strata_col) == s,
+            F.lit(int(buckets * targets[s] * n_out / counts[s])),
+        ).otherwise(keep)
+    b = hash_bucket(F.col(key_col).cast("string"), buckets)
+    return df.filter(b < keep)

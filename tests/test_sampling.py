@@ -288,3 +288,22 @@ def test_custom_datasource_parallelism_and_determinism(spark):
         (r["id"], r["reading"]) for r in b
     }
     assert all(r["reading"] == synth_value(r["id"]) for r in a)
+
+
+def test_mixture_sample_hits_target_proportions(spark):
+    """The derived per-stratum rates must land the output within one
+    bucket quantum (1/256) of the target mix, be reproducible under
+    repartitioning, and drop unlisted strata."""
+    from flink_kmeans_clustering_spark.operators.sampling import mixture_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    targets = {"src1": 0.5, "src2": 0.3, "src3": 0.2}
+    out = mixture_sample(docs, "source", targets, "doc_id")
+    mix = {r["source"]: r["n"] for r in out.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    assert set(mix) <= set(targets)
+    total = sum(mix.values())
+    for s, t in targets.items():
+        assert abs(mix.get(s, 0) / total - t) < 0.05, (s, mix, total)
+    again = mixture_sample(docs.repartition(7), "source", targets, "doc_id")
+    assert out.exceptAll(again).count() == 0
+    assert again.exceptAll(out).count() == 0
