@@ -876,3 +876,40 @@ def test_waiting_suppliers_single_fact_pass(spark):
     # lineitem appears in the semi-join probe and the aggregate inputs;
     # a correlated-rewrite blowup would triple this
     assert plan.count("lineitem") <= 4, plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Runtime Bloom-filter join pruning (the 100 TB star-join saver
+    when the dim side is too big to broadcast): with broadcast off, the
+    selective orders filter must inject might_contain(...) onto the
+    lineitem probe side so non-matching fact rows die at the scan, not
+    at the shuffle."""
+    import pyspark.sql.functions as F
+
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, "lineitem", SF)
+        orders = load_table(spark, "orders", SF).filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = explain_str(j)
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
