@@ -161,6 +161,7 @@ from flink_kmeans_clustering_spark.operators.kmeans import (
     assign_points,
     assign_points_join,
     lloyd,
+    lloyd_nd,
     moved_centroids,
     objective_from_assigned,
     scalable_init,
@@ -177,6 +178,7 @@ from flink_kmeans_clustering_spark.streaming import (
     windowed_event_counts,
 )
 from flink_kmeans_clustering_spark.views import (
+    K_DEFAULT,
     ORACLE_CTE,
     centroids_v,
     oracle_assign_sql,
@@ -655,6 +657,30 @@ def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_sample(docs, "source", MIXTURE_TARGETS, "doc_id").select(
         "doc_id", "lang", "source"
     )
+
+
+KMEANS_ND_DIM = 64
+
+
+def q_kmeans_nd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column K-Means (SURVEY §1.3's generalization of the
+    reference's hardcoded 2-D): Lloyd over the 64-dim embeddings with
+    the same literal-argmin narrow assignment and a k-row-per-shuffle
+    mean update (one SUM column per dimension — no explode blowup).
+    Init = first k vectors by vec_id; 3 iterations; output one row per
+    (centroid, dimension) so the oracle replays the identical loop
+    with DuckDB list lambdas."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    init_rows = emb.orderBy("vec_id").limit(K_DEFAULT).collect()
+    init = [[float(v) for v in r["embedding"]] for r in init_rows]
+    cents, _wcss = lloyd_nd(
+        emb.select("vec_id", "embedding"), init, max_iterations=KMEANS_ITERS
+    )
+    rows = [
+        (i, j, c[j]) for i, c in enumerate(cents) for j in range(len(c))
+    ]
+    out = spark.createDataFrame(rows, "id int, dim int, value double")
+    return out.select("id", "dim", F.round("value", 6).alias("value"))
 
 
 def q_rel_shipmodes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2069,7 +2095,7 @@ def q_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    148 queries; 142 carry DuckDB oracles, 6 are rows-only by design
+    149 queries; 143 carry DuckDB oracles, 6 are rows-only by design
     (MLlib placements, sketch estimates, GEMM ulp twin, PCA
     eigensolve).
 
@@ -2130,6 +2156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rel_shipmodes": q_rel_shipmodes,
         "q_rel_waiting": q_rel_waiting,
         "q_sample_mixture": q_sample_mixture,
+        "q_kmeans_nd": q_kmeans_nd,
         "q_dedup_cc": q_dedup_cc,
         "q_dedup_embedding": q_dedup_embedding,
         "q_dedup_minhash": q_dedup_minhash,
@@ -2403,6 +2430,48 @@ c{i} AS MATERIALIZED (
 )"""
     sql += f"""
 SELECT id, ROUND(x, 6) AS x, ROUND(y, 6) AS y FROM c{lloyd_iters}"""
+    return sql
+
+
+def _kmeans_nd_oracle_sql(
+    k: int = K_DEFAULT, dim: int = KMEANS_ND_DIM, iters: int = KMEANS_ITERS
+) -> str:
+    """Chained-CTE n-dim Lloyd replay: assignment by list-lambda dist²
+    (same index-order fold as the Spark zip_with/aggregate), per-dim
+    means, ids dense from the first-k-by-vec_id init."""
+    d1 = dim + 1
+    sql = f"""WITH vecs AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+),
+c0 AS MATERIALIZED (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS id,
+         vec AS cent
+  FROM (SELECT * FROM vecs ORDER BY vec_id LIMIT {k})
+)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+a{i} AS MATERIALIZED (
+  SELECT vec_id, vec, id AS cluster FROM (
+    SELECT v.vec_id, v.vec, c.id,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_sum(list_transform(range(1, {d1}),
+                       j -> (v.vec[j]-c.cent[j])*(v.vec[j]-c.cent[j]))), c.id
+           ) AS rn
+    FROM vecs v CROSS JOIN c{i - 1} c
+  ) WHERE rn = 1
+),
+m{i} AS MATERIALIZED (
+  SELECT cluster, jj.j AS j, SUM(vec[jj.j]) / COUNT(*) AS mu
+  FROM a{i}, (SELECT unnest(range(1, {d1})) AS j) jj
+  GROUP BY cluster, jj.j
+),
+c{i} AS MATERIALIZED (
+  SELECT cluster AS id, list(mu ORDER BY j) AS cent FROM m{i} GROUP BY cluster
+)"""
+    sql += f"""
+SELECT id, CAST(jj.j - 1 AS INT) AS dim, ROUND(cent[jj.j], 6) AS value
+FROM c{iters}, (SELECT unnest(range(1, {d1})) AS j) jj"""
     return sql
 
 
@@ -4451,6 +4520,7 @@ SELECT event_type, event_id, ROUND(value, 6) AS value FROM (
         "q_convergence": convergence,
         "q_kmeans": kmeans,
         "q_kmeans_scalable": _kmeans_scalable_oracle_sql(),
+        "q_kmeans_nd": _kmeans_nd_oracle_sql(),
         "q_dedup_exact": dedup_exact_sql,
         "q_dedup_ngram": dedup_ngram_capped_sql,
         "q_dedup_ngram_exact": dedup_ngram_exact_sql,

@@ -792,3 +792,101 @@ def _weighted_lloyd_local(
             break
         cur = nxt
     return cur
+
+
+# ---------------------------------------------------------------------------
+# n-dimensional vector-column generalization (SURVEY §1.3)
+# ---------------------------------------------------------------------------
+
+
+def assign_points_nd(
+    vectors: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+    dist2_col: str | None = None,
+) -> DataFrame:
+    """O1/O7 assignment generalized from (x, y) to a vector column —
+    the reference hardcodes 2-D; the Spark-native data model is
+    ``array<double>`` (SURVEY §1.3), and the same literal-argmin shape
+    carries over: the k×d centroid matrix enters the plan as ONE
+    array-of-arrays literal, dist² folds ``zip_with`` squared diffs
+    left-to-right (index order — an independent engine summing the
+    same 32 doubles in the same order lands on the same double), and
+    ``array_min`` over (dist², id) structs keeps the strict-<
+    lowest-id tie-break.  A narrow map: no join, no shuffle, any dim.
+    """
+    if not centroids:
+        return vectors.select(
+            "*", F.lit(-1).alias(cluster_col),
+            *([F.lit(None).cast("double").alias(dist2_col)] if dist2_col else []),
+        )
+    mat = F.lit([[float(v) for v in c] for c in centroids])
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
+
+    def _cand(i: Column) -> Column:
+        diff2 = F.zip_with(vec, F.get(mat, i), lambda a, b: (a - b) * (a - b))
+        d2 = F.aggregate(diff2, F.lit(0.0), lambda acc, v: acc + v)
+        return F.struct(d2.alias("dist2"), i.cast("int").alias("cluster"))
+
+    best = F.array_min(F.transform(idx, _cand))
+    cols = [*vectors.columns, best["cluster"].alias(cluster_col)]
+    if dist2_col:
+        cols.append(best["dist2"].alias(dist2_col))
+    return vectors.select(*cols)
+
+
+def update_centroids_nd(
+    assigned: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """O3/O4 mean update for vector columns WITHOUT exploding: each of
+    the ``dim`` components is its own SUM column in one HashAggregate,
+    so the shuffle carries k rows × (dim+1) doubles — not the N×dim
+    row blowup a posexplode would ship.  Returns (id, centroid
+    array<double>, n)."""
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    sums = [
+        F.sum(F.element_at(vec, j + 1)).alias(f"_s{j}") for j in range(dim)
+    ]
+    agg = assigned.groupBy(F.col(cluster_col).alias("id")).agg(
+        *sums, F.count(F.lit(1)).alias("n")
+    )
+    centroid = F.array(*[F.col(f"_s{j}") / F.col("n") for j in range(dim)])
+    return agg.select("id", centroid.alias("centroid"), "n")
+
+
+def lloyd_nd(
+    vectors: DataFrame,
+    init_centroids: Sequence[Sequence[float]],
+    max_iterations: int = 10,
+    vec_col: str = "embedding",
+    cache: bool = True,
+) -> tuple[list[list[float]], float]:
+    """O5 bulk iteration over a vector column: the driver loop of
+    :func:`lloyd` with the n-dim assign/update pair.  Returns (final
+    centroids ordered by id — empty clusters drop, reference
+    semantics — and the final WCSS scalar)."""
+    if cache:
+        vectors = vectors.cache()
+    dim = len(init_centroids[0])
+    current = [list(map(float, c)) for c in init_centroids]
+    conf = vectors.sparkSession.conf
+    prev_aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    try:
+        conf.set("spark.sql.adaptive.enabled", "false")
+        for _ in range(max_iterations):
+            a = assign_points_nd(vectors, current, vec_col=vec_col)
+            rows = update_centroids_nd(a, dim, vec_col=vec_col).collect()
+            rows.sort(key=lambda r: r["id"])
+            current = [[float(v) for v in r["centroid"]] for r in rows]
+        a = assign_points_nd(vectors, current, vec_col=vec_col, dist2_col="_d2")
+        [row] = a.agg(F.sum("_d2").alias("wcss")).collect()
+    finally:
+        conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        if cache:
+            vectors.unpersist()
+    return current, float(row["wcss"] or 0.0)

@@ -260,3 +260,47 @@ def test_scalable_init_empty_and_degenerate(spark):
     )
     out = scalable_init(same, k=4, rounds=2, seed=3)
     assert out == [(0, 1.0, 2.0)]
+
+
+def test_lloyd_nd_matches_numpy_reference(spark):
+    """The vector-column Lloyd must reproduce a plain numpy Lloyd
+    (same init, fixed iterations, lowest-index tie-break) on a small
+    4-dim corpus, including the final WCSS."""
+    import numpy as np
+    from flink_kmeans_clustering_spark.operators.kmeans import lloyd_nd
+
+    rng = np.random.RandomState(7)
+    blobs = np.concatenate(
+        [rng.normal(c, 0.05, size=(20, 4)) for c in (0.0, 1.0, 2.0)]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(blobs)],
+        "vec_id long, embedding array<double>",
+    )
+    init = [list(map(float, blobs[i])) for i in (0, 20, 40)]
+    got_c, got_w = lloyd_nd(df, init, max_iterations=5)
+
+    cur = np.array(init)
+    for _ in range(5):
+        d2 = ((blobs[:, None, :] - cur[None, :, :]) ** 2).sum(axis=2)
+        lab = d2.argmin(axis=1)
+        cur = np.array(
+            [
+                blobs[lab == j].mean(axis=0) if (lab == j).any() else cur[j]
+                for j in range(3)
+            ]
+        )
+    d2 = ((blobs[:, None, :] - cur[None, :, :]) ** 2).sum(axis=2)
+    want_w = d2.min(axis=1).sum()
+    assert np.allclose(np.array(got_c), cur, atol=1e-9)
+    assert abs(got_w - want_w) < 1e-6
+
+
+def test_assign_nd_empty_centroids_is_minus_one(spark):
+    from flink_kmeans_clustering_spark.operators.kmeans import assign_points_nd
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    [r] = assign_points_nd(df, []).collect()
+    assert r["cluster"] == -1

@@ -913,3 +913,25 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_nd_assignment_narrow_and_update_single_shuffle(spark):
+    """The n-dim generalization keeps the 2-D physics: assignment is a
+    zero-exchange narrow map (centroid matrix is ONE literal), and the
+    mean update is one k-row-per-partition hash aggregate — no explode
+    of the vector column."""
+    from flink_kmeans_clustering_spark.operators.kmeans import (
+        assign_points_nd,
+        update_centroids_nd,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    init = [
+        [float(v) for v in r["embedding"]]
+        for r in emb.orderBy("vec_id").limit(4).collect()
+    ]
+    a = assign_points_nd(emb, init)
+    assert shuffle_count(a) == 0, explain_str(a)
+    upd = update_centroids_nd(a, dim=len(init[0]))
+    assert_max_shuffles(upd, 1)
+    assert "Generate" not in explain_str(upd), "vector must not explode"
