@@ -209,3 +209,36 @@ def test_band_join_empty_events(spark):
 
     empty = spark.createDataFrame([], "value double")
     assert band_join_bucketed(empty).count() == 0
+
+
+def test_mixture_sample_guards_and_empty(spark):
+    import pytest
+    from flink_kmeans_clustering_spark.operators.sampling import mixture_sample
+
+    docs = spark.createDataFrame([], "doc_id long, source string")
+    # empty input: no strata observed -> empty output, no error
+    assert mixture_sample(docs, "source", {"a": 1.0}, "doc_id").count() == 0
+    with pytest.raises(ValueError, match="positive"):
+        mixture_sample(docs, "source", {"a": -1.0}, "doc_id")
+    with pytest.raises(ValueError, match="positive"):
+        mixture_sample(docs, "source", {}, "doc_id")
+    # no overlap between targets and observed strata -> empty
+    some = spark.createDataFrame([(1, "x")], "doc_id long, source string")
+    assert mixture_sample(some, "source", {"y": 1.0}, "doc_id").count() == 0
+
+
+def test_synth_partsupp_requires_four_suppliers(spark):
+    import pytest
+    from flink_kmeans_clustering_spark.operators.relational import synth_partsupp
+
+    part = spark.createDataFrame([(0,)], "p_partkey long")
+    supp = spark.createDataFrame([(0,), (1,)], "s_suppkey long")
+    with pytest.raises(ValueError, match="4 suppliers"):
+        synth_partsupp(part, supp)
+
+
+def test_cc_star_empty_pairs(spark):
+    from flink_kmeans_clustering_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(pairs, method="star").collect() == []
