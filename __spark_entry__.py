@@ -3284,18 +3284,23 @@ WHERE n_name = 'NATION_3'
     # operators.relational.synth_shipping (md5-derived shipmode and
     # commit/receipt day offsets from the (orderkey, linenumber) key).
     ship_cte = """
+li_hash AS (
+  SELECT l_orderkey, l_suppkey, l_shipdate, l_linenumber,
+         md5('shp:' || l_orderkey || ':' || l_linenumber) AS h
+  FROM lineitem
+),
 li_ship AS (
   SELECT l_orderkey, l_suppkey, l_shipdate, l_linenumber,
          ['AIR','MAIL','RAIL','SHIP','TRUCK'][
-           1 + CAST(CAST(('0x' || substring(md5('sm:' || l_orderkey || ':' || l_linenumber), 1, 8)) AS BIGINT) % 5 AS INT)
+           1 + CAST(CAST(('0x' || substring(h, 1, 8)) AS BIGINT) % 5 AS INT)
          ] AS l_shipmode,
          CAST(l_shipdate AS DATE)
-           + CAST(CAST(('0x' || substring(md5('cd:' || l_orderkey || ':' || l_linenumber), 1, 8)) AS BIGINT) % 61 - 30 AS INT)
+           + CAST(CAST(('0x' || substring(h, 9, 8)) AS BIGINT) % 61 - 30 AS INT)
            AS l_commitdate,
          CAST(l_shipdate AS DATE)
-           + CAST(1 + CAST(('0x' || substring(md5('rd:' || l_orderkey || ':' || l_linenumber), 1, 8)) AS BIGINT) % 30 AS INT)
+           + CAST(1 + CAST(('0x' || substring(h, 17, 8)) AS BIGINT) % 30 AS INT)
            AS l_receiptdate
-  FROM lineitem
+  FROM li_hash
 )"""
     rel_shipmodes_sql = f"""
 WITH {ship_cte}

@@ -1229,37 +1229,48 @@ def synth_shipping(lineitem: DataFrame) -> DataFrame:
     testdata lacks, derived row-locally so any engine regenerates them
     byte-identically (the same contract as :func:`synth_partsupp`):
 
-    * ``l_shipmode``    = SHIP_MODES[md5int("sm:<ok>:<ln>") % 5]
-    * ``l_commitdate``  = ship date + (md5int("cd:…") % 61 − 30) days
-    * ``l_receiptdate`` = ship date + (1 + md5int("rd:…") % 30) days
+    ONE digest per row — ``h = md5("shp:<ok>:<ln>")`` — feeds all
+    three columns from disjoint 8-hex-char slices (the digest has 32,
+    each slice is an independent uniform):
 
-    (ok, ln) = (l_orderkey, l_linenumber), the lineitem primary key;
-    md5int = first 8 md5-hex chars as BIGINT.  A pure projection: no
-    shuffle, no RNG state, pushes through any plan.  Unblocks the
-    TPC-H Q12/Q21 shapes (commit-vs-receipt lateness semantics).
+    * ``l_shipmode``    = SHIP_MODES[int(h[1..8], 16) % 5]
+    * ``l_commitdate``  = ship date + (int(h[9..16], 16) % 61 − 30) days
+    * ``l_receiptdate`` = ship date + (1 + int(h[17..24], 16) % 30) days
+
+    (ok, ln) = (l_orderkey, l_linenumber), the lineitem primary key.
+    A pure projection: no shuffle, no RNG state, pushes through any
+    plan; at fact-table scale one md5 per row instead of three is the
+    difference that matters.  Unblocks the TPC-H Q12/Q21 shapes
+    (commit-vs-receipt lateness semantics).
     """
-    def md5int(tag: str) -> Column:
-        s = F.concat(
-            F.lit(tag + ":"),
+    h = F.md5(
+        F.concat(
+            F.lit("shp:"),
             F.col("l_orderkey").cast("string"),
             F.lit(":"),
             F.col("l_linenumber").cast("string"),
         )
-        return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    )
+
+    def hslice(start: int) -> Column:
+        return F.conv(F.substring(F.col("_h"), start, 8), 16, 10).cast("long")
 
     ship = F.col("l_shipdate").cast("date")
     mode = F.array(*[F.lit(m) for m in SHIP_MODES])[
-        (md5int("sm") % 5).cast("int")
+        (hslice(1) % 5).cast("int")
     ]
-    return lineitem.select(
-        "*",
-        mode.alias("l_shipmode"),
-        F.date_add(ship, (md5int("cd") % 61 - 30).cast("int")).alias(
-            "l_commitdate"
-        ),
-        F.date_add(ship, (1 + md5int("rd") % 30).cast("int")).alias(
-            "l_receiptdate"
-        ),
+    return (
+        lineitem.withColumn("_h", h)
+        .select(
+            *lineitem.columns,
+            mode.alias("l_shipmode"),
+            F.date_add(ship, (hslice(9) % 61 - 30).cast("int")).alias(
+                "l_commitdate"
+            ),
+            F.date_add(ship, (1 + hslice(17) % 30).cast("int")).alias(
+                "l_receiptdate"
+            ),
+        )
     )
 
 
