@@ -3208,17 +3208,22 @@ WHERE rev_dec = max_dec
     # Deterministic synthesized partsupp — the same contract as
     # operators.relational.synth_partsupp, regenerated from the part
     # and supplier views (4 suppliers per part at (p + i*floor(S/4))
-    # mod S; availqty/supplycost from md5 of "tag:partkey:suppkey").
+    # mod S; availqty/supplycost from hex slices of ONE md5 of
+    # "ps:partkey:suppkey").
     partsupp_cte = """
 partsupp AS (
   SELECT ps_partkey, ps_suppkey,
-         1 + CAST(('0x' || substring(md5('aq:' || ps_partkey || ':' || ps_suppkey), 1, 8)) AS BIGINT) % 9999 AS ps_availqty,
-         CAST(100 + CAST(('0x' || substring(md5('sc:' || ps_partkey || ':' || ps_suppkey), 1, 8)) AS BIGINT) % 99900 AS DOUBLE) / 100 AS ps_supplycost
+         1 + CAST(('0x' || substring(h, 1, 8)) AS BIGINT) % 9999 AS ps_availqty,
+         CAST(100 + CAST(('0x' || substring(h, 9, 8)) AS BIGINT) % 99900 AS DOUBLE) / 100 AS ps_supplycost
   FROM (
-    SELECT p_partkey AS ps_partkey,
-           (p_partkey + i.i * greatest((SELECT count(*) FROM supplier) // 4, 1))
-             % (SELECT count(*) FROM supplier) AS ps_suppkey
-    FROM part, (VALUES (0), (1), (2), (3)) AS i(i)
+    SELECT ps_partkey, ps_suppkey,
+           md5('ps:' || ps_partkey || ':' || ps_suppkey) AS h
+    FROM (
+      SELECT p_partkey AS ps_partkey,
+             (p_partkey + i.i * greatest((SELECT count(*) FROM supplier) // 4, 1))
+               % (SELECT count(*) FROM supplier) AS ps_suppkey
+      FROM part, (VALUES (0), (1), (2), (3)) AS i(i)
+    )
   )
 )"""
     rel_mincost_sql = f"""

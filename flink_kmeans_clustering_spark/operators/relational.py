@@ -1027,13 +1027,14 @@ def synth_partsupp(part: DataFrame, supplier: DataFrame) -> DataFrame:
     * each part lists 4 suppliers at ``(p_partkey + i·⌊S/4⌋) mod S``
       for i ∈ 0..3 (S = supplier count ≥ 4·⌊S/4⌋, so the four keys are
       distinct — the dbgen spread formula, 0-based);
-    * ``ps_availqty``  = 1 + md5int("aq:<p>:<s>") % 9999        (1..9999)
-    * ``ps_supplycost`` = (100 + md5int("sc:<p>:<s>") % 99900)/100
+    * ``h = md5("ps:<p>:<s>")`` — ONE digest per row; availqty and
+      supplycost read disjoint 8-hex-char slices of it:
+      ``ps_availqty`` = 1 + int(h[1..8], 16) % 9999 (1..9999) and
+      ``ps_supplycost`` = (100 + int(h[9..16], 16) % 99900)/100
       (1.00..999.99, exact integer cents over IEEE /100 — identical
-      doubles in every engine),
+      doubles in every engine).
 
-    where md5int = first 8 md5-hex chars as a BIGINT (the repo-wide
-    cross-engine hash contract, see operators.sampling).  The supplier
+    The supplier
     count is dimension METADATA (a driver scalar, like a k-row
     centroid state) — the synthesized table itself is a row-local
     projection of part, explode + hash, no shuffle, no RNG state, and
@@ -1049,24 +1050,29 @@ def synth_partsupp(part: DataFrame, supplier: DataFrame) -> DataFrame:
     )
     suppkey = (F.col("ps_partkey") + F.col("_i") * F.lit(step)) % F.lit(s_cnt)
 
-    def md5int(tag: str) -> Column:
-        s = F.concat(
-            F.lit(tag + ":"),
+    h = F.md5(
+        F.concat(
+            F.lit("ps:"),
             F.col("ps_partkey").cast("string"),
             F.lit(":"),
             F.col("ps_suppkey").cast("string"),
         )
-        return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    )
 
-    return ps.select(
-        "ps_partkey", suppkey.cast("long").alias("ps_suppkey")
-    ).select(
-        "ps_partkey",
-        "ps_suppkey",
-        (F.lit(1) + md5int("aq") % 9999).alias("ps_availqty"),
-        ((F.lit(100) + md5int("sc") % 99900).cast("double") / F.lit(100)).alias(
-            "ps_supplycost"
-        ),
+    def hslice(start: int) -> Column:
+        return F.conv(F.substring(F.col("_h"), start, 8), 16, 10).cast("long")
+
+    return (
+        ps.select("ps_partkey", suppkey.cast("long").alias("ps_suppkey"))
+        .withColumn("_h", h)
+        .select(
+            "ps_partkey",
+            "ps_suppkey",
+            (F.lit(1) + hslice(1) % 9999).alias("ps_availqty"),
+            ((F.lit(100) + hslice(9) % 99900).cast("double") / F.lit(100)).alias(
+                "ps_supplycost"
+            ),
+        )
     )
 
 
