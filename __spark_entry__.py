@@ -1437,6 +1437,32 @@ def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQ_M = 8           # subspaces (64-dim / 8 = 8-dim subvectors)
+PQ_CODEWORDS = 16  # codewords per subspace
+
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (ADC): trainless first-k-subvector
+    codebooks (the engine-replayable checked contract; production
+    trains per-subspace k-means via pq_codebooks_trained), m uint8
+    codes per vector, driver-side LUT scoring as one literal — no
+    join, no shuffle — exact-L2 rerank of the shortlist."""
+    from flink_kmeans_clustering_spark.operators.similarity import (
+        ann_pq,
+        pq_codebooks_first,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = pq_codebooks_first(emb, m=PQ_M, k=PQ_CODEWORDS)
+    return ann_pq(
+        emb,
+        _query_vector(spark, sf_dir),
+        books,
+        k=TOPK_K,
+        shortlist=ANN_SHORTLIST,
+    )
+
+
 def q_dedup_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage dedup: blocked embedding-cosine candidates verified by
     exact shingle Jaccard on the text — the corpus is never shuffled
@@ -2095,7 +2121,7 @@ def q_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    149 queries; 143 carry DuckDB oracles, 6 are rows-only by design
+    150 queries; 144 carry DuckDB oracles, 6 are rows-only by design
     (MLlib placements, sketch estimates, GEMM ulp twin, PCA
     eigensolve).
 
@@ -2157,6 +2183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rel_waiting": q_rel_waiting,
         "q_sample_mixture": q_sample_mixture,
         "q_kmeans_nd": q_kmeans_nd,
+        "q_ann_pq": q_ann_pq,
         "q_dedup_cc": q_dedup_cc,
         "q_dedup_embedding": q_dedup_embedding,
         "q_dedup_minhash": q_dedup_minhash,
@@ -2473,6 +2500,61 @@ c{i} AS MATERIALIZED (
 SELECT id, CAST(jj.j - 1 AS INT) AS dim, ROUND(cent[jj.j], 6) AS value
 FROM c{iters}, (SELECT unnest(range(1, {d1})) AS j) jj"""
     return sql
+
+
+def _ann_pq_oracle_sql(
+    m: int = PQ_M, kc: int = PQ_CODEWORDS, dim: int = KMEANS_ND_DIM,
+    shortlist: int = ANN_SHORTLIST, topk: int = TOPK_K,
+) -> str:
+    """PQ/ADC replay: first-k-subvector codebooks, per-(vector,
+    subspace) argmin codes, LUT from the vec_id-0 query, score = the
+    s-ordered fold of LUT entries, exact-L2 rerank — every fold in the
+    same index order as the Spark HOFs."""
+    d = dim // m
+    return f"""WITH vecs AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cw AS MATERIALIZED (
+  SELECT ss.s, r.c,
+         list_transform(range(1, {d + 1}), j -> r.v[ss.s*{d} + j]) AS sub
+  FROM (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS c, v
+        FROM (SELECT * FROM vecs ORDER BY vec_id LIMIT {kc})) r,
+       (SELECT unnest(range(0, {m})) AS s) ss
+),
+q AS MATERIALIZED (SELECT v FROM vecs WHERE vec_id = 0),
+codes AS MATERIALIZED (
+  SELECT vec_id, s, c FROM (
+    SELECT t.vec_id, cw.s, cw.c,
+           ROW_NUMBER() OVER (
+             PARTITION BY t.vec_id, cw.s
+             ORDER BY list_sum(list_transform(range(1, {d + 1}),
+                       j -> (t.v[cw.s*{d} + j]-cw.sub[j])
+                          * (t.v[cw.s*{d} + j]-cw.sub[j]))), cw.c
+           ) AS rn
+    FROM vecs t CROSS JOIN cw
+  ) WHERE rn = 1
+),
+lut AS MATERIALIZED (
+  SELECT cw.s, cw.c,
+         list_sum(list_transform(range(1, {d + 1}),
+           j -> (q.v[cw.s*{d} + j]-cw.sub[j])*(q.v[cw.s*{d} + j]-cw.sub[j])))
+           AS dist
+  FROM cw, q
+),
+adc AS MATERIALIZED (
+  SELECT codes.vec_id, list_sum(list(lut.dist ORDER BY codes.s)) AS score
+  FROM codes JOIN lut ON codes.s = lut.s AND codes.c = lut.c
+  GROUP BY codes.vec_id
+),
+short AS MATERIALIZED (
+  SELECT vec_id FROM adc ORDER BY score, vec_id LIMIT {shortlist}
+)
+SELECT vec_id, ROUND(d2, 6) AS d2 FROM (
+  SELECT t.vec_id,
+         list_sum(list_transform(range(1, {dim + 1}),
+           j -> (t.v[j]-q.v[j])*(t.v[j]-q.v[j]))) AS d2
+  FROM vecs t JOIN short USING (vec_id), q
+) ORDER BY d2, vec_id LIMIT {topk}"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4531,6 +4613,7 @@ SELECT event_type, event_id, ROUND(value, 6) AS value FROM (
         "q_kmeans": kmeans,
         "q_kmeans_scalable": _kmeans_scalable_oracle_sql(),
         "q_kmeans_nd": _kmeans_nd_oracle_sql(),
+        "q_ann_pq": _ann_pq_oracle_sql(),
         "q_dedup_exact": dedup_exact_sql,
         "q_dedup_ngram": dedup_ngram_capped_sql,
         "q_dedup_ngram_exact": dedup_ngram_exact_sql,

@@ -374,3 +374,165 @@ def ann_quantized(
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
     )
+
+
+def pq_codebooks_first(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Data-derived PQ codebooks WITHOUT a training job: codeword c of
+    subspace s is the s-th subvector of the (c+1)-th vector by id.
+
+    The deterministic, any-engine-replayable codebook contract the
+    CHECKED query uses (same family split as the md5 hash lanes);
+    production trains each subspace with :func:`pq_codebooks_trained`
+    — the encode/ADC/rerank plumbing is identical either way.
+    Returns ``codebooks[s][c] = list[d/m floats]``.
+    """
+    rows = df.orderBy(id_col).limit(k).collect()
+    vecs = [[float(v) for v in r[vec_col]] for r in rows]
+    dim = len(vecs[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    return [[vec[s * d : (s + 1) * d] for vec in vecs] for s in range(m)]
+
+
+def pq_codebooks_trained(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 5,
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Production PQ codebooks: an independent distributed Lloyd
+    (:func:`~flink_kmeans_clustering_spark.operators.kmeans.lloyd_nd`)
+    per subspace over that subspace's subvectors.  Deterministic given
+    the data (init = first k subvectors), but 8 k-means jobs — the
+    checked query keeps the trainless contract above."""
+    from flink_kmeans_clustering_spark.operators.kmeans import lloyd_nd
+
+    dim = len(df.select(vec_col).head()[vec_col])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    books = []
+    for s in range(m):
+        sub = df.select(
+            F.slice(
+                F.transform(F.col(vec_col), lambda x: x.cast("double")),
+                s * d + 1,
+                d,
+            ).alias("embedding")
+        )
+        init = [
+            [float(v) for v in r["embedding"]] for r in sub.limit(k).collect()
+        ]
+        cents, _ = lloyd_nd(sub, init, max_iterations=iters)
+        books.append(cents)
+    return books
+
+
+def _pq_codes(vec, codebooks: list[list[list[float]]]):
+    """codes[s] = argmin_c ||subvector_s − codebook[s][c]||² (ties →
+    lowest code), folded in index order — the column expression shared
+    by encode and any future symmetric-distance scorer."""
+    m = len(codebooks)
+    k = len(codebooks[0])
+    d = len(codebooks[0][0])
+    cb = F.lit(codebooks)  # array<array<array<double>>> literal
+
+    def _code(s: int):
+        sub = F.slice(vec, s * d + 1, d)
+        cands = F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        sub,
+                        F.get(F.get(cb, F.lit(s)), c),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("d2"),
+                c.cast("int").alias("code"),
+            ),
+        )
+        return F.array_min(cands)["code"]
+
+    return F.array(*[_code(s) for s in range(m)])
+
+
+def ann_pq(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., TPAMI 2011): encode the
+    corpus as m uint8 codes, score candidates with an asymmetric
+    distance computation (ADC) lookup table, exact-L2 rerank the
+    shortlist.
+
+    Scale shape: the m×k LUT (distances from the query's subvectors to
+    every codeword) is computed DRIVER-side and enters the plan as one
+    literal — scoring a vector is m array lookups + an ordered fold,
+    no join, no shuffle; both top-selections are
+    TakeOrderedAndProject.  At 100 TB the encoded corpus is m bytes
+    per vector instead of 4·dim — the memory-bound regime PQ exists
+    for — and codes are computed once at ingest, not per query.
+
+    Output: (vec_id, d2) — exact squared L2 of the top-k, ties to the
+    lowest id at both the shortlist and final cut.
+    """
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    q = [float(v) for v in query_vec]
+    # ADC lookup table, folded in subvector index order (j asc) so an
+    # independent engine lands on the same doubles
+    lut = [
+        [
+            sum((q[s * d + j] - c[j]) * (q[s * d + j] - c[j]) for j in range(d))
+            for c in codebooks[s]
+        ]
+        for s in range(m)
+    ]
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    codes = _pq_codes(vec, codebooks)
+    lut_lit = F.lit(lut)
+    score = F.aggregate(
+        F.zip_with(
+            codes,
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda code, s: F.get(F.get(lut_lit, s), code),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    short = (
+        df.select(F.col(id_col), F.col(vec_col), score.alias("_score"))
+        .orderBy("_score", id_col)
+        .limit(shortlist)
+    )
+    qlit = F.lit(q)
+    d2 = F.aggregate(
+        F.zip_with(vec, qlit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    out = (
+        short.select(F.col(id_col), d2.alias("d2"))
+        .orderBy("d2", id_col)
+        .limit(k)
+    )
+    if round_to is not None:
+        out = out.select(id_col, F.round("d2", round_to).alias("d2"))
+    return out

@@ -935,3 +935,22 @@ def test_nd_assignment_narrow_and_update_single_shuffle(spark):
     upd = update_centroids_nd(a, dim=len(init[0]))
     assert_max_shuffles(upd, 1)
     assert "Generate" not in explain_str(upd), "vector must not explode"
+
+
+def test_pq_scoring_is_narrow_takeordered(spark):
+    """PQ/ADC scoring must be join-free and shuffle-free: codes and the
+    LUT are literals, both cuts are TakeOrderedAndProject."""
+    from flink_kmeans_clustering_spark.operators.similarity import (
+        ann_pq,
+        pq_codebooks_first,
+    )
+    import pyspark.sql.functions as F
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    [q] = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
+    qv = [float(v) for v in q["embedding"]]
+    df = ann_pq(emb, qv, pq_codebooks_first(emb, m=8, k=16), k=10)
+    plan = explain_str(df)
+    assert "Join" not in plan, plan
+    assert plan.count("TakeOrderedAndProject") >= 2, plan
+    assert shuffle_count(df) == 0, plan

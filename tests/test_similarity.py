@@ -244,3 +244,64 @@ def test_knn_join_drops_zero_vectors(spark):
     got = knn_join(corpus, queries, k=5, query_id_col="vec_id").collect()
     # the zero vector has NULL cosine: never ranked, never displaces
     assert sorted(r["neighbor_id"] for r in got) == [2, 3]
+
+
+def test_pq_recall_and_exactness_of_rerank(spark):
+    """PQ/ADC must surface most of the true top-k (recall ≥ 0.7 with
+    16 codewords on this corpus) and its reranked distances must equal
+    the exact distances for every id it returns."""
+    from flink_kmeans_clustering_spark.operators.similarity import (
+        ann_pq,
+        pq_codebooks_first,
+        topk_cosine,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    [q] = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
+    qv = [float(v) for v in q["embedding"]]
+    books = pq_codebooks_first(emb, m=8, k=16)
+    # shortlist 100/500: the trainless 16-codeword books are crude by
+    # design (the oracle contract); recall scales with the shortlist
+    got = {
+        r["vec_id"]: r["d2"]
+        for r in ann_pq(emb, qv, books, k=10, shortlist=100).collect()
+    }
+    # exact top-10 by L2 == top-10 by cosine here only if normalized;
+    # compute the exact L2 top-10 directly
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    d2 = F.aggregate(
+        F.zip_with(vec, F.lit(qv), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    exact = {
+        r["vec_id"]: r["d2"]
+        for r in emb.select("vec_id", F.round(d2, 6).alias("d2"))
+        .orderBy("d2", "vec_id")
+        .limit(10)
+        .collect()
+    }
+    overlap = set(got) & set(exact)
+    assert len(overlap) >= 7, (sorted(got), sorted(exact))
+    for vid in overlap:
+        assert got[vid] == exact[vid]
+    assert got[0] == 0.0  # the query vector itself
+
+
+def test_pq_trained_codebooks_same_plumbing(spark):
+    """The per-subspace k-means codebooks flow through the identical
+    encode/ADC/rerank path and must also place the query vector first."""
+    from flink_kmeans_clustering_spark.operators.similarity import (
+        ann_pq,
+        pq_codebooks_trained,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    [q] = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
+    qv = [float(v) for v in q["embedding"]]
+    books = pq_codebooks_trained(emb, m=8, k=8, iters=2)
+    rows = ann_pq(emb, qv, books, k=5).collect()
+    assert rows[0]["vec_id"] == 0 and rows[0]["d2"] == 0.0
+    assert len(rows) == 5
