@@ -344,3 +344,73 @@ def test_cc_star_equals_label_propagation(spark, raw_pairs):
         for r in connected_components(pairs, method="star").collect()
     }
     assert star == lp
+
+
+@SLOW
+@given(
+    st.lists(  # lineitems: (orderkey 0..5, suppkey 0..3, late?)
+        st.tuples(st.integers(0, 5), st.integers(0, 3), st.booleans()),
+        min_size=1,
+        max_size=24,
+    ),
+    st.sets(st.integers(0, 5)),  # orderkeys with status 'F'
+)
+def test_waiting_suppliers_matches_bruteforce_exists(spark, lis, f_orders):
+    """The one-aggregate decorrelation of Q21's EXISTS / NOT EXISTS
+    must equal the literal nested-quantifier evaluation."""
+    from collections import Counter
+    from pyspark.sql import functions as F
+
+    li = spark.createDataFrame(
+        [
+            (ok, sk, 1, "1997-06-01", 40 if late else -40)
+            for ok, sk, late in lis
+        ],
+        "l_orderkey long, l_suppkey long, l_linenumber int, _ship string, _off int",
+    )
+    # bend the hash-derived enrichment to the hypothesis-chosen lateness:
+    # late iff receipt > commit, so fabricate commit/receipt directly by
+    # monkey-wiring through the public operator via a pre-enriched frame
+    # is not possible — instead drive the SAME aggregate logic the
+    # operator uses on a hand-enriched frame and compare to brute force.
+    enriched = li.select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("_off") > 0).alias("_late"),
+    )
+    f_df = spark.createDataFrame(
+        [(ok,) for ok in sorted(f_orders)] or [(-1,)], "o_orderkey long"
+    )
+    sub = enriched.join(
+        f_df, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi"
+    )
+    per_order = sub.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("_late"), F.col("l_suppkey"))).alias(
+            "n_late"
+        ),
+    )
+    got = Counter(
+        r["l_suppkey"]
+        for r in sub.filter(F.col("_late"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1)),
+            "l_orderkey",
+        )
+        .collect()
+    )
+    # brute force: literal quantifiers over the row list
+    want: Counter = Counter()
+    orders = {ok for ok, _, _ in lis if ok in f_orders}
+    for ok in orders:
+        rows = [(sk, late) for o, sk, late in lis if o == ok]
+        supps = {sk for sk, _ in rows}
+        for sk in supps:
+            late_self = any(l for s, l in rows if s == sk)
+            exists_other = any(s != sk for s, _ in rows)
+            exists_other_late = any(s != sk and l for s, l in rows)
+            if late_self and exists_other and not exists_other_late:
+                want[sk] += 1
+    assert got == want
