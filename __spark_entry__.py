@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from flink_kmeans_clustering_spark.scratch import scratch_dir
 from flink_kmeans_clustering_spark.operators.dedup import (
+    ngram_containment_pairs,
     benchmark_overlap,
     connected_components,
     embedding_cosine_pairs,
@@ -1985,6 +1986,19 @@ def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs_prefix(docs, n=3, threshold=PREFIX_JACCARD_THRESHOLD)
 
 
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def q_dedup_contain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-containment dedup: |A∩B|/min(|A|,|B|) ≥ 0.8 — catches a
+    short document embedded in a long one, which Jaccard misses
+    (|A|/|B| can sit under any near-dup threshold).  Same
+    single-shuffle posting-list plan as q_dedup_ngram; only the final
+    ratio differs."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_containment_pairs(docs, n=3, threshold=CONTAINMENT_THRESHOLD)
+
+
 def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OHLC downsampling: 6-hour candles of value per event type —
     open/close via struct-MIN/MAX (O(1) state per group, no window
@@ -2121,7 +2135,7 @@ def q_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    150 queries; 144 carry DuckDB oracles, 6 are rows-only by design
+    151 queries; 145 carry DuckDB oracles, 6 are rows-only by design
     (MLlib placements, sketch estimates, GEMM ulp twin, PCA
     eigensolve).
 
@@ -2184,6 +2198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sample_mixture": q_sample_mixture,
         "q_kmeans_nd": q_kmeans_nd,
         "q_ann_pq": q_ann_pq,
+        "q_dedup_contain": q_dedup_contain,
         "q_dedup_cc": q_dedup_cc,
         "q_dedup_embedding": q_dedup_embedding,
         "q_dedup_minhash": q_dedup_minhash,
@@ -4211,6 +4226,15 @@ capped_pairs AS (
 WITH {ngram_capped_ctes}
 SELECT id_a, id_b, jaccard FROM capped_pairs
 """
+    dedup_contain_sql = f"""
+WITH {ngram_capped_ctes}
+SELECT id_a, id_b,
+       CASE WHEN sb.sz < sa.sz THEN id_b ELSE id_a END AS inner_id,
+       CAST(inter AS DOUBLE) / least(sa.sz, sb.sz) AS containment
+FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
+           JOIN sizes sb ON inter.id_b = sb.doc_id
+WHERE CAST(inter AS DOUBLE) / least(sa.sz, sb.sz) >= {CONTAINMENT_THRESHOLD}
+"""
     # transitive closure over the capped near-dup pair graph: a node's
     # component is the smallest doc_id it can reach.  DuckDB's
     # recursive CTE is the independent fixpoint computation checking
@@ -4616,6 +4640,7 @@ SELECT event_type, event_id, ROUND(value, 6) AS value FROM (
         "q_ann_pq": _ann_pq_oracle_sql(),
         "q_dedup_exact": dedup_exact_sql,
         "q_dedup_ngram": dedup_ngram_capped_sql,
+        "q_dedup_contain": dedup_contain_sql,
         "q_dedup_ngram_exact": dedup_ngram_exact_sql,
         # prefix filtering is exact: the uncapped oracle at its threshold
         "q_dedup_prefix": dedup_ngram_exact_sql.replace(

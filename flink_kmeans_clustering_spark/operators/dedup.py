@@ -76,15 +76,17 @@ def dedup_exact(df: DataFrame, keys: list[str], id_col: str = "doc_id") -> DataF
 DEFAULT_NGRAM_MAX_DF = 20
 
 
-def ngram_jaccard_pairs(
+def _ngram_pair_stats(
     df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 3,
-    threshold: float = 0.5,
-    max_df: int | None = DEFAULT_NGRAM_MAX_DF,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_df: int | None,
 ) -> DataFrame:
-    """Candidate pairs with exact n-gram-shingle Jaccard ≥ threshold.
+    """Shared pair generator for the shingle-overlap family: candidate
+    (id_a, id_b, inter, sz_a, sz_b) rows — exact integer intersection
+    and full distinct-set sizes — from which Jaccard (symmetric) or
+    containment (asymmetric) are one arithmetic projection each.
 
     Blocked self-join on shared shingles: only documents sharing at
     least one shingle ever meet (a pair below 1/(|A|+|B|-1) Jaccard is
@@ -97,10 +99,9 @@ def ngram_jaccard_pairs(
     corpus semantics (pairs whose only shared shingles are ubiquitous
     then re-enter the result).
 
-    Output: (id_a, id_b, jaccard) with id_a < id_b.  Jaccard is an
-    exact ratio of integers — engine-independent, oracle-exact.
     Intersections count only surviving shingles; set sizes stay full,
-    so capping can only lower a pair's Jaccard (never inflate it).
+    so capping can only lower a pair's overlap ratio (never inflate
+    it).
     """
     base = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col)), "id")
     # Shingles via the window-lead stream (functions.text.
@@ -158,7 +159,7 @@ def ngram_jaccard_pairs(
         pair_rows = a.join(
             b, (F.col("a.sh") == F.col("b.sh")) & (F.col("id_a") < F.col("id_b"))
         ).select(F.struct("id_a", "id_b", "sz_a", "sz_b").alias("p"))
-    inter = (
+    return (
         pair_rows.groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(
             F.count(F.lit(1)).alias("inter"),
@@ -166,10 +167,58 @@ def ngram_jaccard_pairs(
             F.first("p.sz_b").alias("sz_b"),
         )
     )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = DEFAULT_NGRAM_MAX_DF,
+) -> DataFrame:
+    """Candidate pairs with exact n-gram-shingle Jaccard ≥ threshold
+    (see :func:`_ngram_pair_stats` for the pair-generation physics).
+
+    Output: (id_a, id_b, jaccard) with id_a < id_b.  Jaccard is an
+    exact ratio of integers — engine-independent, oracle-exact.
+    """
+    inter = _ngram_pair_stats(df, id_col, text_col, n, max_df)
     jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
     return inter.select("id_a", "id_b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= threshold
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = DEFAULT_NGRAM_MAX_DF,
+) -> DataFrame:
+    """Document-containment pairs: |A∩B| / min(|A|, |B|) ≥ threshold.
+
+    The dedup criterion Jaccard MISSES: a short document fully embedded
+    in a long one (quoted article, boilerplate-wrapped repost) has
+    containment ≈ 1 while its Jaccard ≈ |A|/|B| can sit far below any
+    near-dup threshold.  Web-corpus pipelines (RefinedWeb-style) run
+    both filters.  Same single-shuffle posting-list physics as the
+    Jaccard form — only the final arithmetic projection differs; the
+    ``inner_id`` column names which side is the contained one (ties →
+    the smaller set; equal sizes → id_a).
+
+    Output: (id_a, id_b, inner_id, containment) with id_a < id_b.
+    """
+    inter = _ngram_pair_stats(df, id_col, text_col, n, max_df)
+    cont = F.col("inter") / F.least("sz_a", "sz_b")
+    inner = F.when(F.col("sz_b") < F.col("sz_a"), F.col("id_b")).otherwise(
+        F.col("id_a")
+    )
+    return inter.select(
+        "id_a", "id_b", inner.alias("inner_id"), cont.alias("containment")
+    ).filter(F.col("containment") >= threshold)
 
 
 # ---------------------------------------------------------------------------

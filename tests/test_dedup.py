@@ -593,3 +593,32 @@ def test_cc_star_fewer_rounds_on_chain_graph(spark):
     assert lp == {(i, 0) for i in range(n + 1)}
     assert st == lp
     assert st_rounds < lp_rounds / 2, (st_rounds, lp_rounds)
+
+
+def test_containment_catches_embedded_doc_jaccard_misses(spark):
+    """A short doc fully embedded in a long one: containment ≈ 1 while
+    Jaccard ≈ |A|/|B| is small — exactly the pair the containment
+    criterion exists for."""
+    from flink_kmeans_clustering_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    longd = short + " " + " ".join(f"filler{i} pad{i} words{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(0, short), (1, longd), (2, "totally unrelated content here")],
+        "doc_id long, text string",
+    )
+    cont = {
+        (r["id_a"], r["id_b"]): (r["inner_id"], r["containment"])
+        for r in ngram_containment_pairs(docs, threshold=0.8).collect()
+    }
+    assert (0, 1) in cont and cont[(0, 1)][0] == 0  # short doc is inner
+    assert cont[(0, 1)][1] == 1.0
+    assert (0, 2) not in cont
+    jac = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert (0, 1) not in jac  # jaccard misses it
