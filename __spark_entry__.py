@@ -3903,7 +3903,7 @@ GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
         _prof_parts.append(f"""
 SELECT '{c}' AS col_name,
        COUNT({c}) AS n_rows,
-       SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
        COUNT(DISTINCT {c}) AS n_distinct,
        {mn} AS min_s, {mx} AS max_s
 FROM lineitem""")

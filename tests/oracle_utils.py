@@ -70,7 +70,16 @@ def assert_matches_oracle(spark_df, oracle_sql: str, sf_dir: str) -> None:
             )
     # the driver's actual gate hashes raw dtypes too — a DuckDB HUGEINT
     # sum vs a Spark bigint has equal values but a different hash; catch
-    # that class of miss here rather than in CORRECTNESS_r{N}.json
+    # that class of miss here rather than in CORRECTNESS_r{N}.json.
+    # hash_pandas_object maps int64 0 and float64 0.0 to the same bits,
+    # so an all-zeros column slips past the hash alone (the r04 q_profile
+    # miss) — compare dtype KINDS explicitly first.
+    got_kinds = {c: got_raw[c].dtype.kind for c in sorted(got_raw.columns)}
+    want_kinds = {c: want_raw[c].dtype.kind for c in sorted(want_raw.columns)}
+    assert got_kinds == want_kinds, (
+        f"dtype-kind mismatch (driver hash would fail): "
+        f"spark={got_raw.dtypes.to_dict()} oracle={want_raw.dtypes.to_dict()}"
+    )
     assert _value_hash(got_raw) == _value_hash(want_raw), (
         f"value-hash mismatch despite equal values — dtype drift? "
         f"spark={got_raw.dtypes.to_dict()} oracle={want_raw.dtypes.to_dict()}"

@@ -42,6 +42,30 @@ def test_no_orphan_oracles():
 from pyspark.sql import functions as F
 
 
+def test_gate_catches_int_vs_float_zeros(spark):
+    """pd.util.hash_pandas_object hashes int64 0 and float64 0.0 to the
+    same bit pattern, so the value-hash ALONE passes an all-zeros column
+    whose dtype drifted (the r04 q_profile driver miss).  The gate's
+    explicit dtype-kind check must fail it."""
+    import pandas as pd
+
+    from tests.oracle_utils import _value_hash, assert_matches_oracle
+
+    ints = pd.DataFrame({"z": pd.array([0, 0, 0], dtype="int64")})
+    flts = pd.DataFrame({"z": pd.array([0.0, 0.0, 0.0], dtype="float64")})
+    # precondition: this is exactly the collision the kind-check exists for
+    assert _value_hash(ints) == _value_hash(flts)
+
+    sdf = spark.createDataFrame([(0,), (0,), (0,)], "z long")
+    with pytest.raises(AssertionError, match="dtype-kind mismatch"):
+        # DuckDB AVG returns DOUBLE -> float64 zeros vs Spark int64 zeros
+        assert_matches_oracle(
+            sdf,
+            "SELECT CAST(0 AS DOUBLE) AS z FROM range(3)",
+            SF_CORRECTNESS,
+        )
+
+
 def test_decimal_round_survives_double_resolution(spark):
     """round(double, 6) breaks past ~4.5e9 (|x|*1e6 > 2^53): engines
     land one ulp apart.  _dsum_r6 rounds in decimal FIRST — this pins
