@@ -674,11 +674,11 @@ def q_kmeans_nd(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     init_rows = emb.orderBy("vec_id").limit(K_DEFAULT).collect()
     init = [[float(v) for v in r["embedding"]] for r in init_rows]
-    cents, _wcss = lloyd_nd(
+    cents, _wcss, cids = lloyd_nd(
         emb.select("vec_id", "embedding"), init, max_iterations=KMEANS_ITERS
     )
     rows = [
-        (i, j, c[j]) for i, c in enumerate(cents) for j in range(len(c))
+        (i, j, c[j]) for i, c in zip(cids, cents) for j in range(len(c))
     ]
     out = spark.createDataFrame(rows, "id int, dim int, value double")
     return out.select("id", "dim", F.round("value", 6).alias("value"))

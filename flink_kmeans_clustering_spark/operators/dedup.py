@@ -693,6 +693,18 @@ def _cc_star(p: DataFrame, max_iterations: int) -> tuple[DataFrame, int]:
     labels = edges.select(
         F.col("u").alias("id"), F.col("v").alias("comp")
     ).union(roots.select("id", F.col("id").alias("comp")))
+    # the src != dst pre-filter dropped nodes whose ONLY pair is a
+    # self-pair; the documented contract ("one row per node that
+    # appears in any pair") and _cc_label_prop both emit them as their
+    # own roots — union them back so the two engines stay label-equal
+    # on degenerate input
+    iso = (
+        p.select(F.col("src").alias("id"))
+        .union(p.select(F.col("dst").alias("id")))
+        .distinct()
+        .join(labels.select("id"), "id", "left_anti")
+    )
+    labels = labels.union(iso.select("id", F.col("id").alias("comp")))
     return labels, rounds
 
 

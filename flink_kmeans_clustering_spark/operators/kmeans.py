@@ -805,6 +805,7 @@ def assign_points_nd(
     vec_col: str = "embedding",
     cluster_col: str = "cluster",
     dist2_col: str | None = None,
+    centroid_ids: Sequence[int] | None = None,
 ) -> DataFrame:
     """O1/O7 assignment generalized from (x, y) to a vector column —
     the reference hardcodes 2-D; the Spark-native data model is
@@ -815,20 +816,30 @@ def assign_points_nd(
     same 32 doubles in the same order lands on the same double), and
     ``array_min`` over (dist², id) structs keeps the strict-<
     lowest-id tie-break.  A narrow map: no join, no shuffle, any dim.
+
+    ``centroid_ids`` (default: positions) are the labels EMITTED — pass
+    the surviving original ids in an iterative loop so labels stay
+    persistent when a cluster empties (the 2-D :func:`assign_points_param`
+    semantics; the min-struct tie-break then runs on the original id).
     """
     if not centroids:
         return vectors.select(
             "*", F.lit(-1).alias(cluster_col),
             *([F.lit(None).cast("double").alias(dist2_col)] if dist2_col else []),
         )
+    if centroid_ids is None:
+        centroid_ids = range(len(centroids))
     mat = F.lit([[float(v) for v in c] for c in centroids])
+    ids = F.lit([int(i) for i in centroid_ids])
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
 
     def _cand(i: Column) -> Column:
         diff2 = F.zip_with(vec, F.get(mat, i), lambda a, b: (a - b) * (a - b))
         d2 = F.aggregate(diff2, F.lit(0.0), lambda acc, v: acc + v)
-        return F.struct(d2.alias("dist2"), i.cast("int").alias("cluster"))
+        return F.struct(
+            d2.alias("dist2"), F.get(ids, i).cast("int").alias("cluster")
+        )
 
     best = F.array_min(F.transform(idx, _cand))
     cols = [*vectors.columns, best["cluster"].alias(cluster_col)]
@@ -865,28 +876,38 @@ def lloyd_nd(
     max_iterations: int = 10,
     vec_col: str = "embedding",
     cache: bool = True,
-) -> tuple[list[list[float]], float]:
+) -> tuple[list[list[float]], float, list[int]]:
     """O5 bulk iteration over a vector column: the driver loop of
     :func:`lloyd` with the n-dim assign/update pair.  Returns (final
-    centroids ordered by id — empty clusters drop, reference
-    semantics — and the final WCSS scalar)."""
+    centroids ordered by id, final WCSS scalar, surviving centroid
+    ids).  Empty clusters drop — reference semantics — and ids stay
+    PERSISTENT across iterations (an emptied cluster's id is retired,
+    not recycled by position), matching the 2-D :func:`lloyd` and the
+    DuckDB oracle's id-carrying CTE chain."""
     if cache:
         vectors = vectors.cache()
     dim = len(init_centroids[0])
     current = [list(map(float, c)) for c in init_centroids]
+    ids = list(range(len(current)))
     conf = vectors.sparkSession.conf
     prev_aqe = conf.get("spark.sql.adaptive.enabled", "true")
     try:
         conf.set("spark.sql.adaptive.enabled", "false")
         for _ in range(max_iterations):
-            a = assign_points_nd(vectors, current, vec_col=vec_col)
+            a = assign_points_nd(
+                vectors, current, vec_col=vec_col, centroid_ids=ids
+            )
             rows = update_centroids_nd(a, dim, vec_col=vec_col).collect()
             rows.sort(key=lambda r: r["id"])
+            ids = [int(r["id"]) for r in rows]
             current = [[float(v) for v in r["centroid"]] for r in rows]
-        a = assign_points_nd(vectors, current, vec_col=vec_col, dist2_col="_d2")
+        a = assign_points_nd(
+            vectors, current, vec_col=vec_col, dist2_col="_d2",
+            centroid_ids=ids,
+        )
         [row] = a.agg(F.sum("_d2").alias("wcss")).collect()
     finally:
         conf.set("spark.sql.adaptive.enabled", prev_aqe)
         if cache:
             vectors.unpersist()
-    return current, float(row["wcss"] or 0.0)
+    return current, float(row["wcss"] or 0.0), ids

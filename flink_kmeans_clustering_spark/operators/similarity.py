@@ -406,19 +406,23 @@ def pq_codebooks_trained(
     m: int = 8,
     k: int = 16,
     iters: int = 5,
+    id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> list[list[list[float]]]:
     """Production PQ codebooks: an independent distributed Lloyd
     (:func:`~flink_kmeans_clustering_spark.operators.kmeans.lloyd_nd`)
     per subspace over that subspace's subvectors.  Deterministic given
-    the data (init = first k subvectors), but 8 k-means jobs — the
-    checked query keeps the trainless contract above."""
+    the data — init is the first k subvectors BY ``id_col`` (a bare
+    ``limit`` without a sort would be partition/file-order dependent),
+    but 8 k-means jobs — the checked query keeps the trainless contract
+    above."""
     from flink_kmeans_clustering_spark.operators.kmeans import lloyd_nd
 
     dim = len(df.select(vec_col).head()[vec_col])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     d = dim // m
+    init_rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
     books = []
     for s in range(m):
         sub = df.select(
@@ -429,9 +433,10 @@ def pq_codebooks_trained(
             ).alias("embedding")
         )
         init = [
-            [float(v) for v in r["embedding"]] for r in sub.limit(k).collect()
+            [float(v) for v in r[vec_col][s * d : s * d + d]]
+            for r in init_rows
         ]
-        cents, _ = lloyd_nd(sub, init, max_iterations=iters)
+        cents, _, _ = lloyd_nd(sub, init, max_iterations=iters)
         books.append(cents)
     return books
 

@@ -73,6 +73,10 @@ def maintain_user_totals(
     rewrites its own version deterministically from the one below it.
     """
     spark = stream_df.sparkSession
+    # epochs THIS drain wrote: the final view must come from this run's
+    # own output, not whatever stale v{e} a prior run with a different
+    # checkpoint left at a higher epoch number under the same state_root
+    written: list[int] = []
 
     def merge(batch: DataFrame, epoch_id: int) -> None:
         delta = batch.groupBy(key_col).agg(
@@ -96,11 +100,21 @@ def maintain_user_totals(
             merged = delta
         new = os.path.join(state_root, f"v{epoch_id}")
         merged.write.mode("overwrite").parquet(new)
+        written.append(int(epoch_id))
 
     run_foreach_batch(
         stream_df, merge, timeout_sec=timeout_sec, checkpoint=checkpoint
     )
-    final = _latest_version(state_root)
+    # This drain's result is the highest epoch IT wrote.  Only when the
+    # drain delivered nothing (fully-committed checkpoint resume) is the
+    # on-disk maximum the right answer — then it IS this lineage's last
+    # committed version.  A global max would instead return a stale
+    # higher-numbered v{e} when a fresh checkpoint (epochs restarting at
+    # 0) reuses a dirty state_root.
+    if written:
+        final = os.path.join(state_root, f"v{max(written)}")
+    else:
+        final = _latest_version(state_root)
     if final is None:  # empty source: an empty, typed view
         return spark.createDataFrame(
             [], f"{key_col} long, n_events long, sum_v {_SUM_T}"

@@ -595,6 +595,28 @@ def test_cc_star_fewer_rounds_on_chain_graph(spark):
     assert st_rounds < lp_rounds / 2, (st_rounds, lp_rounds)
 
 
+def test_cc_engines_agree_on_self_pair_only_nodes(spark):
+    """A node whose ONLY pair is a self-pair (id 9) must appear as its
+    own root from BOTH engines — the documented 'one row per node that
+    appears in any pair' contract (star used to drop it at the
+    src != dst pre-filter)."""
+    from flink_kmeans_clustering_spark.operators.dedup import (
+        _cc_label_prop,
+        _cc_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (9, 9), (5, 5), (5, 6)], "src long, dst long"
+    ).localCheckpoint()
+    lp_labels, _ = _cc_label_prop(pairs, max_iterations=50)
+    st_labels, _ = _cc_star(pairs, max_iterations=50)
+    lp = {(r["id"], r["comp"]) for r in lp_labels.collect()}
+    st = {(r["id"], r["comp"]) for r in st_labels.collect()}
+    want = {(1, 1), (2, 1), (3, 1), (9, 9), (5, 5), (6, 5)}
+    assert lp == want
+    assert st == want
+
+
 def test_containment_catches_embedded_doc_jaccard_misses(spark):
     """A short doc fully embedded in a long one: containment ≈ 1 while
     Jaccard ≈ |A|/|B| is small — exactly the pair the containment

@@ -278,7 +278,8 @@ def test_lloyd_nd_matches_numpy_reference(spark):
         "vec_id long, embedding array<double>",
     )
     init = [list(map(float, blobs[i])) for i in (0, 20, 40)]
-    got_c, got_w = lloyd_nd(df, init, max_iterations=5)
+    got_c, got_w, got_ids = lloyd_nd(df, init, max_iterations=5)
+    assert got_ids == [0, 1, 2]  # no cluster emptied on this fixture
 
     cur = np.array(init)
     for _ in range(5):
@@ -294,6 +295,33 @@ def test_lloyd_nd_matches_numpy_reference(spark):
     want_w = d2.min(axis=1).sum()
     assert np.allclose(np.array(got_c), cur, atol=1e-9)
     assert abs(got_w - want_w) < 1e-6
+
+
+def test_lloyd_nd_empty_cluster_keeps_persistent_ids(spark):
+    """A duplicated init centroid (id 1 == id 0) never wins a point
+    (strict-< lowest-id tie-break), so cluster 1 empties after the
+    first update.  Surviving ids must be the ORIGINAL [0, 2] — not
+    re-densified [0, 1] — matching the DuckDB oracle's id-carrying CTE
+    chain and the 2-D lloyd's drop-semantics."""
+    from flink_kmeans_clustering_spark.operators.kmeans import (
+        assign_points_nd,
+        lloyd_nd,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i // 4), 0.0]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    init = [[0.0, 0.0], [0.0, 0.0], [1.0, 0.0]]
+    cents, _w, ids = lloyd_nd(df, init, max_iterations=3)
+    assert ids == [0, 2]
+    assert cents == [[0.0, 0.0], [1.0, 0.0]]
+    # and the emitted labels use the original ids too
+    labs = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_points_nd(df, cents, centroid_ids=ids).collect()
+    }
+    assert set(labs.values()) == {0, 2}
 
 
 def test_assign_nd_empty_centroids_is_minus_one(spark):

@@ -489,3 +489,36 @@ def test_mview_restart_resumes_from_on_disk_state(spark, tmp_path):
     # own (possibly half-written) version is ignored as merge input
     assert _latest_version(state, below=1) == f"{state}/v0"
     assert _latest_version(state, below=0) is None
+
+
+def test_mview_fresh_checkpoint_ignores_stale_state_versions(spark, tmp_path):
+    """A FRESH checkpoint restarts epochs at 0.  If state_root is dirty
+    with a prior run's higher-numbered versions, the drain must return
+    ITS OWN final version — not the stale global-max v{e} (which epoch
+    0's below-filter correctly refused to fold, so returning it would be
+    silently wrong data)."""
+    from decimal import Decimal
+
+    from flink_kmeans_clustering_spark.streaming.mview import (
+        maintain_user_totals,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    spark.createDataFrame(
+        [(1, 10.0), (2, 5.0)], "user_id long, value double"
+    ).coalesce(1).write.parquet(f"{src}/f0")
+
+    # stale state from a "prior run": v9 with totals this run never saw
+    spark.createDataFrame(
+        [(99, 7, Decimal("777.0"))],
+        "user_id long, n_events long, sum_v decimal(30,8)",
+    ).write.parquet(f"{state}/v9")
+
+    stream = spark.readStream.schema("user_id long, value double").parquet(
+        src + "/*"
+    )
+    # fresh (default tmp) checkpoint: epochs restart at 0
+    view = maintain_user_totals(stream, state, timeout_sec=120)
+    got = {r["user_id"]: (r["n_events"], r["sum_v"]) for r in view.collect()}
+    assert got == {1: (1, Decimal("10.0")), 2: (1, Decimal("5.0"))}
