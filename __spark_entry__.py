@@ -42,7 +42,6 @@ from flink_kmeans_clustering_spark.operators.similarity import (
     ann_quantized,
     ann_search,
     cell_centroids,
-    ivf_index,
     knn_join,
     random_hyperplanes,
     topk_cosine,
@@ -1355,14 +1354,31 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF probe search over k-means-trained cells (rows-only: MLlib
-    cell assignments are engine-specific; probing all cells must equal
-    brute force — asserted in tests/test_similarity.py)."""
+    """IVF probe search over TRAINED cells — full-oracle since r05:
+    cells are trained with the engine's own replayable lloyd_nd
+    (first-k-by-vec_id init, persistent ids) instead of MLlib, so the
+    whole pipeline — training loop, cell ranking, nearest-cell
+    assignment, probed exact top-k — replays in DuckDB
+    (_ann_trained_oracle_sql).  The MLlib production twin stays
+    available as operators.similarity.ivf_index (all-cells-probe ==
+    brute force pinned in tests/test_similarity.py)."""
+    from flink_kmeans_clustering_spark.operators.kmeans import (
+        assign_points_nd,
+        lloyd_nd,
+    )
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    assigned, cents = ivf_index(emb, n_cells=8)
+    init_rows = emb.orderBy("vec_id").limit(K_DEFAULT).collect()
+    init = [[float(v) for v in r["embedding"]] for r in init_rows]
+    cents, _w, cids = lloyd_nd(
+        emb.select("vec_id", "embedding"), init, max_iterations=KMEANS_ITERS
+    )
+    assigned = assign_points_nd(
+        emb, cents, centroid_ids=cids, cluster_col="cell"
+    )
     return ann_search(
         assigned,
-        cents,
+        list(zip(cids, cents)),
         _query_vector(spark, sf_dir),
         k=TOPK_K,
         n_probe=ANN_PROBES,
@@ -2475,12 +2491,12 @@ SELECT id, ROUND(x, 6) AS x, ROUND(y, 6) AS y FROM c{lloyd_iters}"""
     return sql
 
 
-def _kmeans_nd_oracle_sql(
-    k: int = K_DEFAULT, dim: int = KMEANS_ND_DIM, iters: int = KMEANS_ITERS
-) -> str:
-    """Chained-CTE n-dim Lloyd replay: assignment by list-lambda dist²
-    (same index-order fold as the Spark zip_with/aggregate), per-dim
-    means, ids dense from the first-k-by-vec_id init."""
+def _lloyd_nd_ctes(k: int, dim: int, iters: int) -> str:
+    """WITH-chain replaying ``lloyd_nd`` over the embeddings table
+    (first-k-by-vec_id init): assignment by list-lambda dist² (same
+    index-order fold as the Spark zip_with/aggregate), per-dim means,
+    PERSISTENT cluster ids.  Ends at ``c{iters}(id, cent)`` — shared by
+    the q_kmeans_nd and q_ann_trained oracles."""
     d1 = dim + 1
     sql = f"""WITH vecs AS MATERIALIZED (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
@@ -2511,10 +2527,62 @@ m{i} AS MATERIALIZED (
 c{i} AS MATERIALIZED (
   SELECT cluster AS id, list(mu ORDER BY j) AS cent FROM m{i} GROUP BY cluster
 )"""
-    sql += f"""
+    return sql
+
+
+def _kmeans_nd_oracle_sql(
+    k: int = K_DEFAULT, dim: int = KMEANS_ND_DIM, iters: int = KMEANS_ITERS
+) -> str:
+    d1 = dim + 1
+    return _lloyd_nd_ctes(k, dim, iters) + f"""
 SELECT id, CAST(jj.j - 1 AS INT) AS dim, ROUND(cent[jj.j], 6) AS value
 FROM c{iters}, (SELECT unnest(range(1, {d1})) AS j) jj"""
-    return sql
+
+
+def _ann_trained_oracle_sql(
+    k: int = K_DEFAULT,
+    dim: int = KMEANS_ND_DIM,
+    iters: int = KMEANS_ITERS,
+    n_probe: int = ANN_PROBES,
+    topk: int = TOPK_K,
+) -> str:
+    """Full replay of trained-IVF probe search: the lloyd_nd CTE chain
+    trains the cells, cells rank by cosine to the vec_id-0 query
+    (ties → lowest cell id, exactly ann_search's driver-side sort),
+    vectors assign to their nearest trained centroid (lowest-id
+    tie-break = assign_points_nd's min-struct), and the probed cells
+    get an exact-cosine top-k."""
+    d1 = dim + 1
+    return _lloyd_nd_ctes(k, dim, iters) + f""",
+q AS MATERIALIZED (
+  SELECT vec AS qv, sqrt(list_sum(list_transform(vec, x -> x*x))) AS qn
+  FROM vecs WHERE vec_id = 0
+),
+ranked AS (
+  SELECT c.id,
+         list_sum(list_transform(range(1, {d1}), j -> c.cent[j]*q.qv[j]))
+         / (sqrt(list_sum(list_transform(c.cent, x -> x*x))) * q.qn) AS csim
+  FROM c{iters} c CROSS JOIN q
+  ORDER BY csim DESC, c.id LIMIT {n_probe}
+),
+assign AS (
+  SELECT vec_id, vec, id AS cell FROM (
+    SELECT v.vec_id, v.vec, c.id,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_sum(list_transform(range(1, {d1}),
+                       j -> (v.vec[j]-c.cent[j])*(v.vec[j]-c.cent[j]))), c.id
+           ) AS rn
+    FROM vecs v CROSS JOIN c{iters} c
+  ) WHERE rn = 1
+),
+probed AS (SELECT a.* FROM assign a JOIN ranked r ON a.cell = r.id)
+SELECT vec_id,
+       ROUND(list_sum(list_transform(range(1, {d1}), j -> p.vec[j]*q.qv[j]))
+             / (sqrt(list_sum(list_transform(p.vec, x -> x*x))) * q.qn), 6)
+         AS cosine
+FROM probed p CROSS JOIN q
+ORDER BY cosine DESC, vec_id LIMIT {topk}"""
 
 
 def _ann_pq_oracle_sql(
@@ -4638,6 +4706,7 @@ SELECT event_type, event_id, ROUND(value, 6) AS value FROM (
         "q_kmeans_scalable": _kmeans_scalable_oracle_sql(),
         "q_kmeans_nd": _kmeans_nd_oracle_sql(),
         "q_ann_pq": _ann_pq_oracle_sql(),
+        "q_ann_trained": _ann_trained_oracle_sql(),
         "q_dedup_exact": dedup_exact_sql,
         "q_dedup_ngram": dedup_ngram_capped_sql,
         "q_dedup_contain": dedup_contain_sql,
