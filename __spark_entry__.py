@@ -1674,17 +1674,24 @@ def q_embed_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
     return covariance_matrix(emb, dim=GRAM_DIM)
 
 
+PCA_ITERS = 300
+
+
 def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PCA projection onto the top-2 principal components: one-pass
-    distributed sufficient statistics (q_embed_cov's GEMM), 64×64
-    eigensolve driver-side, loadings re-entering the plan as literals
-    in a narrow codegen map.  Rows-only: eigensolves aren't
-    SQL-expressible; the projection is pinned against numpy in
-    tests/test_linalg.py."""
-    from flink_kmeans_clustering_spark.operators.linalg import pca_project
+    """PCA projection onto the top-2 components — full-oracle since
+    r05: one-pass distributed sufficient statistics (q_embed_cov's
+    GEMM) consumed at round-6 (the proven cross-engine common ground),
+    then a fixed-iteration pure-Python power iteration with deflation
+    whose every fold is index-ordered — DuckDB replays the identical
+    float sequence through list_sum folds in a recursive CTE
+    (_embed_pca_oracle_sql).  The LAPACK eigh production twin stays as
+    operators.linalg.pca_project (numpy-pinned in tests/test_linalg)."""
+    from flink_kmeans_clustering_spark.operators.linalg import (
+        pca_project_checked,
+    )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return pca_project(emb, n_components=2, dim=GRAM_DIM)
+    return pca_project_checked(emb, dim=GRAM_DIM, iters=PCA_ITERS)
 
 
 def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2528,6 +2535,92 @@ c{i} AS MATERIALIZED (
   SELECT cluster AS id, list(mu ORDER BY j) AS cent FROM m{i} GROUP BY cluster
 )"""
     return sql
+
+
+def _embed_pca_oracle_sql(dim: int = 64, iters: int = 300) -> str:
+    """Bit-exact replay of pca_project_checked: round-6 covariance (the
+    q_embed_cov common ground), power iteration as a recursive CTE —
+    every list_sum is a sequential left fold, verified bit-equal to the
+    engine's pure-Python folds — deflation, sign canonicalization by
+    first largest-|component| entry, then the round-6 projection."""
+    d1 = dim + 1
+
+    def mv(m: str, v: str) -> str:
+        return (
+            f"list_transform(range(1, {d1}), i -> "
+            f"list_sum(list_transform(range(1, {d1}), j -> {m}[i][j]*{v}[j])))"
+        )
+
+    def it(name: str, mat: str) -> str:
+        step = mv("m", "v")
+        return f"""{name}(r, v) AS (
+  SELECT 0, list_transform(range(0, {dim}), x -> CAST(0.125 AS DOUBLE))
+  UNION ALL
+  SELECT r + 1,
+         list_transform({step},
+           x -> x / sqrt(list_sum(list_transform({step}, y -> y*y))))
+  FROM {name}, {mat} WHERE r < {iters}
+)"""
+
+    def canon(name: str, src: str) -> str:
+        jmax = (
+            f"list_filter(range(1, {d1}), i -> "
+            f"abs(v[i]) = list_max(list_transform(v, x -> abs(x))))[1]"
+        )
+        return f"""{name} AS (
+  SELECT CASE WHEN v[{jmax}] < 0 THEN list_transform(v, x -> -x) ELSE v END AS v
+  FROM (SELECT v FROM {src} WHERE r = {iters})
+)"""
+
+    return f"""WITH RECURSIVE
+e AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE len(embedding) = {dim}
+),
+ex AS MATERIALIZED (
+  SELECT vec_id, unnest(v) AS x, unnest(range(0, {dim})) AS i FROM e
+),
+g AS (SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) AS g
+      FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.i >= a.i
+      GROUP BY a.i, b.i),
+s AS (SELECT i, SUM(x) AS s FROM ex GROUP BY i),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM e),
+covu AS (
+  SELECT g.i AS i, g.j AS j,
+         ROUND((g.g - sa.s * sb.s / n.c) / (n.c - 1), 6) + 0.0 AS a
+  FROM g JOIN s sa ON g.i = sa.i JOIN s sb ON g.j = sb.i CROSS JOIN n
+),
+covf AS (SELECT i, j, a FROM covu
+         UNION ALL
+         SELECT j AS i, i AS j, a FROM covu WHERE i <> j),
+mat1 AS MATERIALIZED (
+  SELECT list(row ORDER BY i) AS m
+  FROM (SELECT i, list(a ORDER BY j) AS row FROM covf GROUP BY i)
+),
+muv AS MATERIALIZED (
+  SELECT list(mv ORDER BY i) AS mu
+  FROM (SELECT i, ROUND(AVG(x), 6) + 0.0 AS mv FROM ex GROUP BY i)
+),
+{it("it1", "mat1")},
+{canon("c1v", "it1")},
+w1 AS (SELECT c1v.v AS v, {mv("m", "c1v.v")} AS w FROM c1v, mat1),
+lam1 AS (
+  SELECT v, list_sum(list_transform(range(1, {d1}), i -> v[i]*w[i])) AS lam
+  FROM w1
+),
+mat2 AS MATERIALIZED (
+  SELECT list_transform(range(1, {d1}), i ->
+           list_transform(range(1, {d1}), j -> m[i][j] - lam*v[i]*v[j])) AS m
+  FROM mat1, lam1
+),
+{it("it2", "mat2")},
+{canon("c2v", "it2")}
+SELECT e.vec_id,
+       ROUND(list_sum(list_transform(range(1, {d1}),
+             i -> (e.v[i] - mu[i]) * c1v.v[i])), 6) + 0.0 AS pc1,
+       ROUND(list_sum(list_transform(range(1, {d1}),
+             i -> (e.v[i] - mu[i]) * c2v.v[i])), 6) + 0.0 AS pc2
+FROM e CROSS JOIN muv CROSS JOIN c1v CROSS JOIN c2v"""
 
 
 def _kmeans_nd_oracle_sql(
@@ -4707,6 +4800,7 @@ SELECT event_type, event_id, ROUND(value, 6) AS value FROM (
         "q_kmeans_nd": _kmeans_nd_oracle_sql(),
         "q_ann_pq": _ann_pq_oracle_sql(),
         "q_ann_trained": _ann_trained_oracle_sql(),
+        "q_embed_pca": _embed_pca_oracle_sql(dim=GRAM_DIM, iters=PCA_ITERS),
         "q_dedup_exact": dedup_exact_sql,
         "q_dedup_ngram": dedup_ngram_capped_sql,
         "q_dedup_contain": dedup_contain_sql,

@@ -137,6 +137,128 @@ def pca_project(
     return vecs_df.selectExpr(*exprs)
 
 
+def _matvec_fold(a: list[list[float]], v: list[float]) -> list[float]:
+    """Row-wise A·v with a LEFT-TO-RIGHT fold over j — the exact op
+    order of DuckDB's ``list_sum(list_transform(...))`` (verified
+    bit-equal in tests), so an oracle replaying the same doubles lands
+    on the same bits."""
+    out = []
+    for row in a:
+        s = 0.0
+        for j, x in enumerate(v):
+            s += row[j] * x
+        out.append(s)
+    return out
+
+
+def _power_iterate(
+    a: list[list[float]], iters: int
+) -> list[float]:
+    """Fixed-iteration power iteration from the constant 1/8 vector
+    (exact in binary for dim 64), sign-canonicalized (first
+    largest-|component| entry positive).  No numpy anywhere: every fold
+    is index-ordered pure Python so the arithmetic replays bit-exactly
+    in any engine with sequential-fold list ops."""
+    import math
+
+    dim = len(a)
+    v = [0.125] * dim
+    for _ in range(iters):
+        w = _matvec_fold(a, v)
+        s = 0.0
+        for x in w:
+            s += x * x
+        nrm = math.sqrt(s)
+        v = [x / nrm for x in w]
+    jmax = 0
+    best = -1.0
+    for i, x in enumerate(v):
+        ax = abs(x)
+        if ax > best:
+            best, jmax = ax, i
+    if v[jmax] < 0:
+        v = [-x for x in v]
+    return v
+
+
+def pca_project_checked(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    iters: int = 300,
+    round_to: int = 6,
+) -> DataFrame:
+    """Top-2 PCA projection with a FULLY REPLAYABLE eigensolve.
+
+    :func:`pca_project` uses ``numpy.linalg.eigh`` — correct, but a
+    LAPACK black box no SQL engine can replay, so it was rows-only.
+    This variant trades the closed-form solve for determinism the way
+    q_kmeans_scalable did for k-means‖:
+
+    1. sufficient statistics: the same one-pass distributed GEMM
+       (:func:`covariance_matrix`), but consumed at ROUND-6 — the
+       rounded covariance is the cross-engine common ground the green
+       q_embed_cov oracle already proves bit-equal;
+    2. eigensolve: ``iters`` rounds of power iteration from the exact
+       1/8 vector, second component via explicit deflation
+       (A − λ₁v₁v₁ᵀ), every fold index-ordered pure Python
+       (:func:`_power_iterate`) — an engine replaying the same rounded
+       doubles through the same fold order lands on identical bits;
+    3. projection: loadings re-enter the plan as literals in one
+       codegen map, ``pcₖ = Σᵢ (xᵢ−μᵢ)·vᵢₖ`` folded left-to-right,
+       rounded and −0.0-canonicalized.
+
+    On a near-isotropic spectrum the iterate converges slowly — that
+    affects how close v₁ is to LAPACK's PC1 (tests pin subspace
+    agreement on a separated spectrum), never cross-engine equality:
+    both engines compute the identical finite float sequence.
+
+    Output: (id, pc1, pc2), one row per in-width input row.
+    """
+    import math
+
+    cov_rows = covariance_matrix(
+        df, vec_col=vec_col, dim=dim, round_to=round_to
+    ).collect()
+    a = [[0.0] * dim for _ in range(dim)]
+    for r in cov_rows:
+        a[r["i"]][r["j"]] = r["cov"]
+        a[r["j"]][r["i"]] = r["cov"]
+
+    v1 = _power_iterate(a, iters)
+    w1 = _matvec_fold(a, v1)
+    lam = 0.0
+    for i in range(dim):
+        lam += v1[i] * w1[i]
+    a2 = [
+        [a[i][j] - lam * v1[i] * v1[j] for j in range(dim)]
+        for i in range(dim)
+    ]
+    v2 = _power_iterate(a2, iters)
+
+    vecs = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    ).filter(F.size("_v") == dim)
+    mu_aggs = [
+        (F.round(F.avg(F.element_at("_v", i + 1)), round_to) + F.lit(0.0)).alias(
+            f"_m{i}"
+        )
+        for i in range(dim)
+    ]
+    [mu_row] = vecs.agg(*mu_aggs).collect()
+    mu = [float(mu_row[f"_m{i}"]) for i in range(dim)]
+
+    exprs = [id_col]
+    for name, comp in (("pc1", v1), ("pc2", v2)):
+        terms = " + ".join(
+            f"(element_at(_v, {i + 1}) - {mu[i]!r}) * {comp[i]!r}"
+            for i in range(dim)
+        )
+        exprs.append(f"round(({terms}), {round_to}) + 0.0d AS {name}")
+    return vecs.selectExpr(*exprs)
+
+
 def covariance_matrix(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -121,3 +121,91 @@ def test_pca_requires_two_rows(spark):
     )
     with pytest.raises(ValueError):
         pca_project(one, n_components=1, dim=2)
+
+
+def test_pca_checked_matches_eigh_on_separated_spectrum(spark):
+    """pca_project_checked's power iteration must land on (±) the same
+    top-2 subspace as LAPACK eigh when the spectrum is well separated —
+    the convergence guarantee behind using it as the checked PCA.  On
+    near-degenerate spectra only cross-engine equality is promised
+    (that's the oracle's job), not eigh agreement."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    # explicit spectrum: PC1 var 25, PC2 var 9, rest ~0.01
+    basis, _ = np.linalg.qr(rng.standard_normal((6, 6)))
+    z = rng.standard_normal((300, 6)) * np.array([5.0, 3.0, 0.1, 0.1, 0.1, 0.1])
+    mat = z @ basis.T
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in mat[i]]) for i in range(len(mat))],
+        "vec_id long, embedding array<double>",
+    )
+    from flink_kmeans_clustering_spark.operators.linalg import (
+        pca_project_checked,
+    )
+
+    got = {
+        r["vec_id"]: (r["pc1"], r["pc2"])
+        for r in pca_project_checked(df, dim=6, iters=300).collect()
+    }
+    centered = mat - mat.mean(axis=0)
+    vals, vecs = np.linalg.eigh(np.cov(mat, rowvar=False))
+    comps = vecs[:, np.argsort(vals)[::-1][:2]]
+    want = centered @ comps
+    p1 = np.array([got[i][0] for i in range(len(mat))])
+    p2 = np.array([got[i][1] for i in range(len(mat))])
+    # sign-free alignment: |corr| with the eigh projection ≈ 1
+    for g, w in ((p1, want[:, 0]), (p2, want[:, 1])):
+        c = abs(np.corrcoef(g, w)[0, 1])
+        assert c > 0.9999, c
+    assert p1.var() >= p2.var()
+
+
+def test_power_iterate_fold_order_matches_duckdb(spark):
+    """The pure-Python matvec/norm folds must be bit-identical to
+    DuckDB's list_sum sequential fold — the premise that lets the
+    q_embed_pca oracle replay the whole iteration.  One iteration on an
+    adversarial-magnitude matrix, compared bit-for-bit."""
+    import math
+
+    import duckdb
+
+    from flink_kmeans_clustering_spark.operators.linalg import _matvec_fold
+
+    import random
+
+    random.seed(7)
+    dim = 16
+    a = [
+        [random.uniform(-1, 1) * 10 ** random.randint(-6, 6) for _ in range(dim)]
+        for _ in range(dim)
+    ]
+    v = [0.125] * dim
+    w = _matvec_fold(a, v)
+    s = 0.0
+    for x in w:
+        s += x * x
+    py = [x / math.sqrt(s) for x in w]
+
+    # string→double casts: DuckDB parses bare numeric literals through
+    # DECIMAL (double-rounding, 1 ulp off); VARCHAR→DOUBLE is correctly
+    # rounded.  The production oracle never embeds engine floats, so
+    # only this test needs the workaround.
+    mat_lit = "[" + ",".join(
+        "[" + ",".join(f"CAST('{x!r}' AS DOUBLE)" for x in row) + "]"
+        for row in a
+    ) + "]"
+    d1 = dim + 1
+    mv = (
+        f"list_transform(range(1, {d1}), i -> "
+        f"list_sum(list_transform(range(1, {d1}), j -> m[i][j]*v[j])))"
+    )
+    [(dk,)] = duckdb.sql(f"""
+        WITH mat AS (SELECT {mat_lit}::DOUBLE[][] AS m),
+        vv AS (SELECT list_transform(range(0, {dim}),
+                      x -> CAST(0.125 AS DOUBLE)) AS v)
+        SELECT list_transform({mv},
+               x -> x / sqrt(list_sum(list_transform({mv}, y -> y*y))))
+        FROM mat, vv
+    """).fetchall()
+    assert [x.hex() for x in py] == [float(x).hex() for x in dk]
