@@ -1080,11 +1080,24 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end deduplicated corpus: capped n-gram pairs → connected
-    components → keep each component's min-id representative plus all
-    untouched docs (components broadcast; corpus scanned once)."""
+    """End-to-end deduplicated corpus under the DUAL near-dup
+    criterion: capped n-gram pairs by Jaccard-OR-containment (one pass
+    of the shared posting-list generator — a contained/embedded doc is
+    deduplicated even when its Jaccard sits under the threshold) →
+    connected components → keep each component's min-id representative
+    plus all untouched docs (components broadcast; corpus scanned
+    once)."""
+    from flink_kmeans_clustering_spark.operators.dedup import (
+        ngram_overlap_pairs,
+    )
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    pairs = ngram_jaccard_pairs(docs, n=3, threshold=NGRAM_JACCARD_THRESHOLD)
+    pairs = ngram_overlap_pairs(
+        docs,
+        n=3,
+        jaccard_threshold=NGRAM_JACCARD_THRESHOLD,
+        containment_threshold=CONTAINMENT_THRESHOLD,
+    )
     comp = connected_components(pairs, node_col="doc_id")
     kept = dedup_corpus(docs, comp, id_col="doc_id")
     return kept.select("doc_id", "source", "n_chars")
@@ -4443,12 +4456,22 @@ r0 AS (SELECT src, CAST(1 AS DOUBLE) / (SELECT n FROM prn) AS r FROM deg),
 {",".join(_pr_levels)}
 SELECT src AS doc_id, ROUND(r, 6) AS rank FROM r{PAGERANK_ITERS}
 """
+    # dual criterion: Jaccard (capped_pairs) OR containment — both off
+    # the same inter/sizes stats, mirroring ngram_overlap_pairs
     dedup_keep_sql = f"""
 WITH RECURSIVE {ngram_capped_ctes},
-cc_edges AS (
-  SELECT id_a AS src, id_b AS dst FROM capped_pairs
+keep_pairs AS (
+  SELECT id_a, id_b FROM capped_pairs
   UNION
-  SELECT id_b, id_a FROM capped_pairs
+  SELECT id_a, id_b
+  FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
+             JOIN sizes sb ON inter.id_b = sb.doc_id
+  WHERE CAST(inter AS DOUBLE) / least(sa.sz, sb.sz) >= {CONTAINMENT_THRESHOLD}
+),
+cc_edges AS (
+  SELECT id_a AS src, id_b AS dst FROM keep_pairs
+  UNION
+  SELECT id_b, id_a FROM keep_pairs
 ),
 reach(id, r) AS (
   SELECT DISTINCT src, src FROM cc_edges

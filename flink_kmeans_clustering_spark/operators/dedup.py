@@ -221,6 +221,37 @@ def ngram_containment_pairs(
     ).filter(F.col("containment") >= threshold)
 
 
+def ngram_overlap_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    jaccard_threshold: float = 0.5,
+    containment_threshold: float = 0.8,
+    max_df: int | None = DEFAULT_NGRAM_MAX_DF,
+) -> DataFrame:
+    """Pairs that are near-dups by EITHER Jaccard OR containment — the
+    dual criterion web-corpus dedup runs (RefinedWeb-style): Jaccard
+    catches same-length rewrites, containment catches a short document
+    embedded in a long one.  ONE pass of the shared posting-list
+    generator (:func:`_ngram_pair_stats`); both ratios are projections
+    off the same (inter, sz_a, sz_b) row, so the dual filter costs no
+    second shuffle.
+
+    Output: (id_a, id_b, jaccard, containment) with id_a < id_b,
+    keeping rows where either ratio clears its threshold.
+    """
+    inter = _ngram_pair_stats(df, id_col, text_col, n, max_df)
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    cont = F.col("inter") / F.least("sz_a", "sz_b")
+    return inter.select(
+        "id_a", "id_b", jac.alias("jaccard"), cont.alias("containment")
+    ).filter(
+        (F.col("jaccard") >= jaccard_threshold)
+        | (F.col("containment") >= containment_threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dedup (approximate, banded)
 # ---------------------------------------------------------------------------

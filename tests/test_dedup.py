@@ -595,6 +595,39 @@ def test_cc_star_fewer_rounds_on_chain_graph(spark):
     assert st_rounds < lp_rounds / 2, (st_rounds, lp_rounds)
 
 
+def test_keeper_drops_embedded_doc_jaccard_would_keep(spark):
+    """End-to-end dual-criterion keeper: a short doc fully embedded in
+    a long one (containment ≈ 1, Jaccard ≈ |A|/|B| below threshold)
+    must be collapsed into the long doc's group — the containment edge
+    q_dedup_keep gained in r05; Jaccard-only would keep both."""
+    from flink_kmeans_clustering_spark.operators.dedup import (
+        connected_components,
+        dedup_corpus,
+        ngram_jaccard_pairs,
+        ngram_overlap_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    longd = short + " " + " ".join(
+        f"filler{i} pad{i} words{i}" for i in range(30)
+    )
+    docs = spark.createDataFrame(
+        [(0, longd), (1, short), (2, "totally unrelated content here")],
+        "doc_id long, text string",
+    )
+    # precondition: Jaccard alone does NOT pair them
+    jac = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    assert jac.count() == 0
+    pairs = ngram_overlap_pairs(
+        docs, n=3, jaccard_threshold=0.5, containment_threshold=0.8
+    )
+    comp = connected_components(pairs, node_col="doc_id")
+    kept = sorted(
+        r["doc_id"] for r in dedup_corpus(docs, comp).collect()
+    )
+    assert kept == [0, 2]  # the embedded doc 1 collapsed into 0
+
+
 def test_cc_engines_agree_on_self_pair_only_nodes(spark):
     """A node whose ONLY pair is a self-pair (id 9) must appear as its
     own root from BOTH engines — the documented 'one row per node that
