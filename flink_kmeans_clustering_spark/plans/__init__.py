@@ -19,6 +19,7 @@ from flink_kmeans_clustering_spark.plans.introspect import (
     assert_max_shuffles,
     assert_no_node,
     explain_str,
+    measured_shuffle_write_bytes,
     pushed_filters,
     read_schemas,
     shuffle_count,
@@ -29,6 +30,7 @@ __all__ = [
     "assert_max_shuffles",
     "assert_no_node",
     "explain_str",
+    "measured_shuffle_write_bytes",
     "pushed_filters",
     "read_schemas",
     "shuffle_count",

@@ -56,6 +56,59 @@ def shuffle_count(df: DataFrame) -> int:
     )
 
 
+def _status_store_stages(spark) -> list:
+    """Completed-stage rows from the JVM AppStatusStore — the data the
+    UI/REST API serves, but available with the UI disabled (the store
+    always backs the listener bus).  Scala default args aren't applied
+    through py4j, so fetch each ``stageList$default$N`` explicitly."""
+    store = spark.sparkContext._jsc.sc().statusStore()  # noqa: SLF001
+    args = [
+        getattr(store, f"stageList$default${i}")() for i in range(2, 6)
+    ]
+    seq = store.stageList(None, *args)
+    out = []
+    it = seq.iterator()
+    while it.hasNext():
+        out.append(it.next())
+    return out
+
+
+def measured_shuffle_write_bytes(df_or_build, spark=None) -> int:
+    """EXECUTE a query (noop sink) and return the total shuffle-write
+    bytes its stages actually moved — measured, not inferred from the
+    plan.  This is the regression gate :func:`shuffle_count` can't be:
+    a plan can look one-shuffle and still push the whole table through
+    that one exchange.
+
+    Pass a ZERO-ARG CALLABLE (plus ``spark``) for queries that do
+    eager work while being built (iterative loops, collect-backed
+    literals, localCheckpoint) — the build then runs INSIDE the
+    measurement window; a bare DataFrame measures only its own
+    execution.  Stages are attributed by stage-id watermark
+    (single-threaded test usage only)."""
+    import time
+
+    if callable(df_or_build):
+        assert spark is not None, "pass spark with a build callable"
+    else:
+        spark = df_or_build.sparkSession
+    before = max(
+        (s.stageId() for s in _status_store_stages(spark)), default=-1
+    )
+    df = df_or_build() if callable(df_or_build) else df_or_build
+    df.write.format("noop").mode("overwrite").save()
+    sc = spark.sparkContext._jsc.sc()  # noqa: SLF001
+    try:  # flush the async listener bus so late metrics are counted
+        sc.listenerBus().waitUntilEmpty(10_000)
+    except Exception:
+        time.sleep(0.5)
+    return sum(
+        s.shuffleWriteBytes()
+        for s in _status_store_stages(spark)
+        if s.stageId() > before
+    )
+
+
 def assert_has_node(df: DataFrame, node: str) -> None:
     plan = explain_str(df)
     assert node in plan, f"expected {node!r} in physical plan:\n{plan}"

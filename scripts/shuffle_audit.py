@@ -36,6 +36,7 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from flink_kmeans_clustering_spark.session import get_spark
 
+    check = "--check" in sys.argv[1:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(
         app_name="shuffle-audit", extra_conf={"spark.ui.enabled": "true"}
@@ -81,6 +82,23 @@ def main() -> int:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "docs"
     )
+    # --check: regression gate against the COMMITTED baseline before
+    # overwriting it — a query shuffling >2× its recorded bytes AND
+    # >1 MB more is a scale regression (a lost broadcast, an unpushed
+    # filter), not jitter.  Exit 1 so a round script can fail loudly.
+    regressions = []
+    baseline_path = os.path.join(out_dir, "shuffle_audit.json")
+    if check and os.path.exists(baseline_path):
+        with open(baseline_path) as fh:
+            base = {
+                r["query"]: r["shuffle_write_mb"]
+                for r in json.load(fh).get("rows", [])
+            }
+        for r in rows:
+            old = base.get(r["query"])
+            new = r["shuffle_write_mb"]
+            if old is not None and new > 2 * old and new - old > 1.0:
+                regressions.append((r["query"], old, new))
     with open(os.path.join(out_dir, "shuffle_audit.json"), "w") as fh:
         json.dump({"sf_dir": sf_dir, "rows": rows}, fh, indent=1)
     md = [
@@ -101,6 +119,10 @@ def main() -> int:
     with open(os.path.join(out_dir, "SHUFFLE_AUDIT.md"), "w") as fh:
         fh.write("\n".join(md) + "\n")
     print(f"wrote docs/SHUFFLE_AUDIT.md ({len(rows)} queries)")
+    if regressions:
+        for q, old, new in regressions:
+            print(f"SHUFFLE REGRESSION: {q} {old} MB -> {new} MB")
+        return 1
     return 0
 
 

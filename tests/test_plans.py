@@ -40,6 +40,7 @@ from flink_kmeans_clustering_spark.sources.parquet import load_events, load_tabl
 from flink_kmeans_clustering_spark.views import centroids_v, points_v
 
 SF = "/root/testdata/sf0.01"
+SF_CORRECTNESS = SF
 
 
 def test_pricing_filter_pushed_and_schema_pruned(spark):
@@ -954,3 +955,71 @@ def test_pq_scoring_is_narrow_takeordered(spark):
     assert "Join" not in plan, plan
     assert plan.count("TakeOrderedAndProject") >= 2, plan
     assert shuffle_count(df) == 0, plan
+
+
+def test_measured_shuffle_budget_gate(spark):
+    """MEASURED shuffle-write regression gate (the r04 shuffle audit
+    turned into a test): the scale-critical queries must stay within an
+    absolute byte budget at sf0.01 — ~3× their r05 measured values, so
+    a broadcast silently becoming a shuffle join (10-1000× blowup)
+    trips while normal jitter does not.  Bytes come from the JVM
+    AppStatusStore, not the plan."""
+    import __spark_entry__ as entrymod
+    from flink_kmeans_clustering_spark.plans import (
+        measured_shuffle_write_bytes,
+    )
+
+    budgets = {  # bytes; measured r05 values in comments
+        "q_knn_join": 64 << 10,        # 589
+        "q_ann_pq": 64 << 10,          # 0
+        "q_rel_pricing": 64 << 10,     # 903
+        "q_dedup_minhash": 512 << 10,  # 86 083
+        "q_dedup_twostage": 512 << 10, # 137 827
+        "q_dedup_keep": 4 << 20,       # 947 298
+        "q_graph_pagerank": 4 << 20,   # 948 705
+    }
+    qs = entrymod.queries()
+    over = {}
+    for name, budget in budgets.items():
+        got = measured_shuffle_write_bytes(
+            lambda n=name: qs[n](spark, SF_CORRECTNESS), spark
+        )
+        if got > budget:
+            over[name] = (got, budget)
+    assert not over, f"shuffle-write budget exceeded: {over}"
+
+
+def test_measured_shuffle_gate_trips_on_unbroadcast_join(spark):
+    """Tripwire proof: the same logical join measured with broadcast
+    suppressed must blow far past the gate's budget class, while the
+    broadcast form stays tiny — evidence the gate actually detects the
+    regression it exists for."""
+    from pyspark.sql import functions as F
+
+    from flink_kmeans_clustering_spark.plans import (
+        measured_shuffle_write_bytes,
+    )
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    part = spark.read.parquet(f"{SF}/part.parquet")
+
+    def bad():
+        # shuffle join forced: no broadcast allowed on either side
+        return (
+            li.hint("shuffle_hash")
+            .join(part.hint("shuffle_hash"), li["l_partkey"] == part["p_partkey"])
+            .groupBy("p_brand")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    def good():
+        return (
+            li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+            .groupBy("p_brand")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    bad_bytes = measured_shuffle_write_bytes(bad, spark)
+    good_bytes = measured_shuffle_write_bytes(good, spark)
+    assert bad_bytes > 10 * max(good_bytes, 1), (bad_bytes, good_bytes)
+    assert bad_bytes > 64 << 10, bad_bytes  # would trip the small-class budget
