@@ -1493,6 +1493,35 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQ_TRAIN_ITERS = 3
+
+
+def q_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN over TRAINED codebooks — the production path, now
+    oracle-checked: all m subspace k-means run as ONE grouped Lloyd
+    (pq_codebooks_trained_grouped — the corpus is scanned iters times
+    total, not m·iters; the update shuffle carries m·k rows), with
+    persistent codeword ids and first-k-by-vec_id init so DuckDB
+    replays the training chain CTE-for-CTE
+    (_ann_pq_trained_oracle_sql) before the shared ADC tail."""
+    from flink_kmeans_clustering_spark.operators.similarity import (
+        ann_pq,
+        pq_codebooks_trained_grouped,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = pq_codebooks_trained_grouped(
+        emb, m=PQ_M, k=PQ_CODEWORDS, iters=PQ_TRAIN_ITERS
+    )
+    return ann_pq(
+        emb,
+        _query_vector(spark, sf_dir),
+        books,
+        k=TOPK_K,
+        shortlist=ANN_SHORTLIST,
+    )
+
+
 def q_dedup_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage dedup: blocked embedding-cosine candidates verified by
     exact shingle Jaccard on the text — the corpus is never shuffled
@@ -2234,6 +2263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sample_mixture": q_sample_mixture,
         "q_kmeans_nd": q_kmeans_nd,
         "q_ann_pq": q_ann_pq,
+        "q_ann_pq_trained": q_ann_pq_trained,
         "q_dedup_contain": q_dedup_contain,
         "q_dedup_cc": q_dedup_cc,
         "q_dedup_embedding": q_dedup_embedding,
@@ -2691,26 +2721,14 @@ FROM probed p CROSS JOIN q
 ORDER BY cosine DESC, vec_id LIMIT {topk}"""
 
 
-def _ann_pq_oracle_sql(
-    m: int = PQ_M, kc: int = PQ_CODEWORDS, dim: int = KMEANS_ND_DIM,
-    shortlist: int = ANN_SHORTLIST, topk: int = TOPK_K,
-) -> str:
-    """PQ/ADC replay: first-k-subvector codebooks, per-(vector,
-    subspace) argmin codes, LUT from the vec_id-0 query, score = the
-    s-ordered fold of LUT entries, exact-L2 rerank — every fold in the
-    same index order as the Spark HOFs."""
+def _pq_adc_tail(m: int, dim: int, shortlist: int, topk: int) -> str:
+    """The engine-independent ADC pipeline downstream of a ``cw(s, c,
+    sub)`` codebook CTE: per-(vector, subspace) argmin codes, LUT from
+    the vec_id-0 query, score = the s-ordered fold of LUT entries,
+    exact-L2 rerank — every fold in the same index order as the Spark
+    HOFs.  Shared by the trainless and trained PQ oracles."""
     d = dim // m
-    return f"""WITH vecs AS MATERIALIZED (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-),
-cw AS MATERIALIZED (
-  SELECT ss.s, r.c,
-         list_transform(range(1, {d + 1}), j -> r.v[ss.s*{d} + j]) AS sub
-  FROM (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS c, v
-        FROM (SELECT * FROM vecs ORDER BY vec_id LIMIT {kc})) r,
-       (SELECT unnest(range(0, {m})) AS s) ss
-),
-q AS MATERIALIZED (SELECT v FROM vecs WHERE vec_id = 0),
+    return f"""q AS MATERIALIZED (SELECT v FROM vecs WHERE vec_id = 0),
 codes AS MATERIALIZED (
   SELECT vec_id, s, c FROM (
     SELECT t.vec_id, cw.s, cw.c,
@@ -2744,6 +2762,85 @@ SELECT vec_id, ROUND(d2, 6) AS d2 FROM (
            j -> (t.v[j]-q.v[j])*(t.v[j]-q.v[j]))) AS d2
   FROM vecs t JOIN short USING (vec_id), q
 ) ORDER BY d2, vec_id LIMIT {topk}"""
+
+
+def _ann_pq_oracle_sql(
+    m: int = PQ_M, kc: int = PQ_CODEWORDS, dim: int = KMEANS_ND_DIM,
+    shortlist: int = ANN_SHORTLIST, topk: int = TOPK_K,
+) -> str:
+    """Trainless PQ/ADC replay: first-k-subvector codebooks feeding the
+    shared ADC tail (:func:`_pq_adc_tail`)."""
+    d = dim // m
+    return f"""WITH vecs AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cw AS MATERIALIZED (
+  SELECT ss.s, r.c,
+         list_transform(range(1, {d + 1}), j -> r.v[ss.s*{d} + j]) AS sub
+  FROM (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS c, v
+        FROM (SELECT * FROM vecs ORDER BY vec_id LIMIT {kc})) r,
+       (SELECT unnest(range(0, {m})) AS s) ss
+),
+{_pq_adc_tail(m, dim, shortlist, topk)}"""
+
+
+def _ann_pq_trained_oracle_sql(
+    m: int = PQ_M, kc: int = PQ_CODEWORDS, dim: int = KMEANS_ND_DIM,
+    iters: int = 3,
+    shortlist: int = ANN_SHORTLIST, topk: int = TOPK_K,
+) -> str:
+    """TRAINED PQ/ADC replay: the grouped per-subspace Lloyd
+    (pq_codebooks_trained_grouped — init = first-kc-by-vec_id slices,
+    persistent codeword ids, codewords re-ranked dense by surviving id
+    at the end) chained as CTE levels, feeding the same shared ADC
+    tail as the trainless oracle."""
+    d = dim // m
+    sql = f"""WITH vecs AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+sub AS MATERIALIZED (
+  SELECT vec_id, ss.s AS s,
+         list_transform(range(1, {d + 1}), j -> v[ss.s*{d} + j]) AS sv
+  FROM vecs, (SELECT unnest(range(0, {m})) AS s) ss
+),
+p0 AS MATERIALIZED (
+  SELECT s,
+         CAST(ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS INT)
+           AS c,
+         sv AS cent
+  FROM sub
+  WHERE vec_id IN (SELECT vec_id FROM vecs ORDER BY vec_id LIMIT {kc})
+)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+t{i} AS MATERIALIZED (
+  SELECT vec_id, s, sv, c AS code FROM (
+    SELECT u.vec_id, u.s, u.sv, p.c,
+           ROW_NUMBER() OVER (
+             PARTITION BY u.vec_id, u.s
+             ORDER BY list_sum(list_transform(range(1, {d + 1}),
+                       j -> (u.sv[j]-p.cent[j])*(u.sv[j]-p.cent[j]))), p.c
+           ) AS rn
+    FROM sub u JOIN p{i - 1} p ON u.s = p.s
+  ) WHERE rn = 1
+),
+u{i} AS MATERIALIZED (
+  SELECT s, code, jj.j AS j, SUM(sv[jj.j]) / COUNT(*) AS mu
+  FROM t{i}, (SELECT unnest(range(1, {d + 1})) AS j) jj
+  GROUP BY s, code, jj.j
+),
+p{i} AS MATERIALIZED (
+  SELECT s, code AS c, list(mu ORDER BY j) AS cent FROM u{i} GROUP BY s, code
+)"""
+    sql += f""",
+cw AS MATERIALIZED (
+  SELECT s, CAST(ROW_NUMBER() OVER (PARTITION BY s ORDER BY c) - 1 AS INT)
+           AS c,
+         cent AS sub
+  FROM p{iters}
+),
+{_pq_adc_tail(m, dim, shortlist, topk)}"""
+    return sql
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4822,6 +4919,7 @@ SELECT event_type, event_id, ROUND(value, 6) AS value FROM (
         "q_kmeans_scalable": _kmeans_scalable_oracle_sql(),
         "q_kmeans_nd": _kmeans_nd_oracle_sql(),
         "q_ann_pq": _ann_pq_oracle_sql(),
+        "q_ann_pq_trained": _ann_pq_trained_oracle_sql(iters=PQ_TRAIN_ITERS),
         "q_ann_trained": _ann_trained_oracle_sql(),
         "q_embed_pca": _embed_pca_oracle_sql(dim=GRAM_DIM, iters=PCA_ITERS),
         "q_dedup_exact": dedup_exact_sql,

@@ -441,16 +441,116 @@ def pq_codebooks_trained(
     return books
 
 
+def pq_codebooks_trained_grouped(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """All ``m`` subspace k-means trained in ONE grouped Lloyd — the
+    scale-right PQ trainer.
+
+    :func:`pq_codebooks_trained` runs m independent lloyd_nd jobs →
+    m·iters corpus passes.  Here the corpus is exploded ONCE into
+    (subspace, subvector) rows and every iteration is a single job:
+    a narrow literal-argmin assignment (the m×k×d codebook matrix is
+    one array literal; per-row cost is the same m·k distance evals the
+    per-subspace form pays in aggregate) and ONE groupBy(s, code)
+    per-dim mean — so the shuffle carries m·k rows and the corpus is
+    scanned iters times instead of m·iters.  Codeword ids are
+    PERSISTENT per subspace (an emptied cluster's id retires —
+    lloyd_nd semantics), and the returned list orders codewords by
+    surviving id, matching the replaying oracle's dense re-rank.
+
+    Deterministic given the data: init = the first k vectors by
+    ``id_col``, sliced per subspace.  Returns
+    ``codebooks[s][c] = list[d/m floats]`` (possibly ragged).
+    """
+    init_rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
+    dim = len(init_rows[0][vec_col])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    books = [
+        [[float(v) for v in r[vec_col][s * d : (s + 1) * d]] for r in init_rows]
+        for s in range(m)
+    ]
+    ids: list[list[int]] = [list(range(len(b))) for b in books]
+
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    sub = (
+        df.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda s: F.struct(
+                        s.cast("int").alias("s"),
+                        F.slice(vec, s * d + 1, d).alias("sv"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.s").alias("s"), F.col("p.sv").alias("sv"))
+        .cache()
+    )
+    try:
+        for _ in range(iters):
+            cb = F.lit(books)
+            idl = F.lit(ids)
+            row_cb = F.get(cb, F.col("s"))
+            row_ids = F.get(idl, F.col("s"))
+
+            def _cand(c):
+                diff2 = F.zip_with(
+                    F.col("sv"), F.get(row_cb, c), lambda a, b: (a - b) * (a - b)
+                )
+                d2 = F.aggregate(diff2, F.lit(0.0), lambda acc, v: acc + v)
+                return F.struct(
+                    d2.alias("dist2"),
+                    F.get(row_ids, c).cast("int").alias("code"),
+                )
+
+            best = F.array_min(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(row_cb) - 1), _cand
+                )
+            )
+            assigned = sub.select("s", "sv", best["code"].alias("code"))
+            sums = [
+                F.sum(F.element_at("sv", j + 1)).alias(f"_s{j}")
+                for j in range(d)
+            ]
+            rows = (
+                assigned.groupBy("s", "code")
+                .agg(*sums, F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            books = [[] for _ in range(m)]
+            ids = [[] for _ in range(m)]
+            for r in sorted(rows, key=lambda r: (r["s"], r["code"])):
+                ids[r["s"]].append(int(r["code"]))
+                books[r["s"]].append(
+                    [float(r[f"_s{j}"]) / r["n"] for j in range(d)]
+                )
+    finally:
+        sub.unpersist()
+    return books
+
+
 def _pq_codes(vec, codebooks: list[list[list[float]]]):
     """codes[s] = argmin_c ||subvector_s − codebook[s][c]||² (ties →
     lowest code), folded in index order — the column expression shared
     by encode and any future symmetric-distance scorer."""
     m = len(codebooks)
-    k = len(codebooks[0])
     d = len(codebooks[0][0])
     cb = F.lit(codebooks)  # array<array<array<double>>> literal
 
     def _code(s: int):
+        # per-subspace codeword count: a trained codebook can lose an
+        # emptied cluster, so subspaces may be ragged
+        k = len(codebooks[s])
         sub = F.slice(vec, s * d + 1, d)
         cands = F.transform(
             F.sequence(F.lit(0), F.lit(k - 1)),

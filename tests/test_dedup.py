@@ -677,3 +677,41 @@ def test_containment_catches_embedded_doc_jaccard_misses(spark):
         for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
     }
     assert (0, 1) not in jac  # jaccard misses it
+
+
+def test_posting_list_cap_defuses_adversarial_ubiquitous_shingle(spark):
+    """Skew-bomb fixture: ONE shingle shared by every document.
+    Uncapped, that single posting key generates N·(N−1)/2 candidate
+    pairs under one task; with the df cap the ubiquitous shingle is
+    dropped before expansion, so candidates are bounded by max_df
+    physics — at most max_df·(max_df−1)/2 pairs per surviving shingle.
+    This pins the skew defense the _ngram_pair_stats docstring claims."""
+    from flink_kmeans_clustering_spark.operators.dedup import (
+        _ngram_pair_stats,
+    )
+
+    n_docs, max_df = 60, 5
+    bomb = "common alpha token"  # one 3-gram present in EVERY doc
+    docs = spark.createDataFrame(
+        [
+            # each doc: the ubiquitous 3-gram + its own unique tail
+            (i, f"{bomb} unique{i} tail{i} end{i}")
+            for i in range(n_docs)
+        ],
+        "doc_id long, text string",
+    )
+    capped = _ngram_pair_stats(docs, "doc_id", "text", n=3, max_df=max_df)
+    # every cross-doc overlap runs through the bomb shingle only ->
+    # zero candidates survive the cap (vs C(60,2)=1770 uncapped)
+    assert capped.count() == 0
+    uncapped = _ngram_pair_stats(docs, "doc_id", "text", n=3, max_df=None)
+    assert uncapped.count() == n_docs * (n_docs - 1) // 2
+
+    # boundary: a shingle at df == max_df still expands, bounded at
+    # C(max_df, 2) pairs
+    docs2 = spark.createDataFrame(
+        [(i, f"shared group gram only{i} here{i} now{i}") for i in range(max_df)],
+        "doc_id long, text string",
+    )
+    at_cap = _ngram_pair_stats(docs2, "doc_id", "text", n=3, max_df=max_df)
+    assert at_cap.count() == max_df * (max_df - 1) // 2

@@ -305,3 +305,24 @@ def test_pq_trained_codebooks_same_plumbing(spark):
     rows = ann_pq(emb, qv, books, k=5).collect()
     assert rows[0]["vec_id"] == 0 and rows[0]["d2"] == 0.0
     assert len(rows) == 5
+
+
+def test_pq_grouped_trainer_equals_per_subspace_lloyd(spark):
+    """The grouped one-job-per-iteration PQ trainer must land on the
+    same codebooks as m independent lloyd_nd runs (same init, same
+    iteration count) — the scale path may not change the math.  Equal
+    up to distributed-sum rounding (~1 ulp), hence allclose."""
+    import numpy as np
+
+    from flink_kmeans_clustering_spark.operators.similarity import (
+        pq_codebooks_trained,
+        pq_codebooks_trained_grouped,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = pq_codebooks_trained(emb, m=8, k=8, iters=2)
+    b = pq_codebooks_trained_grouped(emb, m=8, k=8, iters=2)
+    assert len(a) == len(b) == 8
+    for s in range(8):
+        assert len(a[s]) == len(b[s]), f"subspace {s} codeword count"
+        assert np.allclose(np.array(a[s]), np.array(b[s]), atol=1e-9), s
