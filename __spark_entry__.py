@@ -375,6 +375,19 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score(docs)
 
 
+def q_text_mlquality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter: a frozen-coefficient logistic model
+    over surface features (stopword/length/punct/digit/upper/word-len),
+    σ(z) computed in-scan with literal weights — the CCNet/Gopher
+    classifier stage re-expressed as pure codegen arithmetic."""
+    from flink_kmeans_clustering_spark.operators.textstats import (
+        quality_classifier,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_classifier(docs)
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive integer rolling fingerprint of the token stream."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -2200,80 +2213,36 @@ def q_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    151 queries; 145 carry DuckDB oracles, 6 are rows-only by design
-    (MLlib placements, sketch estimates, GEMM ulp twin, PCA
-    eigensolve).
+    152 queries; 148 carry DuckDB oracles, 4 are rows-only by design
+    (MLlib placement RNG, sketch estimates, GEMM ulp twin).
 
     Registry ORDER is load-bearing: the driver's correctness artifact
-    records the first 50 entries only.  Round 4 leads with the 43
-    queries that had no driver row in rounds 1-3 (positions 1-43),
-    then re-confirms the 7 slowest already-green oracle-bearing
-    queries (44-50).  With this window, cumulative driver coverage
-    reaches 142/142.
+    records the first 50 entries only.  Round 5 leads with the queries
+    that gained oracles or changed this round — q_ann_pq /
+    q_dedup_contain (committed after the r04 rotation, no driver row
+    yet), the re-fixed q_profile, the new q_ann_pq_trained, the newly
+    oracle-checked q_ann_trained / q_embed_pca, the dual-criterion
+    q_dedup_keep, and the lloyd_nd/mview-touching q_kmeans_nd /
+    q_stream_mview — then the 5 planned re-confirms and a long-green
+    tail.  With this window, cumulative driver coverage reaches
+    152/152.
     """
     return {
-        "q_knn_join": q_knn_join,
-        "q_embed_cov": q_embed_cov,
-        "q_embed_pca": q_embed_pca,
-        "q_sample_weighted": q_sample_weighted,
-        "q_graph_triangles": q_graph_triangles,
-        "q_text_bm25": q_text_bm25,
-        "q_stream_outer_join": q_stream_outer_join,
-        "q_sink_compact": q_sink_compact,
-        "q_text_entropy": q_text_entropy,
-        "q_sink_evolve": q_sink_evolve,
-        "q_source_jsonl": q_source_jsonl,
-        "q_events_ewma": q_events_ewma,
-        "q_sink_zorder": q_sink_zorder,
-        "q_stream_mview": q_stream_mview,
-        "q_text_packed_seqs": q_text_packed_seqs,
-        "q_stream_session_native": q_stream_session_native,
-        "q_events_ohlc": q_events_ohlc,
-        "q_dedup_prefix": q_dedup_prefix,
-        "q_events_variant": q_events_variant,
-        "q_source_custom": q_source_custom,
-        "q_rel_dpp": q_rel_dpp,
-        "q_sql_pipe": q_sql_pipe,
-        "q_rel_lateral": q_rel_lateral,
-        "q_rel_stats": q_rel_stats,
-        "q_kmeans_scalable": q_kmeans_scalable,
-        "q_stream_kmeans": q_stream_kmeans,
-        "q_rel_groupsets": q_rel_groupsets,
-        "q_profile": q_profile,
-        "q_events_first": q_events_first,
-        "q_dedup_fuzzy": q_dedup_fuzzy,
-        "q_rel_upsert": q_rel_upsert,
-        "q_text_drift": q_text_drift,
-        "q_dedup_keep": q_dedup_keep,
-        "q_graph_pagerank": q_graph_pagerank,
-        "q_multimodal_resize": q_multimodal_resize,
-        "q_stream_dedup_wm": q_stream_dedup_wm,
-        "q_text_heavyhitters": q_text_heavyhitters,
-        "q_events_runs": q_events_runs,
-        "q_events_pattern": q_events_pattern,
-        "q_events_bandjoin": q_events_bandjoin,
-        "q_sink_bucketed": q_sink_bucketed,
-        "q_text_chunk_udtf": q_text_chunk_udtf,
-        "q_events_approx_quantiles": q_events_approx_quantiles,
-        "q_rel_mincost": q_rel_mincost,
-        "q_rel_suppcnt": q_rel_suppcnt,
-        "q_rel_excess": q_rel_excess,
-        "q_rel_shipmodes": q_rel_shipmodes,
-        "q_rel_waiting": q_rel_waiting,
-        "q_sample_mixture": q_sample_mixture,
-        "q_kmeans_nd": q_kmeans_nd,
         "q_ann_pq": q_ann_pq,
-        "q_ann_pq_trained": q_ann_pq_trained,
         "q_dedup_contain": q_dedup_contain,
-        "q_dedup_cc": q_dedup_cc,
-        "q_dedup_embedding": q_dedup_embedding,
+        "q_profile": q_profile,
+        "q_ann_pq_trained": q_ann_pq_trained,
+        "q_ann_trained": q_ann_trained,
+        "q_embed_pca": q_embed_pca,
+        "q_dedup_keep": q_dedup_keep,
+        "q_kmeans_nd": q_kmeans_nd,
+        "q_stream_mview": q_stream_mview,
+        "q_text_mlquality": q_text_mlquality,
         "q_dedup_minhash": q_dedup_minhash,
         "q_dedup_simhash": q_dedup_simhash,
         "q_rel_pricing": q_rel_pricing,
         "q_dedup_ngram": q_dedup_ngram,
         "q_dedup_twostage": q_dedup_twostage,
-        # --- below: all 99 queries already driver-green in rounds 1-3;
-        # outside the driver's 50-row window this round ---
         "q_assign": q_assign,
         "q_text_chunk": q_text_chunk,
         "q_objfun": q_objfun,
@@ -2309,7 +2278,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_anomaly": q_events_anomaly,
         "q_events_histogram": q_events_histogram,
         "q_window_range": q_window_range,
+        # --- below: outside the driver's 50-row window this round;
+        # all driver-green in rounds 1-4 ---
         "q_rel_yoy": q_rel_yoy,
+        "q_knn_join": q_knn_join,
+        "q_embed_cov": q_embed_cov,
+        "q_sample_weighted": q_sample_weighted,
+        "q_graph_triangles": q_graph_triangles,
+        "q_text_bm25": q_text_bm25,
+        "q_stream_outer_join": q_stream_outer_join,
+        "q_sink_compact": q_sink_compact,
+        "q_text_entropy": q_text_entropy,
+        "q_sink_evolve": q_sink_evolve,
+        "q_source_jsonl": q_source_jsonl,
+        "q_events_ewma": q_events_ewma,
+        "q_sink_zorder": q_sink_zorder,
+        "q_text_packed_seqs": q_text_packed_seqs,
+        "q_stream_session_native": q_stream_session_native,
+        "q_events_ohlc": q_events_ohlc,
+        "q_dedup_prefix": q_dedup_prefix,
+        "q_events_variant": q_events_variant,
+        "q_source_custom": q_source_custom,
+        "q_rel_dpp": q_rel_dpp,
+        "q_sql_pipe": q_sql_pipe,
+        "q_rel_lateral": q_rel_lateral,
+        "q_rel_stats": q_rel_stats,
+        "q_kmeans_scalable": q_kmeans_scalable,
+        "q_stream_kmeans": q_stream_kmeans,
+        "q_rel_groupsets": q_rel_groupsets,
+        "q_events_first": q_events_first,
+        "q_dedup_fuzzy": q_dedup_fuzzy,
+        "q_rel_upsert": q_rel_upsert,
+        "q_text_drift": q_text_drift,
+        "q_graph_pagerank": q_graph_pagerank,
+        "q_multimodal_resize": q_multimodal_resize,
+        "q_stream_dedup_wm": q_stream_dedup_wm,
+        "q_text_heavyhitters": q_text_heavyhitters,
+        "q_events_runs": q_events_runs,
+        "q_events_pattern": q_events_pattern,
+        "q_events_bandjoin": q_events_bandjoin,
+        "q_sink_bucketed": q_sink_bucketed,
+        "q_text_chunk_udtf": q_text_chunk_udtf,
+        "q_events_approx_quantiles": q_events_approx_quantiles,
+        "q_rel_mincost": q_rel_mincost,
+        "q_rel_suppcnt": q_rel_suppcnt,
+        "q_rel_excess": q_rel_excess,
+        "q_rel_shipmodes": q_rel_shipmodes,
+        "q_rel_waiting": q_rel_waiting,
+        "q_sample_mixture": q_sample_mixture,
+        "q_dedup_cc": q_dedup_cc,
+        "q_dedup_embedding": q_dedup_embedding,
         "q_text_lmscore": q_text_lmscore,
         "q_sample_split": q_sample_split,
         "q_sink_roundtrip": q_sink_roundtrip,
@@ -2325,7 +2343,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_decontam": q_dedup_decontam,
         "q_update": q_update,
         "q_events_approx_users": q_events_approx_users,
-        "q_ann_trained": q_ann_trained,
         "q_kmeans_ml": q_kmeans_ml,
         "q_assign_join": q_assign_join,
         "q_dedup_exact": q_dedup_exact,
@@ -4291,6 +4308,43 @@ SELECT doc_id, n_words, stop_hits, n_punct,
        6) AS quality
 FROM feat
 """
+    # q_text_mlquality: the same feature counts as DuckDB integers,
+    # the same literal weights folded in the same order, 1/(1+exp(-z))
+    from flink_kmeans_clustering_spark.operators.textstats import (
+        QUALITY_LR_BIAS,
+        QUALITY_LR_WEIGHTS,
+    )
+
+    _mlq_feats = {
+        "stop_ratio": "CASE WHEN n_words > 0 THEN CAST(stop_hits AS DOUBLE)/n_words ELSE 0.0 END",
+        "len_norm": "least(n_words / 500.0, 1.0)",
+        "punct_ratio": "CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0.0 END",
+        "digit_ratio": "CASE WHEN n_chars > 0 THEN CAST(n_digit AS DOUBLE)/n_chars ELSE 0.0 END",
+        "upper_ratio": "CASE WHEN n_chars > 0 THEN CAST(n_upper AS DOUBLE)/n_chars ELSE 0.0 END",
+        "mwl_norm": "(CASE WHEN n_words > 0 THEN CAST(tok_chars AS DOUBLE)/n_words ELSE 0.0 END) / 10.0",
+    }
+    _mlq_z = f"CAST({QUALITY_LR_BIAS!r} AS DOUBLE)" + "".join(
+        f" + CAST({w!r} AS DOUBLE) * ({_mlq_feats[name]})"
+        for name, w in QUALITY_LR_WEIGHTS
+    )
+    text_mlquality_sql = f"""
+WITH {_TOKS_CTE},
+feat AS (
+  SELECT d.doc_id,
+         len(t) AS n_words,
+         {_stopword_hits_sql(ENGLISH_STOPWORDS)} AS stop_hits,
+         len(regexp_extract_all(d.text, '[^a-zA-Z0-9\\s]')) AS n_punct,
+         len(regexp_extract_all(d.text, '[0-9]')) AS n_digit,
+         len(regexp_extract_all(d.text, '[A-Z]')) AS n_upper,
+         list_sum(list_transform(t, x -> length(x))) AS tok_chars,
+         length(d.text) AS n_chars
+  FROM documents d JOIN toks ON d.doc_id = toks.doc_id
+)
+SELECT doc_id, n_words,
+       ROUND(1.0 / (1.0 + exp(-({_mlq_z}))), 6) AS p_keep,
+       ROUND(1.0 / (1.0 + exp(-({_mlq_z}))), 6) >= 0.5 AS keep
+FROM feat
+"""
     # q_text_gate: same quality blend as q_text_quality + same bigram
     # occurrence counting as q_text_repetition, thresholded
     # (GATE_MIN_WORDS / GATE_MIN_QUALITY / GATE_MAX_DUP_FRAC)
@@ -5167,6 +5221,7 @@ GROUP BY event_type
         "q_text_tokens": text_tokens_sql,
         "q_text_langid": text_langid_sql,
         "q_text_quality": text_quality_sql,
+        "q_text_mlquality": text_mlquality_sql,
         "q_text_fingerprint": text_fingerprint_sql,
         "q_text_tokenfreq": text_tokenfreq_sql,
         "q_text_clean": """

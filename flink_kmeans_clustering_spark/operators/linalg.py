@@ -216,11 +216,10 @@ def pca_project_checked(
 
     Output: (id, pc1, pc2), one row per in-width input row.
     """
-    import math
-
-    cov_rows = covariance_matrix(
-        df, vec_col=vec_col, dim=dim, round_to=round_to
-    ).collect()
+    g = gram_matrix(
+        df, vec_col=vec_col, dim=dim, add_intercept=True
+    ).localCheckpoint()  # the ONLY statistics pass over the corpus
+    cov_rows = _cov_from_gram(g, dim, round_to).collect()
     a = [[0.0] * dim for _ in range(dim)]
     for r in cov_rows:
         a[r["i"]][r["j"]] = r["cov"]
@@ -240,14 +239,26 @@ def pca_project_checked(
     vecs = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     ).filter(F.size("_v") == dim)
-    mu_aggs = [
-        (F.round(F.avg(F.element_at("_v", i + 1)), round_to) + F.lit(0.0)).alias(
-            f"_m{i}"
+    # μ off the SAME gram (intercept column: G[i][dim] = Σxᵢ,
+    # G[dim][dim] = n) — no second corpus pass; Spark-side round so the
+    # half-up semantics match the oracle's ROUND exactly
+    n_row = g.filter((F.col("i") == dim) & (F.col("j") == dim)).select(
+        F.col("g").alias("_n")
+    )
+    mu_rows = (
+        g.filter((F.col("j") == dim) & (F.col("i") < dim))
+        .join(F.broadcast(n_row))
+        .select(
+            "i",
+            (F.round(F.col("g") / F.col("_n"), round_to) + F.lit(0.0)).alias(
+                "mu"
+            ),
         )
-        for i in range(dim)
-    ]
-    [mu_row] = vecs.agg(*mu_aggs).collect()
-    mu = [float(mu_row[f"_m{i}"]) for i in range(dim)]
+        .collect()
+    )
+    mu = [0.0] * dim
+    for r in mu_rows:
+        mu[r["i"]] = float(r["mu"])
 
     exprs = [id_col]
     for name, comp in (("pc1", v1), ("pc2", v2)):
@@ -279,6 +290,16 @@ def covariance_matrix(
     """
     g = gram_matrix(df, vec_col=vec_col, dim=dim, add_intercept=True)
     g = g.localCheckpoint()  # O(dim²) rows; 3 consumers below
+    return _cov_from_gram(g, dim, round_to)
+
+
+def _cov_from_gram(
+    g: DataFrame, dim: int, round_to: int | None
+) -> DataFrame:
+    """The cov projection of :func:`covariance_matrix` split out so a
+    caller holding an already-materialized augmented Gram (e.g.
+    :func:`pca_project_checked`, which also derives μ from it) pays
+    the corpus pass once."""
     n_row = g.filter((F.col("i") == dim) & (F.col("j") == dim)).select(
         F.col("g").alias("_n")
     )

@@ -682,3 +682,70 @@ def source_token_drift(
         .agg(F.round(F.sum("term"), 6).alias("kl_vs_corpus"))
         .select(F.col("grp").alias(group_col), "kl_vs_corpus")
     )
+
+
+# "Offline-trained" logistic weights for the model-based quality
+# classifier — fixed literals (the deployment shape of a CCNet/Gopher
+# quality model: training happens elsewhere; the pipeline only ever
+# sees frozen coefficients entering the plan as literals).
+QUALITY_LR_BIAS = -0.4
+QUALITY_LR_WEIGHTS = (
+    ("stop_ratio", 3.0),
+    ("len_norm", 2.0),
+    ("punct_ratio", -3.0),
+    ("digit_ratio", -2.0),
+    ("upper_ratio", -1.5),
+    ("mwl_norm", 0.8),
+)
+
+
+def quality_classifier(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Model-based quality filtering — the classifier stage of a
+    web-corpus pipeline (CCNet/Gopher run a fastText model here): a
+    logistic model over cheap surface features, scored fully in-scan.
+
+    The frozen coefficients (:data:`QUALITY_LR_WEIGHTS`) enter the plan
+    as literals, features are exact int/int ratios off one tokenize
+    pass, and ``σ(z) = 1/(1+exp(−z))`` is a fixed-order double
+    expression — whole-stage codegen end to end, zero shuffle, and an
+    independent engine replaying the same feature counts lands on the
+    same round-6 probability.  At 100 TB this is the shape a quality
+    model must have: per-row arithmetic in the scan, never a Python
+    hop.
+
+    Output: (id, n_words, p_keep, keep) — keep ⇔ p_keep ≥ 0.5.
+    """
+    toks = F.col("_toks")
+    n_words = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    n_punct = F.regexp_count(F.col(text_col), F.lit(r"[^a-zA-Z0-9\s]"))
+    n_digit = F.regexp_count(F.col(text_col), F.lit(r"[0-9]"))
+    n_upper = F.regexp_count(F.col(text_col), F.lit(r"[A-Z]"))
+    stop_hits = _stopword_hits(toks, ENGLISH_STOPWORDS)
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, b: a + b
+    )
+
+    def ratio(num, den):
+        return F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))
+
+    feats = {
+        "stop_ratio": ratio(stop_hits, n_words),
+        "len_norm": F.least(n_words / F.lit(500.0), F.lit(1.0)),
+        "punct_ratio": ratio(n_punct, n_chars),
+        "digit_ratio": ratio(n_digit, n_chars),
+        "upper_ratio": ratio(n_upper, n_chars),
+        "mwl_norm": ratio(tok_chars, n_words) / F.lit(10.0),
+    }
+    z = F.lit(QUALITY_LR_BIAS)
+    for name, w in QUALITY_LR_WEIGHTS:  # fixed fold order
+        z = z + F.lit(w) * feats[name]
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return df.withColumn("_toks", tokenize(F.col(text_col))).select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(p, 6).alias("p_keep"),
+        (F.round(p, 6) >= 0.5).alias("keep"),
+    )

@@ -421,3 +421,43 @@ def test_token_entropy_is_narrow(spark):
 
     docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     assert shuffle_count(token_entropy(docs)) == 0
+
+
+def test_quality_classifier_separates_prose_from_noise(spark):
+    """The frozen-logistic classifier must rank fluent prose above
+    symbol noise and keep/drop accordingly — the semantic contract of
+    the model-based filter stage (cross-engine replay is the oracle's
+    job; this pins that the weights actually discriminate)."""
+    from flink_kmeans_clustering_spark.operators.textstats import (
+        quality_classifier,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox and the lazy dog were walking through "
+                "the quiet forest while it was raining softly over the hills"),
+            (1, "@@@ ### $$$ %%% ^^^ &&& *** ((( ))) !!! ??? ~~~ ``` |||"),
+            (2, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in quality_classifier(docs).collect()}
+    assert rows[0]["p_keep"] > rows[1]["p_keep"]
+    assert rows[0]["keep"] is True
+    assert rows[1]["keep"] is False
+    assert 0.0 <= rows[2]["p_keep"] <= 1.0
+
+
+def test_quality_classifier_is_narrow_codegen(spark):
+    """The classifier is per-row scan arithmetic: no shuffle, no
+    Python hop — the 100 TB shape for a quality model."""
+    from flink_kmeans_clustering_spark.operators.textstats import (
+        quality_classifier,
+    )
+    from flink_kmeans_clustering_spark.plans import explain_str, shuffle_count
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = quality_classifier(docs)
+    assert shuffle_count(out) == 0
+    plan = explain_str(out)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
