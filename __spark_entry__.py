@@ -929,6 +929,40 @@ def q_events_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMV_K = 64
+SQUANT_RATE = 1 / 4
+
+
+def q_events_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-user sketch per event type — the
+    deterministic (md5-hash) replayable twin of q_events_approx_users'
+    HLL++: keep each group's k smallest distinct value hashes,
+    estimate (k−1)/u₍k₎, exact count below k."""
+    from flink_kmeans_clustering_spark.operators.sampling import kmv_distinct
+
+    return kmv_distinct(
+        load_events(spark, sf_dir), "user_id", "event_type", k=KMV_K
+    )
+
+
+def q_events_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-sampled exact quantiles per event type — the deterministic
+    twin of q_events_approx_quantiles' GK sketch: md5-bucket Bernoulli
+    sample (rate 1/4) then exact interpolated percentiles on the
+    sample."""
+    from flink_kmeans_clustering_spark.operators.sampling import (
+        sampled_quantiles,
+    )
+
+    return sampled_quantiles(
+        load_events(spark, sf_dir),
+        "value",
+        "event_id",
+        "event_type",
+        rate=SQUANT_RATE,
+    )
+
+
 def q_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 1/16 content-hash sample of documents (md5 bucket)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -2238,6 +2272,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kmeans_nd": q_kmeans_nd,
         "q_stream_mview": q_stream_mview,
         "q_text_mlquality": q_text_mlquality,
+        "q_events_kmv_users": q_events_kmv_users,
+        "q_events_sampled_quantiles": q_events_sampled_quantiles,
         "q_dedup_minhash": q_dedup_minhash,
         "q_dedup_simhash": q_dedup_simhash,
         "q_rel_pricing": q_rel_pricing,
@@ -2276,10 +2312,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_retention": q_events_retention,
         "q_events_wau": q_events_wau,
         "q_events_anomaly": q_events_anomaly,
-        "q_events_histogram": q_events_histogram,
-        "q_window_range": q_window_range,
         # --- below: outside the driver's 50-row window this round;
         # all driver-green in rounds 1-4 ---
+        "q_events_histogram": q_events_histogram,
+        "q_window_range": q_window_range,
         "q_rel_yoy": q_rel_yoy,
         "q_knn_join": q_knn_join,
         "q_embed_cov": q_embed_cov,
@@ -5095,6 +5131,38 @@ FROM events GROUP BY event_type
         # q_events_approx_users: intentionally no oracle — HLL++ sketch
         # estimates are engine-specific (rows-only check; accuracy
         # asserted against exact counts in tests/test_sampling.py).
+        # q_events_kmv_users: the same md5 u ∈ (0,1] as weighted_sample,
+        # distinct per (group, u), k-th smallest via window, (k−1)/u_k
+        "q_events_kmv_users": f"""
+WITH h AS (
+  SELECT DISTINCT event_type AS grp,
+         (CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))
+               AS BIGINT) + 1.0) / 4294967296.0 AS u
+  FROM events
+),
+r AS (SELECT grp, u, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY u) AS rn
+      FROM h),
+agg AS (SELECT grp, COUNT(*) AS n_kept, MAX(u) AS u_k
+        FROM r WHERE rn <= {KMV_K} GROUP BY grp)
+SELECT grp AS event_type, n_kept,
+       ROUND(CASE WHEN n_kept < {KMV_K} THEN CAST(n_kept AS DOUBLE)
+                  ELSE {float(KMV_K - 1)!r} / u_k END, 6) AS est_distinct
+FROM agg
+""",
+        # q_events_sampled_quantiles: md5-bucket sample, exact
+        # interpolated percentiles (Spark percentile == quantile_cont)
+        "q_events_sampled_quantiles": """
+WITH s AS (
+  SELECT event_type, value FROM events
+  WHERE CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8))
+             AS BIGINT) % 4 = 0
+)
+SELECT event_type, COUNT(*) AS n_sampled,
+       ROUND(quantile_cont(value, 0.5), 6) AS q50,
+       ROUND(quantile_cont(value, 0.9), 6) AS q90,
+       ROUND(quantile_cont(value, 0.99), 6) AS q99
+FROM s GROUP BY event_type
+""",
         "q_sample_docs": """
 SELECT doc_id, n_chars FROM documents
 WHERE CAST(('0x' || substring(md5(text), 1, 2)) AS INT) % 256 < 16

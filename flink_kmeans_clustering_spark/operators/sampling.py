@@ -280,3 +280,95 @@ def mixture_sample(
         ).otherwise(keep)
     b = hash_bucket(F.col(key_col).cast("string"), buckets)
     return df.filter(b < keep)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    col: str,
+    group_by: str,
+    k: int = 64,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002)
+    — the DETERMINISTIC, any-engine-replayable twin of
+    :func:`approx_distinct`'s HLL++.
+
+    Each value hashes to a uniform ``u ∈ (0,1]`` via the same md5
+    contract as :func:`weighted_sample` (content hash, not RNG); a
+    group keeping its k smallest distinct hashes estimates
+    ``D ≈ (k−1)/u₍k₎``.  Groups with fewer than k distinct values
+    report their EXACT count (the sketch holds every hash).
+
+    Scale shape: the first exchange is the distinct on (group, hash) —
+    map-side combine collapses repeated events to one row per distinct
+    value, so it carries |distinct values| rows, not |events| (HLL
+    still wins at extreme cardinality, which is why both exist; this
+    twin trades that for bit-reproducibility).  The per-group k-th
+    smallest is a window ``row_number ≤ k`` — WindowGroupLimit
+    pre-filters each partition to k rows before the group exchange.
+
+    Output: (group, n_kept, est_distinct) — est rounded to
+    ``round_to``; ties in u are impossible for distinct inputs (md5
+    collisions aside), so the result is order-free.
+    """
+    from pyspark.sql import Window
+
+    h = F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    )
+    u = (h + F.lit(1.0)) / F.lit(4294967296.0)  # (0, 1]
+    hashes = df.select(F.col(group_by).alias("grp"), u.alias("u")).distinct()
+    w = Window.partitionBy("grp").orderBy("u")
+    kept = hashes.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    agg = kept.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.max("u").alias("u_k")
+    )
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / F.col("u_k"))
+    if round_to is not None:
+        est = F.round(est, round_to)
+    return agg.select(
+        F.col("grp").alias(group_by), "n_kept", est.alias("est_distinct")
+    )
+
+
+def sampled_quantiles(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    group_by: str,
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    rate: float = 1 / 4,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Hash-sampled exact quantiles — the DETERMINISTIC twin of the
+    Greenwald-Khanna ``approx_percentile`` sketch.
+
+    A content-hash Bernoulli sample (md5 bucket on ``key_col``, the
+    :func:`deterministic_sample` contract) cuts the sort input by
+    ``rate``, then EXACT discrete percentiles (``percentile`` with
+    type-preserving semantics) are taken per group on the sample.
+    Sketch-free: every engine hashing the same keys selects the same
+    rows and discrete percentiles of a fixed multiset are exact — so
+    unlike GK's implementation-specific summaries this replays
+    anywhere, while keeping the approximate-answer-from-less-data
+    shape (the sample is rate·N rows; at 100 TB the sort input shrinks
+    by 1/rate and the group exchange carries only sampled rows).
+
+    Output: (group, n_sampled, q50, q90, q99) for the default probs.
+    """
+    denom = round(1 / rate)
+    bucket = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+    ).cast("long") % denom
+    sampled = df.filter(bucket == 0)
+    aggs = [F.count(F.lit(1)).alias("n_sampled")]
+    for p in probs:
+        q = F.expr(f"percentile({value_col}, {p!r})")
+        if round_to is not None:
+            q = F.round(q, round_to)
+        aggs.append(q.alias(f"q{int(p * 100)}"))
+    return sampled.groupBy(group_by).agg(*aggs)

@@ -307,3 +307,68 @@ def test_mixture_sample_hits_target_proportions(spark):
     again = mixture_sample(docs.repartition(7), "source", targets, "doc_id")
     assert out.exceptAll(again).count() == 0
     assert again.exceptAll(out).count() == 0
+
+
+def test_kmv_estimate_tracks_exact_distinct(spark):
+    """KMV with k=64 has relative standard error ~1/√(k−2) ≈ 13%; on
+    the events table the per-type estimate must land within 3σ of the
+    exact distinct count, and below-k groups must be EXACT."""
+    from pyspark.sql import functions as F
+
+    from flink_kmeans_clustering_spark.operators.sampling import kmv_distinct
+    from flink_kmeans_clustering_spark.sources.parquet import load_events
+
+    ev = load_events(spark, "/root/testdata/sf0.01")
+    exact = {
+        r["event_type"]: r["d"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    est = {
+        r["event_type"]: (r["n_kept"], r["est_distinct"])
+        for r in kmv_distinct(ev, "user_id", "event_type", k=64).collect()
+    }
+    assert set(est) == set(exact)
+    for t, d in exact.items():
+        n_kept, e = est[t]
+        if d < 64:
+            assert n_kept == d and e == float(d), (t, d, est[t])
+        else:
+            assert abs(e - d) / d < 3 * (1 / 62**0.5), (t, d, e)
+
+
+def test_sampled_quantiles_track_exact(spark):
+    """The 1/4 hash sample's exact percentiles must sit near the
+    full-data percentiles (value is ~uniform per type here, so the
+    median tolerance is loose but meaningful)."""
+    from flink_kmeans_clustering_spark.operators.sampling import (
+        sampled_quantiles,
+    )
+    from flink_kmeans_clustering_spark.sources.parquet import load_events
+
+    ev = load_events(spark, "/root/testdata/sf0.01")
+    got = {
+        r["event_type"]: r
+        for r in sampled_quantiles(
+            ev, "value", "event_id", "event_type", rate=1 / 4
+        ).collect()
+    }
+    import pyspark.sql.functions as F
+
+    full = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5d)").alias("q50"),
+            F.expr("percentile(value, 0.9d)").alias("q90"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    for t, f in full.items():
+        g = got[t]
+        # ~n/4 rows sampled (binomial, loose 3σ-ish bound)
+        assert abs(g["n_sampled"] - f["n"] / 4) < 4 * (f["n"] / 4) ** 0.5 + 10
+        spread = abs(f["q90"] - f["q50"]) + 1e-9
+        assert abs(g["q50"] - f["q50"]) < 0.5 * spread, (t, g["q50"], f["q50"])
