@@ -388,6 +388,19 @@ def q_text_mlquality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_classifier(docs)
 
 
+def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: fraction of a doc's distinct
+    shingles appearing in no other document — computed from the
+    complement (df ≥ 2 shingles, the small set on a mostly-novel
+    corpus), one shingle exchange."""
+    from flink_kmeans_clustering_spark.operators.textstats import (
+        shingle_novelty,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return shingle_novelty(docs, n=3)
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive integer rolling fingerprint of the token stream."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -2274,6 +2287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_mlquality": q_text_mlquality,
         "q_events_kmv_users": q_events_kmv_users,
         "q_events_sampled_quantiles": q_events_sampled_quantiles,
+        "q_text_novelty": q_text_novelty,
         "q_dedup_minhash": q_dedup_minhash,
         "q_dedup_simhash": q_dedup_simhash,
         "q_rel_pricing": q_rel_pricing,
@@ -2311,9 +2325,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_funnel": q_events_funnel,
         "q_events_retention": q_events_retention,
         "q_events_wau": q_events_wau,
-        "q_events_anomaly": q_events_anomaly,
         # --- below: outside the driver's 50-row window this round;
         # all driver-green in rounds 1-4 ---
+        "q_events_anomaly": q_events_anomaly,
         "q_events_histogram": q_events_histogram,
         "q_window_range": q_window_range,
         "q_rel_yoy": q_rel_yoy,
@@ -4583,6 +4597,15 @@ capped_pairs AS (
   WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter)
         >= {NGRAM_JACCARD_THRESHOLD}
 )"""
+    text_novelty_sql = f"""
+WITH {ngram_capped_ctes},
+dups AS (SELECT s FROM ex0 GROUP BY s HAVING COUNT(*) >= 2),
+hits AS (SELECT doc_id, COUNT(*) AS n_dup FROM ex0 JOIN dups USING (s)
+         GROUP BY doc_id)
+SELECT sizes.doc_id, sz AS n_shingles,
+       ROUND(CAST(sz - COALESCE(n_dup, 0) AS DOUBLE) / sz, 6) AS novelty
+FROM sizes LEFT JOIN hits USING (doc_id)
+"""
     dedup_ngram_capped_sql = f"""
 WITH {ngram_capped_ctes}
 SELECT id_a, id_b, jaccard FROM capped_pairs
@@ -5290,6 +5313,7 @@ GROUP BY event_type
         "q_text_langid": text_langid_sql,
         "q_text_quality": text_quality_sql,
         "q_text_mlquality": text_mlquality_sql,
+        "q_text_novelty": text_novelty_sql,
         "q_text_fingerprint": text_fingerprint_sql,
         "q_text_tokenfreq": text_tokenfreq_sql,
         "q_text_clean": """

@@ -749,3 +749,58 @@ def quality_classifier(
         F.round(p, 6).alias("p_keep"),
         (F.round(p, 6) >= 0.5).alias("keep"),
     )
+
+
+def shingle_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a doc's distinct
+    shingles that appear in NO other document — the inverse of the
+    near-dup signal, used in data curation to up-weight genuinely new
+    content (and to spot template farms, whose novelty ≈ 0).
+
+    Scale shape: novelty is computed from its complement — the set of
+    shingles with df ≥ 2 is tiny on a mostly-novel corpus (duplicated
+    content only), so the per-doc join is against the DUPLICATED
+    shingle set, not the full vocabulary: explode once (the
+    codegen-safe window-lead stream, one (shingle) exchange for the df
+    count), inner-join the df ≥ 2 survivors back, and a doc's novelty
+    is (sz − |dup hits|)/sz off its full distinct-set size that rides
+    the exploded rows.  Zero-token documents emit no row (they have no
+    shingle set — the pair-generator contract).
+
+    Output: (id, n_shingles, novelty) with novelty in [0, 1].
+    """
+    from flink_kmeans_clustering_spark.functions.text import (
+        exploded_shingles,
+    )
+    from flink_kmeans_clustering_spark.operators.common import spread
+
+    base = spread(df.select(F.col(id_col).alias("id"), text_col), "id")
+    ex = exploded_shingles(base, "id", text_col, n=n, with_size=True)
+    dups = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") >= 2
+    )
+    hits = (
+        ex.join(dups.select("sh"), "sh")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("_n_dup"))
+    )
+    sizes = ex.select("id", "sz").distinct()
+    nov = (F.col("sz") - F.coalesce(F.col("_n_dup"), F.lit(0))).cast(
+        "double"
+    ) / F.col("sz")
+    if round_to is not None:
+        nov = F.round(nov, round_to)
+    return (
+        sizes.join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("sz").alias("n_shingles"),
+            nov.alias("novelty"),
+        )
+    )

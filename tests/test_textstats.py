@@ -461,3 +461,56 @@ def test_quality_classifier_is_narrow_codegen(spark):
     assert shuffle_count(out) == 0
     plan = explain_str(out)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_shingle_novelty_semantics(spark):
+    """Exact dup -> novelty 0 for both copies; a fully unique doc ->
+    novelty 1; an embedded doc's shared shingles count as non-novel."""
+    from flink_kmeans_clustering_spark.operators.textstats import (
+        shingle_novelty,
+    )
+
+    a = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (0, a),
+            (1, a),  # exact dup of 0
+            (2, "completely different words entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in shingle_novelty(docs).collect()}
+    assert rows[0]["novelty"] == 0.0 and rows[1]["novelty"] == 0.0
+    assert rows[2]["novelty"] == 1.0
+    assert rows[0]["n_shingles"] == 4  # 6 tokens -> 4 distinct 3-grams
+
+
+def test_keeper_dual_criterion_is_superset_of_jaccard_only(spark):
+    """Monotonicity: adding the containment criterion can only REMOVE
+    more docs — the dual keeper's kept set is a subset of the
+    Jaccard-only kept set on any corpus."""
+    from flink_kmeans_clustering_spark.operators.dedup import (
+        connected_components,
+        dedup_corpus,
+        ngram_jaccard_pairs,
+        ngram_overlap_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    jac = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    dual = ngram_overlap_pairs(
+        docs, n=3, jaccard_threshold=0.5, containment_threshold=0.8
+    )
+    kept_j = {
+        r["doc_id"]
+        for r in dedup_corpus(
+            docs, connected_components(jac, node_col="doc_id")
+        ).collect()
+    }
+    kept_d = {
+        r["doc_id"]
+        for r in dedup_corpus(
+            docs, connected_components(dual, node_col="doc_id")
+        ).collect()
+    }
+    assert kept_d <= kept_j
