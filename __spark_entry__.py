@@ -401,6 +401,22 @@ def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shingle_novelty(docs, n=3)
 
 
+SEG_TOKENS = 10
+
+
+def q_text_seg_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level boilerplate removal (CCNet line-dedup adapted):
+    non-overlapping 10-token segments; any segment occurring in >= 2
+    distinct docs is dropped everywhere; survivors re-concatenate in
+    order (md5 digest compared, not the text)."""
+    from flink_kmeans_clustering_spark.operators.textstats import (
+        segment_boilerplate_removal,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return segment_boilerplate_removal(docs, seg_tokens=SEG_TOKENS)
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive integer rolling fingerprint of the token stream."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -2288,6 +2304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_kmv_users": q_events_kmv_users,
         "q_events_sampled_quantiles": q_events_sampled_quantiles,
         "q_text_novelty": q_text_novelty,
+        "q_text_seg_dedup": q_text_seg_dedup,
         "q_dedup_minhash": q_dedup_minhash,
         "q_dedup_simhash": q_dedup_simhash,
         "q_rel_pricing": q_rel_pricing,
@@ -2324,9 +2341,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_canonical": q_dedup_canonical,
         "q_events_funnel": q_events_funnel,
         "q_events_retention": q_events_retention,
-        "q_events_wau": q_events_wau,
         # --- below: outside the driver's 50-row window this round;
         # all driver-green in rounds 1-4 ---
+        "q_events_wau": q_events_wau,
         "q_events_anomaly": q_events_anomaly,
         "q_events_histogram": q_events_histogram,
         "q_window_range": q_window_range,
@@ -4606,6 +4623,35 @@ SELECT sizes.doc_id, sz AS n_shingles,
        ROUND(CAST(sz - COALESCE(n_dup, 0) AS DOUBLE) / sz, 6) AS novelty
 FROM sizes LEFT JOIN hits USING (doc_id)
 """
+    text_seg_dedup_sql = f"""
+WITH {_TOKS_CTE},
+tnz AS (SELECT doc_id, t FROM toks WHERE len(t) > 0),
+segs0 AS (
+  SELECT doc_id,
+         list_transform(
+           range(0, CAST(ceil(CAST(len(t) AS DOUBLE) / {SEG_TOKENS}) AS BIGINT)),
+           p -> struct_pack(
+             pos := p,
+             seg := array_to_string(
+               list_slice(t, p*{SEG_TOKENS} + 1, (p+1)*{SEG_TOKENS}), ' '))) AS ss
+  FROM tnz
+),
+segs AS (SELECT doc_id, u.pos AS pos, u.seg AS seg
+         FROM (SELECT doc_id, unnest(ss) AS u FROM segs0)),
+boiler AS (SELECT seg FROM segs GROUP BY seg
+           HAVING COUNT(DISTINCT doc_id) >= 2)
+SELECT s.doc_id,
+       COUNT(*) AS n_segments,
+       CAST(SUM(CASE WHEN b.seg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       CAST(SUM(CASE WHEN b.seg IS NULL
+                     THEN len(string_split(s.seg, ' ')) ELSE 0 END) AS BIGINT)
+         AS n_tokens_retained,
+       md5(COALESCE(string_agg(CASE WHEN b.seg IS NULL THEN s.seg END,
+                               ' ' ORDER BY s.pos), '')) AS retained_digest
+FROM segs s LEFT JOIN boiler b ON s.seg = b.seg
+GROUP BY s.doc_id
+"""
     dedup_ngram_capped_sql = f"""
 WITH {ngram_capped_ctes}
 SELECT id_a, id_b, jaccard FROM capped_pairs
@@ -5314,6 +5360,7 @@ GROUP BY event_type
         "q_text_quality": text_quality_sql,
         "q_text_mlquality": text_mlquality_sql,
         "q_text_novelty": text_novelty_sql,
+        "q_text_seg_dedup": text_seg_dedup_sql,
         "q_text_fingerprint": text_fingerprint_sql,
         "q_text_tokenfreq": text_tokenfreq_sql,
         "q_text_clean": """

@@ -804,3 +804,90 @@ def shingle_novelty(
             nov.alias("novelty"),
         )
     )
+
+
+def segment_boilerplate_removal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 10,
+) -> DataFrame:
+    """Segment-level boilerplate removal — CCNet's line-level dedup
+    adapted to untokenized corpora: a document's token stream is cut
+    into NON-overlapping ``seg_tokens``-token segments; any segment
+    whose text occurs in ≥ 2 DISTINCT documents (navigation chrome,
+    license banners, templated headers) is dropped from every
+    document, and the survivors re-concatenate in order.
+
+    Scale shape: segments are a zero-shuffle narrow fan-out
+    (sequence → slice → posexplode on the token array); the
+    boilerplate set is ONE (segment-text) exchange with map-side
+    combine (count distinct docs per segment), and — like
+    :func:`shingle_novelty` — docs re-join only against the ≥ 2-doc
+    SURVIVORS, the small set.  Reconstruction is one groupBy(id) with
+    an order-keyed sorted-list fold: both exchanges hash the same id
+    key the segment fan-out preserved.
+
+    Output: (id, n_segments, n_dropped, n_tokens_retained,
+    retained_digest) — digest = md5 of the space-joined retained
+    segments, so full reconstructed content compares engine-to-engine
+    without shipping it.
+    """
+    toks = spread(
+        df.select(F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("_t")),
+        "id",
+    ).filter(F.size("_t") > 0)
+    starts = F.sequence(
+        F.lit(0), F.size("_t") - 1, F.lit(seg_tokens)
+    )
+    segs = toks.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                starts,
+                lambda s: F.concat_ws(
+                    " ", F.slice("_t", s + 1, seg_tokens)
+                ),
+            )
+        ).alias("pos", "seg"),
+    )
+    boiler = (
+        segs.groupBy("seg")
+        .agg(F.count_distinct("id").alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("seg")
+    )
+    flagged = segs.join(
+        boiler.withColumn("_drop", F.lit(1)), "seg", "left"
+    )
+    n_tok = F.size(F.split(F.col("seg"), " "))
+    out = flagged.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.when(F.col("_drop") == 1, 1).otherwise(0)).alias("n_dropped"),
+        F.sum(
+            F.when(F.col("_drop").isNull(), n_tok).otherwise(0)
+        ).alias("n_tokens_retained"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_drop").isNull(),
+                                F.struct("pos", "seg"),
+                            )
+                        )
+                    ),
+                    lambda s: s["seg"],
+                ),
+            )
+        ).alias("retained_digest"),
+    )
+    return out.select(
+        F.col("id").alias(id_col),
+        "n_segments",
+        "n_dropped",
+        "n_tokens_retained",
+        "retained_digest",
+    )

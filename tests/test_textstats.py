@@ -514,3 +514,39 @@ def test_keeper_dual_criterion_is_superset_of_jaccard_only(spark):
         ).collect()
     }
     assert kept_d <= kept_j
+
+
+def test_segment_boilerplate_removal_semantics(spark):
+    """A 10-token banner shared by two docs is dropped from BOTH; each
+    doc's unique tail survives in order; a doc made entirely of the
+    banner retains nothing (digest of empty string)."""
+    import hashlib
+
+    from flink_kmeans_clustering_spark.operators.textstats import (
+        segment_boilerplate_removal,
+    )
+
+    banner = "copyright acme corp all rights reserved terms apply here now"
+    tail0 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    tail1 = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [
+            (0, f"{banner} {tail0}"),
+            (1, f"{banner} {tail1}"),
+            (2, banner),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in segment_boilerplate_removal(docs, seg_tokens=10).collect()
+    }
+    for i, tail in ((0, tail0), (1, tail1)):
+        assert rows[i]["n_segments"] == 2
+        assert rows[i]["n_dropped"] == 1
+        assert rows[i]["n_tokens_retained"] == 10
+        assert rows[i]["retained_digest"] == hashlib.md5(
+            tail.encode()
+        ).hexdigest()
+    assert rows[2]["n_dropped"] == 1 and rows[2]["n_tokens_retained"] == 0
+    assert rows[2]["retained_digest"] == hashlib.md5(b"").hexdigest()
