@@ -417,6 +417,16 @@ def q_text_seg_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return segment_boilerplate_removal(docs, seg_tokens=SEG_TOKENS)
 
 
+def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: email/phone/IPv4 counts + md5 of the
+    redacted text (fixed email -> ip -> phone replace order), all
+    in-scan regexp — zero shuffle."""
+    from flink_kmeans_clustering_spark.operators.textstats import pii_redact
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pii_redact(docs)
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive integer rolling fingerprint of the token stream."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -2305,6 +2315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_sampled_quantiles": q_events_sampled_quantiles,
         "q_text_novelty": q_text_novelty,
         "q_text_seg_dedup": q_text_seg_dedup,
+        "q_text_redact": q_text_redact,
         "q_dedup_minhash": q_dedup_minhash,
         "q_dedup_simhash": q_dedup_simhash,
         "q_rel_pricing": q_rel_pricing,
@@ -2340,9 +2351,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_semantic": q_dedup_semantic,
         "q_dedup_canonical": q_dedup_canonical,
         "q_events_funnel": q_events_funnel,
-        "q_events_retention": q_events_retention,
         # --- below: outside the driver's 50-row window this round;
         # all driver-green in rounds 1-4 ---
+        "q_events_retention": q_events_retention,
         "q_events_wau": q_events_wau,
         "q_events_anomaly": q_events_anomaly,
         "q_events_histogram": q_events_histogram,
@@ -4652,6 +4663,23 @@ SELECT s.doc_id,
 FROM segs s LEFT JOIN boiler b ON s.seg = b.seg
 GROUP BY s.doc_id
 """
+    from flink_kmeans_clustering_spark.operators.textstats import (
+        PII_EMAIL_RE,
+        PII_IP_RE,
+        PII_PHONE_RE,
+    )
+
+    text_redact_sql = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PII_PHONE_RE}')) AS INT) AS n_phones,
+       CAST(len(regexp_extract_all(text, '{PII_IP_RE}')) AS INT) AS n_ips,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{PII_IP_RE}', '<IP>', 'g'),
+             '{PII_PHONE_RE}', '<PHONE>', 'g')) AS redacted_digest
+FROM documents
+"""
     dedup_ngram_capped_sql = f"""
 WITH {ngram_capped_ctes}
 SELECT id_a, id_b, jaccard FROM capped_pairs
@@ -5361,6 +5389,7 @@ GROUP BY event_type
         "q_text_mlquality": text_mlquality_sql,
         "q_text_novelty": text_novelty_sql,
         "q_text_seg_dedup": text_seg_dedup_sql,
+        "q_text_redact": text_redact_sql,
         "q_text_fingerprint": text_fingerprint_sql,
         "q_text_tokenfreq": text_tokenfreq_sql,
         "q_text_clean": """
