@@ -242,3 +242,40 @@ def test_cc_star_empty_pairs(spark):
 
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     assert connected_components(pairs, method="star").collect() == []
+
+
+def test_r05_text_ops_empty_and_degenerate_inputs(spark):
+    """The round-5 text/sketch operators on empty corpora and
+    token-less documents: typed empty results, never errors."""
+    from flink_kmeans_clustering_spark.operators.sampling import (
+        kmv_distinct,
+        sampled_quantiles,
+    )
+    from flink_kmeans_clustering_spark.operators.textstats import (
+        pii_redact,
+        quality_classifier,
+        segment_boilerplate_removal,
+        shingle_novelty,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert shingle_novelty(empty).count() == 0
+    assert segment_boilerplate_removal(empty).count() == 0
+    assert pii_redact(empty).count() == 0
+    assert quality_classifier(empty).count() == 0
+
+    # token-less docs: novelty/segments emit no row (no shingle set),
+    # redact/classifier still emit one row per doc
+    blank = spark.createDataFrame(
+        [(0, ""), (1, "   .,;!")], "doc_id long, text string"
+    )
+    assert shingle_novelty(blank).count() == 0
+    assert segment_boilerplate_removal(blank).count() == 0
+    assert pii_redact(blank).count() == 2
+    assert quality_classifier(blank).count() == 2
+
+    ev = spark.createDataFrame(
+        [], "event_id long, user_id long, event_type string, value double"
+    )
+    assert kmv_distinct(ev, "user_id", "event_type").count() == 0
+    assert sampled_quantiles(ev, "value", "event_id", "event_type").count() == 0
