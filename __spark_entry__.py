@@ -1002,6 +1002,22 @@ def q_events_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled data mixing (alpha = 0.5): targets derived as
+    sqrt(p_s) normalized — flattens the source mix toward uniform —
+    then the md5-bucket downsample; the whole rate derivation replays
+    bit-for-bit in SQL (sqrt is IEEE-exact, normalizer folds in
+    sorted-stratum order)."""
+    from flink_kmeans_clustering_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return temperature_mixture_sample(
+        docs, "source", "doc_id", alpha=0.5
+    ).select("doc_id", "lang", "source")
+
+
 def q_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 1/16 content-hash sample of documents (md5 bucket)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -2316,6 +2332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_novelty": q_text_novelty,
         "q_text_seg_dedup": q_text_seg_dedup,
         "q_text_redact": q_text_redact,
+        "q_sample_temperature": q_sample_temperature,
         "q_dedup_minhash": q_dedup_minhash,
         "q_dedup_simhash": q_dedup_simhash,
         "q_rel_pricing": q_rel_pricing,
@@ -2350,9 +2367,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_pruned": q_ann_pruned,
         "q_dedup_semantic": q_dedup_semantic,
         "q_dedup_canonical": q_dedup_canonical,
-        "q_events_funnel": q_events_funnel,
         # --- below: outside the driver's 50-row window this round;
         # all driver-green in rounds 1-4 ---
+        "q_events_funnel": q_events_funnel,
         "q_events_retention": q_events_retention,
         "q_events_wau": q_events_wau,
         "q_events_anomaly": q_events_anomaly,
@@ -3830,6 +3847,19 @@ JOIN cnt c ON c.s = d.source
 WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT) % 256
       < CAST(FLOOR(256 * t.t * (SELECT n_out FROM nout) / c.n) AS INT)
 """
+    sample_temperature_sql = """
+WITH cnt AS (SELECT source AS s, COUNT(*) AS n FROM documents GROUP BY source),
+tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS nt FROM cnt),
+w AS (SELECT s, n, sqrt(CAST(n AS DOUBLE) / (SELECT nt FROM tot)) AS w
+      FROM cnt),
+zz AS (SELECT list_sum(list(w ORDER BY s)) AS z FROM w),
+tgt AS (SELECT s, n, w / (SELECT z FROM zz) AS t FROM w),
+nout AS (SELECT MIN(CAST(n AS DOUBLE) / t) AS n_out FROM tgt)
+SELECT doc_id, lang, source
+FROM documents d JOIN tgt ON d.source = tgt.s
+WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT) % 256
+      < CAST(FLOOR(256 * tgt.t * (SELECT n_out FROM nout) / tgt.n) AS INT)
+"""
     rel_mktshare_sql = """
 SELECT o_year, nation_volume, total_volume,
        ROUND(nation_volume / total_volume, 6) AS mkt_share
@@ -5164,6 +5194,7 @@ SELECT event_type, event_id, ROUND(value, 6) AS value FROM (
         "q_rel_shipmodes": rel_shipmodes_sql,
         "q_rel_waiting": rel_waiting_sql,
         "q_sample_mixture": sample_mixture_sql,
+        "q_sample_temperature": sample_temperature_sql,
         "q_rel_mktshare": rel_mktshare_sql,
         "q_rel_profit": rel_profit_sql,
         "q_window_ranks": window_ranks_sql,

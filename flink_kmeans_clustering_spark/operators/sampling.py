@@ -372,3 +372,61 @@ def sampled_quantiles(
             q = F.round(q, round_to)
         aggs.append(q.alias(f"q{int(p * 100)}"))
     return sampled.groupBy(group_by).agg(*aggs)
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    buckets: int = 256,
+) -> DataFrame:
+    """Temperature-scaled mixture sampling — the T5/PaLM data-mixing
+    knob: target proportions are DERIVED from the observed mix,
+    ``target_s ∝ p_s^α`` (α < 1 flattens the distribution toward
+    uniform, up-weighting small sources), then the corpus downsamples
+    to the largest output honoring them exactly like
+    :func:`mixture_sample` (md5-bucket predicate, rate ≤ 1 bound).
+
+    Determinism: with the default ``α = 0.5`` the power is
+    ``sqrt`` — IEEE-correctly-rounded in every engine — and the
+    normalizer folds the weights in sorted-stratum order, so the whole
+    rate derivation replays bit-for-bit in SQL (``list_sum(list(w
+    ORDER BY s))``).  Other α values go through ``pow`` and are exact
+    only to libm agreement — fine for production, not for a
+    hash-compared oracle.
+
+    One k-row aggregate of driver metadata; the filter is the same
+    narrow in-scan hash predicate as every sampler here.
+    """
+    import math
+
+    if not (1 <= buckets <= 256) or 256 % buckets != 0:
+        raise ValueError("buckets must be a divisor of 256 (1, 2, 4, ..., 256)")
+    counts = {
+        r["s"]: r["n"]
+        for r in df.groupBy(F.col(strata_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+        if r["s"] is not None
+    }
+    if not counts:
+        return df.filter(F.lit(False))
+    n_tot = sum(counts[s] for s in sorted(counts))
+    if alpha == 0.5:
+        weights = {s: math.sqrt(counts[s] / n_tot) for s in counts}
+    else:
+        weights = {s: (counts[s] / n_tot) ** alpha for s in counts}
+    z = 0.0
+    for s in sorted(weights):  # sorted-stratum fold, replayed by the oracle
+        z += weights[s]
+    targets = {s: weights[s] / z for s in weights}
+    n_out = min(counts[s] / targets[s] for s in sorted(counts))
+    keep = F.lit(0)
+    for s in sorted(counts):
+        keep = F.when(
+            F.col(strata_col) == s,
+            F.lit(int(buckets * targets[s] * n_out / counts[s])),
+        ).otherwise(keep)
+    b = hash_bucket(F.col(key_col).cast("string"), buckets)
+    return df.filter(b < keep)

@@ -372,3 +372,30 @@ def test_sampled_quantiles_track_exact(spark):
         assert abs(g["n_sampled"] - f["n"] / 4) < 4 * (f["n"] / 4) ** 0.5 + 10
         spread = abs(f["q90"] - f["q50"]) + 1e-9
         assert abs(g["q50"] - f["q50"]) < 0.5 * spread, (t, g["q50"], f["q50"])
+
+
+def test_temperature_sampling_flattens_mixture(spark):
+    """alpha = 0.5 must shift the output mix toward uniform: the
+    dominant stratum's output share sits BETWEEN its input share and
+    uniform, and small strata gain share (or keep ~all their rows when
+    the rate bound caps at 1)."""
+    from flink_kmeans_clustering_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    rows = [(i, "big") for i in range(900)] + [
+        (i + 1000, "small") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mixture_sample(df, "source", "doc_id", alpha=0.5)
+    got = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").count().withColumnRenamed("count", "n").collect()
+    }
+    n = sum(got.values())
+    # input big-share 0.9; sqrt-flattened target 0.75
+    assert 0.6 < got["big"] / n < 0.9
+    assert got["small"] / n > 0.1
+    # the binding stratum keeps (nearly) everything: rate quantizes to
+    # <= 1 of 256 buckets below the exact bound
+    assert got["small"] >= 90
