@@ -2302,19 +2302,23 @@ def q_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    152 queries; 148 carry DuckDB oracles, 4 are rows-only by design
-    (MLlib placement RNG, sketch estimates, GEMM ulp twin).
+    159 queries; 155 carry DuckDB oracles, 4 are rows-only by design
+    (MLlib placement RNG, HLL/KLL sketch internals, GEMM ulp twin —
+    each now has a DETERMINISTIC full-oracle twin registered beside
+    it: lloyd_nd/kmv/sampled-quantiles/expression-cosine).
 
     Registry ORDER is load-bearing: the driver's correctness artifact
-    records the first 50 entries only.  Round 5 leads with the queries
-    that gained oracles or changed this round — q_ann_pq /
+    records the first 50 entries only.  Round 5 leads with the 16
+    queries that are NEW or changed this round — q_ann_pq /
     q_dedup_contain (committed after the r04 rotation, no driver row
-    yet), the re-fixed q_profile, the new q_ann_pq_trained, the newly
+    yet), the re-fixed q_profile, q_ann_pq_trained, the newly
     oracle-checked q_ann_trained / q_embed_pca, the dual-criterion
-    q_dedup_keep, and the lloyd_nd/mview-touching q_kmeans_nd /
-    q_stream_mview — then the 5 planned re-confirms and a long-green
-    tail.  With this window, cumulative driver coverage reaches
-    152/152.
+    q_dedup_keep, the lloyd_nd/mview-touching q_kmeans_nd /
+    q_stream_mview, and the seven new operators (mlquality, KMV,
+    sampled quantiles, novelty, segment dedup, PII redaction,
+    temperature mixing) — then the 5 planned re-confirms (17-21) and
+    a long-green tail.  With this window, cumulative driver coverage
+    reaches 159/159.
     """
     return {
         "q_ann_pq": q_ann_pq,
