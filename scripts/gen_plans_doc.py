@@ -165,6 +165,36 @@ PICKS = [
         "Prefix-filter exact set-similarity join — candidates from "
         "rarest-first prefixes, per-candidate exact verification",
     ),
+    (
+        "q_ann_pq",
+        "Product-quantization ADC — codes and the LUT are literals: "
+        "join-free scoring, both cuts TakeOrderedAndProject",
+    ),
+    (
+        "q_text_mlquality",
+        "Frozen-logistic quality classifier — sigma(z) entirely in-scan, "
+        "zero shuffle, no Python hop",
+    ),
+    (
+        "q_text_novelty",
+        "N-gram novelty — per-doc join against the SMALL df>=2 shingle "
+        "set (the complement), one shingle exchange",
+    ),
+    (
+        "q_text_seg_dedup",
+        "Segment boilerplate removal — zero-shuffle segment fan-out, "
+        "one segment-text exchange, ordered md5 reconstruction",
+    ),
+    (
+        "q_text_redact",
+        "PII redaction — fixed-order regexp_replace chain, scan-speed "
+        "narrow map",
+    ),
+    (
+        "q_sample_temperature",
+        "Temperature mixing — k-row rate derivation driver-side, "
+        "narrow md5-bucket predicate in the scan",
+    ),
 ]
 
 
