@@ -427,6 +427,19 @@ def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_redact(docs)
 
 
+def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: smallest frequency-ranked vocab size
+    covering 90/95/99% of corpus tokens — the ordered cumulative
+    window runs over the VOCABULARY (corpus-size-independent), not the
+    corpus."""
+    from flink_kmeans_clustering_spark.operators.textstats import (
+        vocab_coverage,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return vocab_coverage(docs)
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive integer rolling fingerprint of the token stream."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -2337,6 +2350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_seg_dedup": q_text_seg_dedup,
         "q_text_redact": q_text_redact,
         "q_sample_temperature": q_sample_temperature,
+        "q_text_vocab_coverage": q_text_vocab_coverage,
         "q_dedup_minhash": q_dedup_minhash,
         "q_dedup_simhash": q_dedup_simhash,
         "q_rel_pricing": q_rel_pricing,
@@ -2370,9 +2384,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_quantized": q_ann_quantized,
         "q_ann_pruned": q_ann_pruned,
         "q_dedup_semantic": q_dedup_semantic,
-        "q_dedup_canonical": q_dedup_canonical,
         # --- below: outside the driver's 50-row window this round;
         # all driver-green in rounds 1-4 ---
+        "q_dedup_canonical": q_dedup_canonical,
         "q_events_funnel": q_events_funnel,
         "q_events_retention": q_events_retention,
         "q_events_wau": q_events_wau,
@@ -4714,6 +4728,24 @@ SELECT doc_id,
              '{PII_PHONE_RE}', '<PHONE>', 'g')) AS redacted_digest
 FROM documents
 """
+    text_vocab_coverage_sql = f"""
+WITH {_TOKS_CTE},
+tf AS (SELECT tt AS token, COUNT(*) AS freq
+       FROM (SELECT unnest(t) AS tt FROM toks) GROUP BY tt),
+ranked AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rnk,
+         SUM(freq) OVER (ORDER BY freq DESC, token
+                         ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(freq) OVER () AS total
+  FROM tf
+)
+SELECT CAST(c.cov AS DOUBLE) AS coverage,
+       CAST(MIN(CASE WHEN CAST(cum AS DOUBLE) >= CAST(c.cov AS DOUBLE) * total
+                     THEN rnk END) AS BIGINT) AS vocab_size,
+       CAST(MAX(total) AS BIGINT) AS total_tokens
+FROM ranked CROSS JOIN (VALUES (0.9), (0.95), (0.99)) c(cov)
+GROUP BY c.cov
+"""
     dedup_ngram_capped_sql = f"""
 WITH {ngram_capped_ctes}
 SELECT id_a, id_b, jaccard FROM capped_pairs
@@ -5425,6 +5457,7 @@ GROUP BY event_type
         "q_text_novelty": text_novelty_sql,
         "q_text_seg_dedup": text_seg_dedup_sql,
         "q_text_redact": text_redact_sql,
+        "q_text_vocab_coverage": text_vocab_coverage_sql,
         "q_text_fingerprint": text_fingerprint_sql,
         "q_text_tokenfreq": text_tokenfreq_sql,
         "q_text_clean": """

@@ -928,3 +928,63 @@ def pii_redact(
         F.regexp_count(t, F.lit(PII_IP_RE)).alias("n_ips"),
         F.md5(red).alias("redacted_digest"),
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    coverages: tuple[float, ...] = (0.9, 0.95, 0.99),
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-design question "how
+    many vocabulary entries cover X% of corpus tokens?": rank tokens
+    by corpus frequency (ties → token ascending) and report, for each
+    coverage target, the smallest rank whose cumulative frequency
+    reaches it.
+
+    Scale shape: the corpus collapses to its VOCABULARY first (one
+    (token) exchange with map-side combine — |V| rows, corpus-size
+    independent), and only that small table flows through the global
+    ordered cumulative window; the single-partition window is over
+    |V|, never over the corpus.  Integer frequencies make the curve
+    exact; the only float op is the ``target × total`` threshold,
+    identical in any engine.
+
+    Output: (coverage, vocab_size, total_tokens) — one row per target.
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(F.explode(tokenize(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.col("token")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = tf.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("freq"), F.col("token")))
+        .alias("rnk"),
+        F.sum("freq").over(w).alias("cum"),
+        F.sum("freq").over(wall).alias("total"),
+    )
+    aggs = []
+    for c in coverages:
+        hit = F.when(
+            F.col("cum").cast("double") >= F.lit(float(c)) * F.col("total"),
+            F.col("rnk"),
+        )
+        aggs.append(F.min(hit).cast("long").alias(f"_v{int(c * 100)}"))
+    [row] = ranked.agg(*aggs, F.max("total").alias("_tot")).collect()
+    spark = df.sparkSession
+    out = spark.createDataFrame(
+        [
+            (float(c), row[f"_v{int(c * 100)}"], row["_tot"])
+            for c in coverages
+        ],
+        "coverage double, vocab_size long, total_tokens long",
+    )
+    return out

@@ -605,3 +605,21 @@ def test_pii_redact_fixture_and_cross_engine(spark):
         params=[raw],
     ).fetchall()
     assert dk_digest == row["redacted_digest"]
+
+
+def test_vocab_coverage_semantics(spark):
+    """Hand-checkable corpus: 'a'×6 'b'×3 'c'×1 → total 10; 60%
+    coverage needs 1 token, 90% needs 2, 100% needs 3; monotone in
+    the target."""
+    from flink_kmeans_clustering_spark.operators.textstats import (
+        vocab_coverage,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a a a a a a"), (1, "b b b c")], "doc_id long, text string"
+    )
+    rows = {
+        r["coverage"]: r["vocab_size"]
+        for r in vocab_coverage(docs, coverages=(0.6, 0.9, 1.0)).collect()
+    }
+    assert rows == {0.6: 1, 0.9: 2, 1.0: 3}
