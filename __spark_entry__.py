@@ -1851,6 +1851,19 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_project_checked(emb, dim=GRAM_DIM, iters=PCA_ITERS)
 
 
+def q_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor: md5-half split of the corpus, per-dim
+    conditional sums in ONE aggregate (one row over the exchange),
+    cosine/L2 between the half mean vectors as fixed-order column
+    arithmetic."""
+    from flink_kmeans_clustering_spark.operators.linalg import (
+        embedding_drift,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_drift(emb, dim=GRAM_DIM)
+
+
 def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Efraimidis-Spirakis weighted sample (k=20, weight = n_chars):
     rank by ln(u)/w with u from the content hash — deterministic across
@@ -2351,6 +2364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_redact": q_text_redact,
         "q_sample_temperature": q_sample_temperature,
         "q_text_vocab_coverage": q_text_vocab_coverage,
+        "q_embed_drift": q_embed_drift,
         "q_dedup_minhash": q_dedup_minhash,
         "q_dedup_simhash": q_dedup_simhash,
         "q_rel_pricing": q_rel_pricing,
@@ -2383,9 +2397,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_lsh": q_ann_lsh,
         "q_ann_quantized": q_ann_quantized,
         "q_ann_pruned": q_ann_pruned,
-        "q_dedup_semantic": q_dedup_semantic,
         # --- below: outside the driver's 50-row window this round;
         # all driver-green in rounds 1-4 ---
+        "q_dedup_semantic": q_dedup_semantic,
         "q_dedup_canonical": q_dedup_canonical,
         "q_events_funnel": q_events_funnel,
         "q_events_retention": q_events_retention,
@@ -3878,6 +3892,38 @@ FROM documents d JOIN tgt ON d.source = tgt.s
 WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT) % 256
       < CAST(FLOOR(256 * tgt.t * (SELECT n_out FROM nout) / tgt.n) AS INT)
 """
+    embed_drift_sql = f"""
+WITH e AS (
+  SELECT CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 2)) AS INT)
+           % 2 AS half,
+         CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE len(embedding) = {GRAM_DIM}
+),
+m AS (
+  SELECT half, jj.j AS j, SUM(v[jj.j]) / COUNT(*) AS mu
+  FROM e, (SELECT unnest(range(1, {GRAM_DIM + 1})) AS j) jj
+  GROUP BY half, jj.j
+),
+ml AS (SELECT half, list(mu ORDER BY j) AS mu FROM m GROUP BY half),
+n AS (SELECT half, COUNT(*) AS n FROM e GROUP BY half),
+ab AS (
+  SELECT a.mu AS ma, b.mu AS mb,
+         (SELECT n FROM n WHERE half = 0) AS n_a,
+         (SELECT n FROM n WHERE half = 1) AS n_b
+  FROM ml a, ml b WHERE a.half = 0 AND b.half = 1
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       ROUND(
+         list_sum(list_transform(range(1, {GRAM_DIM + 1}), i -> ma[i]*mb[i]))
+         / (sqrt(list_sum(list_transform(range(1, {GRAM_DIM + 1}),
+                                         i -> ma[i]*ma[i])))
+            * sqrt(list_sum(list_transform(range(1, {GRAM_DIM + 1}),
+                                           i -> mb[i]*mb[i])))), 6) + 0.0
+         AS mean_cosine,
+       ROUND(sqrt(list_sum(list_transform(range(1, {GRAM_DIM + 1}),
+                    i -> (ma[i]-mb[i])*(ma[i]-mb[i])))), 6) + 0.0 AS mean_l2
+FROM ab
+"""
     rel_mktshare_sql = """
 SELECT o_year, nation_volume, total_volume,
        ROUND(nation_volume / total_volume, 6) AS mkt_share
@@ -5156,6 +5202,7 @@ SELECT event_type, event_id, ROUND(value, 6) AS value FROM (
         "q_sink_evolve": sink_evolve_sql,
         "q_knn_join": knn_join_sql,
         "q_embed_cov": embed_cov_sql,
+        "q_embed_drift": embed_drift_sql,
         "q_sample_weighted": sample_weighted_sql,
         "q_graph_triangles": graph_triangles_sql,
         "q_text_bm25": text_bm25_sql,

@@ -326,3 +326,67 @@ def _cov_from_gram(
         cov = F.round(cov, round_to) + F.lit(0.0)
         gram = F.round(gram, round_to) + F.lit(0.0)
     return out.select("i", "j", gram.alias("gram"), cov.alias("cov"))
+
+
+def embedding_drift(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Embedding-distribution drift between two deterministic halves of
+    the corpus (md5 split on ``id_col``) — the monitoring check a
+    production embedding pipeline runs between ingestion batches: if
+    the two halves' MEAN vectors diverge, the upstream encoder or the
+    content mix moved.
+
+    One narrow pass: per-dim conditional SUMs for both halves in a
+    single aggregate (2·dim+2 columns, one exchange carrying ONE row),
+    then cosine / L2 between the mean vectors as fixed-order column
+    arithmetic — index-ordered left-assoc chains, so a SQL engine
+    folding ordered lists lands on the same doubles.
+
+    Output: one row (n_a, n_b, mean_cosine, mean_l2).
+    """
+    from flink_kmeans_clustering_spark.operators.sampling import hash_bucket
+
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    half = hash_bucket(F.col(id_col).cast("string"), 2)
+    base = df.select(half.alias("_h"), vec.alias("_v")).filter(
+        F.size("_v") == dim
+    )
+    aggs = [
+        F.sum(F.when(F.col("_h") == 0, F.lit(1)).otherwise(0)).alias("_na"),
+        F.sum(F.when(F.col("_h") == 1, F.lit(1)).otherwise(0)).alias("_nb"),
+    ]
+    for j in range(dim):
+        el = F.element_at("_v", j + 1)
+        aggs.append(F.sum(F.when(F.col("_h") == 0, el)).alias(f"_sa{j}"))
+        aggs.append(F.sum(F.when(F.col("_h") == 1, el)).alias(f"_sb{j}"))
+    one = base.agg(*aggs)
+
+    ma = [F.col(f"_sa{j}") / F.col("_na") for j in range(dim)]
+    mb = [F.col(f"_sb{j}") / F.col("_nb") for j in range(dim)]
+
+    def chain(terms):
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+
+    dot = chain([a * b for a, b in zip(ma, mb)])
+    na2 = chain([a * a for a in ma])
+    nb2 = chain([b * b for b in mb])
+    d2 = chain([(a - b) * (a - b) for a, b in zip(ma, mb)])
+    cos = dot / (F.sqrt(na2) * F.sqrt(nb2))
+    l2 = F.sqrt(d2)
+    if round_to is not None:
+        cos = F.round(cos, round_to) + F.lit(0.0)
+        l2 = F.round(l2, round_to) + F.lit(0.0)
+    return one.select(
+        F.col("_na").cast("long").alias("n_a"),
+        F.col("_nb").cast("long").alias("n_b"),
+        cos.alias("mean_cosine"),
+        l2.alias("mean_l2"),
+    )

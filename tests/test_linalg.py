@@ -209,3 +209,58 @@ def test_power_iterate_fold_order_matches_duckdb(spark):
         FROM mat, vv
     """).fetchall()
     assert [x.hex() for x in py] == [float(x).hex() for x in dk]
+
+
+def test_embedding_drift_detects_shift_and_null_case(spark):
+    """Two halves drawn identically → cosine ≈ 1 on a fixture with a
+    strong common direction; shifting one half's ids into a corpus
+    with a different mean must drop the cosine and raise the L2.
+    The split must also be plan-narrow: one aggregate, no per-row
+    Python."""
+    import numpy as np
+
+    from flink_kmeans_clustering_spark.operators.linalg import (
+        embedding_drift,
+    )
+    from flink_kmeans_clustering_spark.plans import explain_str
+
+    rng = np.random.RandomState(11)
+    base = rng.normal(0, 0.05, size=(400, 8)) + np.array(
+        [1.0, 0, 0, 0, 0, 0, 0, 0]
+    )
+    df_same = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(base)],
+        "vec_id long, embedding array<double>",
+    )
+    [r] = embedding_drift(df_same, dim=8).collect()
+    assert r["n_a"] + r["n_b"] == 400
+    assert r["mean_cosine"] > 0.999
+    assert r["mean_l2"] < 0.05
+
+    # shifted variant: same ids, but rows whose md5-half == 1 move to a
+    # different mean direction — the drift the monitor exists to catch
+    shifted = base.copy()
+    from flink_kmeans_clustering_spark.operators.sampling import hash_bucket
+    from pyspark.sql import functions as F
+
+    halves = {
+        row["vec_id"]: row["h"]
+        for row in df_same.select(
+            "vec_id", hash_bucket(F.col("vec_id").cast("string"), 2).alias("h")
+        ).collect()
+    }
+    for i in range(400):
+        if halves[i] == 1:
+            shifted[i] = rng.normal(0, 0.05, size=8) + np.array(
+                [0, 1.0, 0, 0, 0, 0, 0, 0]
+            )
+    df_shift = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(shifted)],
+        "vec_id long, embedding array<double>",
+    )
+    [r2] = embedding_drift(df_shift, dim=8).collect()
+    assert r2["mean_cosine"] < 0.5
+    assert r2["mean_l2"] > 1.0
+
+    plan = explain_str(embedding_drift(df_same, dim=8))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

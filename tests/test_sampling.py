@@ -399,3 +399,23 @@ def test_temperature_sampling_flattens_mixture(spark):
     # the binding stratum keeps (nearly) everything: rate quantizes to
     # <= 1 of 256 buckets below the exact bound
     assert got["small"] >= 90
+
+
+def test_kmv_invariant_under_duplication_and_partitioning(spark):
+    """The KMV estimate depends only on the DISTINCT value set: event
+    duplication and arbitrary repartitioning must not move it by a
+    single bit (the sketch's determinism contract)."""
+    from flink_kmeans_clustering_spark.operators.sampling import kmv_distinct
+    from flink_kmeans_clustering_spark.sources.parquet import load_events
+
+    ev = load_events(spark, "/root/testdata/sf0.001")
+    base = {
+        (r["event_type"], r["n_kept"], r["est_distinct"])
+        for r in kmv_distinct(ev, "user_id", "event_type", k=32).collect()
+    }
+    doubled = ev.unionByName(ev).repartition(13)
+    got = {
+        (r["event_type"], r["n_kept"], r["est_distinct"])
+        for r in kmv_distinct(doubled, "user_id", "event_type", k=32).collect()
+    }
+    assert got == base

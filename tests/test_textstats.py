@@ -623,3 +623,31 @@ def test_vocab_coverage_semantics(spark):
         for r in vocab_coverage(docs, coverages=(0.6, 0.9, 1.0)).collect()
     }
     assert rows == {0.6: 1, 0.9: 2, 1.0: 3}
+
+
+def test_vocab_coverage_monotone_in_target(spark):
+    """vocab_size must be nondecreasing in the coverage target, and
+    reach the full vocabulary at 1.0."""
+    from pyspark.sql import functions as F
+
+    from flink_kmeans_clustering_spark.operators.textstats import (
+        vocab_coverage,
+    )
+    from flink_kmeans_clustering_spark.functions.text import tokenize
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = sorted(
+        (r["coverage"], r["vocab_size"])
+        for r in vocab_coverage(
+            docs, coverages=(0.5, 0.8, 0.95, 1.0)
+        ).collect()
+    )
+    sizes = [v for _, v in rows]
+    assert sizes == sorted(sizes)
+    n_vocab = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("t"))
+        .select("t")
+        .distinct()
+        .count()
+    )
+    assert sizes[-1] == n_vocab
