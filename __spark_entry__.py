@@ -2328,7 +2328,7 @@ def q_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    160 queries; 156 carry DuckDB oracles, 4 are rows-only by design
+    161 queries; 157 carry DuckDB oracles, 4 are rows-only by design
     (MLlib placement RNG, HLL/KLL sketch internals, GEMM ulp twin —
     each now has a DETERMINISTIC full-oracle twin registered beside
     it: lloyd_nd/kmv/sampled-quantiles/expression-cosine).
@@ -2340,11 +2340,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     yet), the re-fixed q_profile, q_ann_pq_trained, the newly
     oracle-checked q_ann_trained / q_embed_pca, the dual-criterion
     q_dedup_keep, the lloyd_nd/mview-touching q_kmeans_nd /
-    q_stream_mview, and the eight new operators (mlquality, KMV,
+    q_stream_mview, and the nine new operators (mlquality, KMV,
     sampled quantiles, novelty, segment dedup, PII redaction,
-    temperature mixing, vocab coverage) — then the 5 planned
-    re-confirms (18-22) and a long-green tail.  With this window,
-    cumulative driver coverage reaches 160/160.
+    temperature mixing, vocab coverage, embedding drift) — then the 5
+    planned re-confirms (19-23) and a long-green tail.  With this
+    window, cumulative driver coverage reaches 161/161.
     """
     return {
         "q_ann_pq": q_ann_pq,
