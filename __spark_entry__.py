@@ -862,6 +862,23 @@ def q_text_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 RESIZE_STRIDE = 4
 
 
+AUDIO_WINDOW_BYTES = 128
+
+
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio loudness (RMS+peak per 128-byte PCM window) over
+    Arrow-batched mapInPandas — integer-exact Σv² so the doubles match
+    any engine bit-for-bit; zero shuffle."""
+    from flink_kmeans_clustering_spark.operators.multimodal import (
+        audio_window_stats,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return audio_window_stats(
+        synthesize_assets(docs), window_bytes=AUDIO_WINDOW_BYTES
+    )
+
+
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-neighbor byte-grid resize (the image-resize stage of the
     multimodal pipeline) over Arrow-batched mapInPandas; the oracle
@@ -1864,6 +1881,82 @@ def q_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_drift(emb, dim=GRAM_DIM)
 
 
+def q_ann_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN: 64 sign bits per vector packed into two
+    32-bit words (32× compression — the first-pass index that stays
+    RAM-resident at 100 TB), integer bit_count(xor) Hamming shortlist,
+    exact-cosine rerank.  Both cuts TakeOrderedAndProject."""
+    from flink_kmeans_clustering_spark.operators.similarity import (
+        ann_binary,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_binary(
+        emb, _query_vector(spark, sf_dir), k=TOPK_K, shortlist=ANN_SHORTLIST
+    )
+
+
+BPE_TOP_PAIRS = 20
+
+
+def q_text_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-candidate statistics (the byte-pair tokenizer
+    trainer's inner loop): corpus-wide adjacent char-pair counts off
+    one tokenize pass — the shuffle is the ≤|Σ|² pair alphabet, not
+    the corpus."""
+    from flink_kmeans_clustering_spark.operators.textstats import (
+        bpe_pair_frequencies,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_pair_frequencies(docs, top_n=BPE_TOP_PAIRS)
+
+
+KCENTER_K = 8
+
+
+def q_sample_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center diversity sample over the embedding corpus
+    (Gonzalez farthest-point — the coreset seed of data curation):
+    k−1 narrow literal-matrix scans, one TakeOrdered row to the driver
+    per round, zero shuffles."""
+    from flink_kmeans_clustering_spark.operators.sampling import (
+        kcenter_sample,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.size("embedding") == GRAM_DIM
+    )
+    return kcenter_sample(emb, k=KCENTER_K)
+
+
+DOMAIN_CAP = 10
+
+
+def q_sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain frequency cap (the over-representation guard): exact
+    deterministic top-``cap`` per source by (md5, id) lottery — ONE
+    window shuffle, WindowGroupLimit heap per domain; output checksums
+    WHICH docs survived."""
+    from flink_kmeans_clustering_spark.operators.sampling import domain_cap
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return domain_cap(docs, cap=DOMAIN_CAP)
+
+
+def q_text_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM quality score (conditional next-token NLL, add-one
+    smoothed) — the step past the unigram filter toward CCNet's KenLM
+    stage; the corpus bigram table stays PARTITIONED (too big to
+    broadcast at 100 TB), predecessor totals broadcast."""
+    from flink_kmeans_clustering_spark.operators.textstats import (
+        lm_bigram_scores,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lm_bigram_scores(docs)
+
+
 def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Efraimidis-Spirakis weighted sample (k=20, weight = n_chars):
     rank by ln(u)/w with u from the content hash — deterministic across
@@ -2328,7 +2421,7 @@ def q_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    161 queries; 157 carry DuckDB oracles, 4 are rows-only by design
+    167 queries; 163 carry DuckDB oracles, 4 are rows-only by design
     (MLlib placement RNG, HLL/KLL sketch internals, GEMM ulp twin —
     each now has a DETERMINISTIC full-oracle twin registered beside
     it: lloyd_nd/kmv/sampled-quantiles/expression-cosine).
@@ -2340,11 +2433,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     yet), the re-fixed q_profile, q_ann_pq_trained, the newly
     oracle-checked q_ann_trained / q_embed_pca, the dual-criterion
     q_dedup_keep, the lloyd_nd/mview-touching q_kmeans_nd /
-    q_stream_mview, and the nine new operators (mlquality, KMV,
+    q_stream_mview, and the twelve new operators (mlquality, KMV,
     sampled quantiles, novelty, segment dedup, PII redaction,
-    temperature mixing, vocab coverage, embedding drift) — then the 5
-    planned re-confirms (19-23) and a long-green tail.  With this
-    window, cumulative driver coverage reaches 161/161.
+    temperature mixing, vocab coverage, embedding drift, binary-code
+    Hamming ANN, BPE pair stats, k-center sampling, per-domain
+    frequency cap, bigram LM score, audio window stats) — then the 5
+    planned re-confirms and a long-green tail.  With this window,
+    cumulative driver coverage reaches 167/167.
     """
     return {
         "q_ann_pq": q_ann_pq,
@@ -2365,6 +2460,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sample_temperature": q_sample_temperature,
         "q_text_vocab_coverage": q_text_vocab_coverage,
         "q_embed_drift": q_embed_drift,
+        "q_ann_hamming": q_ann_hamming,
+        "q_text_bpe": q_text_bpe,
+        "q_sample_kcenter": q_sample_kcenter,
+        "q_sample_domain_cap": q_sample_domain_cap,
+        "q_text_lm_bigram": q_text_lm_bigram,
+        "q_multimodal_audio": q_multimodal_audio,
         "q_dedup_minhash": q_dedup_minhash,
         "q_dedup_simhash": q_dedup_simhash,
         "q_rel_pricing": q_rel_pricing,
@@ -2817,6 +2918,48 @@ def _kmeans_nd_oracle_sql(
     return _lloyd_nd_ctes(k, dim, iters) + f"""
 SELECT id, CAST(jj.j - 1 AS INT) AS dim, ROUND(cent[jj.j], 6) AS value
 FROM c{iters}, (SELECT unnest(range(1, {d1})) AS j) jj"""
+
+
+def _kcenter_oracle_sql(k: int = 8, dim: int = 64) -> str:
+    """Unrolled greedy k-center replay: step i picks the row maximizing
+    the MIN dist² to the chosen set c{i-1} (ties → lowest vec_id), with
+    every dist² the same index-ordered fold as assign_points_nd — the
+    same unrolled-CTE style as the lloyd_nd oracles."""
+    d1 = dim + 1
+    parts = [
+        f"""WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE len(embedding) = {dim}
+),
+c0 AS (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT 1)"""
+    ]
+    for i in range(1, k):
+        # cross join + GROUP BY, not a correlated subquery: DuckDB
+        # can't reference outer-query columns inside a lambda
+        parts.append(
+            f""",
+d{i} AS (
+  SELECT e.vec_id,
+         MIN(list_sum(list_transform(range(1, {d1}),
+             j -> (e.v[j]-c.v[j])*(e.v[j]-c.v[j])))) AS d2
+  FROM vecs e CROSS JOIN c{i - 1} c
+  GROUP BY e.vec_id
+),
+p{i} AS (
+  SELECT v.vec_id, v.v, d.d2
+  FROM d{i} d JOIN vecs v USING (vec_id)
+  ORDER BY d.d2 DESC, v.vec_id LIMIT 1
+),
+c{i} AS (SELECT vec_id, v FROM c{i - 1}
+         UNION ALL SELECT vec_id, v FROM p{i})"""
+        )
+    sel = ['SELECT CAST(0 AS INT) AS "rank", vec_id, CAST(NULL AS DOUBLE) AS dist2 FROM c0']
+    for i in range(1, k):
+        sel.append(
+            f'SELECT CAST({i} AS INT) AS "rank", vec_id, ROUND(d2, 6) + 0.0 AS dist2 FROM p{i}'
+        )
+    parts.append("\n" + "\nUNION ALL ".join(sel))
+    return "".join(parts)
 
 
 def _ann_trained_oracle_sql(
@@ -3923,6 +4066,107 @@ SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
        ROUND(sqrt(list_sum(list_transform(range(1, {GRAM_DIM + 1}),
                     i -> (ma[i]-mb[i])*(ma[i]-mb[i])))), 6) + 0.0 AS mean_l2
 FROM ab
+"""
+    # q_ann_hamming: the SAME sign convention (> 0, strict) and
+    # bit-packing split (bits 0..31 → dims 1..32, 32..63 → 33..64) the
+    # Spark _sign_word fold uses; Hamming is exact integer arithmetic,
+    # the rerank cosine the standard rounded fold.
+    ann_hamming_sql = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE len(embedding) = {GRAM_DIM}),
+c AS (
+  SELECT vec_id, v,
+         CAST(list_sum(list_transform(range(0, 32),
+              i -> CASE WHEN v[i+1] > 0 THEN 1::BIGINT << i ELSE 0 END))
+           AS BIGINT) AS lo,
+         CAST(list_sum(list_transform(range(0, 32),
+              i -> CASE WHEN v[i+33] > 0 THEN 1::BIGINT << i ELSE 0 END))
+           AS BIGINT) AS hi
+  FROM e
+),
+q AS (SELECT lo AS qlo, hi AS qhi, v AS qv,
+             sqrt(list_sum(list_transform(v, x -> x*x))) AS qn
+      FROM c WHERE vec_id = 0),
+h AS (
+  SELECT vec_id, v,
+         CAST(bit_count(xor(lo, qlo)) + bit_count(xor(hi, qhi)) AS INT)
+           AS hamming
+  FROM c CROSS JOIN q
+),
+short AS (SELECT * FROM h ORDER BY hamming, vec_id LIMIT {ANN_SHORTLIST})
+SELECT vec_id, hamming,
+       ROUND(list_sum(list_transform(range(1, {GRAM_DIM + 1}),
+                                     i -> v[i]*qv[i]))
+             / (sqrt(list_sum(list_transform(v, x -> x*x))) * qn), 6)
+         AS cosine
+FROM short CROSS JOIN q
+ORDER BY cosine DESC, vec_id LIMIT {TOPK_K}
+"""
+    text_bpe_sql = f"""
+WITH {_TOKS_CTE},
+w AS (SELECT unnest(t) AS w FROM toks),
+p AS (
+  SELECT unnest(list_transform(range(1, length(w)),
+           i -> substring(w, CAST(i AS INT), 1)
+                || substring(w, CAST(i+1 AS INT), 1))) AS pair
+  FROM w WHERE length(w) >= 2
+)
+SELECT pair, COUNT(*) AS freq
+FROM p GROUP BY pair ORDER BY freq DESC, pair LIMIT {BPE_TOP_PAIRS}
+"""
+    sample_domain_cap_sql = f"""
+WITH r AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rn
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN rn <= {DOMAIN_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN rn <= {DOMAIN_CAP} THEN doc_id END) AS BIGINT)
+         AS kept_id_sum
+FROM r GROUP BY source
+"""
+    text_lm_bigram_sql = f"""
+WITH {_TOKS_CTE},
+seq AS (SELECT doc_id, t FROM toks WHERE len(t) >= 2),
+bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+              i -> t[i] || ' ' || t[i+1])) AS b FROM seq),
+db AS (SELECT doc_id, b, COUNT(*) AS cnt FROM bg GROUP BY doc_id, b),
+cb AS (SELECT b, SUM(cnt) AS c12 FROM db GROUP BY b),
+c1 AS (SELECT split_part(b, ' ', 1) AS w1, SUM(c12) AS c1
+       FROM cb GROUP BY 1),
+v AS (SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS vn
+      FROM (SELECT unnest(t) AS tok FROM toks))
+SELECT db.doc_id,
+       CAST(SUM(db.cnt) AS BIGINT) AS n_bigrams,
+       ROUND(SUM(db.cnt * -ln((cb.c12 + 1.0) / (c1.c1 + v.vn)))
+             / SUM(db.cnt), 6) AS nll
+FROM db JOIN cb USING (b)
+JOIN c1 ON split_part(b, ' ', 1) = c1.w1
+CROSS JOIN v
+GROUP BY db.doc_id
+"""
+    multimodal_audio_sql = f"""
+WITH audio AS (
+  SELECT doc_id AS asset_id, text FROM documents WHERE doc_id % 3 = 1
+),
+pos AS (
+  SELECT asset_id, text, unnest(range(1, length(text)+1)) AS i FROM audio
+),
+samp AS (
+  SELECT asset_id, CAST((i-1) // {AUDIO_WINDOW_BYTES} AS INT) AS window_no,
+         ascii(substring(text, CAST(i AS INT), 1)) AS v
+  FROM pos
+)
+SELECT asset_id, window_no,
+       CAST(COUNT(*) AS INT) AS n_samples,
+       ROUND(sqrt(SUM(v*v) * 1.0 / COUNT(*)), 6) AS rms,
+       CAST(MAX(v) AS INT) AS peak
+FROM samp GROUP BY asset_id, window_no
 """
     rel_mktshare_sql = """
 SELECT o_year, nation_volume, total_volume,
@@ -5203,6 +5447,12 @@ SELECT event_type, event_id, ROUND(value, 6) AS value FROM (
         "q_knn_join": knn_join_sql,
         "q_embed_cov": embed_cov_sql,
         "q_embed_drift": embed_drift_sql,
+        "q_ann_hamming": ann_hamming_sql,
+        "q_text_bpe": text_bpe_sql,
+        "q_sample_kcenter": _kcenter_oracle_sql(k=KCENTER_K, dim=GRAM_DIM),
+        "q_sample_domain_cap": sample_domain_cap_sql,
+        "q_text_lm_bigram": text_lm_bigram_sql,
+        "q_multimodal_audio": multimodal_audio_sql,
         "q_sample_weighted": sample_weighted_sql,
         "q_graph_triangles": graph_triangles_sql,
         "q_text_bm25": text_bm25_sql,

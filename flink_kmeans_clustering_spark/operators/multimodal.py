@@ -253,3 +253,65 @@ def resize_nearest(assets: DataFrame, stride: int = 4) -> DataFrame:
         F.col("meta.width").alias("_w"),
         F.col("meta.height").alias("_h"),
     ).mapInPandas(resize, schema=out_schema)
+
+
+def audio_window_stats(
+    assets: DataFrame, window_bytes: int = 128, round_to: int = 6
+) -> DataFrame:
+    """Windowed loudness profile of audio assets — the audio-shaped
+    Python stage of the pipeline (silence trimming / VAD / level
+    normalization all start from exactly this per-window RMS+peak
+    scan).
+
+    The content bytes are treated as unsigned 8-bit PCM samples (the
+    deterministic stand-in — a real s16le/flac decode belongs in the
+    stubbed :func:`decode_real` slot) and cut into non-overlapping
+    ``window_bytes`` windows; each window emits its sample count, RMS
+    and peak.  Arrow-batched ``mapInPandas``, zero shuffle, one output
+    row per window.
+
+    Cross-engine exactness: Σv² of ≤ 2¹⁶ uint8² terms < 2³², exact in
+    float64 in ANY summation order, so rms = sqrt(Σv²/n) is the same
+    IEEE double in numpy and in a SQL engine — no tolerance needed.
+
+    Output: (asset_id, window_no, n_samples, rms, peak).
+    """
+    if window_bytes < 1:
+        raise ValueError(f"window_bytes must be >= 1, got {window_bytes}")
+    audio = assets.filter(F.col("modality") == "audio").select(
+        "asset_id", "content"
+    )
+    out_schema = (
+        "asset_id long, window_no int, n_samples int, rms double, peak int"
+    )
+
+    def stats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for aid, blob in zip(pdf["asset_id"], pdf["content"]):
+                b = np.frombuffer(bytes(blob), dtype=np.uint8)
+                for w0 in range(0, b.size, window_bytes):
+                    seg = b[w0 : w0 + window_bytes].astype(np.int64)
+                    rows.append(
+                        (
+                            int(aid),
+                            w0 // window_bytes,
+                            int(seg.size),
+                            math.sqrt(int((seg * seg).sum()) / seg.size),
+                            int(seg.max()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "window_no", "n_samples", "rms", "peak"],
+            )
+
+    res = audio.mapInPandas(stats, out_schema)
+    if round_to is not None:
+        res = res.withColumn("rms", F.round("rms", round_to))
+    return res

@@ -430,3 +430,109 @@ def temperature_mixture_sample(
         ).otherwise(keep)
     b = hash_bucket(F.col(key_col).cast("string"), buckets)
     return df.filter(b < keep)
+
+
+def kcenter_sample(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Greedy k-center (farthest-point) diversity sampling over an
+    embedding column — the coreset seed a data-curation pipeline uses
+    to pick a maximally-spread subset (and the 2-approximation to the
+    k-center objective, Gonzalez TCS'85; also k-means++'s
+    deterministic cousin).
+
+    Each of the k−1 rounds is ONE distributed job: min-dist² to the
+    chosen set via the same literal-matrix fold as
+    :func:`~flink_kmeans_clustering_spark.operators.kmeans.assign_points_nd`
+    (chosen set enters the plan as a literal — no join, no shuffle of
+    the corpus), then a (dist² DESC, id ASC) ``orderBy().limit(1)``
+    that compiles to TakeOrderedAndProject — one row to the driver per
+    round.  Driver state is k rows; corpus work is k narrow scans of a
+    cached projection.  At 100 TB: k scans, zero shuffles.
+
+    Deterministic: seed = lowest id; dist² folds are index-ordered so
+    an independent engine replays the identical doubles; ties at equal
+    dist² break to the lowest id.
+
+    Output: (rank, vec_id, dist2) — dist2 is the point's min-dist² to
+    the already-chosen set at selection time (NULL for the seed),
+    rounded AFTER selection (ranking uses exact values).
+    """
+    from flink_kmeans_clustering_spark.operators.kmeans import (
+        assign_points_nd,
+    )
+
+    base = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    ).cache()
+    [seed] = base.orderBy(id_col).limit(1).collect()
+    chosen = [(int(seed[id_col]), [float(x) for x in seed["_v"]], None)]
+    for _ in range(k - 1):
+        cents = [c[1] for c in chosen]
+        scored = assign_points_nd(
+            base, cents, vec_col="_v", cluster_col="_c", dist2_col="_d2"
+        )
+        [far] = (
+            scored.orderBy(F.desc("_d2"), F.col(id_col))
+            .limit(1)
+            .select(id_col, "_v", "_d2")
+            .collect()
+        )
+        chosen.append(
+            (int(far[id_col]), [float(x) for x in far["_v"]], float(far["_d2"]))
+        )
+    base.unpersist()
+    spark = df.sparkSession
+    rows = [(r, cid, d) for r, (cid, _, d) in enumerate(chosen)]
+    out = spark.createDataFrame(
+        rows, schema=f"rank int, {id_col} bigint, dist2 double"
+    )
+    if round_to is not None:
+        # F.round, not Python round: half-away-from-zero like the
+        # DuckDB oracle (Python rounds half-to-even).
+        out = out.withColumn("dist2", F.round("dist2", round_to))
+    return out
+
+
+def domain_cap(
+    df: DataFrame,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    cap: int = 10,
+) -> DataFrame:
+    """Hard per-domain frequency cap — the over-representation guard a
+    web-crawl pipeline applies before mixing (no single domain may
+    contribute more than ``cap`` documents, cf. the per-domain limits
+    in C4/RefinedWeb-style curation).
+
+    Unlike the rate-based samplers above (which scale a stratum down
+    proportionally), this is an exact top-``cap`` per key: documents
+    rank within their domain by (md5(id), id) — a deterministic,
+    content-independent lottery — and rank ≤ cap survives.  ONE
+    shuffle (the window partition by domain); rank ≤ cap is the
+    WindowGroupLimit shape, so each partition keeps a cap-sized heap
+    per domain rather than sorting the stratum.  A pathological
+    mega-domain concentrates on one task — at that skew, pre-filter
+    with a cheap hash-rate cut to ~2×cap survivors per domain first
+    (the two-phase trick), which this operator composes with.
+
+    Output: (source, n_total, n_kept, kept_id_sum) — kept_id_sum
+    checksums WHICH documents survived, not just how many.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    ranked = df.select(strata_col, id_col).withColumn(
+        "_r", F.row_number().over(w)
+    )
+    return ranked.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("_r") <= cap, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("_r") <= cap, F.col(id_col))).alias("kept_id_sum"),
+    )

@@ -376,6 +376,90 @@ def ann_quantized(
     )
 
 
+def _sign_word(vec, offset: int, width: int = 32):
+    """Pack ``width`` sign bits (v[offset+i] > 0 → bit i) into a long.
+
+    The fold sums exact powers of two in doubles (every 2^i for
+    i < 32 is exactly representable, and the sum < 2^32 < 2^53), then
+    casts — pure built-in arithmetic, identical in any IEEE engine, no
+    shift builtins whose signedness rules differ across engines.
+    """
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(width - 1)),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.when(
+            F.element_at(vec, i + F.lit(offset + 1)) > 0.0,
+            F.pow(F.lit(2.0), i.cast("double")),
+        ).otherwise(F.lit(0.0)),
+    ).cast("long")
+
+
+def _sign_words_py(query_vec: Sequence[float]) -> tuple[int, int]:
+    """Driver-side twin of :func:`_sign_word` for the query literal."""
+    lo = sum(1 << i for i in range(32) if query_vec[i] > 0.0)
+    hi = sum(1 << i for i in range(32) if query_vec[32 + i] > 0.0)
+    return lo, hi
+
+
+def ann_binary(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Two-stage ANN over 1-bit (sign-binarized) vectors.
+
+    The extreme-compression scale path: each 64-dim float vector
+    collapses to TWO 32-bit sign words — 32× smaller than float32, the
+    representation that keeps a 100 TB embedding corpus's first-pass
+    index in memory on a modest cluster.  The first-pass score is the
+    Hamming distance to the query's code (``bit_count(xor)`` — integer
+    ALU work inside whole-stage codegen, no float math at all); the
+    ``shortlist`` best (Hamming ASC, id ASC — exact integer ordering,
+    fully deterministic) are re-ranked by exact cosine.  Both cuts
+    compile to TakeOrderedAndProject: no global sort, k·partitions
+    rows to the driver.
+
+    Unlike :func:`ann_lsh` (random hyperplanes → bucket pruning), the
+    code here IS the data's own sign pattern — no projection matrix to
+    ship, and distance is RANKED (graded recall) rather than
+    bucket-thresholded.
+
+    Output: (vec_id, hamming, cosine).
+    """
+    if len(query_vec) != 64:
+        raise ValueError("ann_binary packs exactly 64 dims (2×32-bit words)")
+    qlo, qhi = _sign_words_py(query_vec)
+    v = F.col(vec_col).cast("array<double>")
+    coded = df.filter(F.size(F.col(vec_col)) == 64).select(
+        F.col(id_col),
+        v.alias("_v"),
+        _sign_word(v, 0).alias("_lo"),
+        _sign_word(v, 32).alias("_hi"),
+    )
+    hamming = (
+        F.bit_count(F.col("_lo").bitwiseXOR(F.lit(qlo)))
+        + F.bit_count(F.col("_hi").bitwiseXOR(F.lit(qhi)))
+    ).cast("int")
+    short = (
+        coded.select(F.col(id_col), "_v", hamming.alias("hamming"))
+        .orderBy(F.col("hamming"), F.col(id_col))
+        .limit(shortlist)
+    )
+    exact = cosine_similarity(F.col("_v"), _query_lit(query_vec))
+    if round_to is not None:
+        exact = F.round(exact, round_to)
+    return (
+        short.select(F.col(id_col), "hamming", exact.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def pq_codebooks_first(
     df: DataFrame,
     m: int = 8,

@@ -188,6 +188,42 @@ def token_frequencies(
     return freq
 
 
+def bpe_pair_frequencies(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 20,
+) -> DataFrame:
+    """BPE merge-candidate statistics: corpus-wide adjacent character
+    pair counts, the argmax of which is the next merge a byte-pair
+    tokenizer trainer would perform (Sennrich ACL'16 inner loop).
+
+    One pass: tokenize in-scan, per-word char pairs via a higher-order
+    ``transform`` over split chars (JVM-side, zero Python), explode →
+    ONE map-side-combined groupBy(pair).  At 100 TB the shuffle is the
+    pair-alphabet (≤ |Σ|² keys, a few KB), not the corpus — the same
+    sufficient-statistics shape as the k-means update.  Tokens are
+    [a-z0-9]+ (``functions.text.tokenize``), so chars are single-byte
+    and substring semantics agree across engines.
+
+    Output: top ``top_n`` (pair, freq) by (freq DESC, pair ASC).
+    """
+    words = df.select(
+        F.explode(tokenize(F.col(text_col))).alias("w")
+    ).filter(F.length("w") >= 2)
+    chars = F.split(F.col("w"), "")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.length("w") - 1),
+        lambda i: F.concat(F.element_at(chars, i), F.element_at(chars, i + 1)),
+    )
+    ex = words.select(F.explode(pairs).alias("pair"))
+    return (
+        ex.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.col("pair"))
+        .limit(top_n)
+    )
+
+
 def token_frequencies_salted(
     df: DataFrame,
     text_col: str = "text",
@@ -988,3 +1024,65 @@ def vocab_coverage(
         "coverage double, vocab_size long, total_tokens long",
     )
     return out
+
+
+def lm_bigram_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Bigram language-model score per document: mean negative
+    log-likelihood of each token given its predecessor, under the
+    corpus's own add-one-smoothed bigram distribution — the
+    next-fidelity step past :func:`lm_unigram_scores` toward the
+    KenLM-style filter CCNet runs (conditional structure catches
+    shuffled/templated text a unigram model scores as fluent).
+
+    P(w₂|w₁) = (c(w₁w₂) + 1) / (c(w₁·) + V), V = corpus vocabulary.
+
+    Shape: one shuffle builds per-(doc, bigram) partials; corpus
+    bigram counts and the per-predecessor totals derive from those
+    partials.  Unlike the unigram vocabulary, the bigram table is NOT
+    broadcast — it's O(V²)-bounded and corpus-sized at 100 TB — so the
+    score join is a partitioned join on the bigram key (cb is already
+    (b)-clustered from its groupBy; AQE handles the residual skew).
+    The per-predecessor totals and the scalar V are small and
+    broadcast.  Documents with < 2 tokens produce no row.
+
+    Output: (doc_id, n_bigrams, nll).
+    """
+    tarr = docs.select(
+        F.col(id_col), tokenize(F.col(text_col)).alias("_t")
+    ).filter(F.size("_t") >= 2)
+    bgs = F.transform(
+        F.sequence(F.lit(1), F.size("_t") - 1),
+        lambda i: F.concat(
+            F.element_at("_t", i), F.lit(" "), F.element_at("_t", i + 1)
+        ),
+    )
+    exb = tarr.select(F.col(id_col), F.explode(bgs).alias("b"))
+    db = exb.groupBy(id_col, "b").agg(F.count(F.lit(1)).alias("cnt"))
+    cb = db.groupBy("b").agg(F.sum("cnt").alias("c12"))
+    c1 = cb.groupBy(
+        F.substring_index("b", " ", 1).alias("_w1")
+    ).agg(F.sum("c12").alias("c1"))
+    [vrow] = (
+        docs.select(F.explode(tokenize(F.col(text_col))).alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+        .collect()
+    )
+    vocab_n = int(vrow["v"])
+    p = (F.col("c12") + 1.0) / (F.col("c1") + F.lit(float(vocab_n)))
+    return (
+        db.join(cb, "b")
+        .withColumn("_w1", F.substring_index("b", " ", 1))
+        .join(F.broadcast(c1), "_w1")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("cnt") * -F.log(p)) / F.sum("cnt"), round_to
+            ).alias("nll"),
+        )
+    )

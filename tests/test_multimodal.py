@@ -126,3 +126,47 @@ def test_resize_nearest_truncated_blob_and_empty(spark):
     [r] = rows
     # kept sources: 0 and 2 (positions 8, 10 exceed length 5)
     assert r["n_out"] == 2
+
+
+def test_audio_window_stats_hand_computed(spark):
+    import math
+
+    from flink_kmeans_clustering_spark.operators.multimodal import (
+        audio_window_stats,
+    )
+
+    assets = spark.createDataFrame(
+        [
+            (1, "audio", bytearray([10, 20, 30, 40, 50])),
+            (2, "image", bytearray([1, 2, 3])),  # filtered out
+            (3, "audio", bytearray()),  # zero-byte: no windows
+        ],
+        "asset_id long, modality string, content binary",
+    )
+    rows = sorted(
+        audio_window_stats(assets, window_bytes=4).collect(),
+        key=lambda r: (r["asset_id"], r["window_no"]),
+    )
+    want = [
+        (1, 0, 4, round(math.sqrt((100 + 400 + 900 + 1600) / 4), 6), 40),
+        (1, 1, 1, round(math.sqrt(2500 / 1), 6), 50),
+    ]
+    assert [
+        (r["asset_id"], r["window_no"], r["n_samples"], r["rms"], r["peak"])
+        for r in rows
+    ] == want
+
+
+def test_audio_window_stats_validates_window(spark):
+    import pytest as _pytest
+
+    from flink_kmeans_clustering_spark.operators.multimodal import (
+        audio_window_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(b"xy"))],
+        "asset_id long, modality string, content binary",
+    )
+    with _pytest.raises(ValueError, match="window_bytes"):
+        audio_window_stats(df, window_bytes=0)

@@ -419,3 +419,72 @@ def test_kmv_invariant_under_duplication_and_partitioning(spark):
         for r in kmv_distinct(doubled, "user_id", "event_type", k=32).collect()
     }
     assert got == base
+
+
+def test_kcenter_greedy_picks_and_distances(spark):
+    from flink_kmeans_clustering_spark.operators.sampling import kcenter_sample
+
+    pts = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0]),
+            (1, [10.0, 0.0]),
+            (2, [5.0, 0.0]),
+            (3, [0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = kcenter_sample(pts, k=3).orderBy("rank").collect()
+    # seed = lowest id; then farthest-point greedy
+    assert [(r["rank"], r["vec_id"], r["dist2"]) for r in rows] == [
+        (0, 0, None),
+        (1, 1, 100.0),   # (10,0) is farthest from (0,0)
+        (2, 2, 25.0),    # (5,0): min(25 to seed, 25 to (10,0)) beats (0,1)'s 1
+    ]
+
+
+def test_kcenter_tie_breaks_to_lowest_id(spark):
+    from flink_kmeans_clustering_spark.operators.sampling import kcenter_sample
+
+    pts = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [-1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = kcenter_sample(pts, k=2).orderBy("rank").collect()
+    assert [r["vec_id"] for r in rows] == [0, 1]  # d2=1.0 tie -> lowest id
+
+
+def test_kcenter_k1_is_seed_only(spark):
+    from flink_kmeans_clustering_spark.operators.sampling import kcenter_sample
+
+    pts = spark.createDataFrame(
+        [(7, [1.0, 2.0]), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = kcenter_sample(pts, k=1).collect()
+    assert [(r["rank"], r["vec_id"], r["dist2"]) for r in rows] == [(0, 3, None)]
+
+
+def test_domain_cap_selects_md5_lottery_winners(spark):
+    import hashlib
+
+    from flink_kmeans_clustering_spark.operators.sampling import domain_cap
+
+    rows = [(i, f"s{i % 2}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {
+        r["source"]: (r["n_total"], r["n_kept"], r["kept_id_sum"])
+        for r in domain_cap(df, cap=2).collect()
+    }
+    # replay the lottery in python: rank by (md5(str(id)), id) per source
+    for s in ("s0", "s1"):
+        ids = [i for i, src in rows if src == s]
+        kept = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:2]
+        assert got[s] == (5, 2, sum(kept))
+
+
+def test_domain_cap_under_cap_keeps_all(spark):
+    from flink_kmeans_clustering_spark.operators.sampling import domain_cap
+
+    df = spark.createDataFrame([(1, "a"), (2, "a")], "doc_id long, source string")
+    [r] = domain_cap(df, cap=10).collect()
+    assert (r["n_total"], r["n_kept"], r["kept_id_sum"]) == (2, 2, 3)

@@ -326,3 +326,76 @@ def test_pq_grouped_trainer_equals_per_subspace_lloyd(spark):
     for s in range(8):
         assert len(a[s]) == len(b[s]), f"subspace {s} codeword count"
         assert np.allclose(np.array(a[s]), np.array(b[s]), atol=1e-9), s
+
+
+def _synth64(spark, n=24):
+    # deterministic 64-dim corpus with mixed signs
+    rows = [
+        (
+            i,
+            [
+                (((i * 37 + j * 11) % 19) - 9) / 7.0
+                for j in range(64)
+            ],
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ann_binary_codes_match_python_packing(spark):
+    from flink_kmeans_clustering_spark.operators.similarity import (
+        _sign_word,
+        _sign_words_py,
+    )
+
+    df = _synth64(spark)
+    got = {
+        r["vec_id"]: (r["lo"], r["hi"])
+        for r in df.select(
+            "vec_id",
+            _sign_word(F.col("embedding"), 0).alias("lo"),
+            _sign_word(F.col("embedding"), 32).alias("hi"),
+        ).collect()
+    }
+    for r in df.collect():
+        assert got[r["vec_id"]] == _sign_words_py(r["embedding"])
+
+
+def test_ann_binary_self_hit_and_full_shortlist_equals_exact(spark):
+    from flink_kmeans_clustering_spark.operators.similarity import ann_binary
+
+    df = _synth64(spark)
+    [q] = df.filter(F.col("vec_id") == 0).collect()
+    query = [float(x) for x in q["embedding"]]
+    rows = ann_binary(df, query, k=5, shortlist=1000).collect()
+    # query's own vector: hamming 0, cosine 1.0, ranked first
+    assert rows[0]["vec_id"] == 0
+    assert rows[0]["hamming"] == 0
+    assert rows[0]["cosine"] == 1.0
+    # shortlist covering the corpus -> rerank == exact brute force
+    exact = topk_cosine(df, query, k=5).collect()
+    assert [r["vec_id"] for r in rows] == [r["vec_id"] for r in exact]
+    assert [r["cosine"] for r in rows] == [r["cosine"] for r in exact]
+
+
+def test_ann_binary_both_cuts_take_ordered(spark):
+    from flink_kmeans_clustering_spark.operators.similarity import ann_binary
+
+    df = _synth64(spark)
+    [q] = df.filter(F.col("vec_id") == 0).collect()
+    plan = (
+        ann_binary(df, [float(x) for x in q["embedding"]], k=5, shortlist=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan  # no shuffle anywhere: narrow scan + 2 cuts
+
+
+def test_ann_binary_requires_64_dims(spark, vectors):
+    from flink_kmeans_clustering_spark.operators.similarity import ann_binary
+
+    with pytest.raises(ValueError, match="64"):
+        ann_binary(vectors, [1.0, 0.0], k=2)

@@ -651,3 +651,56 @@ def test_vocab_coverage_monotone_in_target(spark):
         .count()
     )
     assert sizes[-1] == n_vocab
+
+
+def test_bpe_pair_counts_and_tiebreak(spark):
+    from flink_kmeans_clustering_spark.operators.textstats import (
+        bpe_pair_frequencies,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "aba ab"), (1, "ba")], "doc_id long, text string"
+    )
+    # tokens: aba -> (ab, ba); ab -> (ab); ba -> (ba)  => ab:2, ba:2
+    rows = bpe_pair_frequencies(docs, top_n=10).collect()
+    assert [(r["pair"], r["freq"]) for r in rows] == [("ab", 2), ("ba", 2)]
+    top1 = bpe_pair_frequencies(docs, top_n=1).collect()
+    assert [(r["pair"], r["freq"]) for r in top1] == [("ab", 2)]
+
+
+def test_bpe_single_char_words_excluded(spark):
+    from flink_kmeans_clustering_spark.operators.textstats import (
+        bpe_pair_frequencies,
+    )
+
+    docs = spark.createDataFrame([(0, "a b cd!")], "doc_id long, text string")
+    rows = bpe_pair_frequencies(docs, top_n=10).collect()
+    assert [(r["pair"], r["freq"]) for r in rows] == [("cd", 1)]
+
+
+def test_lm_bigram_hand_computed(spark):
+    import math
+
+    from flink_kmeans_clustering_spark.operators.textstats import (
+        lm_bigram_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "b a")], "doc_id long, text string"
+    )
+    # corpus: c(a b)=2, c(b a)=2; c(a ·)=2, c(b ·)=2; V=2
+    # every bigram: P = (2+1)/(2+2) = 0.75 -> nll = -ln 0.75 for both docs
+    want = round(-math.log(0.75), 6)
+    got = {r["doc_id"]: (r["n_bigrams"], r["nll"]) for r in lm_bigram_scores(docs).collect()}
+    assert got == {0: (3, want), 1: (1, want)}
+
+
+def test_lm_bigram_short_docs_produce_no_row(spark):
+    from flink_kmeans_clustering_spark.operators.textstats import (
+        lm_bigram_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "hello"), (1, ""), (2, "two tokens")], "doc_id long, text string"
+    )
+    assert [r["doc_id"] for r in lm_bigram_scores(docs).collect()] == [2]
