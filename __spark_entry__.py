@@ -470,6 +470,22 @@ def q_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, node_col="doc_id")
 
 
+def q_dedup_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style SOFT dedup: instead of dropping near-dup cluster
+    members, every document gets training weight 1/|cluster| (singletons
+    weight 1) — total cluster mass stays 1, preserving content coverage
+    while killing over-representation.  The dup-graph components are
+    tiny relative to the corpus, so sizes broadcast back; the corpus is
+    scanned once, never shuffled."""
+    from flink_kmeans_clustering_spark.operators.dedup import (
+        soft_dedup_weights,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=NGRAM_JACCARD_THRESHOLD)
+    return soft_dedup_weights(docs, pairs)
+
+
 def q_text_tokenfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token frequencies, deterministic top-100 (freq DESC, token)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -2421,7 +2437,7 @@ def q_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    167 queries; 163 carry DuckDB oracles, 4 are rows-only by design
+    168 queries; 164 carry DuckDB oracles, 4 are rows-only by design
     (MLlib placement RNG, HLL/KLL sketch internals, GEMM ulp twin —
     each now has a DETERMINISTIC full-oracle twin registered beside
     it: lloyd_nd/kmv/sampled-quantiles/expression-cosine).
@@ -2437,9 +2453,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sampled quantiles, novelty, segment dedup, PII redaction,
     temperature mixing, vocab coverage, embedding drift, binary-code
     Hamming ANN, BPE pair stats, k-center sampling, per-domain
-    frequency cap, bigram LM score, audio window stats) — then the 5
-    planned re-confirms and a long-green tail.  With this window,
-    cumulative driver coverage reaches 167/167.
+    frequency cap, bigram LM score, audio window stats, soft dedup)
+    — then the 5 planned re-confirms and a long-green tail.  With
+    this window, cumulative driver coverage reaches 168/168.
     """
     return {
         "q_ann_pq": q_ann_pq,
@@ -2466,6 +2482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sample_domain_cap": q_sample_domain_cap,
         "q_text_lm_bigram": q_text_lm_bigram,
         "q_multimodal_audio": q_multimodal_audio,
+        "q_dedup_soft": q_dedup_soft,
         "q_dedup_minhash": q_dedup_minhash,
         "q_dedup_simhash": q_dedup_simhash,
         "q_rel_pricing": q_rel_pricing,
@@ -5067,6 +5084,28 @@ reach(id, r) AS (
 )
 SELECT id AS doc_id, MIN(r) AS component_id FROM reach GROUP BY id
 """
+    dedup_soft_sql = f"""
+WITH RECURSIVE {ngram_capped_ctes},
+cc_edges AS (
+  SELECT id_a AS src, id_b AS dst FROM capped_pairs
+  UNION
+  SELECT id_b, id_a FROM capped_pairs
+),
+reach(id, r) AS (
+  SELECT DISTINCT src, src FROM cc_edges
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN cc_edges e ON e.src = reach.id
+),
+comp AS (SELECT id AS doc_id, MIN(r) AS component_id FROM reach GROUP BY id),
+comp_sizes AS (SELECT component_id, COUNT(*) AS csize
+               FROM comp GROUP BY component_id)
+SELECT d.doc_id,
+       CAST(COALESCE(s.csize, 1) AS BIGINT) AS cluster_size,
+       ROUND(1.0 / COALESCE(s.csize, 1), 6) AS weight
+FROM documents d
+LEFT JOIN comp c ON d.doc_id = c.doc_id
+LEFT JOIN comp_sizes s ON c.component_id = s.component_id
+"""
     # PageRank oracle: the same fixed iterations unrolled as CTE levels,
     # replicating the operator's double arithmetic exactly —
     # (CAST(1 AS DOUBLE) - 0.85) reproduces Python's 1.0-0.85
@@ -5481,6 +5520,7 @@ SELECT event_type, event_id, ROUND(value, 6) AS value FROM (
             f">= {NGRAM_JACCARD_THRESHOLD}", f">= {PREFIX_JACCARD_THRESHOLD}"
         ),
         "q_dedup_cc": dedup_cc_sql,
+        "q_dedup_soft": dedup_soft_sql,
         "q_dedup_keep": dedup_keep_sql,
         "q_graph_pagerank": graph_pagerank_sql,
         "q_rel_upsert": rel_upsert_sql,

@@ -1545,3 +1545,42 @@ def ngram_jaccard_pairs_prefix(
     return joined.select("id_a", "id_b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= threshold
     )
+
+
+def soft_dedup_weights(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    round_to: int = 6,
+) -> DataFrame:
+    """SemDeDup-style soft dedup: weight 1/|near-dup cluster| per doc.
+
+    Hard dedup throws away all but one member of each duplicate
+    cluster; soft dedup keeps every member but scales its training
+    weight so the CLUSTER contributes unit mass — the re-weighting
+    variant (Abbas et al., SemDeDup, 2023 §4 discuss both) that
+    preserves paraphrase coverage while killing over-representation.
+
+    Scale shape: components exist only for docs that appear in a pair
+    (a small fraction of the corpus by construction of the capped pair
+    generator), so the (doc → cluster size) map BROADCASTS back; the
+    corpus itself is scanned once and never shuffled.  Singletons
+    (no pair) get cluster_size 1 / weight 1.
+
+    Output: one row per document — (id, cluster_size, weight).
+    """
+    cc = connected_components(pairs, id_a=id_a, id_b=id_b, node_col=id_col)
+    sizes = cc.groupBy("component_id").agg(F.count(F.lit(1)).alias("_csize"))
+    comp = cc.join(F.broadcast(sizes), "component_id").select(id_col, "_csize")
+    csize = F.coalesce(F.col("_csize"), F.lit(1).cast("long"))
+    return (
+        docs.select(id_col)
+        .join(F.broadcast(comp), id_col, "left")
+        .select(
+            id_col,
+            csize.alias("cluster_size"),
+            F.round(F.lit(1.0) / csize, round_to).alias("weight"),
+        )
+    )

@@ -715,3 +715,26 @@ def test_posting_list_cap_defuses_adversarial_ubiquitous_shingle(spark):
     )
     at_cap = _ngram_pair_stats(docs2, "doc_id", "text", n=3, max_df=max_df)
     assert at_cap.count() == max_df * (max_df - 1) // 2
+
+
+def test_soft_dedup_weights_cluster_mass(spark):
+    from flink_kmeans_clustering_spark.operators.dedup import (
+        soft_dedup_weights,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    # chain 0~1~2 (one cluster of 3), pair 4~5; 3 is a singleton
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: (r["cluster_size"], r["weight"])
+        for r in soft_dedup_weights(docs, pairs).collect()
+    }
+    third = round(1.0 / 3.0, 6)
+    assert got == {
+        0: (3, third), 1: (3, third), 2: (3, third),
+        3: (1, 1.0), 4: (2, 0.5), 5: (2, 0.5),
+    }
+    # soft-dedup invariant: every cluster contributes ~unit mass
+    assert abs(sum(w for _, w in got.values()) - 3.0) < 1e-5
