@@ -1268,6 +1268,43 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(load_table(spark, "lineitem", sf_dir))
 
 
+EXPECT_LANGS = ("de", "en", "es", "fr")
+
+
+def q_rel_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style expectations gate on the documents drop: not-null /
+    range / cross-column consistency / domain membership as ONE
+    conditional-sum aggregate (single row over the exchange) plus a
+    per-column uniqueness branch; emits a per-constraint verdict row.
+    The lang domain deliberately excludes 'zh' so the violation path
+    is exercised on real data."""
+    from flink_kmeans_clustering_spark.operators.relational import (
+        validate_expectations,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    checks = [
+        ("not_null(doc_id)", F.col("doc_id").isNull()),
+        ("not_null(text)", F.col("text").isNull()),
+        (
+            "range(n_chars,0,100000)",
+            F.col("n_chars").isNull()
+            | (F.col("n_chars") < 0)
+            | (F.col("n_chars") > 100000),
+        ),
+        (
+            "consistent(n_chars=len(text))",
+            F.coalesce(F.length("text"), F.lit(-1))
+            != F.coalesce(F.col("n_chars"), F.lit(-2)),
+        ),
+        (
+            "in_set(lang)",
+            F.col("lang").isNull() | ~F.col("lang").isin(*EXPECT_LANGS),
+        ),
+    ]
+    return validate_expectations(docs, checks, unique_cols=("doc_id",))
+
+
 def q_events_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window dedup: each user's first event per day via struct-min agg."""
     return first_event_per_day(load_events(spark, sf_dir))
@@ -1763,6 +1800,20 @@ def q_text_lmscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_unigram_scores(docs)
 
 
+def q_text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity-tertile split: unigram-LM scores, hash-sample
+    tertile thresholds (rounded before comparison — interpolation-ulp
+    safe), head/middle/tail bucket sizes + mean score.  The only sort
+    at scale is over the 1/4 sample; thresholds are a 1-row
+    broadcast."""
+    from flink_kmeans_clustering_spark.operators.textstats import (
+        perplexity_buckets,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return perplexity_buckets(docs)
+
+
 def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split: per-(split, lang) document
     counts — content-hash assignment, stable across engines and runs."""
@@ -1895,6 +1946,19 @@ def q_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return embedding_drift(emb, dim=GRAM_DIM)
+
+
+def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding OOD screen: diagonal-Mahalanobis² against the corpus
+    moments (one sufficient-statistics row broadcast back), top-20
+    anomalous vectors via TakeOrdered — the encoder-failure monitor
+    beside q_embed_drift."""
+    from flink_kmeans_clustering_spark.operators.linalg import (
+        embedding_outliers,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_outliers(emb, dim=GRAM_DIM, k=20)
 
 
 def q_ann_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2437,7 +2501,7 @@ def q_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    168 queries; 164 carry DuckDB oracles, 4 are rows-only by design
+    171 queries; 167 carry DuckDB oracles, 4 are rows-only by design
     (MLlib placement RNG, HLL/KLL sketch internals, GEMM ulp twin —
     each now has a DETERMINISTIC full-oracle twin registered beside
     it: lloyd_nd/kmv/sampled-quantiles/expression-cosine).
@@ -2453,9 +2517,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sampled quantiles, novelty, segment dedup, PII redaction,
     temperature mixing, vocab coverage, embedding drift, binary-code
     Hamming ANN, BPE pair stats, k-center sampling, per-domain
-    frequency cap, bigram LM score, audio window stats, soft dedup)
-    — then the 5 planned re-confirms and a long-green tail.  With
-    this window, cumulative driver coverage reaches 168/168.
+    frequency cap, bigram LM score, audio window stats, soft dedup,
+    expectations gate, perplexity buckets, embedding outliers) —
+    then the 5 planned re-confirms and a long-green tail.  With this
+    window, cumulative driver coverage reaches 171/171.
     """
     return {
         "q_ann_pq": q_ann_pq,
@@ -2483,6 +2548,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_lm_bigram": q_text_lm_bigram,
         "q_multimodal_audio": q_multimodal_audio,
         "q_dedup_soft": q_dedup_soft,
+        "q_rel_expectations": q_rel_expectations,
+        "q_text_ppl_buckets": q_text_ppl_buckets,
+        "q_embed_outliers": q_embed_outliers,
         "q_dedup_minhash": q_dedup_minhash,
         "q_dedup_simhash": q_dedup_simhash,
         "q_rel_pricing": q_rel_pricing,
@@ -4185,6 +4253,84 @@ SELECT asset_id, window_no,
        CAST(MAX(v) AS INT) AS peak
 FROM samp GROUP BY asset_id, window_no
 """
+    rel_expectations_sql = """
+WITH agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+    CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+    CAST(SUM(CASE WHEN n_chars IS NULL OR n_chars < 0 OR n_chars > 100000
+             THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+    CAST(SUM(CASE WHEN COALESCE(length(text), -1) <> COALESCE(n_chars, -2)
+             THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+    CAST(SUM(CASE WHEN lang IS NULL OR lang NOT IN ('de','en','es','fr')
+             THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+    CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT) AS v5
+  FROM documents
+)
+SELECT 'not_null(doc_id)' AS "constraint", n AS n_rows,
+       v0 AS n_violations, v0 = 0 AS passed FROM agg
+UNION ALL SELECT 'not_null(text)', n, v1, v1 = 0 FROM agg
+UNION ALL SELECT 'range(n_chars,0,100000)', n, v2, v2 = 0 FROM agg
+UNION ALL SELECT 'consistent(n_chars=len(text))', n, v3, v3 = 0 FROM agg
+UNION ALL SELECT 'in_set(lang)', n, v4, v4 = 0 FROM agg
+UNION ALL SELECT 'unique(doc_id)', n, v5, v5 = 0 FROM agg
+"""
+    text_ppl_buckets_sql = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+dt AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM ex GROUP BY doc_id, tok),
+vocab AS (SELECT tok, CAST(SUM(cnt) AS BIGINT) AS c FROM dt GROUP BY tok),
+total AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM vocab),
+nlls AS (
+  SELECT doc_id,
+         ROUND(SUM(cnt * -ln(c / CAST(n AS DOUBLE))) / SUM(cnt), 6) AS nll
+  FROM dt JOIN vocab USING (tok) CROSS JOIN total
+  GROUP BY doc_id
+),
+s AS (
+  SELECT nll FROM nlls
+  WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+             AS BIGINT) % 4 = 0
+),
+th AS (
+  SELECT ROUND(quantile_cont(nll, CAST('0.3333333333333333' AS DOUBLE)), 6) AS t1,
+         ROUND(quantile_cont(nll, CAST('0.6666666666666666' AS DOUBLE)), 6) AS t2
+  FROM s
+)
+SELECT CASE WHEN nll <= t1 THEN 'head'
+            WHEN nll <= t2 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       COUNT(*) AS n_docs, ROUND(AVG(nll), 6) AS mean_nll
+FROM nlls CROSS JOIN th GROUP BY 1
+"""
+    embed_outliers_sql = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE len(embedding) = {GRAM_DIM}),
+m AS (
+  SELECT jj.j AS j, SUM(v[jj.j]) AS s, SUM(v[jj.j]*v[jj.j]) AS q,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM e, (SELECT unnest(range(1, {GRAM_DIM + 1})) AS j) jj
+  GROUP BY jj.j
+),
+ml AS (
+  SELECT list(s/n ORDER BY j) AS mu,
+         list(q/n - (s/n)*(s/n) ORDER BY j) AS vr
+  FROM m
+),
+sc AS (
+  SELECT vec_id,
+         list_sum(list_transform(range(1, {GRAM_DIM + 1}),
+           j -> (v[j]-mu[j])*(v[j]-mu[j]) / (vr[j] + 1e-12))) AS s
+  FROM e CROSS JOIN ml
+)
+SELECT vec_id, ROUND(s, 6) + 0.0 AS score
+FROM sc ORDER BY score DESC, vec_id LIMIT 20
+"""
     rel_mktshare_sql = """
 SELECT o_year, nation_volume, total_volume,
        ROUND(nation_volume / total_volume, 6) AS mkt_share
@@ -5521,6 +5667,9 @@ SELECT event_type, event_id, ROUND(value, 6) AS value FROM (
         ),
         "q_dedup_cc": dedup_cc_sql,
         "q_dedup_soft": dedup_soft_sql,
+        "q_rel_expectations": rel_expectations_sql,
+        "q_text_ppl_buckets": text_ppl_buckets_sql,
+        "q_embed_outliers": embed_outliers_sql,
         "q_dedup_keep": dedup_keep_sql,
         "q_graph_pagerank": graph_pagerank_sql,
         "q_rel_upsert": rel_upsert_sql,

@@ -390,3 +390,58 @@ def embedding_drift(
         cos.alias("mean_cosine"),
         l2.alias("mean_l2"),
     )
+
+
+def embedding_outliers(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 20,
+    eps: float = 1e-12,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Embedding OOD/outlier detector: per-dimension z-score energy
+    (diagonal-covariance Mahalanobis²) against the corpus's own
+    moments, top-k most anomalous vectors — the encoder-failure /
+    corrupt-input screen an embedding pipeline runs per batch.
+
+    One narrow aggregate computes n, Σxⱼ, Σxⱼ² for every dimension
+    (2·dim+1 columns, ONE row over the exchange — the same
+    sufficient-statistics shape as :func:`embedding_drift`); the
+    moment row broadcasts back and each vector's score
+    Σⱼ (xⱼ−μⱼ)²/(σⱼ²+ε) is an index-ordered fold in codegen.  The
+    final cut is (score DESC, id) via TakeOrderedAndProject — score is
+    rounded BEFORE ranking so engines agreeing to 6 dp rank
+    identically.
+
+    Output: (vec_id, score), k rows.
+    """
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(F.col(id_col), vec.alias("_v")).filter(
+        F.size("_v") == dim
+    )
+    aggs = [F.count(F.lit(1)).cast("double").alias("_n")]
+    for j in range(dim):
+        el = F.element_at("_v", j + 1)
+        aggs.append(F.sum(el).alias(f"_s{j}"))
+        aggs.append(F.sum(el * el).alias(f"_q{j}"))
+    stats = base.agg(*aggs)
+
+    scored = base.crossJoin(F.broadcast(stats))
+    terms = []
+    for j in range(dim):
+        mu = F.col(f"_s{j}") / F.col("_n")
+        var = F.col(f"_q{j}") / F.col("_n") - mu * mu
+        x = F.element_at("_v", j + 1)
+        terms.append((x - mu) * (x - mu) / (var + F.lit(eps)))
+    score = terms[0]
+    for t in terms[1:]:
+        score = score + t
+    if round_to is not None:
+        score = F.round(score, round_to)
+    return (
+        scored.select(F.col(id_col), score.alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )

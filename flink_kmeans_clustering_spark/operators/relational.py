@@ -1375,3 +1375,62 @@ def waiting_suppliers(
         )
         .select("s_suppkey", "s_name", "numwait")
     )
+
+
+def validate_expectations(
+    df: DataFrame,
+    checks: "list[tuple[str, Column]]",
+    unique_cols: "tuple[str, ...]" = (),
+) -> DataFrame:
+    """Deequ-style data-quality gate: declarative constraints evaluated
+    in ONE scan, emitting a per-constraint verdict row — the
+    contract-check a pipeline runs before accepting a 100 TB drop
+    (Schelter et al., VLDB'18's unit-tests-for-data shape).
+
+    ``checks`` is ``(name, violation_condition)`` — the condition is
+    TRUE for a row that VIOLATES the constraint, so every check
+    compiles to a conditional-sum branch of one aggregate (a single
+    row over the exchange, like the k-means update).  ``unique_cols``
+    adds ``count(*) − count(distinct c)`` duplicate counts; each
+    distinct makes Catalyst Expand the scan, so uniqueness checks are
+    computed as SEPARATE single-column branches (profile_columns'
+    measured lesson) and unioned in.
+
+    Output: (constraint, n_rows, n_violations, passed) — tiny, fit for
+    a circuit-breaker join against downstream jobs.
+    """
+    aggs = [F.count(F.lit(1)).alias("_n")] + [
+        F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"_v{i}")
+        for i, (_, cond) in enumerate(checks)
+    ]
+    row = df.agg(*aggs)
+    verdicts = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("constraint"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"_v{i}").alias("n_violations"),
+            )
+            for i, (name, _) in enumerate(checks)
+        ]
+    )
+    out = row.select(F.explode(verdicts).alias("v")).select("v.*")
+    for c in unique_cols:
+        out = out.unionByName(
+            df.select(c).agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                (F.count(F.lit(1)) - F.countDistinct(c))
+                .cast("long")
+                .alias("n_violations"),
+            ).select(
+                F.lit(f"unique({c})").alias("constraint"),
+                "n_rows",
+                "n_violations",
+            )
+        )
+    return out.select(
+        "constraint",
+        "n_rows",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )

@@ -1086,3 +1086,55 @@ def lm_bigram_scores(
             ).alias("nll"),
         )
     )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rate: float = 1 / 4,
+    round_to: int = 6,
+) -> DataFrame:
+    """CCNet-style perplexity-tertile split: score every document with
+    the corpus unigram LM, derive head/middle/tail thresholds from a
+    deterministic hash-sample, and report each bucket's size and mean
+    score — the partition CCNet trains on head-only or head+middle.
+
+    Thresholds are the sample's interpolated tertiles (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``, the proven pair from
+    sampled_quantiles), ROUNDED before comparison so a last-ulp
+    interpolation difference can never flip a bucket boundary.  The
+    threshold row is a 1-row broadcast — no driver round-trip, one
+    plan.  At 100 TB the only sort is over the rate·N sample.
+
+    Output: (bucket, n_docs, mean_nll).
+    """
+    nll = lm_unigram_scores(docs, id_col, text_col).select(id_col, "nll")
+    denom = round(1 / rate)
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % denom
+    )
+    s = nll.filter(bucket == 0)
+    # repr() double literals: both engines parse the decimal string to
+    # the same nearest double (Spark 'D' suffix, oracle VARCHAR cast)
+    th = s.agg(
+        F.round(F.expr(f"percentile(nll, {1 / 3!r}D)"), 6).alias("_t1"),
+        F.round(F.expr(f"percentile(nll, {2 / 3!r}D)"), 6).alias("_t2"),
+    )
+    lab = (
+        F.when(F.col("nll") <= F.col("_t1"), F.lit("head"))
+        .when(F.col("nll") <= F.col("_t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        nll.crossJoin(F.broadcast(th))
+        .select(lab.alias("bucket"), "nll")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("nll"), round_to).alias("mean_nll"),
+        )
+    )

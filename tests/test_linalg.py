@@ -264,3 +264,32 @@ def test_embedding_drift_detects_shift_and_null_case(spark):
 
     plan = explain_str(embedding_drift(df_same, dim=8))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_embedding_outliers_flags_planted_anomaly(spark):
+    from flink_kmeans_clustering_spark.operators.linalg import (
+        embedding_outliers,
+    )
+
+    # 20 tame vectors + one planted far-out vector (id 7)
+    rows = [
+        (i, [((i + j) % 5 - 2) / 10.0 for j in range(8)]) for i in range(20)
+    ]
+    rows[7] = (7, [50.0] * 8)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    top = embedding_outliers(df, dim=8, k=3).collect()
+    assert top[0]["vec_id"] == 7
+    assert top[0]["score"] > top[1]["score"]
+
+
+def test_embedding_outliers_excludes_wrong_width(spark):
+    from flink_kmeans_clustering_spark.operators.linalg import (
+        embedding_outliers,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [1.0, 2.0, 3.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    ids = {r["vec_id"] for r in embedding_outliers(df, dim=2, k=10).collect()}
+    assert ids == {0, 2}

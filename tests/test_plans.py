@@ -1023,3 +1023,35 @@ def test_measured_shuffle_gate_trips_on_unbroadcast_join(spark):
     good_bytes = measured_shuffle_write_bytes(good, spark)
     assert bad_bytes > 10 * max(good_bytes, 1), (bad_bytes, good_bytes)
     assert bad_bytes > 64 << 10, bad_bytes  # would trip the small-class budget
+
+
+def test_bpe_pairs_single_shuffle_topk(spark):
+    from flink_kmeans_clustering_spark.operators.textstats import (
+        bpe_pair_frequencies,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = bpe_pair_frequencies(docs, top_n=20)
+    # one shuffle: the pair-alphabet groupBy; the cut is TakeOrdered
+    assert_max_shuffles(df, 1)
+    assert_has_node(df, "TakeOrderedAndProject")
+
+
+def test_domain_cap_single_window_shuffle(spark):
+    from flink_kmeans_clustering_spark.operators.sampling import domain_cap
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # window partition + final groupBy reuse the source-key clustering;
+    # budget 2 exchanges (rank shuffle + aggregate)
+    assert_max_shuffles(domain_cap(docs, cap=10), 2)
+
+
+def test_audio_window_stats_zero_shuffle(spark):
+    from flink_kmeans_clustering_spark.operators.multimodal import (
+        audio_window_stats,
+        synthesize_assets,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = audio_window_stats(synthesize_assets(docs))
+    assert_max_shuffles(df, 0)

@@ -332,3 +332,46 @@ def test_synth_shipping_contract(spark):
     again = synth_shipping(li.repartition(7))
     assert s.exceptAll(again).count() == 0
     assert again.exceptAll(s).count() == 0
+
+
+def test_validate_expectations_counts_and_verdicts(spark):
+    from pyspark.sql import functions as F
+
+    from flink_kmeans_clustering_spark.operators.relational import (
+        validate_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 5), (1, None, -1), (2, "b", 5)],
+        "id long, s string, v long",
+    )
+    out = {
+        r["constraint"]: (r["n_rows"], r["n_violations"], r["passed"])
+        for r in validate_expectations(
+            df,
+            [
+                ("not_null(s)", F.col("s").isNull()),
+                ("nonneg(v)", F.col("v") < 0),
+            ],
+            unique_cols=("id",),
+        ).collect()
+    }
+    assert out == {
+        "not_null(s)": (3, 1, False),
+        "nonneg(v)": (3, 1, False),
+        "unique(id)": (3, 1, False),
+    }
+
+
+def test_validate_expectations_all_pass(spark):
+    from pyspark.sql import functions as F
+
+    from flink_kmeans_clustering_spark.operators.relational import (
+        validate_expectations,
+    )
+
+    df = spark.createDataFrame([(1,), (2,)], "id long")
+    rows = validate_expectations(
+        df, [("not_null(id)", F.col("id").isNull())], unique_cols=("id",)
+    ).collect()
+    assert all(r["passed"] for r in rows)

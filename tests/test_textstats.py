@@ -704,3 +704,22 @@ def test_lm_bigram_short_docs_produce_no_row(spark):
         [(0, "hello"), (1, ""), (2, "two tokens")], "doc_id long, text string"
     )
     assert [r["doc_id"] for r in lm_bigram_scores(docs).collect()] == [2]
+
+
+def test_perplexity_buckets_partition_and_mass(spark):
+    from flink_kmeans_clustering_spark.operators.textstats import (
+        perplexity_buckets,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, ("common words here " * 3) if i % 3 else "rare zyx qqq") for i in range(30)],
+        "doc_id long, text string",
+    )
+    rows = perplexity_buckets(docs, rate=1.0).collect()
+    got = {r["bucket"]: r["n_docs"] for r in rows}
+    # every doc lands in exactly one bucket
+    assert sum(got.values()) == 30
+    assert set(got) <= {"head", "middle", "tail"}
+    # the repeated common-word docs score lower nll -> head;
+    # the rare-token docs must NOT be in head
+    assert got["head"] >= 10
