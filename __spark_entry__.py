@@ -1305,6 +1305,16 @@ def q_rel_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return validate_expectations(docs, checks, unique_cols=("doc_id",))
 
 
+def q_events_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog apply: upsert/tombstone stream (md5-derived ops)
+    collapsed to final per-key state — latest (ts, seq) wins, final
+    tombstone removes the key; ONE shuffle (row_number + audit counts
+    share the key window)."""
+    from flink_kmeans_clustering_spark.operators.events import cdc_apply
+
+    return cdc_apply(load_events(spark, sf_dir))
+
+
 def q_events_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window dedup: each user's first event per day via struct-min agg."""
     return first_event_per_day(load_events(spark, sf_dir))
@@ -2501,7 +2511,7 @@ def q_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    171 queries; 167 carry DuckDB oracles, 4 are rows-only by design
+    172 queries; 168 carry DuckDB oracles, 4 are rows-only by design
     (MLlib placement RNG, HLL/KLL sketch internals, GEMM ulp twin —
     each now has a DETERMINISTIC full-oracle twin registered beside
     it: lloyd_nd/kmv/sampled-quantiles/expression-cosine).
@@ -2518,9 +2528,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     temperature mixing, vocab coverage, embedding drift, binary-code
     Hamming ANN, BPE pair stats, k-center sampling, per-domain
     frequency cap, bigram LM score, audio window stats, soft dedup,
-    expectations gate, perplexity buckets, embedding outliers) —
-    then the 5 planned re-confirms and a long-green tail.  With this
-    window, cumulative driver coverage reaches 171/171.
+    expectations gate, perplexity buckets, embedding outliers, CDC
+    apply) — then the 5 planned re-confirms and a long-green tail.
+    With this window, cumulative driver coverage reaches 172/172.
     """
     return {
         "q_ann_pq": q_ann_pq,
@@ -2551,6 +2561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rel_expectations": q_rel_expectations,
         "q_text_ppl_buckets": q_text_ppl_buckets,
         "q_embed_outliers": q_embed_outliers,
+        "q_events_cdc": q_events_cdc,
         "q_dedup_minhash": q_dedup_minhash,
         "q_dedup_simhash": q_dedup_simhash,
         "q_rel_pricing": q_rel_pricing,
@@ -4331,6 +4342,28 @@ sc AS (
 SELECT vec_id, ROUND(s, 6) + 0.0 AS score
 FROM sc ORDER BY score DESC, vec_id LIMIT 20
 """
+    events_cdc_sql = """
+WITH c AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)),
+                                           1, 2)) AS INT) % 8 = 0
+              THEN 'D' ELSE 'U' END AS op
+  FROM events
+),
+r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_ops,
+         SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id) AS n_deletes
+  FROM c
+)
+SELECT user_id, value AS last_value,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+       CAST(n_ops AS BIGINT) AS n_ops, CAST(n_deletes AS BIGINT) AS n_deletes
+FROM r WHERE rn = 1 AND op <> 'D'
+"""
     rel_mktshare_sql = """
 SELECT o_year, nation_volume, total_volume,
        ROUND(nation_volume / total_volume, 6) AS mkt_share
@@ -5670,6 +5703,7 @@ SELECT event_type, event_id, ROUND(value, 6) AS value FROM (
         "q_rel_expectations": rel_expectations_sql,
         "q_text_ppl_buckets": text_ppl_buckets_sql,
         "q_embed_outliers": embed_outliers_sql,
+        "q_events_cdc": events_cdc_sql,
         "q_dedup_keep": dedup_keep_sql,
         "q_graph_pagerank": graph_pagerank_sql,
         "q_rel_upsert": rel_upsert_sql,

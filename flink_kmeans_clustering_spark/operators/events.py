@@ -895,3 +895,68 @@ def ohlc_downsample(
             F.round(F.max(key)["value"], 6).alias("close"),
         )
     )
+
+
+def cdc_apply(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    val_col: str = "value",
+    delete_buckets: int = 8,
+) -> DataFrame:
+    """CDC changelog apply: collapse an upsert/delete stream to final
+    table state — the ingestion step that materializes a Debezium/
+    binlog feed into a snapshot (what Delta/Hudi's MERGE loop does
+    per batch, expressed as the portable plan).
+
+    Each change row is an op on its key: op derives deterministically
+    from the sequence id's md5 (1/``delete_buckets`` are tombstones —
+    the content-hash contract, so any engine labels rows identically).
+    The latest op per key wins, ordered by (ts, seq) DESC — seq breaks
+    equal-timestamp ties exactly like a log offset.  A key whose final
+    op is a tombstone vanishes from the snapshot; survivors carry
+    their last value plus per-key op/delete counts for audit.
+
+    ONE shuffle: the ordered row_number and both unbounded counts
+    share the same (key) window partitioning, so Catalyst plans a
+    single Exchange feeding stacked Window nodes.
+
+    Output: (key, last_value, last_ts, n_ops, n_deletes).
+    """
+    from pyspark.sql.window import Window
+
+    from flink_kmeans_clustering_spark.operators.sampling import hash_bucket
+
+    op = F.when(
+        hash_bucket(F.col(seq_col).cast("string"), delete_buckets) == 0,
+        F.lit("D"),
+    ).otherwise(F.lit("U"))
+    w = Window.partitionBy(key_col)
+    wo = w.orderBy(F.desc(ts_col), F.desc(seq_col))
+    ranked = events.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.col(seq_col),
+        F.col(val_col),
+        op.alias("_op"),
+    ).select(
+        "*",
+        F.row_number().over(wo).alias("_rn"),
+        F.count(F.lit(1)).over(w).alias("n_ops"),
+        F.sum(F.when(F.col("_op") == "D", 1).otherwise(0))
+        .over(w)
+        .cast("long")
+        .alias("n_deletes"),
+    )
+    # last_ts as a formatted string: the comparison gate hashes raw
+    # dtypes, and pandas timestamp resolution (ns vs us) differs
+    # between Spark and other engines — strings are the stable wire
+    # format every ts-emitting query here uses
+    return ranked.filter((F.col("_rn") == 1) & (F.col("_op") != "D")).select(
+        F.col(key_col),
+        F.col(val_col).alias("last_value"),
+        F.date_format(ts_col, "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        "n_ops",
+        "n_deletes",
+    )

@@ -443,3 +443,55 @@ def test_ohlc_single_shuffle(spark):
     from tests.conftest import SF_SMOKE
 
     assert_max_shuffles(ohlc_downsample(load_events(spark, SF_SMOKE)), 1)
+
+
+def test_cdc_apply_latest_wins_and_tombstone_removes(spark):
+    import hashlib
+
+    from flink_kmeans_clustering_spark.operators.events import cdc_apply
+
+    def op_of(seq):  # replicate the md5 bucket rule
+        return "D" if int(hashlib.md5(str(seq).encode()).hexdigest()[:2], 16) % 8 == 0 else "U"
+
+    # find a seq id that maps to D and two that map to U
+    d_seq = next(s for s in range(1000) if op_of(s) == "D")
+    u1, u2 = [s for s in range(1000) if op_of(s) == "U"][:2]
+    rows = [
+        # user 1: U then U -> survives with latest value
+        (u1, "2024-01-01 00:00:00", 1, 10.0),
+        (u2, "2024-01-01 00:01:00", 1, 20.0),
+        # user 2: U then D -> removed
+        (u1 + 1000 if op_of(u1 + 1000) == "U" else u2 + 1000, "2024-01-01 00:00:00", 2, 30.0),
+        (d_seq, "2024-01-01 00:05:00", 2, 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, value double"
+    ).selectExpr("event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "user_id", "value")
+    got = {r["user_id"]: r for r in cdc_apply(df).collect()}
+    assert set(got) == {1}
+    assert got[1]["last_value"] == 20.0
+    assert got[1]["n_ops"] == 2 and got[1]["n_deletes"] == 0
+
+
+def test_cdc_apply_equal_ts_breaks_by_seq(spark):
+    import hashlib
+
+    from flink_kmeans_clustering_spark.operators.events import cdc_apply
+
+    us = [s for s in range(1000)
+          if int(hashlib.md5(str(s).encode()).hexdigest()[:2], 16) % 8 != 0][:2]
+    lo, hi = sorted(us)
+    df = spark.createDataFrame(
+        [(lo, 5, 1.0), (hi, 5, 2.0)], "event_id long, user_id long, value double"
+    ).selectExpr("event_id", "CAST('2024-01-01' AS TIMESTAMP) AS ts", "user_id", "value")
+    [r] = cdc_apply(df).collect()
+    assert r["last_value"] == 2.0  # higher seq wins the equal-ts tie
+
+
+def test_cdc_apply_single_shuffle(spark):
+    from flink_kmeans_clustering_spark.operators.events import cdc_apply
+    from flink_kmeans_clustering_spark.plans import assert_max_shuffles
+    from flink_kmeans_clustering_spark.sources.parquet import load_events
+
+    df = cdc_apply(load_events(spark, "/root/testdata/sf0.001"))
+    assert_max_shuffles(df, 1)
