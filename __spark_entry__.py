@@ -1402,6 +1402,46 @@ def q_stream_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC materialization: per-key latest-change state
+    (applyInPandasWithState, update mode) over the same md5-derived
+    upsert/tombstone labeling as batch cdc_apply; the final emission
+    per key (max n_ops) is the final state, tombstoned keys drop.
+    Oracle: the batch CDC apply verbatim."""
+    from flink_kmeans_clustering_spark.operators.sampling import hash_bucket
+    from flink_kmeans_clustering_spark.streaming.stateful import (
+        cdc_latest_state,
+    )
+
+    ev = stream_events(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "value",
+        F.when(
+            hash_bucket(F.col("event_id").cast("string"), 8) == 0, F.lit("D")
+        ).otherwise(F.lit("U")).alias("op"),
+    )
+    out = run_available_now(
+        cdc_latest_state(ev), output_mode="update", state_partitions=8
+    )
+    final = out.groupBy("user_id").agg(
+        F.max("n_ops").alias("n_ops"),
+        F.max_by("last_value", "n_ops").alias("last_value"),
+        F.max_by("ts_us", "n_ops").alias("_ts_us"),
+        F.max_by("op", "n_ops").alias("_op"),
+        F.max_by("n_deletes", "n_ops").alias("n_deletes"),
+    )
+    return final.filter(F.col("_op") != "D").select(
+        "user_id",
+        "last_value",
+        F.date_format(F.timestamp_micros("_ts_us"), "yyyy-MM-dd HH:mm:ss")
+          .alias("last_ts"),
+        "n_ops",
+        "n_deletes",
+    )
+
+
 def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join: purchases ⋈ same-user views within
     the preceding hour, watermark-bounded state on both sides.  The
@@ -2511,7 +2551,7 @@ def q_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    172 queries; 168 carry DuckDB oracles, 4 are rows-only by design
+    173 queries; 169 carry DuckDB oracles, 4 are rows-only by design
     (MLlib placement RNG, HLL/KLL sketch internals, GEMM ulp twin —
     each now has a DETERMINISTIC full-oracle twin registered beside
     it: lloyd_nd/kmv/sampled-quantiles/expression-cosine).
@@ -2529,8 +2569,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Hamming ANN, BPE pair stats, k-center sampling, per-domain
     frequency cap, bigram LM score, audio window stats, soft dedup,
     expectations gate, perplexity buckets, embedding outliers, CDC
-    apply) — then the 5 planned re-confirms and a long-green tail.
-    With this window, cumulative driver coverage reaches 172/172.
+    apply batch + streaming) — then the 5 planned re-confirms and a
+    long-green tail.  With this window, cumulative driver coverage
+    reaches 173/173.
     """
     return {
         "q_ann_pq": q_ann_pq,
@@ -2562,6 +2603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_ppl_buckets": q_text_ppl_buckets,
         "q_embed_outliers": q_embed_outliers,
         "q_events_cdc": q_events_cdc,
+        "q_stream_cdc": q_stream_cdc,
         "q_dedup_minhash": q_dedup_minhash,
         "q_dedup_simhash": q_dedup_simhash,
         "q_rel_pricing": q_rel_pricing,
@@ -5704,6 +5746,8 @@ SELECT event_type, event_id, ROUND(value, 6) AS value FROM (
         "q_text_ppl_buckets": text_ppl_buckets_sql,
         "q_embed_outliers": embed_outliers_sql,
         "q_events_cdc": events_cdc_sql,
+        # streaming CDC final state == batch CDC apply
+        "q_stream_cdc": events_cdc_sql,
         "q_dedup_keep": dedup_keep_sql,
         "q_graph_pagerank": graph_pagerank_sql,
         "q_rel_upsert": rel_upsert_sql,

@@ -185,3 +185,65 @@ def sessionize_stream(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def cdc_latest_state(stream: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Streaming CDC materialization: per-key latest (ts, seq) change
+    plus op/delete audit counts, maintained incrementally in update
+    mode — the stream twin of ``operators.events.cdc_apply`` (the
+    Debezium-feed → snapshot loop, state = ONE small tuple per key).
+
+    Expects columns (key, ts_us long, event_id long, value double,
+    op string) — op and epoch-us derive JVM-side before the groupBy so
+    the Python fold only compares/counts.  Per batch the winner is the
+    max (ts_us, event_id) row (vectorized idxmax on a lexicographic
+    key, no per-row loop); counts accumulate monotonically, so the
+    final emission per key (max n_ops) IS the final state — the same
+    convention running_user_totals' oracle uses.
+    """
+
+    def fold(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ts0, seq0, val0, op0, n, d = state.get
+        else:
+            ts0, seq0, val0, op0, n, d = (-1, -1, 0.0, "U", 0, 0)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            n += len(pdf)
+            d += int((pdf["op"] == "D").sum())
+            best = pdf.sort_values(["ts_us", "event_id"]).iloc[-1]
+            if (int(best["ts_us"]), int(best["event_id"])) > (ts0, seq0):
+                ts0 = int(best["ts_us"])
+                seq0 = int(best["event_id"])
+                val0 = float(best["value"])
+                op0 = str(best["op"])
+        state.update((ts0, seq0, val0, op0, n, d))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "ts_us": [ts0],
+                "last_value": [val0],
+                "op": [op0],
+                "n_ops": [n],
+                "n_deletes": [d],
+            }
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        fold,
+        outputStructType=(
+            f"{key_col} bigint, ts_us bigint, last_value double, "
+            "op string, n_ops bigint, n_deletes bigint"
+        ),
+        stateStructType=(
+            "ts_us bigint, seq bigint, val double, op string, "
+            "n bigint, d bigint"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

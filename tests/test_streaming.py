@@ -522,3 +522,20 @@ def test_mview_fresh_checkpoint_ignores_stale_state_versions(spark, tmp_path):
     view = maintain_user_totals(stream, state, timeout_sec=120)
     got = {r["user_id"]: (r["n_events"], r["sum_v"]) for r in view.collect()}
     assert got == {1: (1, Decimal("10.0")), 2: (1, Decimal("5.0"))}
+
+
+def test_stream_cdc_equals_batch_apply(spark):
+    import __spark_entry__ as entrymod
+    from flink_kmeans_clustering_spark.operators.events import cdc_apply
+    from flink_kmeans_clustering_spark.sources.parquet import load_events
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["user_id"]: (r["last_value"], r["last_ts"], r["n_ops"], r["n_deletes"])
+        for r in entrymod.q_stream_cdc(spark, sf).collect()
+    }
+    want = {
+        r["user_id"]: (r["last_value"], r["last_ts"], r["n_ops"], r["n_deletes"])
+        for r in cdc_apply(load_events(spark, sf)).collect()
+    }
+    assert got == want and len(got) > 0
