@@ -4309,14 +4309,19 @@ FROM samp GROUP BY asset_id, window_no
     rel_expectations_sql = """
 WITH agg AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
-    CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v0,
-    CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v1,
-    CAST(SUM(CASE WHEN n_chars IS NULL OR n_chars < 0 OR n_chars > 100000
-             THEN 1 ELSE 0 END) AS BIGINT) AS v2,
-    CAST(SUM(CASE WHEN COALESCE(length(text), -1) <> COALESCE(n_chars, -2)
-             THEN 1 ELSE 0 END) AS BIGINT) AS v3,
-    CAST(SUM(CASE WHEN lang IS NULL OR lang NOT IN ('de','en','es','fr')
-             THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+    CAST(COALESCE(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END), 0)
+         AS BIGINT) AS v0,
+    CAST(COALESCE(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END), 0)
+         AS BIGINT) AS v1,
+    CAST(COALESCE(SUM(CASE WHEN n_chars IS NULL OR n_chars < 0
+                           OR n_chars > 100000
+             THEN 1 ELSE 0 END), 0) AS BIGINT) AS v2,
+    CAST(COALESCE(SUM(CASE WHEN COALESCE(length(text), -1)
+                            <> COALESCE(n_chars, -2)
+             THEN 1 ELSE 0 END), 0) AS BIGINT) AS v3,
+    CAST(COALESCE(SUM(CASE WHEN lang IS NULL
+                           OR lang NOT IN ('de','en','es','fr')
+             THEN 1 ELSE 0 END), 0) AS BIGINT) AS v4,
     CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT) AS v5
   FROM documents
 )
@@ -4981,8 +4986,19 @@ FROM feat
         f" + CAST({w!r} AS DOUBLE) * ({_mlq_feats[name]})"
         for name, w in QUALITY_LR_WEIGHTS
     )
+    # NULL text is coalesced to '' on BOTH sides (engine-independent
+    # contract pinned in quality_classifier) — hence the local toks CTE
+    # over the coalesced text rather than the shared _TOKS_CTE.
     text_mlquality_sql = f"""
-WITH {_TOKS_CTE},
+WITH mlq_docs AS (
+  SELECT doc_id, COALESCE(text, '') AS text FROM documents
+),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM mlq_docs
+),
 feat AS (
   SELECT d.doc_id,
          len(t) AS n_words,
@@ -4992,7 +5008,7 @@ feat AS (
          len(regexp_extract_all(d.text, '[A-Z]')) AS n_upper,
          list_sum(list_transform(t, x -> length(x))) AS tok_chars,
          length(d.text) AS n_chars
-  FROM documents d JOIN toks ON d.doc_id = toks.doc_id
+  FROM mlq_docs d JOIN toks ON d.doc_id = toks.doc_id
 )
 SELECT doc_id, n_words,
        ROUND(1.0 / (1.0 + exp(-({_mlq_z}))), 6) AS p_keep,

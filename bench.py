@@ -141,7 +141,12 @@ def main() -> None:
     spark.range(2).mapInPandas(_warm, schema="id long").count()
     warm_retimes: dict[str, float] = {}
     qs = entrymod.queries()
-    for name in sorted(sweep_only, key=sweep_only.get, reverse=True)[:10]:
+    # Everything the sweep timed above 2 s gets a warm re-time (union
+    # with the top-10): r05 showed a 1.73x phantom on q_kmeans_ml that
+    # the top-10 cut missed (2.53 s sweep vs 1.5-1.9 s fresh-process).
+    retime_names = set(sorted(sweep_only, key=sweep_only.get, reverse=True)[:10])
+    retime_names |= {k for k, v in sweep_only.items() if v > 2.0}
+    for name in sorted(retime_names, key=sweep_only.get, reverse=True):
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -183,15 +188,21 @@ def main() -> None:
         json.dump(full, fh, indent=1)
     print(json.dumps(full))
     sys.stdout.flush()
+    # The compact driver-parsed line carries the 5 raw headline runs so
+    # the recorded artifact shows the variance band, not just the median
+    # (r05 lesson: STATUS quoted a best-run number nobody could
+    # independently reproduce — the artifact must carry its own spread).
+    compact_queries = {metric: value, "total_all_queries": total}
+    for i in range(1, 6):
+        key = f"kmeans_ref_run{i}"
+        if key in timings:
+            compact_queries[key] = timings[key]
     out = {
         "metric": metric,
         "value": value,
         "unit": "sec",
         "sf": sf,
-        "queries": {
-            metric: value,
-            "total_all_queries": total,
-        },
+        "queries": compact_queries,
     }
     print(json.dumps(out))
     spark.stop()

@@ -169,6 +169,13 @@ def _power_iterate(
         for x in w:
             s += x * x
         nrm = math.sqrt(s)
+        if nrm == 0.0:
+            # Degenerate input (constant embeddings → deflated matrix is
+            # exactly zero): A·v stays zero forever, so the current unit
+            # vector is as good a fixpoint as any.  Raising a typed error
+            # here would crash the driver mid-plan; keeping v matches the
+            # oracle's coalesce-to-previous behavior on the same input.
+            break
         v = [x / nrm for x in w]
     jmax = 0
     best = -1.0

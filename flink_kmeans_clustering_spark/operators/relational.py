@@ -1399,8 +1399,13 @@ def validate_expectations(
     Output: (constraint, n_rows, n_violations, passed) — tiny, fit for
     a circuit-breaker join against downstream jobs.
     """
+    # coalesce: SUM over zero rows is NULL — an empty drop must still
+    # yield explicit n_violations=0 / passed=true verdicts (the empty
+    # case is exactly the one a circuit breaker most needs to decide on).
     aggs = [F.count(F.lit(1)).alias("_n")] + [
-        F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"_v{i}")
+        F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias(f"_v{i}")
         for i, (_, cond) in enumerate(checks)
     ]
     row = df.agg(*aggs)

@@ -779,6 +779,10 @@ def quality_classifier(
     for name, w in QUALITY_LR_WEIGHTS:  # fixed fold order
         z = z + F.lit(w) * feats[name]
     p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    # NULL text would make size(tokenize(NULL)) = -1 under Spark's legacy
+    # sizeOfNull while the SQL oracle propagates NULL — pin an explicit
+    # engine-independent contract instead: NULL text scores as ''.
+    df = df.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
     return df.withColumn("_toks", tokenize(F.col(text_col))).select(
         F.col(id_col),
         n_words.alias("n_words"),
@@ -1016,12 +1020,18 @@ def vocab_coverage(
         aggs.append(F.min(hit).cast("long").alias(f"_v{int(c * 100)}"))
     [row] = ranked.agg(*aggs, F.max("total").alias("_tot")).collect()
     spark = df.sparkSession
+    schema = "coverage double, vocab_size long, total_tokens long"
+    if row["_tot"] is None:
+        # Empty corpus: the SQL oracle's CROSS JOIN against an empty
+        # ranked CTE yields zero rows — match that, not a NULL-filled
+        # row per target.
+        return spark.createDataFrame([], schema)
     out = spark.createDataFrame(
         [
             (float(c), row[f"_v{int(c * 100)}"], row["_tot"])
             for c in coverages
         ],
-        "coverage double, vocab_size long, total_tokens long",
+        schema,
     )
     return out
 

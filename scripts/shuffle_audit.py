@@ -99,7 +99,10 @@ def main() -> int:
             new = r["shuffle_write_mb"]
             if old is not None and new > 2 * old and new - old > 1.0:
                 regressions.append((r["query"], old, new))
-    with open(os.path.join(out_dir, "shuffle_audit.json"), "w") as fh:
+    # On regression, leave the committed baseline untouched (so a re-run
+    # reproduces the failure) and park the new numbers in a sidecar.
+    audit_name = "shuffle_audit.regressed.json" if regressions else "shuffle_audit.json"
+    with open(os.path.join(out_dir, audit_name), "w") as fh:
         json.dump({"sf_dir": sf_dir, "rows": rows}, fh, indent=1)
     md = [
         "# Shuffle audit (generated; measured, not estimated)",

@@ -279,3 +279,66 @@ def test_r05_text_ops_empty_and_degenerate_inputs(spark):
     )
     assert kmv_distinct(ev, "user_id", "event_type").count() == 0
     assert sampled_quantiles(ev, "value", "event_id", "event_type").count() == 0
+
+
+def test_validate_expectations_empty_drop_gives_explicit_verdicts(spark):
+    """An EMPTY drop is exactly the case a data-quality circuit breaker
+    must decide on: every check must emit n_violations=0 / passed=true,
+    never NULL (SUM over zero rows is NULL without the coalesce)."""
+    from flink_kmeans_clustering_spark.operators.relational import (
+        validate_expectations,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    rows = validate_expectations(
+        empty,
+        [("not_null(doc_id)", F.col("doc_id").isNull())],
+        unique_cols=("doc_id",),
+    ).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["n_rows"] == 0
+        assert r["n_violations"] == 0
+        assert r["passed"] is True
+
+
+def test_vocab_coverage_empty_corpus_emits_zero_rows(spark):
+    """Empty corpus → zero rows (the DuckDB oracle's CROSS JOIN against
+    an empty ranked CTE emits none), not NULL-filled target rows."""
+    from flink_kmeans_clustering_spark.operators.textstats import vocab_coverage
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = vocab_coverage(empty)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "coverage", "vocab_size", "total_tokens",
+    ]
+
+
+def test_quality_classifier_null_text_scores_as_empty(spark):
+    """NULL text is pinned to score exactly like '' — engine-independent
+    (legacy sizeOfNull would otherwise make len_norm negative)."""
+    from flink_kmeans_clustering_spark.operators.textstats import (
+        quality_classifier,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, None), (1, "")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in quality_classifier(docs).collect()}
+    assert rows[0]["n_words"] == 0
+    assert rows[0]["p_keep"] == rows[1]["p_keep"]
+    assert rows[0]["p_keep"] is not None and rows[0]["p_keep"] >= 0.0
+
+
+def test_power_iterate_degenerate_zero_matrix(spark):
+    """Constant embeddings → zero covariance: the power iteration must
+    not divide by zero; pca_project_checked stays total on degenerate
+    corpora."""
+    from flink_kmeans_clustering_spark.operators.linalg import _power_iterate
+
+    dim = 4
+    zero = [[0.0] * dim for _ in range(dim)]
+    v = _power_iterate(zero, iters=5)
+    assert len(v) == dim
+    assert all(x == 0.125 for x in v)  # start vector survives unchanged
