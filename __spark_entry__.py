@@ -40,6 +40,7 @@ from flink_kmeans_clustering_spark.operators.kmeans_ml import fit_kmeans_ml
 from flink_kmeans_clustering_spark.operators.similarity import (
     ann_lsh,
     ann_quantized,
+    ann_recall,
     ann_search,
     cell_centroids,
     knn_join,
@@ -2026,6 +2027,25 @@ def q_ann_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RECALL_QUERY_PANEL = 8  # first 8 vectors by id — present at every sf
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine recall@10 evaluation of the IVF index against exact
+    search (ann_recall): exact truth from knn_join (broadcast batch,
+    one corpus scan), approximate side from ivf_knn_join (batch IVF,
+    no driver loop) — the index-quality gate a retrieval pipeline runs
+    before trusting an index build.  On these isotropic synthetic
+    embeddings the label cells carry no geometry, so per-query recall
+    ≈ scanned fraction (2/10 cells) — the oracle checks the MEASUREMENT
+    machinery, docs/RECALL.md interprets the numbers."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < RECALL_QUERY_PANEL).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_recall(emb, queries, k=TOPK_K, n_probe=ANN_PROBES)
+
+
 BPE_TOP_PAIRS = 20
 
 
@@ -2574,6 +2594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reaches 173/173.
     """
     return {
+        "q_ann_recall": q_ann_recall,
         "q_ann_pq": q_ann_pq,
         "q_dedup_contain": q_dedup_contain,
         "q_profile": q_profile,
@@ -3511,6 +3532,67 @@ scored AS (
   FROM probed CROSS JOIN q
 )
 SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT {TOPK_K}
+"""
+    # q_ann_recall: the whole recall evaluation replayed — exact
+    # per-query top-k (window), per-cell mean centroids, per-query
+    # probed cells (window over cell cosine), approx top-k, overlap
+    ann_recall_sql = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv,
+             sqrt(list_sum(list_transform(v, x -> x*x))) AS qn
+      FROM e WHERE vec_id < {RECALL_QUERY_PANEL}),
+exact AS (
+  SELECT query_id, vec_id AS neighbor_id,
+         ROUND(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*qv[i]))
+               / (sqrt(list_sum(list_transform(v, x -> x*x))) * qn), 6) AS cosine
+  FROM e CROSS JOIN q
+),
+exact_k AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rnk
+    FROM exact WHERE cosine IS NOT NULL
+  ) WHERE rnk <= {TOPK_K}
+),
+ex2 AS (SELECT label, unnest(v) AS comp, unnest(range(1, len(v)+1)) AS pos FROM e),
+cents AS (
+  SELECT label AS cell, list(mv ORDER BY pos) AS cv
+  FROM (SELECT label, pos, avg(comp) AS mv FROM ex2 GROUP BY label, pos)
+  GROUP BY label
+),
+probes AS (
+  SELECT query_id, cell, qv, qn FROM (
+    SELECT q.query_id, cents.cell, q.qv, q.qn,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             (list_sum(list_transform(range(1, len(cv)+1), i -> cv[i]*qv[i]))
+              / (sqrt(list_sum(list_transform(cv, x -> x*x))) * qn)) DESC,
+             cents.cell) AS crnk
+    FROM q CROSS JOIN cents
+  ) WHERE crnk <= {ANN_PROBES}
+),
+approx AS (
+  SELECT p.query_id, e.vec_id AS neighbor_id,
+         ROUND(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*p.qv[i]))
+               / (sqrt(list_sum(list_transform(v, x -> x*x))) * p.qn), 6) AS cosine
+  FROM e JOIN probes p ON e.label = p.cell
+),
+approx_k AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rnk
+    FROM approx WHERE cosine IS NOT NULL
+  ) WHERE rnk <= {TOPK_K}
+),
+hits AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM exact_k JOIN approx_k USING (query_id, neighbor_id)
+  GROUP BY query_id
+)
+SELECT q.query_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       ROUND(COALESCE(h.n_hits, 0) / CAST({TOPK_K}.0 AS DOUBLE), 6) AS recall
+FROM q LEFT JOIN hits h USING (query_id)
 """
     # q_ann_quantized: identical int8 quantization on both sides —
     # round() is half-away-from-zero for doubles in Spark AND DuckDB,
@@ -6020,6 +6102,7 @@ GROUP BY event_type
 """,
         "q_topk_sim": topk_sim_sql,
         "q_ann_ivf": ann_ivf_sql,
+        "q_ann_recall": ann_recall_sql,
         "q_ann_lsh": ann_lsh_sql,
         "q_sink_roundtrip": """
 SELECT event_type, COUNT(*) AS n,

@@ -603,11 +603,23 @@ def connected_components(
     p = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     p = p.localCheckpoint()
     if method == "star":
-        labels, _ = _cc_star(p, max_iterations)
+        labels, rounds = _cc_star(p, max_iterations)
     elif method == "label_prop":
-        labels, _ = _cc_label_prop(p, max_iterations)
+        labels, rounds = _cc_label_prop(p, max_iterations)
     else:
         raise ValueError(f"unknown method: {method!r}")
+    if rounds >= max_iterations:
+        # The fixpoint was never CONFIRMED (the confirming round is free
+        # only if the budget allows it) — returning the current labels
+        # would silently split components on a deep graph
+        # (docs/CC_DEPTH.md: a 256-node chain needs 256 label_prop
+        # rounds; the default budget of 50 would stop mid-propagation).
+        raise RuntimeError(
+            f"connected_components({method!r}) did not converge within "
+            f"{max_iterations} rounds — the pair graph is deeper than "
+            "expected; use method='star' (O(log d) rounds) or raise "
+            "max_iterations"
+        )
     return labels.select(F.col("id").alias(node_col), F.col("comp").alias(comp_col))
 
 

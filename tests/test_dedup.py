@@ -595,6 +595,51 @@ def test_cc_star_fewer_rounds_on_chain_graph(spark):
     assert st_rounds < lp_rounds / 2, (st_rounds, lp_rounds)
 
 
+@pytest.mark.slow
+def test_cc_star_rounds_logarithmic_on_deep_chain(spark):
+    """Rounds-bound property (docs/CC_DEPTH.md): star-CC on a
+    4096-node chain must converge within ⌈log2 d⌉ + 4 rounds (measured
+    curve: 11 @ 10³, 15 @ 10⁴, 18 @ 10⁵ — ~log2 d + 1)."""
+    import math
+    from pyspark.sql import functions as F
+    from flink_kmeans_clustering_spark.operators.dedup import _cc_star
+
+    n = 4096
+    chain = (
+        spark.range(n - 1)
+        .select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+        .localCheckpoint()
+    )
+    labels, rounds = _cc_star(chain, max_iterations=50)
+    assert rounds <= math.ceil(math.log2(n - 1)) + 4, rounds
+    [row] = labels.agg(
+        F.countDistinct("comp").alias("nc"), F.count(F.lit(1)).alias("nn")
+    ).collect()
+    assert row["nc"] == 1 and row["nn"] == n
+
+
+def test_cc_raises_instead_of_silent_wrong_labels_on_deep_graph(spark):
+    """A chain deeper than the round budget must RAISE, not return
+    mid-propagation labels (docs/CC_DEPTH.md: label_prop needs diameter
+    rounds — a 120-chain under the default budget of 50 would silently
+    split the component); star converges in O(log d) and must succeed
+    under the same default."""
+    import pytest
+    from flink_kmeans_clustering_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 120
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, method="label_prop").collect()
+    comp = connected_components(chain, method="star")
+    rows = {(r["id"], r["component_id"]) for r in comp.collect()}
+    assert rows == {(i, 0) for i in range(n + 1)}
+
+
 def test_keeper_drops_embedded_doc_jaccard_would_keep(spark):
     """End-to-end dual-criterion keeper: a short doc fully embedded in
     a long one (containment ≈ 1, Jaccard ≈ |A|/|B| below threshold)
