@@ -1596,3 +1596,141 @@ def soft_dedup_weights(
             F.round(F.lit(1.0) / csize, round_to).alias("weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization dedup (the CommonCrawl-style first dedup pass)
+# ---------------------------------------------------------------------------
+
+URL_DUP_MOD = 101  # synthesized URL collision space: docs sharing
+                   # (source, doc_id % URL_DUP_MOD) are URL duplicates
+
+
+def synthesize_urls(
+    docs: DataFrame, id_col: str = "doc_id", source_col: str = "source"
+) -> DataFrame:
+    """Deterministic MESSY URL per document — the URL-plumbing twin of
+    multimodal.synthesize_assets: the corpus has no URL column, so one
+    is derived from (doc_id, source) with md5-lane-driven mess (scheme/
+    host case, default ports, trailing slash, shuffled query params, a
+    tracking param, a fragment) such that documents sharing
+    ``(source, doc_id % URL_DUP_MOD)`` canonicalize to the SAME URL.
+    Every expression replays identically in DuckDB (md5 hex lanes,
+    exact power-of-two floor divisions).
+
+    Output: input columns + ``url``.
+    """
+    h = F.md5(F.col(id_col).cast("string"))
+    lane = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+    def bit(k: int):
+        return (F.floor(lane / F.lit(float(2**k))).cast("long") % 2) == 1
+
+    base = F.col(id_col) % URL_DUP_MOD
+    # host shard derives from base (not source): the dup key is base
+    # alone, so every scale factor yields real duplicate groups for the
+    # oracle gate (source-qualified hosts left one group per ~20× more
+    # key space and an empty — vacuous — result at sf0.01)
+    host = F.concat(
+        F.lit("shard-"), (base % 7).cast("string"), F.lit(".example.com")
+    )
+    # the scheme is part of the canonical identity, so it must depend
+    # only on the dup key (base), NOT the per-doc lane — only the MESS
+    # (case, ports, order, tracking, fragment) varies per doc
+    https = (base % 2) == 1
+    scheme_l = F.when(https, F.lit("https")).otherwise(F.lit("http"))
+    scheme = F.when(bit(1), F.upper(scheme_l)).otherwise(scheme_l)
+    host_messy = F.when(bit(2), F.upper(host)).otherwise(host)
+    port = F.when(
+        bit(3), F.when(https, F.lit(":443")).otherwise(F.lit(":80"))
+    ).otherwise(F.lit(""))
+    path = F.concat(F.lit("/docs/"), base.cast("string"))
+    path_messy = F.when(bit(4), F.concat(path, F.lit("/"))).otherwise(path)
+    pa = F.concat(F.lit("a="), (base % 3).cast("string"))
+    pb = F.concat(F.lit("b="), (base % 5).cast("string"))
+    params = F.when(
+        bit(5), F.concat(pb, F.lit("&"), pa)
+    ).otherwise(F.concat(pa, F.lit("&"), pb))
+    params = F.when(
+        bit(6), F.concat(params, F.lit("&utm_source=feed"))
+    ).otherwise(params)
+    frag = F.concat(F.lit("#sec-"), (lane % 5).cast("string"))
+    url = F.concat(
+        scheme, F.lit("://"), host_messy, port, path_messy,
+        F.lit("?"), params, frag,
+    )
+    return docs.withColumn("url", url)
+
+
+URL_TRACKING_PREFIXES = ("utm_", "ref=", "fbclid=", "gclid=")
+
+
+def url_canonicalize(
+    df: DataFrame, url_col: str = "url", out_col: str = "canonical_url"
+) -> DataFrame:
+    """Canonical URL: lowercase scheme+host, default ports stripped
+    (80/http, 443/https), fragment dropped, trailing path slashes
+    trimmed, query params filtered of tracking keys
+    (:data:`URL_TRACKING_PREFIXES`) and SORTED — the normalization
+    CommonCrawl-style pipelines run before exact URL dedup, so
+    `?b=2&a=1#x` and `?a=1&b=2` collapse.
+
+    Pure in-scan expressions (regexp + array HOFs), zero shuffle, and
+    every step has an exact DuckDB twin (q_dedup_url's oracle).
+    """
+    u = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(
+        F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", ""),
+        r"#.*$", "",
+    )
+    hostport = F.regexp_extract(rest, r"^([^/?]+)", 1)
+    host = F.lower(F.regexp_extract(hostport, r"^([^:]+)", 1))
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    keep_port = (port != "") & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    pathq = F.regexp_replace(rest, r"^[^/?]+", "")
+    path = F.regexp_replace(
+        F.regexp_extract(pathq, r"^([^?]*)", 1), r"/+$", ""
+    )
+    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+
+    def not_tracking(p):
+        cond = p != ""
+        for t in URL_TRACKING_PREFIXES:
+            cond = cond & ~p.startswith(t)
+        return cond
+
+    params = F.array_sort(F.filter(F.split(query, "&"), not_tracking))
+    canon_q = F.concat_ws("&", params)
+    canon = F.concat(
+        scheme, F.lit("://"), host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(canon_q != "", F.concat(F.lit("?"), canon_q)).otherwise(F.lit("")),
+    )
+    return df.withColumn(out_col, canon)
+
+
+def url_duplicate_groups(
+    docs_with_urls: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+) -> DataFrame:
+    """Exact dedup on the CANONICAL URL: one row per canonical URL with
+    more than one document — (canonical_url, n_dups, keep_id = min id,
+    dup_id_sum checksum).  One hash aggregate on the canonical key
+    (map-side combined); at 100 TB this is the cheapest dedup pass a
+    web corpus gets, which is why it runs first."""
+    canon = url_canonicalize(docs_with_urls, url_col=url_col)
+    return (
+        canon.groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(id_col).alias("keep_id"),
+            F.sum(id_col).cast("long").alias("dup_id_sum"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )

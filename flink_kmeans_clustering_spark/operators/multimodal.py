@@ -124,63 +124,94 @@ def frame_sample(assets: DataFrame, frame_bytes: int = 64, every_k: int = 4) -> 
     )
 
 
-def decode_real(assets: DataFrame) -> DataFrame:
-    """Real codec decode — NOT AVAILABLE in this environment (STUB).
+# THE DECODE CONTRACT (pinned by tests/test_multimodal.py's contract
+# test): a decoder is a plain Python callable ``bytes -> array-like of
+# float32 (length FEATURE_DIM-compatible)``.  decode_features() owns
+# ALL Spark plumbing — column pruning to (asset_id, modality, content),
+# Arrow-batched mapInPandas, the output schema — so swapping the fake
+# histogram decoder for a real PIL/soundfile/pyav one changes ZERO plan
+# shape: same scan, same batch boundary, same downstream schema.
+DECODE_SCHEMA = "asset_id long, modality string, feat array<float>"
 
-    The production implementation would ``mapInPandas`` over batches,
-    calling PIL/soundfile/pyav per modality.  Those libraries are not
-    in this container, so this raises immediately rather than
-    pretending; ``byte_histogram_features`` is the deterministic
-    substitute that exercises the identical plumbing.
+
+def decode_features(assets: DataFrame, decoder, dim: int) -> DataFrame:
+    """Shared decode plumbing: binary in, ``array<float>`` out, Arrow
+    record batches across the Python boundary, zero shuffle.
+
+    ``decoder(blob: bytes) -> sequence of float32`` is called once per
+    asset inside the batch loop; everything else (pruned input columns,
+    batching, output schema) is fixed here so every decoder — fake or
+    real — produces an identical plan.
     """
-    raise NotImplementedError(
-        "codec decode requires PIL/soundfile/pyav (not installed); "
-        "use byte_histogram_features for the deterministic fake path"
-    )
-
-
-def byte_histogram_features(assets: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
-    """Deterministic fake "decode + feature extraction" over mapInPandas.
-
-    Features = normalized ``dim``-bucket histogram of content bytes —
-    a stand-in with the exact batch shape of a real embedding model:
-    binary in, ``array<float>`` out, Arrow record batches across the
-    Python boundary, zero shuffle.
-    """
-    out_schema = "asset_id long, modality string, feat array<float>"
 
     def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            feats = []
-            for blob in pdf["content"]:
-                arr = np.frombuffer(bytes(blob), dtype=np.uint8)
-                if arr.size == 0:
-                    feats.append(np.zeros(dim, dtype=np.float32))
-                    continue
-                hist = np.bincount(arr // (256 // dim), minlength=dim)[:dim]
-                # round HALF-UP in float64 BEFORE the float32 cast (np.round
-                # is half-even; SQL ROUND is half-up — byte counts over
-                # power-of-two sizes hit .5 boundaries exactly).  6-decimal
-                # values survive a float32 round-trip (|err| ≤ 6e-8 < 5e-7),
-                # so the downstream double-rounded projection is oracle-exact.
-                ratio = hist / arr.size
-                feats.append(
-                    (np.floor(ratio * 1e6 + 0.5) / 1e6).astype(np.float32)
-                )
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
                     "modality": pdf["modality"],
-                    "feat": feats,
+                    "feat": [decoder(bytes(b)) for b in pdf["content"]],
                 }
             )
 
     return assets.select("asset_id", "modality", "content").mapInPandas(
-        extract, schema=out_schema
+        extract, schema=DECODE_SCHEMA
     )
+
+
+def decode_real(assets: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Real codec decode — NOT AVAILABLE in this environment (STUB).
+
+    The production implementation plugs a PIL/soundfile/pyav-backed
+    decoder into :func:`decode_features` (the contract above); those
+    libraries are not in this container, so this raises immediately
+    rather than pretending.  ``byte_histogram_features`` is the
+    deterministic substitute that exercises the identical plumbing.
+    """
+
+    def _codec_decoder(blob: bytes):
+        raise NotImplementedError(
+            "codec decode requires PIL/soundfile/pyav (not installed); "
+            "use byte_histogram_features for the deterministic fake path"
+        )
+
+    # Fail at CALL time, not first-batch time: the stub's contract is
+    # "raises immediately", and a lazily-failing plan would look healthy
+    # until an executor task dies.
+    _codec_decoder(b"")
+    return decode_features(assets, _codec_decoder, dim)
+
+
+def _histogram_decoder(dim: int):
+    """The deterministic fake decoder: normalized ``dim``-bucket byte
+    histogram — the exact batch/shape contract of a real embedding
+    model, replayable in any engine."""
+
+    def decode(blob: bytes):
+        import numpy as np
+
+        arr = np.frombuffer(blob, dtype=np.uint8)
+        if arr.size == 0:
+            return np.zeros(dim, dtype=np.float32)
+        hist = np.bincount(arr // (256 // dim), minlength=dim)[:dim]
+        # round HALF-UP in float64 BEFORE the float32 cast (np.round
+        # is half-even; SQL ROUND is half-up — byte counts over
+        # power-of-two sizes hit .5 boundaries exactly).  6-decimal
+        # values survive a float32 round-trip (|err| ≤ 6e-8 < 5e-7),
+        # so the downstream double-rounded projection is oracle-exact.
+        ratio = hist / arr.size
+        return (np.floor(ratio * 1e6 + 0.5) / 1e6).astype(np.float32)
+
+    return decode
+
+
+def byte_histogram_features(assets: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Deterministic fake "decode + feature extraction" — the
+    :func:`decode_features` contract instantiated with the histogram
+    decoder (see that function for the plumbing guarantees)."""
+    return decode_features(assets, _histogram_decoder(dim), dim)
 
 
 def features_rounded(features: DataFrame, decimals: int = 6) -> DataFrame:

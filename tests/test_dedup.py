@@ -783,3 +783,56 @@ def test_soft_dedup_weights_cluster_mass(spark):
     }
     # soft-dedup invariant: every cluster contributes ~unit mass
     assert abs(sum(w for _, w in got.values()) - 3.0) < 1e-5
+
+
+def test_url_canonicalize_hand_cases(spark):
+    """Canonicalization table: case, default ports, fragments, trailing
+    slashes, tracking params, and param ORDER all collapse; non-default
+    ports and real params survive."""
+    from flink_kmeans_clustering_spark.operators.dedup import url_canonicalize
+
+    cases = [
+        ("HTTP://WWW.Example.COM:80/a/b/?b=2&a=1&utm_source=x#frag",
+         "http://www.example.com/a/b?a=1&b=2"),
+        ("https://example.com:443/a", "https://example.com/a"),
+        ("https://example.com:8443/a", "https://example.com:8443/a"),
+        ("http://example.com/", "http://example.com"),
+        ("http://example.com/p?utm_source=x&utm_medium=y",
+         "http://example.com/p"),
+        ("http://example.com/p?ref=abc&z=1&fbclid=f&gclid=g",
+         "http://example.com/p?z=1"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "id long, url string"
+    )
+    got = {
+        r["id"]: r["canonical_url"]
+        for r in url_canonicalize(df).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i], want)
+
+
+def test_url_dup_groups_collapse_mess_only(spark):
+    """Two docs sharing the dup key collapse; the synthesized mess
+    (case/port/order/tracking/fragment) never splits a group and the
+    canonical key never merges distinct bases."""
+    from flink_kmeans_clustering_spark.operators.dedup import (
+        URL_DUP_MOD,
+        synthesize_urls,
+        url_duplicate_groups,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "web") for i in list(range(6)) + [URL_DUP_MOD, URL_DUP_MOD + 1]],
+        "doc_id long, source string",
+    )
+    groups = {
+        r["keep_id"]: r for r in url_duplicate_groups(
+            synthesize_urls(docs)
+        ).collect()
+    }
+    # ids 0 and URL_DUP_MOD share base 0; 1 and URL_DUP_MOD+1 share base 1
+    assert groups[0]["n_dups"] == 2 and groups[0]["dup_id_sum"] == URL_DUP_MOD
+    assert groups[1]["n_dups"] == 2 and groups[1]["dup_id_sum"] == URL_DUP_MOD + 2
+    assert len(groups) == 2  # ids 2..5 are singletons

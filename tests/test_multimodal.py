@@ -89,6 +89,55 @@ def test_decode_real_is_explicit_stub(spark):
         decode_real(synthesize_assets(_docs(spark)))
 
 
+def test_decode_contract_accepts_any_decoder_without_plan_changes(spark):
+    """The codec plug-point contract (VERDICT r05 item 7): ANY
+    ``bytes -> float32 sequence`` callable plugged into decode_features
+    must produce (a) the exact DECODE_SCHEMA, (b) one output row per
+    asset, and (c) a result the downstream features_rounded projection
+    consumes unchanged — so a real PIL/pyav decoder drops in with zero
+    plan changes.  Proven with a decoder the fake histogram path never
+    uses (blob-length encodings)."""
+    import numpy as np
+
+    from flink_kmeans_clustering_spark.operators.multimodal import (
+        DECODE_SCHEMA,
+        byte_histogram_features,
+        decode_features,
+        features_rounded,
+    )
+
+    assets = synthesize_assets(_docs(spark))
+    n_assets = assets.count()
+
+    def fake_codec(blob: bytes):
+        # stands in for PIL/soundfile: output depends only on the bytes
+        return np.array(
+            [len(blob), blob[0] if blob else 0, 255.0, 0.5], dtype=np.float32
+        )
+
+    out = decode_features(assets, fake_codec, dim=4)
+    assert out.schema.simpleString() == (
+        byte_histogram_features(assets).schema.simpleString()
+    )
+    assert out.schema.simpleString() == (
+        f"struct<{DECODE_SCHEMA.replace(' long', ':bigint').replace(' string', ':string').replace(' array<float>', ':array<float>').replace(', ', ',')}>"
+    )
+    rows = out.collect()
+    assert len(rows) == n_assets
+    assert all(len(r["feat"]) == 4 for r in rows)
+    # downstream projection consumes it unchanged
+    flat = features_rounded(out)
+    assert flat.count() == n_assets * 4
+    assert [f.name for f in flat.schema.fields] == ["asset_id", "pos", "val"]
+    # and the decoder actually ran per blob (length feature is real)
+    meta = {
+        r["asset_id"]: r["n_bytes"]
+        for r in asset_metadata(assets).collect()
+    }
+    for r in rows:
+        assert int(r["feat"][0]) == meta[r["asset_id"]]
+
+
 def test_resize_nearest_known_grid(spark):
     """4x4 'image' with stride 2 keeps pixels (0,0),(0,2),(2,0),(2,2)."""
     import hashlib

@@ -301,6 +301,144 @@ def test_dedup_within_watermark_drops_late_duplicate(spark, tmp_path):
     assert ids == [1, 2, 3]  # the retransmission emitted nothing new
 
 
+def test_dedup_watermark_drops_late_rows_and_evicts_state(spark, tmp_path):
+    """Watermark-lateness spec (VERDICT r05 item 8), pinned against the
+    MEASURED dropDuplicatesWithinWatermark contract (validated with
+    per-batch watermark progress on this Spark):
+
+    1. a row older than the current watermark is dropped as LATE input
+       (the 12:05 retransmission under a 13:55 watermark emits nothing);
+    2. the watermark also EVICTS state — an on-time retransmission
+       (14:10 > watermark) of a key whose horizon passed is re-emitted.
+
+    Together these are why the operator is scale-safe: state never
+    outgrows the horizon, and the price is exactly-once only WITHIN it.
+    """
+    import datetime as dt
+    import time as _time
+
+    from flink_kmeans_clustering_spark.streaming.dedup import dedup_stream
+    from flink_kmeans_clustering_spark.streaming.run import run_available_now
+
+    d = str(tmp_path / "late_ev")
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+    schema = "event_id long, ts timestamp, value double"
+    spark.createDataFrame(
+        [(1, t0, 1.0), (2, t0, 2.0)], schema
+    ).coalesce(1).write.parquet(d + "/f0")
+    _time.sleep(1.1)
+    # advances the watermark to 13:50 for the NEXT batch
+    spark.createDataFrame(
+        [(98, t0 + dt.timedelta(hours=2), 9.0)], schema
+    ).coalesce(1).write.parquet(d + "/f1")
+    _time.sleep(1.1)
+    spark.createDataFrame(
+        [(99, t0 + dt.timedelta(hours=2, minutes=5), 9.5)], schema
+    ).coalesce(1).write.parquet(d + "/f2")
+    _time.sleep(1.1)
+    # key 1 retransmitted at 12:05 — BELOW the 13:55 watermark: late,
+    # dropped entirely
+    spark.createDataFrame(
+        [(1, t0 + dt.timedelta(minutes=5), 1.0)], schema
+    ).coalesce(1).write.parquet(d + "/f3")
+    _time.sleep(1.1)
+    # key 1 retransmitted ON TIME at 14:10 — its state (horizon 12:10)
+    # was evicted long ago, so it re-emits
+    spark.createDataFrame(
+        [(1, t0 + dt.timedelta(hours=2, minutes=10), 1.0)], schema
+    ).coalesce(1).write.parquet(d + "/f4")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    out = run_available_now(
+        dedup_stream(stream, ["event_id"], ts_col="ts", watermark_delay="10 minutes")
+    )
+    rows = sorted(
+        (r["event_id"], r["ts"]) for r in out.collect()
+    )
+    ids = [i for i, _ in rows]
+    assert ids == [1, 1, 2, 98, 99]
+    # the re-emitted key 1 is the ON-TIME retransmission, not the late one
+    assert rows[1][1] == t0 + dt.timedelta(hours=2, minutes=10)
+
+
+def test_native_session_lateness_merge_while_open_drop_after_close(spark, tmp_path):
+    """Native session windows under lateness — BOTH phases of the
+    measured contract (validated with per-batch watermark progress):
+
+    Phase 1 (session still in state): a late event (12:15, below the
+    14:00 watermark) still MERGES into its not-yet-finalized session —
+    the watermark gates finalization, not admission to open state.
+
+    Phase 2 (session finalized): once the watermark passed the session
+    end and it was EMITTED, a late event for the same user produces
+    NOTHING — no new session, no mutation of the emitted row (append
+    mode is immutable).
+
+    A batch replay over all events merges the late row (n=3), proving
+    the phase-2 drop is streaming lateness semantics, not the
+    expression."""
+    import datetime as dt
+    import time as _time
+
+    from flink_kmeans_clustering_spark.operators.events import session_window_agg
+    from flink_kmeans_clustering_spark.streaming.run import run_available_now
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+    schema = "user_id long, event_id long, ts timestamp, value double"
+    on_time = [
+        (7, 1, t0, 1.0),
+        (7, 2, t0 + dt.timedelta(minutes=10), 2.0),
+    ]
+    adv1 = [(8, 3, t0 + dt.timedelta(hours=3), 0.0)]
+    adv2 = [(8, 4, t0 + dt.timedelta(hours=3, minutes=5), 0.0)]
+    late = [(7, 5, t0 + dt.timedelta(minutes=15), 4.0)]
+
+    def drain(subdir, batches):
+        d = str(tmp_path / subdir)
+        for i, b in enumerate(batches):
+            if i:
+                _time.sleep(1.1)
+            spark.createDataFrame(b, schema).coalesce(1).write.parquet(
+                f"{d}/f{i}"
+            )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d + "/*")
+            .withWatermark("ts", "1 hour")
+        )
+        return run_available_now(session_window_agg(stream)).collect()
+
+    # Phase 1: late row arrives while the session is still open —
+    # merged (n=3, end extended to 12:45)
+    [r] = drain("open", [on_time, adv1, late])
+    assert r["user_id"] == 7 and r["n_events"] == 3
+    assert r["session_end_us"] == int(
+        (t0 + dt.timedelta(minutes=45)).timestamp() * 1_000_000
+    )
+
+    # Phase 2: session finalized in the adv2 batch (watermark 14:00 >
+    # 12:40) BEFORE the late row arrives — emitted with its on-time
+    # shape, late row dropped entirely
+    rows = drain("closed", [on_time, adv1, adv2, late])
+    assert len(rows) == 1
+    [r] = rows
+    assert r["user_id"] == 7 and r["n_events"] == 2
+    assert r["session_end_us"] == int(
+        (t0 + dt.timedelta(minutes=40)).timestamp() * 1_000_000
+    )
+
+    # batch replay (the oracle's view) merges the late event
+    batch = spark.createDataFrame(on_time + adv1 + adv2 + late, schema)
+    [b7] = [
+        r for r in session_window_agg(batch).collect() if r["user_id"] == 7
+    ]
+    assert b7["n_events"] == 3
+
+
 def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
     """Exactly-once restart: a second availableNow drain from the SAME
     checkpoint skips everything the first drain committed — the
