@@ -77,7 +77,12 @@ def main() -> None:
         )
 
         pts = read_points_csv(spark, f"{fixture}/points.csv")
-        pts = pts.repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+        # half the slot count, floor 8: per-superstep task scheduling is
+        # the cost at this N, not per-task work — measured 5-run medians
+        # on the idle machine (r06): 1.53 s @16 parts vs 1.75 @8 and
+        # 2.00 @32 for the 10-iteration job
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        pts = pts.repartition(max(8, cpus // 2))
         pts.persist().count()  # materialize outside the timed region
         init = [
             (int(r["id"]), float(r["x"]), float(r["y"]))

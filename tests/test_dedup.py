@@ -836,3 +836,22 @@ def test_url_dup_groups_collapse_mess_only(spark):
     assert groups[0]["n_dups"] == 2 and groups[0]["dup_id_sum"] == URL_DUP_MOD
     assert groups[1]["n_dups"] == 2 and groups[1]["dup_id_sum"] == URL_DUP_MOD + 2
     assert len(groups) == 2  # ids 2..5 are singletons
+
+
+def test_url_canonicalize_is_idempotent(spark):
+    """Canonicalization is a projection: applying it to its own output
+    changes nothing (fixpoint), over the full synthesized URL space."""
+    from flink_kmeans_clustering_spark.operators.dedup import (
+        synthesize_urls,
+        url_canonicalize,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 20}") for i in range(300)], "doc_id long, source string"
+    )
+    once = url_canonicalize(synthesize_urls(docs)).select(
+        "doc_id", F.col("canonical_url").alias("url")
+    )
+    twice = url_canonicalize(once).select("doc_id", "canonical_url")
+    joined = once.join(twice, "doc_id")
+    assert joined.filter(F.col("url") != F.col("canonical_url")).count() == 0

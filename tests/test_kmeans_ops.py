@@ -199,6 +199,25 @@ def test_mllib_and_lloyd_agree_at_fixpoint(spark):
     pts.unpersist()
 
 
+def test_lloyd_observe_and_exchange_updates_agree(spark):
+    """The two superstep reduce paths — groupBy k-row exchange vs
+    df.observe accumulator metrics — must produce identical centroids
+    (1e-9), identical surviving ids, and the same WCSS on a fixture
+    with an emptying cluster (drop-semantics parity)."""
+    from flink_kmeans_clustering_spark.operators.kmeans import lloyd
+
+    rows = [(i, float(i % 7), float((i * 3) % 11)) for i in range(500)]
+    pts = spark.createDataFrame(rows, "point_id long, x double, y double")
+    init = [(0, 0.0, 0.0), (1, 6.0, 10.0), (7, 1e6, 1e6)]  # 7 empties
+    a = lloyd(pts, init, max_iterations=5, update="exchange")
+    b = lloyd(pts, init, max_iterations=5, update="observe")
+    assert [c[0] for c in a.centroids] == [c[0] for c in b.centroids]
+    for (ia, xa, ya), (ib, xb, yb) in zip(a.centroids, b.centroids):
+        assert abs(xa - xb) < 1e-9 and abs(ya - yb) < 1e-9
+    assert abs(a.wcss - b.wcss) / max(a.wcss, 1e-12) < 1e-9
+    assert 7 not in [c[0] for c in b.centroids]
+
+
 def test_mllib_fixpoint_checked_by_lloyd_nd_at_scale(spark):
     """Scale-level check for the oracle-less MLlib path (VERDICT r05
     item 2): on the REAL sf0.1 embeddings (64-dim), MLlib's converged
