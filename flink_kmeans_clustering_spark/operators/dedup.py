@@ -1734,3 +1734,78 @@ def url_duplicate_groups(
         )
         .filter(F.col("n_dups") > 1)
     )
+
+
+def prefix_fingerprint(text: Column, n_tokens: int = 16) -> Column:
+    """md5 of the first ``n_tokens`` normalized tokens — the cheap
+    prefix fingerprint used as the exact-match key for incremental
+    ingest dedup (template/boilerplate families share prefixes; a
+    full-content hash misses every near-dup, a prefix hash catches the
+    re-crawled/templated ones at hash-join cost)."""
+    return F.md5(F.concat_ws(" ", F.slice(tokenize(text), 1, n_tokens)))
+
+
+def incremental_exact_dedup(
+    corpus: DataFrame,
+    new_batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_col: Column | None = None,
+) -> DataFrame:
+    """Incremental exact dedup: which NEW documents already exist in
+    the corpus — the daily-increment shape of a production ingest (the
+    full-corpus pass ran once; every later drop only checks itself).
+
+    Scale physics: the CORPUS side is scanned once and never shuffled —
+    the new batch (small by contract: one day's drop vs the whole
+    corpus) is hashed and BROADCAST into the corpus scan; the match
+    set that comes back is at most |new| rows.  A same-size
+    shuffle-join of corpus×new on the hash would move the corpus;
+    this plan moves only the increment.  Within-batch duplicates are
+    handled by the same pass (count > first occurrence).
+
+    Output: one row per new document —
+    (doc_id, content_hash, dup_of_corpus, dup_in_batch, is_new) where
+    ``dup_of_corpus`` = min corpus doc id sharing the hash (NULL if
+    none), ``dup_in_batch`` = min SMALLER new-batch id sharing the
+    hash (NULL if first), ``is_new`` ⇔ neither exists.
+
+    ``hash_col`` sets the content key (default: md5 of the raw text;
+    pass :func:`prefix_fingerprint` for the template-family key).
+    """
+    if hash_col is None:
+        hash_col = F.md5(F.col(text_col))
+    nb = new_batch.select(
+        F.col(id_col).alias("new_id"),
+        hash_col.alias("content_hash"),
+    )
+    corpus_hits = (
+        corpus.select(
+            F.col(id_col).alias("corpus_id"),
+            hash_col.alias("content_hash"),
+        )
+        .join(F.broadcast(nb.select("content_hash").distinct()), "content_hash")
+        .groupBy("content_hash")
+        .agg(F.min("corpus_id").alias("dup_of_corpus"))
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("content_hash")
+        .orderBy("new_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = nb.withColumn("dup_in_batch", F.min("new_id").over(w))
+    return (
+        flagged.join(F.broadcast(corpus_hits), "content_hash", "left")
+        .select(
+            F.col("new_id").alias(id_col),
+            "content_hash",
+            "dup_of_corpus",
+            "dup_in_batch",
+            (
+                F.col("dup_of_corpus").isNull()
+                & F.col("dup_in_batch").isNull()
+            ).alias("is_new"),
+        )
+    )

@@ -855,3 +855,52 @@ def test_url_canonicalize_is_idempotent(spark):
     twice = url_canonicalize(once).select("doc_id", "canonical_url")
     joined = once.join(twice, "doc_id")
     assert joined.filter(F.col("url") != F.col("canonical_url")).count() == 0
+
+
+def test_incremental_dedup_flags_and_spine(spark):
+    """Hand fixture: corpus {A, B}, new batch {A-dup, C, C-dup, D}.
+    dup_of_corpus = min corpus id; dup_in_batch = min smaller new id;
+    is_new only for D; every new doc emits exactly one row."""
+    from flink_kmeans_clustering_spark.operators.dedup import (
+        incremental_exact_dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma delta"), (5, "alpha beta")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, "alpha beta"), (11, "zeta eta"), (12, "zeta eta"),
+         (13, "omega only")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in incremental_exact_dedup(corpus, new).collect()}
+    assert len(rows) == 4
+    assert rows[10]["dup_of_corpus"] == 0 and rows[10]["is_new"] is False
+    assert rows[11]["dup_in_batch"] is None and rows[11]["dup_of_corpus"] is None
+    assert rows[11]["is_new"] is True
+    assert rows[12]["dup_in_batch"] == 11 and rows[12]["is_new"] is False
+    assert rows[13]["is_new"] is True
+
+
+def test_incremental_dedup_never_shuffles_corpus(spark):
+    """Scale posture: the corpus side joins against a BROADCAST of the
+    new batch's distinct hashes — the executed plan must broadcast, and
+    the only exchanges allowed are for the tiny new-batch window/join,
+    never a corpus-wide repartition on the hash."""
+    from flink_kmeans_clustering_spark.operators.dedup import (
+        incremental_exact_dedup,
+    )
+
+    corpus = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text "), F.col("id").cast("string")).alias("text"),
+    )
+    new = spark.range(1000, 1010).select(
+        F.col("id").alias("doc_id"), F.lit("text 5").alias("text")
+    )
+    plan = (
+        incremental_exact_dedup(corpus, new)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
