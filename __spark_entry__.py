@@ -998,6 +998,16 @@ def q_events_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     return running_user_window(ev)
 
 
+def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM user segmentation: per-user recency/frequency/monetary (ONE
+    user-key exchange), median split thresholds from a hash-sampled
+    exact percentile (1-row broadcast — no global ntile window over
+    users), narrow CASE scoring into 8 segments."""
+    from flink_kmeans_clustering_spark.operators.events import rfm_segments
+
+    return rfm_segments(load_events(spark, sf_dir))
+
+
 def q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-type value percentiles (p25/p50/p75, linear interp)."""
     return value_quantiles(load_events(spark, sf_dir))
@@ -2633,12 +2643,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     old and cumulative coverage reaches 174/174.
     """
     return {
+        "q_events_rfm": q_events_rfm,
         "q_dedup_incremental": q_dedup_incremental,
         "q_dedup_url": q_dedup_url,
         "q_ann_recall": q_ann_recall,
         "q_text_mlquality": q_text_mlquality,
         "q_rel_expectations": q_rel_expectations,
-        "q_text_vocab_coverage": q_text_vocab_coverage,
         "q_dedup_cc": q_dedup_cc,
         "q_dedup_embedding": q_dedup_embedding,
         "q_update": q_update,
@@ -2685,6 +2695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_session_native": q_events_session_native,
         # --- below: outside the driver's 50-row window this round;
         # all driver-green in rounds 1-5 ---
+        "q_text_vocab_coverage": q_text_vocab_coverage,
         "q_dedup_semantic": q_dedup_semantic,
         "q_topk_sim": q_topk_sim,
         "q_ann_pq": q_ann_pq,
@@ -3573,6 +3584,49 @@ scored AS (
   FROM probed CROSS JOIN q
 )
 SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT {TOPK_K}
+"""
+    # q_events_rfm: same per-user aggregate, same md5-sample median
+    # thresholds (Spark percentile == quantile_cont), same CASE ladder
+    events_rfm_sql = """
+WITH per_user AS (
+  SELECT user_id, MAX(ts) AS last_ts,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         ROUND(SUM(value), 6) AS monetary
+  FROM events GROUP BY user_id
+),
+nowt AS (SELECT MAX(ts) AS now_ts FROM events),
+ru AS (
+  SELECT user_id,
+         CAST(date_diff('day', CAST(last_ts AS DATE), CAST(now_ts AS DATE))
+              AS BIGINT) AS recency_days,
+         frequency, monetary
+  FROM per_user CROSS JOIN nowt
+),
+med AS (
+  SELECT ROUND(quantile_cont(recency_days, 0.5), 6) AS rm,
+         ROUND(quantile_cont(frequency, 0.5), 6) AS fm,
+         ROUND(quantile_cont(monetary, 0.5), 6) AS mm
+  FROM ru
+  WHERE CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))
+             AS BIGINT) % 4 = 0
+),
+scored AS (
+  SELECT user_id, recency_days, frequency, monetary,
+         recency_days <= rm AS r_hi,
+         frequency > fm AS f_hi,
+         monetary > mm AS m_hi
+  FROM ru CROSS JOIN med
+)
+SELECT user_id, recency_days, frequency, monetary, r_hi, f_hi, m_hi,
+  CASE WHEN r_hi AND f_hi AND m_hi THEN 'champion'
+       WHEN r_hi AND f_hi THEN 'loyal'
+       WHEN r_hi AND m_hi THEN 'big_spender'
+       WHEN r_hi THEN 'promising'
+       WHEN f_hi AND m_hi THEN 'at_risk'
+       WHEN f_hi THEN 'needs_attention'
+       WHEN m_hi THEN 'cant_lose'
+       ELSE 'hibernating' END AS segment
+FROM scored
 """
     # q_dedup_incremental: same 16-token prefix fingerprint (identical
     # tokenization to functions.text.tokenize), same hit/window logic
@@ -6262,6 +6316,7 @@ GROUP BY event_type
         "q_ann_recall": ann_recall_sql,
         "q_dedup_url": dedup_url_sql,
         "q_dedup_incremental": dedup_incremental_sql,
+        "q_events_rfm": events_rfm_sql,
         "q_ann_lsh": ann_lsh_sql,
         "q_sink_roundtrip": """
 SELECT event_type, COUNT(*) AS n,

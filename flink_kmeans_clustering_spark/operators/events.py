@@ -960,3 +960,89 @@ def cdc_apply(
         "n_ops",
         "n_deletes",
     )
+
+
+RFM_SEGMENTS = {
+    (True, True, True): "champion",
+    (True, True, False): "loyal",
+    (True, False, True): "big_spender",
+    (True, False, False): "promising",
+    (False, True, True): "at_risk",
+    (False, True, False): "needs_attention",
+    (False, False, True): "cant_lose",
+    (False, False, False): "hibernating",
+}
+
+
+def rfm_segments(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    rate: float = 1 / 4,
+    round_to: int = 6,
+) -> DataFrame:
+    """RFM user segmentation — the classic engagement triage (recency /
+    frequency / monetary), built scale-first:
+
+    * "now" is the corpus max event time (deterministic, not wall
+      clock); recency = whole days since the user's last event.
+    * per-user aggregate: ONE exchange on the user key (map-side
+      combined) — |users| rows out.
+    * split thresholds are the MEDIANS of each metric over a
+      content-hash Bernoulli sample of users (the
+      :func:`~flink_kmeans_clustering_spark.operators.sampling.sampled_quantiles`
+      contract: md5 bucket on the user id, exact interpolated
+      ``percentile`` on the sample, rounded before comparison) —
+      a 1-row broadcast, NO global ntile window over all users (the
+      ntile formulation single-partitions a billion-user sort; the
+      sampled-threshold one is corpus-size-safe).
+    * scoring is a narrow CASE over the broadcast thresholds; the
+      8-way segment label comes from the (r, f, m) bit triple
+      (:data:`RFM_SEGMENTS`).
+
+    High recency score means RECENT (recency_days ≤ median); frequency
+    and monetary score high when STRICTLY above their medians.
+
+    Output: (user_id, recency_days, frequency, monetary, r_hi, f_hi,
+    m_hi, segment), one row per user.
+    """
+    per_user = (
+        events.groupBy(F.col(user_col).alias("user_id"))
+        .agg(
+            F.max(ts_col).alias("_last"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum(value_col), round_to).alias("monetary"),
+        )
+    )
+    now = events.agg(F.max(ts_col).alias("_now"))
+    ru = per_user.join(F.broadcast(now)).select(
+        "user_id",
+        F.datediff(F.col("_now"), F.col("_last")).cast("long").alias(
+            "recency_days"
+        ),
+        "frequency",
+        "monetary",
+    )
+    denom = round(1 / rate)
+    bucket = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") % denom
+    med = ru.filter(bucket == 0).agg(
+        F.round(F.expr("percentile(recency_days, 0.5)"), round_to).alias("_rm"),
+        F.round(F.expr("percentile(frequency, 0.5)"), round_to).alias("_fm"),
+        F.round(F.expr("percentile(monetary, 0.5)"), round_to).alias("_mm"),
+    )
+    scored = ru.join(F.broadcast(med)).select(
+        "user_id", "recency_days", "frequency", "monetary",
+        (F.col("recency_days") <= F.col("_rm")).alias("r_hi"),
+        (F.col("frequency") > F.col("_fm")).alias("f_hi"),
+        (F.col("monetary") > F.col("_mm")).alias("m_hi"),
+    )
+    seg = None
+    for (r, f, m), name in RFM_SEGMENTS.items():
+        cond = (
+            (F.col("r_hi") == r) & (F.col("f_hi") == f) & (F.col("m_hi") == m)
+        )
+        seg = F.when(cond, name) if seg is None else seg.when(cond, name)
+    return scored.withColumn("segment", seg)

@@ -495,3 +495,39 @@ def test_cdc_apply_single_shuffle(spark):
 
     df = cdc_apply(load_events(spark, "/root/testdata/sf0.001"))
     assert_max_shuffles(df, 1)
+
+
+def test_rfm_segments_hand_fixture(spark):
+    """Known medians → known segments.  4 users, thresholds from the
+    full user set (every md5 bucket sampled at rate=1): recency median
+    splits recent/stale, frequency/monetary split strictly-above."""
+    import datetime as dt
+
+    from flink_kmeans_clustering_spark.operators.events import rfm_segments
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0)
+
+    def ev(uid, days_ago, n, val):
+        return [
+            (uid, t0 - dt.timedelta(days=days_ago), float(val))
+            for _ in range(n)
+        ]
+
+    rows = (
+        ev(1, 0, 4, 10.0)    # recent, frequent, rich -> champion
+        + ev(2, 0, 1, 1.0)   # recent, infrequent, poor -> promising
+        + ev(3, 9, 4, 10.0)  # stale, frequent, rich -> at_risk
+        + ev(4, 9, 1, 1.0)   # stale, infrequent, poor -> hibernating
+    )
+    events = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double"
+    )
+    out = {r["user_id"]: r for r in rfm_segments(events, rate=1.0).collect()}
+    assert out[1]["segment"] == "champion"
+    assert out[2]["segment"] == "promising"
+    assert out[3]["segment"] == "at_risk"
+    assert out[4]["segment"] == "hibernating"
+    assert out[1]["recency_days"] == 0 and out[3]["recency_days"] == 9
+    assert out[1]["frequency"] == 4 and out[1]["monetary"] == 40.0
+    # medians: recency 4.5, freq 2.5, monetary 20.5 -> r_hi iff recent
+    assert out[2]["r_hi"] and not out[2]["f_hi"] and not out[2]["m_hi"]
