@@ -998,6 +998,31 @@ def q_events_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     return running_user_window(ev)
 
 
+def q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order user-journey Markov transitions (from_type →
+    to_type counts + per-from probabilities): ONE user-key window
+    exchange for the lead (ties break by event_id), map-side-combined
+    pair aggregate, normalization window over the |types|² result."""
+    from flink_kmeans_clustering_spark.operators.events import (
+        journey_transitions,
+    )
+
+    return journey_transitions(load_events(spark, sf_dir))
+
+
+def q_dedup_threshold_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold-tuning histogram: blocked-pair cosines
+    (same generator as q_dedup_embedding, no threshold) bucketed into
+    0.05 bins — the distribution you pick the cutoff from at scale.
+    One aggregate over the blocked pair list."""
+    from flink_kmeans_clustering_spark.operators.dedup import (
+        pair_cosine_histogram,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pair_cosine_histogram(emb, dim=EMBEDDING_DIM)
+
+
 def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM user segmentation: per-user recency/frequency/monetary (ONE
     user-key exchange), median split thresholds from a hash-sampled
@@ -1280,6 +1305,19 @@ def q_rel_groupsets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass column profile of lineitem (count/null/distinct/min/max)."""
     return profile_columns(load_table(spark, "lineitem", sf_dir))
+
+
+def q_text_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data card (the corpus-release datasheet rollup):
+    volume, token mass, language mix with deterministic top-lang mode,
+    and exact-dup pressure — three map-side-combined aggregates on the
+    low-cardinality source key, joined on tiny per-source results."""
+    from flink_kmeans_clustering_spark.operators.textstats import (
+        source_datacard,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return source_datacard(docs)
 
 
 EXPECT_LANGS = ("de", "en", "es", "fr")
@@ -1969,6 +2007,29 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEG_SKIP = 5  # presumed-positive head excluded from the negative band
+
+
+def q_ann_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    (vec_id < 5), the cosine rank band (5, 10] over the WHOLE corpus
+    (self lands at rank 1 and is excluded with the presumed-positive
+    head) — knn_join's broadcast/one-scan/WindowGroupLimit plan with a
+    deeper group limit, then a narrow band cut."""
+    from flink_kmeans_clustering_spark.operators.similarity import (
+        hard_negative_mining,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return hard_negative_mining(
+        emb,
+        emb.filter(F.col("vec_id") < KNN_QUERY_MAX),
+        k=KNN_K,
+        skip=NEG_SKIP,
+        query_id_col="vec_id",
+    )
+
+
 def q_embed_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed XᵀX: upper-triangle Gram + sample covariance of the
     embedding corpus in ONE pass (per-partition Arrow-batch GEMM →
@@ -2080,6 +2141,22 @@ def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_duplicate_groups(synthesize_urls(docs))
 
 
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact substring dedup (Lee et al. dedup-training-data
+    shape): every 8-token window occurring verbatim in ≥ 2 documents,
+    merged per doc into maximal repeated spans — localizes shared
+    boilerplate to token ranges instead of dropping whole documents.
+    Linear in corpus tokens (no candidate pairs ever form): one doc-key
+    exchange for positional shingles, one shingle-key hash aggregate
+    for document frequency, one doc-key window for the interval merge."""
+    from flink_kmeans_clustering_spark.operators.dedup import (
+        repeated_span_profile,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repeated_span_profile(docs)
+
+
 RECALL_QUERY_PANEL = 8  # first 8 vectors by id — present at every sf
 
 
@@ -2145,6 +2222,26 @@ def q_sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return domain_cap(docs, cap=DOMAIN_CAP)
+
+
+TOKEN_BUDGET = 800
+TOKEN_BUDGET_OVERRIDES = {"src0": 400, "src1": 400}
+
+
+def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget-capped domain mixing — fill each source to its
+    token budget (not a doc count: docs vary 100× in length) in
+    deterministic (md5, id) lottery order; the crossing doc is taken.
+    ONE domain-key window exchange; token counts in-scan.  Two sources
+    carry override budgets to exercise the per-domain dict path."""
+    from flink_kmeans_clustering_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_budget_sample(
+        docs, TOKEN_BUDGET, budgets=TOKEN_BUDGET_OVERRIDES
+    )
 
 
 def q_text_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2631,16 +2728,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Registry ORDER is load-bearing: the driver's correctness artifact
     records the first 50 entries only.  Round 6 rotates the window
-    onto the STALE TAIL (VERDICT r05 item 1): all 44 queries whose
-    last driver row is r01/r02 — the events/json/window families, the
-    r01 q_rel_* family, udaf/multimodal/sink-orc — plus the new
-    q_ann_recall (in-engine IVF recall evaluation), the three queries
-    whose oracles changed this round (mlquality NULL-text coalesce,
-    expectations empty-drop coalesce, vocab_coverage empty-corpus),
-    and two r03 re-confirms touching files edited this round
-    (q_topk_sim — similarity.py; q_dedup_semantic — dedup.py).  With
-    this window every registered query has a driver row ≤ 3 rounds
-    old and cumulative coverage reaches 174/174.
+    onto the STALE TAIL (VERDICT r05 item 1): the r01/r02 events/json/
+    window families, udaf/multimodal/sink-orc, most of the r01 q_rel_*
+    family — plus the TEN queries new this round (q_events_rfm,
+    q_dedup_incremental, q_dedup_url, q_ann_recall, q_dedup_spans,
+    q_sample_token_budget, q_ann_negatives, q_text_datacard,
+    q_events_markov, q_dedup_threshold_hist) and the two whose oracle
+    text changed (mlquality NULL-text coalesce, expectations
+    empty-drop coalesce).  Fitting the 10 new queries displaced 6 of
+    the stale-tail set to the rest-tail HEAD, re-queued for r07:
+    q_rel_setops/custdist/promo/brandrev/tradevolume/returns — chosen
+    because relational.py is the least-touched operator file since
+    their r01 green rows (events.py, by contrast, changed this
+    round).  With this window, cumulative driver coverage reaches
+    183/183.
     """
     return {
         "q_events_rfm": q_events_rfm,
@@ -2649,6 +2750,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_recall": q_ann_recall,
         "q_text_mlquality": q_text_mlquality,
         "q_rel_expectations": q_rel_expectations,
+        "q_dedup_spans": q_dedup_spans,
+        "q_sample_token_budget": q_sample_token_budget,
+        "q_ann_negatives": q_ann_negatives,
+        "q_text_datacard": q_text_datacard,
+        "q_events_markov": q_events_markov,
+        "q_dedup_threshold_hist": q_dedup_threshold_hist,
         "q_dedup_cc": q_dedup_cc,
         "q_dedup_embedding": q_dedup_embedding,
         "q_update": q_update,
@@ -2662,16 +2769,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rel_local_supplier": q_rel_local_supplier,
         "q_rel_late_orders": q_rel_late_orders,
         "q_rel_anti_parts": q_rel_anti_parts,
-        "q_rel_setops": q_rel_setops,
-        "q_rel_custdist": q_rel_custdist,
         "q_rel_bigorders": q_rel_bigorders,
-        "q_rel_tradevolume": q_rel_tradevolume,
-        "q_rel_returns": q_rel_returns,
         "q_rel_topparts": q_rel_topparts,
         "q_rel_idle_rich": q_rel_idle_rich,
         "q_rel_forecast": q_rel_forecast,
-        "q_rel_promo": q_rel_promo,
-        "q_rel_brandrev": q_rel_brandrev,
         "q_rel_topsupplier": q_rel_topsupplier,
         "q_rel_mktshare": q_rel_mktshare,
         "q_rel_profit": q_rel_profit,
@@ -2695,6 +2796,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_session_native": q_events_session_native,
         # --- below: outside the driver's 50-row window this round;
         # all driver-green in rounds 1-5 ---
+        "q_rel_tradevolume": q_rel_tradevolume,
+        "q_rel_returns": q_rel_returns,
+        "q_rel_setops": q_rel_setops,
+        "q_rel_custdist": q_rel_custdist,
+        "q_rel_promo": q_rel_promo,
+        "q_rel_brandrev": q_rel_brandrev,
         "q_text_vocab_coverage": q_text_vocab_coverage,
         "q_dedup_semantic": q_dedup_semantic,
         "q_topk_sim": q_topk_sim,
@@ -3628,6 +3735,38 @@ SELECT user_id, recency_days, frequency, monetary, r_hi, f_hi, m_hi,
        ELSE 'hibernating' END AS segment
 FROM scored
 """
+    events_markov_sql = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+pc AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       ROUND(n / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+FROM pc
+"""
+    dedup_threshold_hist_sql = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+norms AS (
+  SELECT vec_id, label, v,
+         sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
+  FROM e
+),
+pairs AS (
+  SELECT ROUND(list_sum(list_transform(range(1, len(a.v)+1),
+                        i -> (a.v[i]/a.nrm) * (b.v[i]/b.nrm))), 6) AS c
+  FROM norms a JOIN norms b ON a.label = b.label AND a.vec_id < b.vec_id
+),
+b AS (SELECT FLOOR(c / 0.05) AS k, c FROM pairs)
+SELECT ROUND(k * 0.05, 6) AS bin_lo, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       MIN(c) AS min_cos, MAX(c) AS max_cos
+FROM b GROUP BY k
+"""
     # q_dedup_incremental: same 16-token prefix fingerprint (identical
     # tokenization to functions.text.tokenize), same hit/window logic
     _incr_fp = (
@@ -3743,6 +3882,79 @@ canon AS (
 SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_dups,
        MIN(doc_id) AS keep_id, CAST(SUM(doc_id) AS BIGINT) AS dup_id_sum
 FROM canon GROUP BY canonical_url HAVING COUNT(*) > 1
+"""
+    # q_dedup_spans: same tokenization, same positional 8-gram windows
+    # (lead chain over (doc, pos)), same distinct-doc frequency gate,
+    # same gaps-and-islands interval merge.  posexplode is 0-based;
+    # DuckDB ordinality is 1-based — subtract 1.
+    _span_leads = ", ".join(
+        f"lead(tok, {j}) OVER w AS l{j}" for j in range(1, 8)
+    )
+    _span_cat = ", ".join(f"l{j}" for j in range(1, 8))
+    dedup_spans_sql = f"""
+WITH tl AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(toks) AS tok,
+         CAST(unnest(range(len(toks))) AS BIGINT) AS pos
+  FROM tl
+),
+led AS (
+  SELECT doc_id, pos, tok, {_span_leads}
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sh AS (
+  SELECT doc_id, pos, concat_ws(' ', tok, {_span_cat}) AS sh
+  FROM led WHERE l7 IS NOT NULL
+),
+dfc AS (
+  SELECT sh FROM sh GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2
+),
+spans AS (
+  SELECT s.doc_id, s.pos AS st, s.pos + 7 AS en
+  FROM sh s JOIN dfc USING (sh)
+),
+pre AS (
+  SELECT doc_id, st, en,
+         MAX(en) OVER (PARTITION BY doc_id ORDER BY st
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS prev_e
+  FROM spans
+),
+isl AS (
+  SELECT doc_id, st, en,
+         SUM(CASE WHEN prev_e IS NULL OR st > prev_e + 1
+                  THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY st
+                   ROWS UNBOUNDED PRECEDING) AS island
+  FROM pre
+),
+merged AS (
+  SELECT doc_id, island, MAX(en) - MIN(st) + 1 AS span_len
+  FROM isl GROUP BY doc_id, island
+),
+perdoc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+         CAST(SUM(span_len) AS BIGINT) AS repeated_tokens
+  FROM merged GROUP BY doc_id
+),
+nt AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(lower(text),
+                                                    '[^a-z0-9]+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT nt.doc_id, nt.n_tokens,
+       COALESCE(p.n_spans, 0) AS n_spans,
+       COALESCE(p.repeated_tokens, 0) AS repeated_tokens,
+       COALESCE(ROUND(p.repeated_tokens / NULLIF(nt.n_tokens, 0), 6),
+                0.0) AS repeat_frac
+FROM nt LEFT JOIN perdoc p USING (doc_id)
 """
     # q_ann_recall: the whole recall evaluation replayed — exact
     # per-query top-k (window), per-cell mean centroids, per-query
@@ -4560,6 +4772,78 @@ SELECT source,
        CAST(SUM(CASE WHEN rn <= {DOMAIN_CAP} THEN doc_id END) AS BIGINT)
          AS kept_id_sum
 FROM r GROUP BY source
+"""
+    # q_sample_token_budget: same lottery order, exclusive running sum,
+    # crossing-doc-taken rule, per-source budget CASE
+    _tb_over = " ".join(
+        f"WHEN source = '{s}' THEN {TOKEN_BUDGET_OVERRIDES[s]}"
+        for s in sorted(TOKEN_BUDGET_OVERRIDES)
+    )
+    text_datacard_sql = """
+WITH base AS (
+  SELECT source, lang,
+         CAST(len(list_filter(regexp_split_to_array(lower(text),
+                                                    '[^a-z0-9]+'),
+                              x -> x <> '')) AS BIGINT) AS nt,
+         md5(text) AS h
+  FROM documents
+),
+vol AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(nt) AS BIGINT) AS total_tokens,
+         ROUND(AVG(nt), 6) AS avg_tokens
+  FROM base GROUP BY source
+),
+lc AS (
+  SELECT source, lang, COUNT(*) AS n FROM base GROUP BY source, lang
+),
+langs AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_langs,
+         MAX(CASE WHEN r = 1 THEN lang END) AS top_lang
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY n DESC, lang) AS r
+        FROM lc)
+  GROUP BY source
+),
+dup AS (
+  SELECT source,
+         CAST(SUM(CASE WHEN g >= 2 THEN g ELSE 0 END) AS BIGINT)
+           AS n_dup_docs
+  FROM (SELECT source, h, COUNT(*) AS g FROM base GROUP BY source, h)
+  GROUP BY source
+)
+SELECT v.source, v.n_docs, v.total_tokens, v.avg_tokens,
+       l.n_langs, l.top_lang, d.n_dup_docs,
+       ROUND(d.n_dup_docs / v.n_docs, 6) AS dup_frac
+FROM vol v JOIN langs l USING (source) JOIN dup d USING (source)
+"""
+    sample_token_budget_sql = f"""
+WITH d AS (
+  SELECT source, doc_id,
+         CAST(CASE {_tb_over} ELSE {TOKEN_BUDGET} END AS BIGINT) AS budget,
+         CAST(len(list_filter(regexp_split_to_array(lower(text),
+                                                    '[^a-z0-9]+'),
+                              x -> x <> '')) AS BIGINT) AS nt
+  FROM documents
+),
+r AS (
+  SELECT source, doc_id, budget, nt,
+         COALESCE(SUM(nt) OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), 0) AS before
+  FROM d
+)
+SELECT source, budget,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN before < budget THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(nt) AS BIGINT) AS tokens_total,
+       CAST(SUM(CASE WHEN before < budget THEN nt ELSE 0 END) AS BIGINT)
+         AS tokens_kept,
+       CAST(SUM(CASE WHEN before < budget THEN doc_id END) AS BIGINT)
+         AS kept_id_sum
+FROM r GROUP BY source, budget
 """
     text_lm_bigram_sql = f"""
 WITH {_TOKS_CTE},
@@ -5749,6 +6033,25 @@ SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rnk FROM (
   FROM scored WHERE cosine IS NOT NULL
 ) WHERE rnk <= {KNN_K}
 """
+    # q_ann_negatives: knn oracle over the WHOLE corpus, band cut
+    ann_negatives_sql = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv,
+             sqrt(list_sum(list_transform(v, x -> x*x))) AS qn
+      FROM e WHERE vec_id < {KNN_QUERY_MAX}),
+scored AS (
+  SELECT query_id, vec_id AS neighbor_id,
+         ROUND(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*qv[i]))
+               / (sqrt(list_sum(list_transform(v, x -> x*x))) * qn), 6) AS cosine
+  FROM e CROSS JOIN q
+)
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored WHERE cosine IS NOT NULL
+) WHERE rnk > {NEG_SKIP} AND rnk <= {NEG_SKIP + KNN_K}
+  AND neighbor_id <> query_id
+"""
     # XᵀX sufficient statistics: the oracle recomputes the Gram upper
     # triangle and sample covariance from first principles (per-doc dim
     # pair join); both engines round the order-dependent double sums to
@@ -6014,12 +6317,15 @@ SELECT event_type, event_id, ROUND(value, 6) AS value FROM (
         "q_text_entropy": text_entropy_sql,
         "q_sink_evolve": sink_evolve_sql,
         "q_knn_join": knn_join_sql,
+        "q_ann_negatives": ann_negatives_sql,
         "q_embed_cov": embed_cov_sql,
         "q_embed_drift": embed_drift_sql,
         "q_ann_hamming": ann_hamming_sql,
         "q_text_bpe": text_bpe_sql,
         "q_sample_kcenter": _kcenter_oracle_sql(k=KCENTER_K, dim=GRAM_DIM),
         "q_sample_domain_cap": sample_domain_cap_sql,
+        "q_sample_token_budget": sample_token_budget_sql,
+        "q_text_datacard": text_datacard_sql,
         "q_text_lm_bigram": text_lm_bigram_sql,
         "q_multimodal_audio": multimodal_audio_sql,
         "q_sample_weighted": sample_weighted_sql,
@@ -6316,7 +6622,10 @@ GROUP BY event_type
         "q_ann_recall": ann_recall_sql,
         "q_dedup_url": dedup_url_sql,
         "q_dedup_incremental": dedup_incremental_sql,
+        "q_dedup_spans": dedup_spans_sql,
         "q_events_rfm": events_rfm_sql,
+        "q_events_markov": events_markov_sql,
+        "q_dedup_threshold_hist": dedup_threshold_hist_sql,
         "q_ann_lsh": ann_lsh_sql,
         "q_sink_roundtrip": """
 SELECT event_type, COUNT(*) AS n,

@@ -1809,3 +1809,161 @@ def incremental_exact_dedup(
             ).alias("is_new"),
         )
     )
+
+
+def repeated_span_profile(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 8,
+    min_docs: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact repeated-substring profiling — the span-level dedup pass of
+    Lee et al., *Deduplicating Training Data Makes Language Models
+    Better* (find every ``width``-token window that occurs verbatim in
+    ``min_docs``+ documents, then merge overlapping windows into maximal
+    repeated SPANS per document).  Doc-level dedup (q_dedup_ngram et
+    al.) can't see a boilerplate paragraph shared by otherwise-distinct
+    pages; this operator localizes it to token ranges so a downstream
+    cleaner can cut the span instead of dropping the doc.
+
+    Scale physics — everything is LINEAR in corpus tokens (no candidate
+    pairs are ever formed, so no ``max_df`` cap is needed; a span in a
+    million documents is exactly the boilerplate we want to find):
+
+    1. tokens posexplode once; full-width positional shingles assemble
+       from window leads over (doc, pos) — one exchange on the doc key
+       (per-doc token counts come straight off the in-scan ``size``,
+       no extra exchange).
+    2. shingle → distinct-doc frequency: ONE hash aggregate on the
+       shingle key (map-side combined).
+    3. repeated positions join back on the shingle key, then merge into
+       maximal spans with the gaps-and-islands window (cummax of span
+       end; adjacent-token spans coalesce) — one exchange back to the
+       doc key, which the final per-doc rollup reuses.
+
+    Output: one row per document —
+    (doc_id, n_tokens, n_spans, repeated_tokens, repeat_frac), zeros
+    for documents with no repeated span; documents shorter than
+    ``width`` tokens have no windows by construction.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(tokenize(F.col(text_col))).alias("pos", "tok"),
+    )
+    wdoc = Window.partitionBy("_id").orderBy("pos")
+    leads = [F.lead("tok", j).over(wdoc).alias(f"_t{j}") for j in range(1, width)]
+    g = toks.select("_id", "pos", "tok", *leads)
+    sh = g.filter(F.col(f"_t{width - 1}").isNotNull()).select(
+        "_id",
+        "pos",
+        F.concat_ws(" ", "tok", *[f"_t{j}" for j in range(1, width)]).alias("sh"),
+    )
+    dfc = (
+        sh.groupBy("sh")
+        .agg(F.countDistinct("_id").alias("_df"))
+        .filter(F.col("_df") >= min_docs)
+    )
+    spans = sh.join(dfc, "sh").select(
+        "_id", F.col("pos").alias("s"), (F.col("pos") + width - 1).alias("e")
+    )
+    wspan = Window.partitionBy("_id").orderBy("s")
+    prev_e = (
+        F.max("e")
+        .over(wspan.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("_prev_e")
+    )
+    isl = spans.select("_id", "s", "e", prev_e).select(
+        "_id",
+        "s",
+        "e",
+        F.sum(
+            F.when(
+                F.col("_prev_e").isNull() | (F.col("s") > F.col("_prev_e") + 1),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        )
+        .over(wspan.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    merged = isl.groupBy("_id", "island").agg(
+        (F.max("e") - F.min("s") + 1).alias("_len")
+    )
+    perdoc = merged.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("_len").alias("repeated_tokens"),
+    )
+    ntok = docs.select(
+        F.col(id_col).alias(id_col),
+        F.size(tokenize(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    out = ntok.join(
+        perdoc.withColumnRenamed("_id", id_col), id_col, "left"
+    )
+    return out.select(
+        id_col,
+        "n_tokens",
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce("repeated_tokens", F.lit(0))
+        .cast("long")
+        .alias("repeated_tokens"),
+        F.coalesce(
+            F.round(
+                F.col("repeated_tokens")
+                / F.nullif(F.col("n_tokens"), F.lit(0)),
+                round_to,
+            ),
+            F.lit(0.0),
+        ).alias("repeat_frac"),
+    )
+
+
+def pair_cosine_histogram(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+    bin_width: float = 0.05,
+    round_to: int = 6,
+    dim: int | None = None,
+) -> DataFrame:
+    """Threshold-tuning histogram of blocked-pair cosines — the
+    evidence a pipeline needs BEFORE fixing a near-dup cutoff: run the
+    same blocked pair generator as :func:`embedding_cosine_pairs` with
+    no threshold, bucket the cosines, and read the knee off the
+    distribution (at 100 TB you tune on this histogram, not by eyeball
+    on sampled pairs).
+
+    Binning is deterministic cross-engine: the pair cosine is rounded
+    first (both engines produce bit-identical doubles from the
+    index-ordered fold, so rounding only guards display ulps), then
+    ``floor(cosine / bin_width)`` indexes the bin; ``bin_lo`` is the
+    bin's inclusive lower edge.  Pair space stays blocked — the
+    histogram costs exactly one aggregate over the capped pair list.
+
+    Output: (bin_lo, n_pairs, min_cos, max_cos) ordered ascending.
+    """
+    pairs = embedding_cosine_pairs(
+        df,
+        id_col=id_col,
+        vec_col=vec_col,
+        block_col=block_col,
+        threshold=-1.0,
+        dim=dim,
+    )
+    c = F.round(F.col("cosine"), round_to)
+    k = F.floor(c / bin_width)
+    return (
+        pairs.select(
+            F.round(k * bin_width, round_to).alias("bin_lo"), c.alias("_c")
+        )
+        .groupBy("bin_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("_c").alias("min_cos"),
+            F.max("_c").alias("max_cos"),
+        )
+    )

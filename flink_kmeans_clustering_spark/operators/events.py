@@ -1046,3 +1046,46 @@ def rfm_segments(
         )
         seg = F.when(cond, name) if seg is None else seg.when(cond, name)
     return scored.withColumn("segment", seg)
+
+
+def journey_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """First-order user-journey Markov transitions — the "what do users
+    do next" matrix behind funnel design and next-action models: for
+    every consecutive event pair within a user's timeline, count
+    (from_type → to_type) and normalize per from_type.
+
+    Scale physics: ONE exchange on the user key for the ``lead``
+    window (ties at equal ts break by ``order_col`` so the sequence is
+    deterministic), then a map-side-combined pair aggregate whose
+    output is |types|² rows — the per-from normalization runs as a
+    window over that tiny result, never over the corpus.
+
+    Output: (from_type, to_type, n, p) with p = n / Σ n over the
+    from_type row-group, rounded.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    pairs = (
+        events.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wt = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wt), round_to).alias("p"),
+    )

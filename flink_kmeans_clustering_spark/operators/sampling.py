@@ -536,3 +536,66 @@ def domain_cap(
         F.sum(F.when(F.col("_r") <= cap, 1).otherwise(0)).alias("n_kept"),
         F.sum(F.when(F.col("_r") <= cap, F.col(id_col))).alias("kept_id_sum"),
     )
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budget: int,
+    budgets: dict[str, int] | None = None,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget-capped domain mixing — the "fill each domain to N
+    tokens" step that turns mixture WEIGHTS into an actual training set
+    (every LLM data recipe ends here: per-domain token budgets, not doc
+    counts, because docs vary 100× in length).
+
+    Within each domain, documents draw lottery order by
+    ``(md5(id), id)`` — deterministic and content-independent, like
+    :func:`domain_cap` — and survive while the running token total
+    BEFORE them is under the domain's budget, so the document that
+    crosses the line is still taken (the budget is a floor-filler, not
+    a hard ceiling; every non-empty domain contributes ≥ 1 document).
+    ``budgets`` overrides the default ``budget`` per domain.
+
+    Scale physics: token counts come off the scan (in-scan ``size`` of
+    the shared tokenizer — no explode); ONE exchange on the domain key
+    for the running-sum window.  A mega-domain concentrates its sort on
+    one task — at that skew, pre-cut with a hash-rate filter to ~2×
+    the budget's expected survivor count first (composes unchanged).
+
+    Output: one row per domain —
+    (source, budget, n_docs, n_kept, tokens_total, tokens_kept,
+    kept_id_sum); ``kept_id_sum`` checksums WHICH documents survived.
+    """
+    from pyspark.sql.window import Window
+
+    from flink_kmeans_clustering_spark.functions.text import tokenize
+
+    bcol = F.lit(budget)
+    for s in sorted(budgets or {}):
+        bcol = F.when(F.col(strata_col) == s, F.lit(budgets[s])).otherwise(
+            bcol
+        )
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scored = docs.select(
+        strata_col,
+        id_col,
+        bcol.cast("long").alias("budget"),
+        F.size(tokenize(F.col(text_col))).cast("long").alias("_nt"),
+    ).withColumn("_before", F.coalesce(F.sum("_nt").over(w), F.lit(0)))
+    kept = F.col("_before") < F.col("budget")
+    return scored.groupBy(strata_col, "budget").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.sum("_nt").alias("tokens_total"),
+        F.sum(F.when(kept, F.col("_nt")).otherwise(F.lit(0))).alias(
+            "tokens_kept"
+        ),
+        F.sum(F.when(kept, F.col(id_col))).alias("kept_id_sum"),
+    )

@@ -850,3 +850,47 @@ def ann_recall(
             ).alias("recall"),
         )
     )
+
+
+def hard_negative_mining(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    skip: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Hard-negative mining — the contrastive-training companion of
+    :func:`knn_join`: for every query (anchor), the rank band
+    ``(skip, skip+k]`` of its cosine neighbors.  The top ``skip``
+    neighbors are presumed positives/duplicates and excluded (as is
+    the anchor itself); what remains is the "close but not a match"
+    band that makes the best negatives for training retrievers and
+    embedding models (in-batch-random negatives are too easy).
+
+    Execution is knn_join's plan verbatim with a deeper group limit:
+    broadcast query batch, ONE corpus scan, per-partition
+    ``WindowGroupLimit`` heap of ``skip + k`` rows per query before the
+    single bounded exchange — then the narrow ``rnk > skip`` cut.
+    Determinism: cosine rounded before ranking, ties break to lowest
+    neighbor id.
+
+    Output: (query_id, neighbor_id, cosine, rnk), rnk in
+    skip+1 .. skip+k.
+    """
+    deep = knn_join(
+        corpus,
+        queries,
+        k=skip + k,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+        round_to=round_to,
+    )
+    return deep.filter(
+        (F.col("rnk") > skip) & (F.col("neighbor_id") != F.col("query_id"))
+    )

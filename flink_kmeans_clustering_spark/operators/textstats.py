@@ -1148,3 +1148,80 @@ def perplexity_buckets(
             F.round(F.avg("nll"), round_to).alias("mean_nll"),
         )
     )
+
+
+def source_datacard(
+    docs: DataFrame,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-source data card — the "datasheet" rollup a corpus release
+    ships per provenance bucket (cf. Datasheets for Datasets; The Pile /
+    Dolma per-source tables): volume, token mass, language mix, and
+    exact-duplicate pressure, one row per source.
+
+    Three independent per-source aggregates, each ONE map-side-combined
+    exchange on a low-cardinality key, joined on the tiny per-source
+    results (never on the corpus):
+
+    * volume/token stats off the scan (in-scan ``size`` of the shared
+      tokenizer),
+    * language mix: (source, lang) counts → top lang by
+      (count DESC, lang ASC) — deterministic mode,
+    * exact-dup pressure: md5(text) groups WITHIN the source; a doc is
+      "dup" when its hash group has ≥ 2 members.
+
+    Output: (source, n_docs, total_tokens, avg_tokens, n_langs,
+    top_lang, n_dup_docs, dup_frac).
+    """
+    from pyspark.sql import Window
+
+    base = docs.select(
+        F.col(strata_col).alias("source"),
+        F.col(lang_col).alias("lang"),
+        F.size(tokenize(F.col(text_col))).cast("long").alias("_nt"),
+        F.md5(F.col(text_col)).alias("_h"),
+    )
+    vol = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_nt").alias("total_tokens"),
+        F.round(F.avg("_nt"), round_to).alias("avg_tokens"),
+    )
+    lc = base.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("_n"))
+    wl = Window.partitionBy("source").orderBy(F.desc("_n"), F.col("lang"))
+    langs = (
+        lc.withColumn("_r", F.row_number().over(wl))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_langs"),
+            F.max(F.when(F.col("_r") == 1, F.col("lang"))).alias("top_lang"),
+        )
+    )
+    dup = (
+        base.groupBy("source", "_h")
+        .agg(F.count(F.lit(1)).alias("_g"))
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("_g") >= 2, F.col("_g")).otherwise(F.lit(0)))
+            .alias("n_dup_docs")
+        )
+    )
+    return (
+        vol.join(langs, "source")
+        .join(dup, "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "avg_tokens",
+            "n_langs",
+            "top_lang",
+            "n_dup_docs",
+            F.round(F.col("n_dup_docs") / F.col("n_docs"), round_to).alias(
+                "dup_frac"
+            ),
+        )
+    )

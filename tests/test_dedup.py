@@ -904,3 +904,66 @@ def test_incremental_dedup_never_shuffles_corpus(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_repeated_span_profile_hand_fixture(spark):
+    """Span localization semantics: a shared 10-token boilerplate inside
+    two otherwise-distinct docs is found as ONE merged span (the three
+    overlapping 8-token windows coalesce); within-doc repetition alone
+    does NOT flag (frequency is distinct-doc); docs shorter than the
+    window width have no spans."""
+    from flink_kmeans_clustering_spark.operators.dedup import (
+        repeated_span_profile,
+    )
+
+    boiler = "all rights reserved contact us for terms of service details"
+    u1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    u2 = "one two three four five six seven eight nine ten"
+    selfrep = "rep " * 20  # 20 tokens, all within ONE doc
+    docs = spark.createDataFrame(
+        [
+            (0, f"{u1} {boiler}"),
+            (1, f"{boiler} {u2}"),
+            (2, selfrep.strip()),
+            (3, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in repeated_span_profile(docs, width=8).collect()
+    }
+    # doc 0: boilerplate occupies tokens 10..19 -> one merged span, 10 tokens
+    assert out[0]["n_spans"] == 1 and out[0]["repeated_tokens"] == 10
+    assert out[0]["n_tokens"] == 20 and out[0]["repeat_frac"] == 0.5
+    # doc 1: same boilerplate at offset 0
+    assert out[1]["n_spans"] == 1 and out[1]["repeated_tokens"] == 10
+    # doc 2: 'rep' x20 repeats only within itself -> distinct-doc df == 1
+    assert out[2]["n_spans"] == 0 and out[2]["repeated_tokens"] == 0
+    # doc 3: shorter than width -> no windows
+    assert out[3]["n_spans"] == 0 and out[3]["n_tokens"] == 2
+
+
+def test_pair_cosine_histogram_bins(spark):
+    """Bin edges are floor(cosine/width)*width; counts and per-bin
+    extrema come from the same blocked pair space as
+    embedding_cosine_pairs with no threshold."""
+    from flink_kmeans_clustering_spark.operators.dedup import (
+        pair_cosine_histogram,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [1.0, 0.0], 0),      # cos(0,1)=1.0
+        (2, [0.0, 1.0], 0),      # cos(0,2)=cos(1,2)=0.0
+        (3, [1.0, 0.0], 1),
+        (4, [-1.0, 0.0], 1),     # cos(3,4)=-1.0
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = {r["bin_lo"]: r for r in pair_cosine_histogram(emb).collect()}
+    assert set(out) == {1.0, 0.0, -1.0}
+    assert out[1.0]["n_pairs"] == 1 and out[1.0]["min_cos"] == 1.0
+    assert out[0.0]["n_pairs"] == 2
+    assert out[-1.0]["n_pairs"] == 1 and out[-1.0]["max_cos"] == -1.0

@@ -531,3 +531,33 @@ def test_rfm_segments_hand_fixture(spark):
     assert out[1]["frequency"] == 4 and out[1]["monetary"] == 40.0
     # medians: recency 4.5, freq 2.5, monetary 20.5 -> r_hi iff recent
     assert out[2]["r_hi"] and not out[2]["f_hi"] and not out[2]["m_hi"]
+
+
+def test_journey_transitions_hand_fixture(spark):
+    """Known 2-user timeline -> known transition matrix; ts ties break
+    by event_id; last event of a user emits no pair."""
+    import datetime as dt
+
+    from flink_kmeans_clustering_spark.operators.events import (
+        journey_transitions,
+    )
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        # user 1: view -> cart -> buy
+        (1, t(0), 1, "view"), (2, t(1), 1, "cart"), (3, t(2), 1, "buy"),
+        # user 2: view -> view (tie at same ts: event_id orders 4 then 5)
+        (4, t(0), 2, "view"), (5, t(0), 2, "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {
+        (r["from_type"], r["to_type"]): (r["n"], r["p"])
+        for r in journey_transitions(ev).collect()
+    }
+    assert out == {
+        ("view", "cart"): (1, 0.5),
+        ("view", "view"): (1, 0.5),
+        ("cart", "buy"): (1, 1.0),
+    }

@@ -1055,3 +1055,57 @@ def test_audio_window_stats_zero_shuffle(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     df = audio_window_stats(synthesize_assets(docs))
     assert_max_shuffles(df, 0)
+
+
+def test_hard_negative_mining_plan(spark):
+    """Hard-negative mining keeps knn_join's 100 TB plan: the corpus
+    is never shuffled (query batch broadcast), the per-query rank is a
+    WindowGroupLimit with the DEEPER limit (skip+k) applied partially
+    before the single query-key exchange."""
+    from flink_kmeans_clustering_spark.operators.similarity import (
+        hard_negative_mining,
+    )
+    from flink_kmeans_clustering_spark.sources.parquet import load_table
+
+    emb = load_table(spark, "embeddings", SF)
+    import pyspark.sql.functions as F
+
+    df = hard_negative_mining(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, skip=5,
+        query_id_col="vec_id",
+    )
+    assert_max_shuffles(df, 1)
+    plan = explain_str(df)
+    assert "WindowGroupLimit" in plan and "row_number(), 10, Partial" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_token_budget_sample_single_exchange(spark):
+    """The token-budget sampler is one domain-key window exchange;
+    token counts are in-scan (no explode/generate in the plan)."""
+    from flink_kmeans_clustering_spark.operators.sampling import (
+        token_budget_sample,
+    )
+    from flink_kmeans_clustering_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "documents", SF)
+    df = token_budget_sample(docs, budget=800)
+    assert_max_shuffles(df, 1)
+    assert "Generate" not in explain_str(df)
+
+
+def test_repeated_span_profile_shuffle_budget(spark):
+    """Span dedup is linear: three key exchanges (doc-pos window,
+    shingle df aggregate, doc interval merge) plus the final doc join —
+    and never a cartesian/candidate-pair join."""
+    from flink_kmeans_clustering_spark.operators.dedup import (
+        repeated_span_profile,
+    )
+    from flink_kmeans_clustering_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "documents", SF)
+    df = repeated_span_profile(docs)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert_max_shuffles(df, 4)

@@ -488,3 +488,41 @@ def test_domain_cap_under_cap_keeps_all(spark):
     df = spark.createDataFrame([(1, "a"), (2, "a")], "doc_id long, source string")
     [r] = domain_cap(df, cap=10).collect()
     assert (r["n_total"], r["n_kept"], r["kept_id_sum"]) == (2, 2, 3)
+
+
+def test_token_budget_sample_crossing_doc_taken(spark):
+    """The doc whose exclusive running total crosses the budget is
+    KEPT (floor-filler semantics), later docs are cut; every non-empty
+    domain contributes at least one doc even when its first lottery
+    draw alone exceeds the budget; per-domain overrides apply."""
+    from flink_kmeans_clustering_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    rows = [
+        # domain a: three docs of 4 tokens each
+        (1, "a", "one two three four"),
+        (2, "a", "five six seven eight"),
+        (3, "a", "nine ten eleven twelve"),
+        # domain b: single 6-token doc, budget 1 -> still kept
+        (10, "b", "a b c d e f"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r["source"]: r
+        for r in token_budget_sample(
+            df, budget=6, budgets={"b": 1}
+        ).collect()
+    }
+    a, b = out["a"], out["b"]
+    # lottery order in domain a by (md5(str(id)), id): replay in python
+    import hashlib
+
+    order = sorted(
+        [1, 2, 3], key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )
+    # exclusive cumsum of 4-token docs: 0, 4, 8 -> first two kept (0<6, 4<6)
+    kept = order[:2]
+    assert (a["budget"], a["n_docs"], a["n_kept"]) == (6, 3, 2)
+    assert a["tokens_kept"] == 8 and a["kept_id_sum"] == sum(kept)
+    assert (b["budget"], b["n_kept"], b["tokens_kept"]) == (1, 1, 6)

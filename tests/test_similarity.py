@@ -399,3 +399,37 @@ def test_ann_binary_requires_64_dims(spark, vectors):
 
     with pytest.raises(ValueError, match="64"):
         ann_binary(vectors, [1.0, 0.0], k=2)
+
+
+def test_hard_negative_mining_band(spark):
+    """The negative band excludes the anchor (rank 1, cosine 1.0) and
+    the presumed-positive head, and returns exactly k rows per anchor
+    with ranks in (skip, skip+k]."""
+    from flink_kmeans_clustering_spark.operators.similarity import (
+        hard_negative_mining,
+        knn_join,
+    )
+
+    import math
+
+    # 12 unit vectors on a 2-D fan: cosine to anchor 0 decreases with id
+    rows = [
+        (i, [math.cos(i * 0.1), math.sin(i * 0.1)]) for i in range(12)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    anchors = emb.filter("vec_id = 0")
+    neg = hard_negative_mining(
+        emb, anchors, k=3, skip=4, query_id_col="vec_id"
+    ).collect()
+    assert len(neg) == 3
+    assert {r["rnk"] for r in neg} == {5, 6, 7}
+    assert all(r["neighbor_id"] != 0 for r in neg)
+    # the fan ordering makes rank == neighbor_id + 1 for anchor 0
+    assert sorted(r["neighbor_id"] for r in neg) == [4, 5, 6]
+    # consistency with knn_join's ranking on the same corpus
+    deep = {
+        r["neighbor_id"]: r["rnk"]
+        for r in knn_join(emb, anchors, k=7, query_id_col="vec_id").collect()
+    }
+    for r in neg:
+        assert deep[r["neighbor_id"]] == r["rnk"]

@@ -723,3 +723,39 @@ def test_perplexity_buckets_partition_and_mass(spark):
     # the repeated common-word docs score lower nll -> head;
     # the rare-token docs must NOT be in head
     assert got["head"] >= 10
+
+
+def test_source_datacard_semantics(spark):
+    """Top-lang mode ties break to the ascending lang; dup pressure
+    counts hash groups WITHIN a source (a cross-source identical text
+    is not an in-source dup); token stats come off the shared
+    tokenizer."""
+    from flink_kmeans_clustering_spark.operators.textstats import (
+        source_datacard,
+    )
+
+    rows = [
+        (0, "s1", "en", "hello world"),          # 2 tokens
+        (1, "s1", "de", "gut morgen heute"),     # 3 tokens
+        (2, "s1", "en", "same text"),
+        (3, "s1", "fr", "same text"),            # dup of 2 within s1
+        (4, "s2", "en", "same text"),            # NOT a dup (other source)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string"
+    )
+    out = {r["source"]: r for r in source_datacard(df).collect()}
+    s1, s2 = out["s1"], out["s2"]
+    assert s1["n_docs"] == 4 and s1["total_tokens"] == 9
+    assert s1["n_langs"] == 3
+    # lang counts in s1: en=2, de=1, fr=1 -> top is en outright
+    assert s1["top_lang"] == "en"
+    assert s1["n_dup_docs"] == 2 and s1["dup_frac"] == 0.5
+    assert s2["n_dup_docs"] == 0 and s2["top_lang"] == "en"
+    # tie case: two langs at count 1 -> ascending lang wins
+    tie = spark.createDataFrame(
+        [(0, "t", "fr", "x y"), (1, "t", "de", "z w")],
+        "doc_id long, source string, lang string, text string",
+    )
+    [r] = source_datacard(tie).collect()
+    assert r["top_lang"] == "de" and r["n_langs"] == 2
