@@ -1023,6 +1023,18 @@ def q_dedup_threshold_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pair_cosine_histogram(emb, dim=EMBEDDING_DIM)
 
 
+def q_events_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type co-occurrence with lift (market-basket association):
+    pair space bounded by the type alphabet, not the corpus — distinct
+    (user, type) on ONE user-key exchange, self-join reusing that
+    partitioning, tiny marginals broadcast back for the lift ratio."""
+    from flink_kmeans_clustering_spark.operators.events import (
+        type_cooccurrence,
+    )
+
+    return type_cooccurrence(load_events(spark, sf_dir))
+
+
 def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM user segmentation: per-user recency/frequency/monetary (ONE
     user-key exchange), median split thresholds from a hash-sampled
@@ -2228,6 +2240,20 @@ TOKEN_BUDGET = 800
 TOKEN_BUDGET_OVERRIDES = {"src0": 400, "src1": 400}
 
 
+def q_sample_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe group-aware train/val/test split: duplicates (md5
+    text groups) are assigned by their group ROOT's hash bucket, so a
+    copy of a train doc can never land in test — one group-key
+    exchange, narrow bucket expression, same layout/shrink property
+    as q_sample_split."""
+    from flink_kmeans_clustering_spark.operators.sampling import (
+        group_aware_split,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return group_aware_split(docs).select("doc_id", "group_root", "split")
+
+
 def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget-capped domain mixing — fill each source to its
     token budget (not a doc count: docs vary 100× in length) in
@@ -2730,18 +2756,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     records the first 50 entries only.  Round 6 rotates the window
     onto the STALE TAIL (VERDICT r05 item 1): the r01/r02 events/json/
     window families, udaf/multimodal/sink-orc, most of the r01 q_rel_*
-    family — plus the TEN queries new this round (q_events_rfm,
+    family — plus the TWELVE queries new this round (q_events_rfm,
     q_dedup_incremental, q_dedup_url, q_ann_recall, q_dedup_spans,
     q_sample_token_budget, q_ann_negatives, q_text_datacard,
     q_events_markov, q_dedup_threshold_hist) and the two whose oracle
     text changed (mlquality NULL-text coalesce, expectations
-    empty-drop coalesce).  Fitting the 10 new queries displaced 6 of
+    empty-drop coalesce).  Fitting the 12 new queries displaced 8 of
     the stale-tail set to the rest-tail HEAD, re-queued for r07:
-    q_rel_setops/custdist/promo/brandrev/tradevolume/returns — chosen
+    q_rel_setops/custdist/promo/brandrev/tradevolume/returns/topparts/
+    idle_rich — chosen
     because relational.py is the least-touched operator file since
     their r01 green rows (events.py, by contrast, changed this
     round).  With this window, cumulative driver coverage reaches
-    183/183.
+    185/185.
     """
     return {
         "q_events_rfm": q_events_rfm,
@@ -2756,6 +2783,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_datacard": q_text_datacard,
         "q_events_markov": q_events_markov,
         "q_dedup_threshold_hist": q_dedup_threshold_hist,
+        "q_events_cooccur": q_events_cooccur,
+        "q_sample_group_split": q_sample_group_split,
         "q_dedup_cc": q_dedup_cc,
         "q_dedup_embedding": q_dedup_embedding,
         "q_update": q_update,
@@ -2770,8 +2799,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rel_late_orders": q_rel_late_orders,
         "q_rel_anti_parts": q_rel_anti_parts,
         "q_rel_bigorders": q_rel_bigorders,
-        "q_rel_topparts": q_rel_topparts,
-        "q_rel_idle_rich": q_rel_idle_rich,
         "q_rel_forecast": q_rel_forecast,
         "q_rel_topsupplier": q_rel_topsupplier,
         "q_rel_mktshare": q_rel_mktshare,
@@ -2796,6 +2823,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_session_native": q_events_session_native,
         # --- below: outside the driver's 50-row window this round;
         # all driver-green in rounds 1-5 ---
+        "q_rel_idle_rich": q_rel_idle_rich,
+        "q_rel_topparts": q_rel_topparts,
         "q_rel_tradevolume": q_rel_tradevolume,
         "q_rel_returns": q_rel_returns,
         "q_rel_setops": q_rel_setops,
@@ -3734,6 +3763,22 @@ SELECT user_id, recency_days, frequency, monetary, r_hi, f_hi, m_hi,
        WHEN m_hi THEN 'cant_lose'
        ELSE 'hibernating' END AS segment
 FROM scored
+"""
+    events_cooccur_sql = """
+WITH ut AS (SELECT DISTINCT user_id AS u, event_type AS t FROM events),
+nu AS (SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS n FROM ut),
+pairs AS (
+  SELECT a.t AS type_a, b.t AS type_b, CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM ut a JOIN ut b ON a.u = b.u AND a.t < b.t
+  GROUP BY a.t, b.t
+),
+marg AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_t FROM ut GROUP BY t)
+SELECT p.type_a, p.type_b, p.n_both,
+       ROUND(CAST(p.n_both AS DOUBLE) * nu.n / (ma.n_t * mb.n_t), 6) AS lift
+FROM pairs p
+JOIN marg ma ON ma.t = p.type_a
+JOIN marg mb ON mb.t = p.type_b
+CROSS JOIN nu
 """
     events_markov_sql = """
 WITH seq AS (
@@ -4772,6 +4817,24 @@ SELECT source,
        CAST(SUM(CASE WHEN rn <= {DOMAIN_CAP} THEN doc_id END) AS BIGINT)
          AS kept_id_sum
 FROM r GROUP BY source
+"""
+    sample_group_split_sql = """
+WITH g AS (
+  SELECT doc_id, md5(text) AS gk FROM documents
+),
+roots AS (SELECT gk, MIN(doc_id) AS group_root FROM g GROUP BY gk),
+j AS (SELECT g.doc_id, r.group_root FROM g JOIN roots r USING (gk)),
+b AS (
+  SELECT doc_id, group_root,
+         CAST(('0x' || substring(md5(CAST(group_root AS VARCHAR)), 1, 2))
+              AS BIGINT) % 16 AS bk
+  FROM j
+)
+SELECT doc_id, group_root,
+       CASE WHEN bk < 2 THEN 'test'
+            WHEN bk < 4 THEN 'val'
+            ELSE 'train' END AS split
+FROM b
 """
     # q_sample_token_budget: same lottery order, exclusive running sum,
     # crossing-doc-taken rule, per-source budget CASE
@@ -6325,6 +6388,7 @@ SELECT event_type, event_id, ROUND(value, 6) AS value FROM (
         "q_sample_kcenter": _kcenter_oracle_sql(k=KCENTER_K, dim=GRAM_DIM),
         "q_sample_domain_cap": sample_domain_cap_sql,
         "q_sample_token_budget": sample_token_budget_sql,
+        "q_sample_group_split": sample_group_split_sql,
         "q_text_datacard": text_datacard_sql,
         "q_text_lm_bigram": text_lm_bigram_sql,
         "q_multimodal_audio": multimodal_audio_sql,
@@ -6625,6 +6689,7 @@ GROUP BY event_type
         "q_dedup_spans": dedup_spans_sql,
         "q_events_rfm": events_rfm_sql,
         "q_events_markov": events_markov_sql,
+        "q_events_cooccur": events_cooccur_sql,
         "q_dedup_threshold_hist": dedup_threshold_hist_sql,
         "q_ann_lsh": ann_lsh_sql,
         "q_sink_roundtrip": """

@@ -1089,3 +1089,61 @@ def journey_transitions(
         "n",
         F.round(F.col("n") / F.sum("n").over(wt), round_to).alias("p"),
     )
+
+
+def type_cooccurrence(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    round_to: int = 6,
+) -> DataFrame:
+    """Market-basket co-occurrence with lift — which event types appear
+    together in the same user's history more than chance predicts
+    (the association-mining step behind "users who did A also did B").
+
+    Scale physics: the pair space is bounded by the TYPE alphabet, not
+    the corpus — distinct (user, type) first (ONE user-key exchange),
+    then a self-join on the user key (reuses the same partitioning, no
+    second corpus exchange) emits ≤ |types|² pairs per user; the pair
+    aggregate and the per-type marginals are tiny and broadcast back
+    for the lift ratio.  lift = P(a∧b) / (P(a)·P(b)) over users.
+
+    Output: (type_a, type_b, n_both, lift) with type_a < type_b.
+    """
+    ut = events.select(
+        F.col(user_col).alias("u"), F.col(type_col).alias("t")
+    ).distinct()
+    nu = ut.agg(F.countDistinct("u").alias("_nu"))
+    a, b = ut.alias("a"), ut.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.u") == F.col("b.u")) & (F.col("a.t") < F.col("b.t")))
+        .groupBy(
+            F.col("a.t").alias("type_a"), F.col("b.t").alias("type_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    marg = ut.groupBy(F.col("t")).agg(F.count(F.lit(1)).alias("n_t"))
+    # lift as (n_both·N) / (n_a·n_b): one double multiply and one
+    # divide, left-assoc — the exact fold the oracle replays
+    lift = (F.col("n_both").cast("double") * F.col("_nu")) / (
+        F.col("_na") * F.col("_nb")
+    )
+    return (
+        pairs.join(
+            F.broadcast(marg.select(F.col("t").alias("type_a"),
+                                    F.col("n_t").alias("_na"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(marg.select(F.col("t").alias("type_b"),
+                                    F.col("n_t").alias("_nb"))),
+            "type_b",
+        )
+        .join(F.broadcast(nu))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(lift, round_to).alias("lift"),
+        )
+    )

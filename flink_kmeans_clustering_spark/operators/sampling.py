@@ -599,3 +599,50 @@ def token_budget_sample(
         ),
         F.sum(F.when(kept, F.col(id_col))).alias("kept_id_sum"),
     )
+
+
+def group_aware_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_key: Column | None = None,
+    val_buckets: int = 2,
+    test_buckets: int = 2,
+    buckets: int = 16,
+) -> DataFrame:
+    """Leakage-safe train/val/test split: duplicates are assigned BY
+    GROUP, not by document — the eval-hygiene step
+    :func:`train_val_test_split` can't give when the corpus carries
+    duplicates under different ids (a verbatim copy of a train doc in
+    the test split silently inflates eval scores; dedup papers'
+    train/test-leak audits exist because of exactly this).
+
+    ``group_key`` defines "the same document" (default: md5 of the raw
+    text — the exact-dup key; pass a minhash band or a CC root column
+    for near-dup grouping).  Every group gets a canonical root = MIN
+    id in the group (ONE key-exchange aggregate, broadcast back via
+    the hash join AQE picks for the tiny root table... at corpus scale
+    it degrades to a key-partitioned join on the same exchange), and
+    the split is the content-hash bucket of the ROOT id, so all group
+    members land together — same bucket layout and subset-shrink
+    property as train_val_test_split.
+
+    Output: docs + (group_root, split).
+    """
+    if group_key is None:
+        group_key = F.md5(F.col(text_col))
+    keyed = docs.withColumn("_gk", group_key)
+    roots = keyed.groupBy("_gk").agg(F.min(id_col).alias("group_root"))
+    b = hash_bucket(F.col("group_root").cast("string"), buckets)
+    if val_buckets + test_buckets >= buckets:
+        raise ValueError("val + test buckets must leave room for train")
+    return (
+        keyed.join(roots, "_gk")
+        .drop("_gk")
+        .withColumn(
+            "split",
+            F.when(b < test_buckets, F.lit("test"))
+            .when(b < test_buckets + val_buckets, F.lit("val"))
+            .otherwise(F.lit("train")),
+        )
+    )

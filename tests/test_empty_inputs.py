@@ -342,3 +342,53 @@ def test_power_iterate_degenerate_zero_matrix(spark):
     v = _power_iterate(zero, iters=5)
     assert len(v) == dim
     assert all(x == 0.125 for x in v)  # start vector survives unchanged
+
+
+def test_round6_new_ops_empty(spark, empty_docs, empty_events):
+    """The round-6 operator wave degrades to empty results on empty
+    input (NULL-text and zero-row slices are routine at scale)."""
+    from flink_kmeans_clustering_spark.operators.dedup import (
+        pair_cosine_histogram,
+        repeated_span_profile,
+    )
+    from flink_kmeans_clustering_spark.operators.events import (
+        journey_transitions,
+        rfm_segments,
+    )
+    from flink_kmeans_clustering_spark.operators.sampling import (
+        token_budget_sample,
+    )
+    from flink_kmeans_clustering_spark.operators.similarity import (
+        hard_negative_mining,
+    )
+    from flink_kmeans_clustering_spark.operators.textstats import (
+        source_datacard,
+    )
+
+    docs2 = empty_docs.withColumn("source", F.lit("s")).withColumn(
+        "lang", F.lit("en")
+    )
+    assert repeated_span_profile(empty_docs).count() == 0
+    assert token_budget_sample(docs2, budget=10).count() == 0
+    assert source_datacard(docs2).count() == 0
+    assert journey_transitions(empty_events).count() == 0
+    from flink_kmeans_clustering_spark.operators.events import (
+        type_cooccurrence,
+    )
+
+    assert type_cooccurrence(empty_events).count() == 0
+    assert rfm_segments(empty_events).count() == 0
+    empty_emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>, label int"
+    )
+    assert pair_cosine_histogram(empty_emb).count() == 0
+    assert (
+        hard_negative_mining(empty_emb, empty_emb, query_id_col="vec_id").count()
+        == 0
+    )
+    # NULL text must not crash the span profiler (no windows, zeros out)
+    nulls = spark.createDataFrame(
+        [(1, None, 0)], DOCS_SCHEMA
+    )
+    [r] = repeated_span_profile(nulls).collect()
+    assert r["n_spans"] == 0 and r["repeat_frac"] == 0.0

@@ -561,3 +561,31 @@ def test_journey_transitions_hand_fixture(spark):
         ("view", "view"): (1, 0.5),
         ("cart", "buy"): (1, 1.0),
     }
+
+
+def test_type_cooccurrence_lift(spark):
+    """Hand-checkable lift: 4 users; types A,B co-occur for 2 of them,
+    A appears for 3 users, B for 2, C for 1 alone.  lift(A,B) =
+    (2/4) / ((3/4)(2/4)) = 4/3."""
+    import datetime as dt
+
+    from flink_kmeans_clustering_spark.operators.events import (
+        type_cooccurrence,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u, types in [(1, "AB"), (2, "AB"), (3, "A"), (4, "C")]:
+        for c in types:
+            rows.append((eid, t0, u, c)); eid += 1
+    # duplicate event rows must not double-count (distinct user-type)
+    rows.append((eid, t0, 1, "A"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = type_cooccurrence(ev).collect()
+    assert len(out) == 1
+    [r] = out
+    assert (r["type_a"], r["type_b"], r["n_both"]) == ("A", "B", 2)
+    assert r["lift"] == round(4 / 3, 6)

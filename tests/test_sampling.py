@@ -526,3 +526,32 @@ def test_token_budget_sample_crossing_doc_taken(spark):
     assert (a["budget"], a["n_docs"], a["n_kept"]) == (6, 3, 2)
     assert a["tokens_kept"] == 8 and a["kept_id_sum"] == sum(kept)
     assert (b["budget"], b["n_kept"], b["tokens_kept"]) == (1, 1, 6)
+
+
+def test_group_aware_split_no_leakage(spark):
+    """All members of a duplicate group share the root's split; the
+    root is the min id; distinct texts split independently."""
+    from flink_kmeans_clustering_spark.operators.sampling import (
+        group_aware_split,
+        hash_bucket,
+    )
+
+    rows = [
+        (5, "same text"),
+        (9, "same text"),
+        (70, "same text"),
+        (2, "other text"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in group_aware_split(docs).collect()}
+    assert {out[i]["group_root"] for i in (5, 9, 70)} == {5}
+    assert len({out[i]["split"] for i in (5, 9, 70)}) == 1
+    assert out[2]["group_root"] == 2
+    # the split is the ROOT's bucket, not the member's
+    [b5] = (
+        spark.range(1)
+        .select(hash_bucket(F.lit("5"), 16).alias("b"))
+        .collect()
+    )
+    expect = "test" if b5["b"] < 2 else ("val" if b5["b"] < 4 else "train")
+    assert out[70]["split"] == expect
