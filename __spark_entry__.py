@@ -1035,6 +1035,19 @@ def q_events_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     return type_cooccurrence(load_events(spark, sf_dir))
 
 
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credited to the user's
+    most recent click within 30 min — a running last(ignorenulls) over
+    strictly-prior rows on ONE user-key window exchange (no
+    conversions×touches interval self-join, which shuffles twice and
+    explodes on hot users)."""
+    from flink_kmeans_clustering_spark.operators.events import (
+        last_touch_attribution,
+    )
+
+    return last_touch_attribution(load_events(spark, sf_dir))
+
+
 def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM user segmentation: per-user recency/frequency/monetary (ONE
     user-key exchange), median split thresholds from a hash-sampled
@@ -2042,6 +2055,33 @@ def q_ann_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FILTERED_KNN_MIN_CHARS = 200
+
+
+def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search (the production retrieval
+    shape): the corpus is restricted to English docs ≥ 200 chars
+    BEFORE any similarity work — the predicate pushes into the
+    documents scan, the id-join moves only matching ids, then
+    knn_join's broadcast/one-scan/WindowGroupLimit plan ranks within
+    the survivors (pre-filter, never post-filter top-k)."""
+    from flink_kmeans_clustering_spark.operators.similarity import (
+        filtered_knn_join,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return filtered_knn_join(
+        emb,
+        docs,
+        emb.filter(F.col("vec_id") < KNN_QUERY_MAX),
+        (F.col("lang") == "en")
+        & (F.col("n_chars") >= FILTERED_KNN_MIN_CHARS),
+        k=KNN_K,
+        query_id_col="vec_id",
+    )
+
+
 def q_embed_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed XᵀX: upper-triangle Gram + sample covariance of the
     embedding corpus in ONE pass (per-partition Arrow-batch GEMM →
@@ -2756,19 +2796,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     records the first 50 entries only.  Round 6 rotates the window
     onto the STALE TAIL (VERDICT r05 item 1): the r01/r02 events/json/
     window families, udaf/multimodal/sink-orc, most of the r01 q_rel_*
-    family — plus the TWELVE queries new this round (q_events_rfm,
+    family — plus the FOURTEEN queries new this round (q_events_rfm,
     q_dedup_incremental, q_dedup_url, q_ann_recall, q_dedup_spans,
     q_sample_token_budget, q_ann_negatives, q_text_datacard,
     q_events_markov, q_dedup_threshold_hist) and the two whose oracle
     text changed (mlquality NULL-text coalesce, expectations
-    empty-drop coalesce).  Fitting the 12 new queries displaced 8 of
+    empty-drop coalesce).  Fitting the 14 new queries displaced 10 of
     the stale-tail set to the rest-tail HEAD, re-queued for r07:
     q_rel_setops/custdist/promo/brandrev/tradevolume/returns/topparts/
-    idle_rich — chosen
+    idle_rich/late_orders/anti_parts — chosen
     because relational.py is the least-touched operator file since
     their r01 green rows (events.py, by contrast, changed this
     round).  With this window, cumulative driver coverage reaches
-    185/185.
+    187/187.
     """
     return {
         "q_events_rfm": q_events_rfm,
@@ -2785,6 +2825,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_threshold_hist": q_dedup_threshold_hist,
         "q_events_cooccur": q_events_cooccur,
         "q_sample_group_split": q_sample_group_split,
+        "q_ann_filtered": q_ann_filtered,
+        "q_events_attribution": q_events_attribution,
         "q_dedup_cc": q_dedup_cc,
         "q_dedup_embedding": q_dedup_embedding,
         "q_update": q_update,
@@ -2796,8 +2838,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_gemm": q_dedup_gemm,
         "q_rel_shipping": q_rel_shipping,
         "q_rel_local_supplier": q_rel_local_supplier,
-        "q_rel_late_orders": q_rel_late_orders,
-        "q_rel_anti_parts": q_rel_anti_parts,
         "q_rel_bigorders": q_rel_bigorders,
         "q_rel_forecast": q_rel_forecast,
         "q_rel_topsupplier": q_rel_topsupplier,
@@ -2823,6 +2863,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_session_native": q_events_session_native,
         # --- below: outside the driver's 50-row window this round;
         # all driver-green in rounds 1-5 ---
+        "q_rel_anti_parts": q_rel_anti_parts,
+        "q_rel_late_orders": q_rel_late_orders,
         "q_rel_idle_rich": q_rel_idle_rich,
         "q_rel_topparts": q_rel_topparts,
         "q_rel_tradevolume": q_rel_tradevolume,
@@ -3763,6 +3805,27 @@ SELECT user_id, recency_days, frequency, monetary, r_hi, f_hi, m_hi,
        WHEN m_hi THEN 'cant_lose'
        ELSE 'hibernating' END AS segment
 FROM scored
+"""
+    events_attribution_sql = """
+WITH carried AS (
+  SELECT event_id, user_id, ts, event_type,
+         LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+           OVER w AS touch_ts,
+         LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END
+                    IGNORE NULLS) OVER w AS touch_event_id
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS conv_ts,
+       touch_event_id,
+       strftime(touch_ts, '%Y-%m-%d %H:%M:%S') AS touch_ts,
+       CAST(date_diff('second', touch_ts, ts) AS BIGINT)
+         AS secs_since_touch,
+       (touch_ts IS NOT NULL
+        AND date_diff('second', touch_ts, ts) <= 1800) AS attributed
+FROM carried WHERE event_type = 'purchase'
 """
     events_cooccur_sql = """
 WITH ut AS (SELECT DISTINCT user_id AS u, event_type AS t FROM events),
@@ -6096,6 +6159,28 @@ SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rnk FROM (
   FROM scored WHERE cosine IS NOT NULL
 ) WHERE rnk <= {KNN_K}
 """
+    ann_filtered_sql = f"""
+WITH keep AS (
+  SELECT doc_id AS vec_id FROM documents
+  WHERE lang = 'en' AND n_chars >= {FILTERED_KNN_MIN_CHARS}
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv,
+             sqrt(list_sum(list_transform(v, x -> x*x))) AS qn
+      FROM e WHERE vec_id < {KNN_QUERY_MAX}),
+surv AS (SELECT e.vec_id, e.v FROM e JOIN keep USING (vec_id)),
+scored AS (
+  SELECT query_id, s.vec_id AS neighbor_id,
+         ROUND(list_sum(list_transform(range(1, len(s.v)+1), i -> s.v[i]*qv[i]))
+               / (sqrt(list_sum(list_transform(s.v, x -> x*x))) * qn), 6) AS cosine
+  FROM surv s CROSS JOIN q
+)
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored WHERE cosine IS NOT NULL
+) WHERE rnk <= {KNN_K}
+"""
     # q_ann_negatives: knn oracle over the WHOLE corpus, band cut
     ann_negatives_sql = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -6381,6 +6466,7 @@ SELECT event_type, event_id, ROUND(value, 6) AS value FROM (
         "q_sink_evolve": sink_evolve_sql,
         "q_knn_join": knn_join_sql,
         "q_ann_negatives": ann_negatives_sql,
+        "q_ann_filtered": ann_filtered_sql,
         "q_embed_cov": embed_cov_sql,
         "q_embed_drift": embed_drift_sql,
         "q_ann_hamming": ann_hamming_sql,
@@ -6690,6 +6776,7 @@ GROUP BY event_type
         "q_events_rfm": events_rfm_sql,
         "q_events_markov": events_markov_sql,
         "q_events_cooccur": events_cooccur_sql,
+        "q_events_attribution": events_attribution_sql,
         "q_dedup_threshold_hist": dedup_threshold_hist_sql,
         "q_ann_lsh": ann_lsh_sql,
         "q_sink_roundtrip": """

@@ -1147,3 +1147,76 @@ def type_cooccurrence(
             F.round(lift, round_to).alias("lift"),
         )
     )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    convert_type: str = "purchase",
+    touch_type: str = "click",
+    window_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Last-touch attribution — credit each conversion to the user's
+    most recent qualifying touch within the lookback window (the
+    marketing-analytics workhorse; also the generic "latest preceding
+    event of kind X" join).
+
+    Per user, in deterministic (ts, order_col) order, a running
+    ``last(..., ignorenulls)`` over STRICTLY-PRIOR rows carries the
+    latest touch's (ts, id) forward — one user-key window exchange
+    over the corpus, no self-join, no range join (the naive
+    conversions×touches interval join shuffles the corpus twice and
+    explodes on hot users; the running-last form is a single pass).
+    Both carried columns ride the same CASE, so they are null exactly
+    together and always describe the same touch row.
+
+    Output: one row per conversion — (event_id, user_id, conv_ts,
+    touch_event_id, touch_ts, secs_since_touch, attributed) with
+    ``attributed`` ⇔ a touch exists within ``window_minutes``;
+    timestamps serialize as 'yyyy-MM-dd HH:mm:ss' strings (the repo's
+    cross-engine timestamp convention — engines disagree on binary
+    timestamp resolution, never on the rendered form).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col(type_col) == touch_type
+    touch_ts = F.last(F.when(is_touch, F.col(ts_col)), ignorenulls=True).over(w)
+    touch_id = F.last(F.when(is_touch, F.col(order_col)), ignorenulls=True).over(
+        w
+    )
+    delta = (
+        F.unix_timestamp(F.col("conv_ts")) - F.unix_timestamp(F.col("touch_ts"))
+    ).cast("long")
+    return (
+        events.select(
+            F.col(order_col).alias("event_id"),
+            F.col(user_col).alias("user_id"),
+            F.col(ts_col).alias("conv_ts"),
+            F.col(type_col).alias("_t"),
+            touch_ts.alias("touch_ts"),
+            touch_id.alias("touch_event_id"),
+        )
+        .filter(F.col("_t") == convert_type)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("conv_ts", "yyyy-MM-dd HH:mm:ss").alias("conv_ts"),
+            "touch_event_id",
+            F.date_format("touch_ts", "yyyy-MM-dd HH:mm:ss").alias(
+                "touch_ts"
+            ),
+            delta.alias("secs_since_touch"),
+            (
+                F.col("touch_ts").isNotNull()
+                & (delta <= window_minutes * 60)
+            ).alias("attributed"),
+        )
+    )

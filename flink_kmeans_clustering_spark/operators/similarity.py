@@ -894,3 +894,48 @@ def hard_negative_mining(
     return deep.filter(
         (F.col("rnk") > skip) & (F.col("neighbor_id") != F.col("query_id"))
     )
+
+
+def filtered_knn_join(
+    corpus: DataFrame,
+    metadata: DataFrame,
+    queries: DataFrame,
+    predicate: Column,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    meta_id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Metadata-filtered vector search — the production retrieval shape
+    ("nearest ENGLISH docs over 500 chars"): a metadata predicate
+    restricts the corpus BEFORE any similarity work, then the search is
+    :func:`knn_join`'s plan over the survivors.
+
+    Pre-filtering beats post-filtering top-k at every scale: filtering
+    after rank can return < k rows (or force k' ≫ k oversearch), and
+    the predicate pushes into the metadata scan (PushedFilters) so the
+    id-join only moves matching ids.  The join is declared plainly and
+    left to the planner: at toy scale AQE broadcasts the filtered id
+    set; at corpus scale it degrades to a key-partitioned join — both
+    correct, no hint needed.
+
+    Output: knn_join's (query_id, neighbor_id, cosine, rnk), ranks
+    computed WITHIN the filtered corpus.
+    """
+    ids = metadata.filter(predicate).select(
+        F.col(meta_id_col).alias(id_col)
+    )
+    survivors = corpus.join(ids, id_col)
+    return knn_join(
+        survivors,
+        queries,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+        round_to=round_to,
+    )

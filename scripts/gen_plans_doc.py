@@ -115,6 +115,22 @@ PICKS = [
         "unioned (no N+1-way Expand of the full scan)",
     ),
     (
+        "q_ann_filtered",
+        "Metadata-filtered vector search — lang/n_chars predicates pushed "
+        "into the documents scan, survivors id-joined, knn_join's "
+        "WindowGroupLimit tail ranks within the filtered corpus",
+    ),
+    (
+        "q_dedup_spans",
+        "Span-level substring dedup — linear lead-chain shingles, "
+        "distinct-doc df aggregate, gaps-and-islands merge; no pair join",
+    ),
+    (
+        "q_events_attribution",
+        "Last-touch attribution — running last(ignorenulls) over "
+        "strictly-prior rows; one user-key window, no interval self-join",
+    ),
+    (
         "q_events_runs",
         "Gaps-and-islands — both windows and the aggregate share one "
         "user-hash exchange",

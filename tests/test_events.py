@@ -589,3 +589,35 @@ def test_type_cooccurrence_lift(spark):
     [r] = out
     assert (r["type_a"], r["type_b"], r["n_both"]) == ("A", "B", 2)
     assert r["lift"] == round(4 / 3, 6)
+
+
+def test_last_touch_attribution_semantics(spark):
+    """Strictly-prior latest click wins; the 30-min window gates
+    attribution; no prior click -> NULL touch, not attributed; a later
+    click never attributes an earlier purchase."""
+    import datetime as dt
+
+    from flink_kmeans_clustering_spark.operators.events import (
+        last_touch_attribution,
+    )
+
+    t = lambda m: dt.datetime(2024, 3, 1, 12, m)
+    rows = [
+        (1, t(0), 1, "click"),
+        (2, t(5), 1, "click"),      # latest prior click for event 3
+        (3, t(10), 1, "purchase"),  # attributed to 2 (300 s)
+        (4, t(50), 1, "purchase"),  # touch 2 is 45 min old -> not attributed
+        (5, t(0), 2, "purchase"),   # no prior click at all
+        (6, t(1), 2, "click"),      # AFTER the purchase: must not count
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {r["event_id"]: r for r in last_touch_attribution(ev).collect()}
+    assert set(out) == {3, 4, 5}
+    assert out[3]["touch_event_id"] == 2 and out[3]["secs_since_touch"] == 300
+    assert out[3]["attributed"] is True
+    assert out[4]["touch_event_id"] == 2 and out[4]["attributed"] is False
+    assert out[4]["secs_since_touch"] == 2700
+    assert out[5]["touch_event_id"] is None and out[5]["attributed"] is False
+    assert out[3]["conv_ts"] == "2024-03-01 12:10:00"

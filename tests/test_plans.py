@@ -1109,3 +1109,30 @@ def test_repeated_span_profile_shuffle_budget(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert_max_shuffles(df, 4)
+
+
+def test_filtered_knn_pushes_metadata_predicate(spark):
+    """The metadata predicate reaches the documents parquet scan
+    (PushedFilters) and the read schema is pruned to the id + filter
+    columns — the corpus is never post-filtered after ranking."""
+    import pyspark.sql.functions as F
+
+    from flink_kmeans_clustering_spark.operators.similarity import (
+        filtered_knn_join,
+    )
+    from flink_kmeans_clustering_spark.sources.parquet import load_table
+
+    emb = load_table(spark, "embeddings", SF)
+    docs = load_table(spark, "documents", SF)
+    df = filtered_knn_join(
+        emb,
+        docs,
+        emb.filter(F.col("vec_id") < 5),
+        (F.col("lang") == "en") & (F.col("n_chars") >= 200),
+        query_id_col="vec_id",
+    )
+    pf = " ".join(pushed_filters(df))
+    assert "lang" in pf and "n_chars" in pf
+    schemas = read_schemas(df)
+    doc_schema = [s for s in schemas if "doc_id" in s]
+    assert doc_schema and all("text" not in s for s in doc_schema)

@@ -433,3 +433,35 @@ def test_hard_negative_mining_band(spark):
     }
     for r in neg:
         assert deep[r["neighbor_id"]] == r["rnk"]
+
+
+def test_filtered_knn_join_prefilters(spark):
+    """Ranks are computed WITHIN the filtered corpus: excluded ids
+    never appear, and the k results are the best among survivors (not
+    a post-filtered global top-k, which could return < k rows)."""
+    import math
+
+    from flink_kmeans_clustering_spark.operators.similarity import (
+        filtered_knn_join,
+        knn_join,
+    )
+
+    rows = [(i, [math.cos(i * 0.1), math.sin(i * 0.1)]) for i in range(10)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    meta = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(10)],
+        "doc_id long, lang string",
+    )
+    anchors = emb.filter("vec_id = 0")
+    got = filtered_knn_join(
+        emb, meta, anchors, F.col("lang") == "en", k=3, query_id_col="vec_id"
+    ).collect()
+    assert len(got) == 3
+    assert all(r["neighbor_id"] % 2 == 0 for r in got)
+    # equals knn_join over the manually filtered corpus
+    want = knn_join(
+        emb.filter("vec_id % 2 = 0"), anchors, k=3, query_id_col="vec_id"
+    ).collect()
+    assert sorted((r["neighbor_id"], r["rnk"]) for r in got) == sorted(
+        (r["neighbor_id"], r["rnk"]) for r in want
+    )
