@@ -1048,6 +1048,39 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return last_touch_attribution(load_events(spark, sf_dir))
 
 
+def q_events_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix: first-week cohorts (user-key
+    aggregate), distinct user-weeks on the same key, tiny-matrix
+    normalization window — the growth table, corpus touched twice on
+    one key."""
+    from flink_kmeans_clustering_spark.operators.events import (
+        cohort_retention,
+    )
+
+    return cohort_retention(load_events(spark, sf_dir))
+
+
+def q_events_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user paths (first 6 event types per user joined '>'): one
+    user-key window (WindowGroupLimit head), same-key bounded
+    collect, TakeOrderedAndProject top-20 — never a global sort."""
+    from flink_kmeans_clustering_spark.operators.events import top_paths
+
+    return top_paths(load_events(spark, sf_dir))
+
+
+def q_text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix vs the declared metadata label —
+    ZERO joins: the declared lang rides the detection scan; output is
+    the |langs|-squared cell table with is_match flags."""
+    from flink_kmeans_clustering_spark.operators.textstats import (
+        langid_confusion,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return langid_confusion(docs)
+
+
 def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM user segmentation: per-user recency/frequency/monetary (ONE
     user-key exchange), median split thresholds from a hash-sampled
@@ -2796,19 +2829,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     records the first 50 entries only.  Round 6 rotates the window
     onto the STALE TAIL (VERDICT r05 item 1): the r01/r02 events/json/
     window families, udaf/multimodal/sink-orc, most of the r01 q_rel_*
-    family — plus the FOURTEEN queries new this round (q_events_rfm,
+    family — plus the SEVENTEEN queries new this round (q_events_rfm,
     q_dedup_incremental, q_dedup_url, q_ann_recall, q_dedup_spans,
     q_sample_token_budget, q_ann_negatives, q_text_datacard,
     q_events_markov, q_dedup_threshold_hist) and the two whose oracle
     text changed (mlquality NULL-text coalesce, expectations
-    empty-drop coalesce).  Fitting the 14 new queries displaced 10 of
+    empty-drop coalesce).  Fitting the 17 new queries displaced 13 of
     the stale-tail set to the rest-tail HEAD, re-queued for r07:
     q_rel_setops/custdist/promo/brandrev/tradevolume/returns/topparts/
-    idle_rich/late_orders/anti_parts — chosen
+    idle_rich/late_orders/anti_parts/forecast/topsupplier/profit —
+    chosen
     because relational.py is the least-touched operator file since
     their r01 green rows (events.py, by contrast, changed this
     round).  With this window, cumulative driver coverage reaches
-    187/187.
+    190/190.
     """
     return {
         "q_events_rfm": q_events_rfm,
@@ -2827,6 +2861,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sample_group_split": q_sample_group_split,
         "q_ann_filtered": q_ann_filtered,
         "q_events_attribution": q_events_attribution,
+        "q_events_cohorts": q_events_cohorts,
+        "q_events_paths": q_events_paths,
+        "q_text_langid_eval": q_text_langid_eval,
         "q_dedup_cc": q_dedup_cc,
         "q_dedup_embedding": q_dedup_embedding,
         "q_update": q_update,
@@ -2839,10 +2876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rel_shipping": q_rel_shipping,
         "q_rel_local_supplier": q_rel_local_supplier,
         "q_rel_bigorders": q_rel_bigorders,
-        "q_rel_forecast": q_rel_forecast,
-        "q_rel_topsupplier": q_rel_topsupplier,
         "q_rel_mktshare": q_rel_mktshare,
-        "q_rel_profit": q_rel_profit,
         "q_window_ranks": q_window_ranks,
         "q_window_daydelta": q_window_daydelta,
         "q_window_dist": q_window_dist,
@@ -2863,6 +2897,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_session_native": q_events_session_native,
         # --- below: outside the driver's 50-row window this round;
         # all driver-green in rounds 1-5 ---
+        "q_rel_forecast": q_rel_forecast,
+        "q_rel_topsupplier": q_rel_topsupplier,
+        "q_rel_profit": q_rel_profit,
         "q_rel_anti_parts": q_rel_anti_parts,
         "q_rel_late_orders": q_rel_late_orders,
         "q_rel_idle_rich": q_rel_idle_rich,
@@ -3805,6 +3842,48 @@ SELECT user_id, recency_days, frequency, monetary, r_hi, f_hi, m_hi,
        WHEN m_hi THEN 'cant_lose'
        ELSE 'hibernating' END AS segment
 FROM scored
+"""
+    events_cohorts_sql = """
+WITH fw AS (
+  SELECT user_id AS u, date_trunc('week', MIN(ts)) AS cw
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS aw FROM events
+),
+cells AS (
+  SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+         CAST(date_diff('day', CAST(cw AS DATE), CAST(aw AS DATE)) / 7
+              AS BIGINT) AS week_offset
+  FROM active JOIN fw USING (u)
+),
+m AS (
+  SELECT cohort_week, week_offset, CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM cells GROUP BY cohort_week, week_offset
+),
+w AS (
+  SELECT *, CAST(SUM(CASE WHEN week_offset = 0 THEN n_users END)
+                 OVER (PARTITION BY cohort_week) AS BIGINT) AS cohort_size
+  FROM m
+)
+SELECT cohort_week, week_offset, n_users, cohort_size,
+       ROUND(n_users / cohort_size, 6) AS retention
+FROM w
+"""
+    events_paths_sql = """
+WITH r AS (
+  SELECT user_id, ts, event_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+p AS (
+  SELECT user_id,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM r WHERE rn <= 6 GROUP BY user_id
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM p GROUP BY path ORDER BY n_users DESC, path LIMIT 20
 """
     events_attribution_sql = """
 WITH carried AS (
@@ -5623,6 +5702,15 @@ SELECT doc_id,
        g AS score
 FROM best
 """
+    text_langid_eval_sql = f"""
+WITH pred AS ({text_langid_sql}),
+decl AS (SELECT doc_id, lang FROM documents)
+SELECT decl.lang AS declared_lang, pred.pred_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       decl.lang = pred.pred_lang AS is_match
+FROM pred JOIN decl USING (doc_id)
+GROUP BY decl.lang, pred.pred_lang
+"""
     # q_text_chunk: identical window rule both sides — starts at
     # 0, stride, 2·stride … while start < max(n − overlap, 1)
     _stride = CHUNK_TOKENS - CHUNK_OVERLAP
@@ -6777,6 +6865,9 @@ GROUP BY event_type
         "q_events_markov": events_markov_sql,
         "q_events_cooccur": events_cooccur_sql,
         "q_events_attribution": events_attribution_sql,
+        "q_events_cohorts": events_cohorts_sql,
+        "q_events_paths": events_paths_sql,
+        "q_text_langid_eval": text_langid_eval_sql,
         "q_dedup_threshold_hist": dedup_threshold_hist_sql,
         "q_ann_lsh": ann_lsh_sql,
         "q_sink_roundtrip": """

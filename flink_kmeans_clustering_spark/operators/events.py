@@ -1220,3 +1220,108 @@ def last_touch_attribution(
             ).alias("attributed"),
         )
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    round_to: int = 6,
+) -> DataFrame:
+    """Weekly cohort-retention matrix — the classic growth table: users
+    grouped by first-activity week (ISO Monday truncation), one cell
+    per (cohort, week offset) counting how many came back.
+
+    Scale physics: per-user first week is ONE user-key aggregate;
+    distinct (user, active-week) reuses the same key exchange; the
+    join back to the cohort is user-keyed (co-partitioned); the final
+    matrix is |cohorts|·|offsets| rows, and the cohort-size
+    normalization is a window over that tiny result (every user is
+    active in their own first week, so offset 0 IS the cohort size).
+
+    Output: (cohort_week 'yyyy-MM-dd', week_offset, n_users,
+    cohort_size, retention), retention = n_users / cohort_size.
+    """
+    from pyspark.sql import Window
+
+    first = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.date_trunc("week", F.min(ts_col)).alias("_cw")
+    )
+    active = events.select(
+        F.col(user_col).alias("u"),
+        F.date_trunc("week", F.col(ts_col)).alias("_aw"),
+    ).distinct()
+    cells = (
+        active.join(first, "u")
+        .select(
+            F.date_format("_cw", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("_aw", "_cw") / 7).cast("long").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    wc = Window.partitionBy("cohort_week")
+    size = F.sum(
+        F.when(F.col("week_offset") == 0, F.col("n_users"))
+    ).over(wc)
+    return cells.select(
+        "cohort_week",
+        "week_offset",
+        "n_users",
+        size.alias("cohort_size"),
+        F.round(F.col("n_users") / size, round_to).alias("retention"),
+    )
+
+
+def top_paths(
+    events: DataFrame,
+    max_events: int = 6,
+    top_n: int = 20,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Top user paths — the "how do journeys actually start" view
+    behind funnel design: each user's first ``max_events`` event types
+    in (ts, id) order joined into a path string, counted, top
+    ``top_n`` by frequency.
+
+    One user-key window (rank ≤ max_events is the WindowGroupLimit
+    shape) feeding a same-key aggregate: the collect_list holds at
+    most ``max_events`` structs per user and ``array_sort`` on
+    (ts, id, type) structs makes the order deterministic without a
+    sort-within-groups.  The final top-n is an orderBy().limit() —
+    TakeOrderedAndProject, never a global sort.
+
+    Output: (path, n_users) — top_n rows, ties broken by path asc.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    head = (
+        events.select(
+            F.col(user_col).alias("u"),
+            F.struct(
+                F.col(ts_col).alias("ts"),
+                F.col(order_col).alias("oid"),
+                F.col(type_col).alias("t"),
+            ).alias("_s"),
+            F.row_number().over(w).alias("_r"),
+        )
+        .filter(F.col("_r") <= max_events)
+    )
+    paths = head.groupBy("u").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("_s")), lambda s: s["t"]
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(top_n)
+    )

@@ -60,7 +60,10 @@ def token_counts(
 
 
 def language_id(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Heuristic language ID: argmax of per-language stopword hits.
 
@@ -86,6 +89,7 @@ def language_id(
     score = -best["neg"]
     return df.withColumn("_toks", tokenize(F.col(text_col))).select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         F.when(score > 0, best["lang"]).otherwise(F.lit("und")).alias("pred_lang"),
         score.alias("score"),
     )
@@ -1223,5 +1227,38 @@ def source_datacard(
             F.round(F.col("n_dup_docs") / F.col("n_docs"), round_to).alias(
                 "dup_frac"
             ),
+        )
+    )
+
+
+def langid_confusion(
+    docs: DataFrame,
+    declared_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Language-ID confusion matrix — the quality evaluation a corpus
+    pipeline runs on its own classifier: detected language
+    (:func:`language_id`) vs the declared metadata label, one cell per
+    (declared, predicted) pair.
+
+    Zero joins: the declared label rides the SAME detection scan
+    (``keep_cols``), so the whole evaluation is one narrow pass plus a
+    |langs|² aggregate.  Disagreement cells (is_match = false) are
+    where either the classifier or the metadata lies — both worth
+    auditing before filtering a 100 TB corpus by language.
+
+    Output: (declared_lang, pred_lang, n_docs, is_match).
+    """
+    pred = language_id(
+        docs, id_col=id_col, text_col=text_col, keep_cols=(declared_col,)
+    )
+    return (
+        pred.groupBy(
+            F.col(declared_col).alias("declared_lang"), "pred_lang"
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn(
+            "is_match", F.col("declared_lang") == F.col("pred_lang")
         )
     )

@@ -392,3 +392,20 @@ def test_round6_new_ops_empty(spark, empty_docs, empty_events):
     )
     [r] = repeated_span_profile(nulls).collect()
     assert r["n_spans"] == 0 and r["repeat_frac"] == 0.0
+
+
+def test_wave5_ops_empty(spark, empty_docs, empty_events):
+    from flink_kmeans_clustering_spark.operators.events import (
+        cohort_retention,
+        last_touch_attribution,
+        top_paths,
+    )
+    from flink_kmeans_clustering_spark.operators.textstats import (
+        langid_confusion,
+    )
+
+    assert cohort_retention(empty_events).count() == 0
+    assert top_paths(empty_events).count() == 0
+    assert last_touch_attribution(empty_events).count() == 0
+    docs2 = empty_docs.withColumn("lang", F.lit("en"))
+    assert langid_confusion(docs2).count() == 0

@@ -621,3 +621,86 @@ def test_last_touch_attribution_semantics(spark):
     assert out[4]["secs_since_touch"] == 2700
     assert out[5]["touch_event_id"] is None and out[5]["attributed"] is False
     assert out[3]["conv_ts"] == "2024-03-01 12:10:00"
+
+
+def test_cohort_retention_matrix(spark):
+    """Two cohorts, known comeback pattern; offset-0 cell is the
+    cohort size; retention = n/size."""
+    import datetime as dt
+
+    from flink_kmeans_clustering_spark.operators.events import (
+        cohort_retention,
+    )
+
+    # Mondays: 2024-03-04 (w0), 2024-03-11 (w1), 2024-03-18 (w2)
+    d = lambda day, h=9: dt.datetime(2024, 3, day, h)
+    rows = [
+        (1, d(4), 1, "view"),    # cohort w0
+        (2, d(5), 2, "view"),    # cohort w0
+        (3, d(12), 1, "click"),  # u1 back in w1
+        (4, d(19), 1, "view"),   # u1 back in w2
+        (5, d(13), 3, "view"),   # cohort w1
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {
+        (r["cohort_week"], r["week_offset"]): r
+        for r in cohort_retention(ev).collect()
+    }
+    c0 = "2024-03-04"
+    assert out[(c0, 0)]["n_users"] == 2 and out[(c0, 0)]["cohort_size"] == 2
+    assert out[(c0, 1)]["n_users"] == 1 and out[(c0, 1)]["retention"] == 0.5
+    assert out[(c0, 2)]["n_users"] == 1
+    assert out[("2024-03-11", 0)]["cohort_size"] == 1
+    assert len(out) == 4
+
+
+def test_top_paths_order_and_cap(spark):
+    """Paths take the FIRST max_events in (ts, id) order; counts rank
+    descending with path tie-break; events past the cap are ignored."""
+    import datetime as dt
+
+    from flink_kmeans_clustering_spark.operators.events import top_paths
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m)
+    rows = []
+    eid = 0
+    for u, seq in [(1, "ABC"), (2, "ABC"), (3, "AB"), (4, "CBA")]:
+        for i, c in enumerate(seq):
+            rows.append((eid, t(i), u, c)); eid += 1
+    # user 5: 4 events but cap=3 -> only first three in the path
+    for i, c in enumerate("ABCD"):
+        rows.append((eid, t(i), 5, c)); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = [(r["path"], r["n_users"]) for r in top_paths(ev, max_events=3).collect()]
+    assert got[0] == ("A>B>C", 3)  # users 1, 2, 5 (capped)
+    assert set(got[1:]) == {("A>B", 1), ("C>B>A", 1)}
+
+
+def test_langid_confusion_zero_join(spark):
+    """Declared label rides the detection scan (no join in the plan);
+    cells sum to the corpus size."""
+    from flink_kmeans_clustering_spark.operators.textstats import (
+        langid_confusion,
+    )
+    from flink_kmeans_clustering_spark.plans import explain_str
+
+    docs = spark.createDataFrame(
+        [
+            (0, "en", "the quick fox and the dog"),
+            (1, "de", "der und die das ist ein"),
+            (2, "en", "zzz qqq xxx"),  # no stopword hits -> 'und'
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = langid_confusion(docs)
+    assert "Join" not in explain_str(out)
+    cells = {(r["declared_lang"], r["pred_lang"]): r for r in out.collect()}
+    assert cells[("en", "en")]["n_docs"] == 1
+    assert cells[("en", "en")]["is_match"] is True
+    assert cells[("de", "de")]["n_docs"] == 1
+    assert cells[("en", "und")]["is_match"] is False
+    assert sum(r["n_docs"] for r in cells.values()) == 3

@@ -555,3 +555,62 @@ def test_group_aware_split_no_leakage(spark):
     )
     expect = "test" if b5["b"] < 2 else ("val" if b5["b"] < 4 else "train")
     assert out[70]["split"] == expect
+
+
+def test_token_budget_monotone_in_budget(spark):
+    """A larger budget never keeps fewer docs or tokens, and the kept
+    set grows monotonically (same lottery order, higher cutoff)."""
+    from flink_kmeans_clustering_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    rows = [
+        (i, f"s{i % 3}", " ".join(["tok"] * (3 + i % 7))) for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    prev = None
+    for budget in (5, 20, 60, 10_000):
+        got = {
+            r["source"]: (r["n_kept"], r["tokens_kept"], r["kept_id_sum"])
+            for r in token_budget_sample(docs, budget=budget).collect()
+        }
+        if prev is not None:
+            for s in got:
+                assert got[s][0] >= prev[s][0]
+                assert got[s][1] >= prev[s][1]
+        prev = got
+    # unbounded budget keeps everything
+    total = {
+        r["source"]: r["tokens_total"]
+        for r in token_budget_sample(docs, budget=10_000).collect()
+    }
+    assert all(prev[s][1] == total[s] for s in total)
+
+
+def test_group_split_shrink_property(spark):
+    """Shrinking test/val buckets yields SUBSET splits (the same
+    prefix property the per-doc split guarantees) — groups never jump
+    between train and a shrunken eval split."""
+    from flink_kmeans_clustering_spark.operators.sampling import (
+        group_aware_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text-{i % 40}") for i in range(120)],
+        "doc_id long, text string",
+    )
+    wide = {
+        r["doc_id"]: r["split"]
+        for r in group_aware_split(docs, val_buckets=4, test_buckets=4).collect()
+    }
+    narrow = {
+        r["doc_id"]: r["split"]
+        for r in group_aware_split(docs, val_buckets=2, test_buckets=2).collect()
+    }
+    n_test = {i for i, s in narrow.items() if s == "test"}
+    w_test = {i for i, s in wide.items() if s == "test"}
+    assert n_test <= w_test
+    # train in the wide layout stays train in the narrow one
+    for i, s in wide.items():
+        if s == "train":
+            assert narrow[i] == "train"
