@@ -2327,6 +2327,22 @@ def q_sample_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_aware_split(docs).select("doc_id", "group_root", "split")
 
 
+EPOCH_MULTIPLIERS = {"src0": 2.5, "src1": 0.25}
+
+
+def q_sample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional epoch up/down-sampling (repeat src0 2.5x, quarter
+    src1, pass the rest through): literal integer arithmetic
+    driver-side, a narrow explode(sequence) Generate with ZERO
+    shuffle for the expansion, one tiny per-epoch census aggregate."""
+    from flink_kmeans_clustering_spark.operators.sampling import (
+        epoch_upsample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return epoch_upsample(docs, EPOCH_MULTIPLIERS)
+
+
 def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget-capped domain mixing — fill each source to its
     token budget (not a doc count: docs vary 100× in length) in
@@ -2829,20 +2845,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     records the first 50 entries only.  Round 6 rotates the window
     onto the STALE TAIL (VERDICT r05 item 1): the r01/r02 events/json/
     window families, udaf/multimodal/sink-orc, most of the r01 q_rel_*
-    family — plus the SEVENTEEN queries new this round (q_events_rfm,
+    family — plus the EIGHTEEN queries new this round (q_events_rfm,
     q_dedup_incremental, q_dedup_url, q_ann_recall, q_dedup_spans,
     q_sample_token_budget, q_ann_negatives, q_text_datacard,
     q_events_markov, q_dedup_threshold_hist) and the two whose oracle
     text changed (mlquality NULL-text coalesce, expectations
-    empty-drop coalesce).  Fitting the 17 new queries displaced 13 of
+    empty-drop coalesce).  Fitting the 18 new queries displaced 14 of
     the stale-tail set to the rest-tail HEAD, re-queued for r07:
     q_rel_setops/custdist/promo/brandrev/tradevolume/returns/topparts/
-    idle_rich/late_orders/anti_parts/forecast/topsupplier/profit —
-    chosen
+    idle_rich/late_orders/anti_parts/forecast/topsupplier/profit/
+    bigorders — chosen
     because relational.py is the least-touched operator file since
     their r01 green rows (events.py, by contrast, changed this
     round).  With this window, cumulative driver coverage reaches
-    190/190.
+    191/191.
     """
     return {
         "q_events_rfm": q_events_rfm,
@@ -2864,6 +2880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_cohorts": q_events_cohorts,
         "q_events_paths": q_events_paths,
         "q_text_langid_eval": q_text_langid_eval,
+        "q_sample_epochs": q_sample_epochs,
         "q_dedup_cc": q_dedup_cc,
         "q_dedup_embedding": q_dedup_embedding,
         "q_update": q_update,
@@ -2875,7 +2892,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_gemm": q_dedup_gemm,
         "q_rel_shipping": q_rel_shipping,
         "q_rel_local_supplier": q_rel_local_supplier,
-        "q_rel_bigorders": q_rel_bigorders,
         "q_rel_mktshare": q_rel_mktshare,
         "q_window_ranks": q_window_ranks,
         "q_window_daydelta": q_window_daydelta,
@@ -2897,6 +2913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_session_native": q_events_session_native,
         # --- below: outside the driver's 50-row window this round;
         # all driver-green in rounds 1-5 ---
+        "q_rel_bigorders": q_rel_bigorders,
         "q_rel_forecast": q_rel_forecast,
         "q_rel_topsupplier": q_rel_topsupplier,
         "q_rel_profit": q_rel_profit,
@@ -4978,6 +4995,33 @@ SELECT doc_id, group_root,
             ELSE 'train' END AS split
 FROM b
 """
+    _ep_full = " ".join(
+        f"WHEN source = '{s}' THEN {int(EPOCH_MULTIPLIERS[s])}"
+        for s in sorted(EPOCH_MULTIPLIERS)
+    )
+    _ep_keep = " ".join(
+        f"WHEN source = '{s}' THEN "
+        f"{int(EPOCH_MULTIPLIERS[s] * 256) - int(EPOCH_MULTIPLIERS[s]) * 256}"
+        for s in sorted(EPOCH_MULTIPLIERS)
+    )
+    sample_epochs_sql = f"""
+WITH d AS (
+  SELECT source, doc_id,
+         (CASE {_ep_full} ELSE 1 END)
+         + (CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                              1, 2)) AS BIGINT) % 256
+                      < (CASE {_ep_keep} ELSE 0 END)
+                 THEN 1 ELSE 0 END) AS n
+  FROM documents
+),
+e AS (
+  SELECT source, doc_id, CAST(unnest(range(n)) AS INT) AS epoch
+  FROM d WHERE n > 0
+)
+SELECT source, epoch, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM e GROUP BY source, epoch
+"""
     # q_sample_token_budget: same lottery order, exclusive running sum,
     # crossing-doc-taken rule, per-source budget CASE
     _tb_over = " ".join(
@@ -6563,6 +6607,7 @@ SELECT event_type, event_id, ROUND(value, 6) AS value FROM (
         "q_sample_domain_cap": sample_domain_cap_sql,
         "q_sample_token_budget": sample_token_budget_sql,
         "q_sample_group_split": sample_group_split_sql,
+        "q_sample_epochs": sample_epochs_sql,
         "q_text_datacard": text_datacard_sql,
         "q_text_lm_bigram": text_lm_bigram_sql,
         "q_multimodal_audio": multimodal_audio_sql,

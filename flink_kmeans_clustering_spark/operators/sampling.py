@@ -646,3 +646,57 @@ def group_aware_split(
             .otherwise(F.lit("train")),
         )
     )
+
+
+def epoch_upsample(
+    df: DataFrame,
+    multipliers: dict[str, float],
+    default: float = 1.0,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    buckets: int = 256,
+) -> DataFrame:
+    """Fractional epoch up/down-sampling — the "repeat the small
+    high-quality domain 2.5×, quarter the web crawl" recipe of LLM
+    data mixing (cf. the epoch columns in LLaMA/Gopher data tables):
+    every document in stratum s appears ``floor(m_s)`` times, plus one
+    more for the deterministic ``frac(m_s)`` hash-share of documents.
+
+    All arithmetic happens driver-side on the LITERAL multipliers
+    (``keep_s = int(m_s·buckets) − floor(m_s)·buckets`` — exact
+    integers, nothing float crosses engines); the row expansion is a
+    narrow ``explode(sequence(...))`` — a Generate, ZERO shuffle — so
+    at 100 TB the upsample streams through the scan.  m_s < 1 is a
+    plain downsample (zero full epochs, fractional share only),
+    m_s = 0 drops the stratum.
+
+    Output: (source, epoch, n_docs, id_sum) — the per-epoch census
+    with an id-sum checksum of WHICH docs repeat (one tiny aggregate
+    over the expanded stream).
+    """
+    plan: dict[str, tuple[int, int]] = {}
+    for s in sorted(multipliers):
+        m = multipliers[s]
+        if m < 0:
+            raise ValueError(f"negative multiplier for {s!r}")
+        full = int(m)
+        plan[s] = (full, int(m * buckets) - full * buckets)
+    dfull = int(default)
+    dkeep = int(default * buckets) - dfull * buckets
+    full_c, keep_c = F.lit(dfull), F.lit(dkeep)
+    for s, (fs, ks) in plan.items():
+        cond = F.col(strata_col) == s
+        full_c = F.when(cond, F.lit(fs)).otherwise(full_c)
+        keep_c = F.when(cond, F.lit(ks)).otherwise(keep_c)
+    b = hash_bucket(F.col(id_col).cast("string"), 256)
+    n = (full_c + (b < keep_c).cast("int")).alias("_n")
+    seq = F.when(
+        F.col("_n") > 0, F.sequence(F.lit(0), F.col("_n") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    expanded = df.select(F.col(strata_col).alias("source"), F.col(id_col), n).select(
+        "source", id_col, F.explode(seq).alias("epoch")
+    )
+    return expanded.groupBy("source", "epoch").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(id_col).alias("id_sum"),
+    )

@@ -614,3 +614,49 @@ def test_group_split_shrink_property(spark):
     for i, s in wide.items():
         if s == "train":
             assert narrow[i] == "train"
+
+
+def test_epoch_upsample_semantics(spark):
+    """m=2.5 -> every doc twice plus the deterministic half-share a
+    third time; m=0.25 -> quarter-share once; default 1.0 passthrough;
+    m=0 drops the stratum entirely."""
+    import hashlib
+
+    from flink_kmeans_clustering_spark.operators.sampling import (
+        epoch_upsample,
+    )
+
+    rows = [(i, f"s{i % 4}") for i in range(80)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = epoch_upsample(
+        docs, {"s0": 2.5, "s1": 0.25, "s3": 0.0}
+    ).collect()
+    got = {(r["source"], r["epoch"]): (r["n_docs"], r["id_sum"]) for r in out}
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:2], 16) % 256
+
+    s0 = [i for i, s in rows if s == "s0"]
+    s0_extra = [i for i in s0 if bucket(i) < 128]
+    assert got[("s0", 0)] == (20, sum(s0))
+    assert got[("s0", 1)] == (20, sum(s0))
+    assert got[("s0", 2)] == (len(s0_extra), sum(s0_extra))
+    s1 = [i for i, s in rows if s == "s1"]
+    s1_keep = [i for i in s1 if bucket(i) < 64]
+    assert got[("s1", 0)] == (len(s1_keep), sum(s1_keep))
+    s2 = [i for i, s in rows if s == "s2"]
+    assert got[("s2", 0)] == (20, sum(s2))
+    assert not any(s == "s3" for s, _ in got)
+    assert set(e for _, e in got) <= {0, 1, 2}
+
+
+def test_epoch_upsample_is_shuffle_free_expansion(spark):
+    """The row expansion itself is a narrow Generate — the only
+    exchange is the final census aggregate."""
+    from flink_kmeans_clustering_spark.operators.sampling import (
+        epoch_upsample,
+    )
+    from flink_kmeans_clustering_spark.plans import assert_max_shuffles
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    assert_max_shuffles(epoch_upsample(docs, {"src0": 2.5}), 1)
