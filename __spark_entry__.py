@@ -1552,6 +1552,44 @@ def q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming last-touch attribution twin: per-key single-tuple
+    state (latest click), conversions emit the moment they arrive
+    (append mode), vectorized in-batch forward-fill seeded from the
+    carried state — exact under per-key in-order delivery.  Shares the
+    BATCH attribution oracle verbatim: the streamed emissions equal
+    the batch window result."""
+    from flink_kmeans_clustering_spark.streaming.stateful import (
+        attribution_state,
+    )
+
+    ev = stream_events(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+    out = run_available_now(
+        attribution_state(ev), output_mode="append", state_partitions=8
+    )
+    secs = F.expr("conv_ts_us DIV 1000000") - F.expr(
+        "touch_ts_us DIV 1000000"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format(F.timestamp_micros("conv_ts_us"), "yyyy-MM-dd HH:mm:ss")
+          .alias("conv_ts"),
+        "touch_event_id",
+        F.date_format(F.timestamp_micros("touch_ts_us"), "yyyy-MM-dd HH:mm:ss")
+          .alias("touch_ts"),
+        secs.cast("long").alias("secs_since_touch"),
+        (F.col("touch_ts_us").isNotNull() & (secs <= 1800)).alias(
+            "attributed"
+        ),
+    )
+
+
 def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join: purchases ⋈ same-user views within
     the preceding hour, watermark-bounded state on both sides.  The
@@ -2845,20 +2883,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     records the first 50 entries only.  Round 6 rotates the window
     onto the STALE TAIL (VERDICT r05 item 1): the r01/r02 events/json/
     window families, udaf/multimodal/sink-orc, most of the r01 q_rel_*
-    family — plus the EIGHTEEN queries new this round (q_events_rfm,
+    family — plus the NINETEEN queries new this round (q_events_rfm,
     q_dedup_incremental, q_dedup_url, q_ann_recall, q_dedup_spans,
     q_sample_token_budget, q_ann_negatives, q_text_datacard,
     q_events_markov, q_dedup_threshold_hist) and the two whose oracle
     text changed (mlquality NULL-text coalesce, expectations
-    empty-drop coalesce).  Fitting the 18 new queries displaced 14 of
+    empty-drop coalesce).  Fitting the 19 new queries displaced 15 of
     the stale-tail set to the rest-tail HEAD, re-queued for r07:
     q_rel_setops/custdist/promo/brandrev/tradevolume/returns/topparts/
     idle_rich/late_orders/anti_parts/forecast/topsupplier/profit/
-    bigorders — chosen
+    bigorders/mktshare — chosen
     because relational.py is the least-touched operator file since
     their r01 green rows (events.py, by contrast, changed this
     round).  With this window, cumulative driver coverage reaches
-    191/191.
+    192/192.
     """
     return {
         "q_events_rfm": q_events_rfm,
@@ -2881,6 +2919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_paths": q_events_paths,
         "q_text_langid_eval": q_text_langid_eval,
         "q_sample_epochs": q_sample_epochs,
+        "q_stream_attribution": q_stream_attribution,
         "q_dedup_cc": q_dedup_cc,
         "q_dedup_embedding": q_dedup_embedding,
         "q_update": q_update,
@@ -2892,7 +2931,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_gemm": q_dedup_gemm,
         "q_rel_shipping": q_rel_shipping,
         "q_rel_local_supplier": q_rel_local_supplier,
-        "q_rel_mktshare": q_rel_mktshare,
         "q_window_ranks": q_window_ranks,
         "q_window_daydelta": q_window_daydelta,
         "q_window_dist": q_window_dist,
@@ -2913,6 +2951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_session_native": q_events_session_native,
         # --- below: outside the driver's 50-row window this round;
         # all driver-green in rounds 1-5 ---
+        "q_rel_mktshare": q_rel_mktshare,
         "q_rel_bigorders": q_rel_bigorders,
         "q_rel_forecast": q_rel_forecast,
         "q_rel_topsupplier": q_rel_topsupplier,
@@ -6910,6 +6949,7 @@ GROUP BY event_type
         "q_events_markov": events_markov_sql,
         "q_events_cooccur": events_cooccur_sql,
         "q_events_attribution": events_attribution_sql,
+        "q_stream_attribution": events_attribution_sql,
         "q_events_cohorts": events_cohorts_sql,
         "q_events_paths": events_paths_sql,
         "q_text_langid_eval": text_langid_eval_sql,

@@ -247,3 +247,88 @@ def cdc_latest_state(stream: DataFrame, key_col: str = "user_id") -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def attribution_state(
+    stream: DataFrame,
+    convert_type: str = "purchase",
+    touch_type: str = "click",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Streaming last-touch attribution — the stream twin of
+    ``operators.events.last_touch_attribution``: per-key state is ONE
+    (ts, id) tuple (the latest touch seen), each conversion emits an
+    attribution row the moment it arrives.
+
+    Within a micro-batch the rows sort by (ts_us, event_id) and the
+    latest-strictly-prior touch resolves by a vectorized forward-fill
+    seeded from the carried state — no per-row Python loop.  Across
+    batches the carried touch seeds the next batch, which is exact
+    under per-key in-order delivery (the per-user Kafka-partition
+    contract this operator targets); out-of-order input would need the
+    watermark-buffered variant (hold conversions until the watermark
+    passes them), same trade ``sessionize_stream`` documents.
+
+    Expects (key, ts_us long, event_id long, event_type string).
+    Emits (key, event_id, conv_ts_us, touch_event_id, touch_ts_us) per
+    conversion, append mode; touch columns are null when no touch
+    preceded.
+    """
+    import numpy as np
+
+    def fold(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            lts, lid = state.get
+        else:
+            lts, lid = (-1, -1)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(["ts_us", "event_id"])
+            ts = pdf["ts_us"].to_numpy()
+            eid = pdf["event_id"].to_numpy()
+            is_touch = (pdf["event_type"] == touch_type).to_numpy()
+            ct = pd.Series(np.where(is_touch, ts, np.nan)).ffill().to_numpy()
+            ci = pd.Series(np.where(is_touch, eid, np.nan)).ffill().to_numpy()
+            # rows before the first in-batch touch inherit carried state
+            if lts >= 0:
+                ct = np.where(np.isnan(ct), float(lts), ct)
+                ci = np.where(np.isnan(ci), float(lid), ci)
+            conv = (pdf["event_type"] == convert_type).to_numpy()
+            if conv.any():
+                yield pd.DataFrame(
+                    {
+                        key_col: pd.array(
+                            [key[0]] * int(conv.sum()), dtype="Int64"
+                        ),
+                        "event_id": pd.array(eid[conv], dtype="Int64"),
+                        "conv_ts_us": pd.array(ts[conv], dtype="Int64"),
+                        "touch_event_id": pd.array(
+                            [None if np.isnan(v) else int(v) for v in ci[conv]],
+                            dtype="Int64",
+                        ),
+                        "touch_ts_us": pd.array(
+                            [None if np.isnan(v) else int(v) for v in ct[conv]],
+                            dtype="Int64",
+                        ),
+                    }
+                )
+            if is_touch.any():
+                lts = int(ts[is_touch][-1])
+                lid = int(eid[is_touch][-1])
+        state.update((lts, lid))
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        fold,
+        outputStructType=(
+            f"{key_col} bigint, event_id bigint, conv_ts_us bigint, "
+            "touch_event_id bigint, touch_ts_us bigint"
+        ),
+        stateStructType="ts_us bigint, seq bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

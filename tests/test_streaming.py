@@ -677,3 +677,50 @@ def test_stream_cdc_equals_batch_apply(spark):
         for r in cdc_apply(load_events(spark, sf)).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_attribution_state_carries_across_batches(spark, tmp_path):
+    """The carried (latest-click) state seeds the NEXT micro-batch: a
+    purchase arriving in batch 2 attributes to a click from batch 1;
+    a batch-2 purchase before any click ever, on another user, stays
+    unattributed."""
+    import time as _time
+
+    from flink_kmeans_clustering_spark.streaming.run import run_available_now
+    from flink_kmeans_clustering_spark.streaming.stateful import (
+        attribution_state,
+    )
+
+    d = str(tmp_path / "ev")
+    schema = "user_id long, ts_us long, event_id long, event_type string"
+    us = 1_000_000
+    b1 = spark.createDataFrame(
+        [(1, 100 * us, 1, "click"), (1, 200 * us, 2, "view")], schema
+    )
+    b2 = spark.createDataFrame(
+        [
+            (1, 300 * us, 3, "purchase"),  # click 1 carried from batch 1
+            (2, 300 * us, 4, "purchase"),  # user 2 never clicked
+            (1, 400 * us, 5, "click"),
+            (1, 500 * us, 6, "purchase"),  # in-batch click 5 wins
+        ],
+        schema,
+    )
+    b1.coalesce(1).write.parquet(d + "/f0")
+    _time.sleep(1.1)  # file-source batch order follows mtime
+    b2.coalesce(1).write.parquet(d + "/f1")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    out = {
+        r["event_id"]: r
+        for r in run_available_now(
+            attribution_state(stream), output_mode="append"
+        ).collect()
+    }
+    assert set(out) == {3, 4, 6}
+    assert out[3]["touch_event_id"] == 1 and out[3]["touch_ts_us"] == 100 * us
+    assert out[4]["touch_event_id"] is None
+    assert out[6]["touch_event_id"] == 5
