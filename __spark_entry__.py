@@ -2153,6 +2153,18 @@ def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embed_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-corpus health gate (the QA pass before index builds):
+    NULL / wrong-width / zero-norm counts + norm profile, ONE
+    single-pass conditional aggregate, zero joins, 1-row exchange."""
+    from flink_kmeans_clustering_spark.operators.linalg import (
+        embedding_health,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_health(emb, EMBEDDING_DIM)
+
+
 def q_embed_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed XᵀX: upper-triangle Gram + sample covariance of the
     embedding corpus in ONE pass (per-partition Arrow-batch GEMM →
@@ -2883,20 +2895,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     records the first 50 entries only.  Round 6 rotates the window
     onto the STALE TAIL (VERDICT r05 item 1): the r01/r02 events/json/
     window families, udaf/multimodal/sink-orc, most of the r01 q_rel_*
-    family — plus the NINETEEN queries new this round (q_events_rfm,
+    family — plus the TWENTY queries new this round (q_events_rfm,
     q_dedup_incremental, q_dedup_url, q_ann_recall, q_dedup_spans,
     q_sample_token_budget, q_ann_negatives, q_text_datacard,
     q_events_markov, q_dedup_threshold_hist) and the two whose oracle
     text changed (mlquality NULL-text coalesce, expectations
-    empty-drop coalesce).  Fitting the 19 new queries displaced 15 of
+    empty-drop coalesce).  Fitting the 20 new queries displaced 16 of
     the stale-tail set to the rest-tail HEAD, re-queued for r07:
     q_rel_setops/custdist/promo/brandrev/tradevolume/returns/topparts/
     idle_rich/late_orders/anti_parts/forecast/topsupplier/profit/
-    bigorders/mktshare — chosen
+    bigorders/mktshare/local_supplier — chosen
     because relational.py is the least-touched operator file since
     their r01 green rows (events.py, by contrast, changed this
     round).  With this window, cumulative driver coverage reaches
-    192/192.
+    193/193.
     """
     return {
         "q_events_rfm": q_events_rfm,
@@ -2920,6 +2932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_langid_eval": q_text_langid_eval,
         "q_sample_epochs": q_sample_epochs,
         "q_stream_attribution": q_stream_attribution,
+        "q_embed_health": q_embed_health,
         "q_dedup_cc": q_dedup_cc,
         "q_dedup_embedding": q_dedup_embedding,
         "q_update": q_update,
@@ -2930,7 +2943,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_ngram_exact": q_dedup_ngram_exact,
         "q_dedup_gemm": q_dedup_gemm,
         "q_rel_shipping": q_rel_shipping,
-        "q_rel_local_supplier": q_rel_local_supplier,
         "q_window_ranks": q_window_ranks,
         "q_window_daydelta": q_window_daydelta,
         "q_window_dist": q_window_dist,
@@ -2951,6 +2963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_session_native": q_events_session_native,
         # --- below: outside the driver's 50-row window this round;
         # all driver-green in rounds 1-5 ---
+        "q_rel_local_supplier": q_rel_local_supplier,
         "q_rel_mktshare": q_rel_mktshare,
         "q_rel_bigorders": q_rel_bigorders,
         "q_rel_forecast": q_rel_forecast,
@@ -6352,6 +6365,24 @@ SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rnk FROM (
   FROM scored WHERE cosine IS NOT NULL
 ) WHERE rnk <= {KNN_K}
 """
+    embed_health_sql = f"""
+WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (
+  SELECT v, CASE WHEN v IS NOT NULL AND len(v) = {EMBEDDING_DIM}
+                 THEN sqrt(list_sum(list_transform(v, x -> x*x))) END AS nrm
+  FROM e
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_vec,
+       CAST(SUM(CASE WHEN v IS NOT NULL AND len(v) <> {EMBEDDING_DIM}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong_dim,
+       CAST(SUM(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zero_norm,
+       MIN(nrm) AS min_norm, MAX(nrm) AS max_norm,
+       ROUND(AVG(nrm), 6) AS mean_norm
+FROM s
+"""
     # q_ann_negatives: knn oracle over the WHOLE corpus, band cut
     ann_negatives_sql = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -6638,6 +6669,7 @@ SELECT event_type, event_id, ROUND(value, 6) AS value FROM (
         "q_knn_join": knn_join_sql,
         "q_ann_negatives": ann_negatives_sql,
         "q_ann_filtered": ann_filtered_sql,
+        "q_embed_health": embed_health_sql,
         "q_embed_cov": embed_cov_sql,
         "q_embed_drift": embed_drift_sql,
         "q_ann_hamming": ann_hamming_sql,

@@ -452,3 +452,42 @@ def embedding_outliers(
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )
+
+
+def embedding_health(
+    df: DataFrame,
+    expected_dim: int,
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-corpus health gate — the QA pass a pipeline runs
+    BEFORE spending a cluster on index builds or pair generation:
+    count the pathologies that silently poison similarity search
+    (NULL vectors, wrong widths, zero norms) and profile the norm
+    distribution (un-normalized corpora break cosine shortcuts).
+
+    One single-pass conditional aggregate over the scan — zero
+    joins, one 1-row exchange.  Norms fold index-ordered (the shared
+    ``l2_norm``) so min/max are exact cross-engine; the mean rounds
+    after the order-dependent sum (norms are O(1), so 6 decimals
+    absorbs summation-order ulps).
+
+    Output: one row — (n_vecs, n_null_vec, n_wrong_dim, n_zero_norm,
+    min_norm, max_norm, mean_norm).
+    """
+    from flink_kmeans_clustering_spark.functions.vector import l2_norm
+
+    v = F.col(vec_col).cast("array<double>")
+    ok = v.isNotNull() & (F.size(v) == expected_dim)
+    nrm = F.when(ok, l2_norm(v))
+    return df.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(v.isNull().cast("long")).alias("n_null_vec"),
+        F.sum((v.isNotNull() & (F.size(v) != expected_dim)).cast("long")).alias(
+            "n_wrong_dim"
+        ),
+        F.sum((ok & (l2_norm(v) == 0.0)).cast("long")).alias("n_zero_norm"),
+        F.min(nrm).alias("min_norm"),
+        F.max(nrm).alias("max_norm"),
+        F.round(F.avg(nrm), round_to).alias("mean_norm"),
+    )

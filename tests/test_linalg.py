@@ -293,3 +293,25 @@ def test_embedding_outliers_excludes_wrong_width(spark):
     )
     ids = {r["vec_id"] for r in embedding_outliers(df, dim=2, k=10).collect()}
     assert ids == {0, 2}
+
+
+def test_embedding_health_pathologies(spark):
+    """NULL vectors, wrong widths, and zero norms are counted
+    separately and excluded from the norm profile."""
+    from flink_kmeans_clustering_spark.operators.linalg import (
+        embedding_health,
+    )
+
+    rows = [
+        (0, [3.0, 4.0]),        # norm 5
+        (1, [0.0, 1.0]),        # norm 1
+        (2, None),              # null
+        (3, [1.0]),             # wrong dim
+        (4, [0.0, 0.0]),        # zero norm
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    [r] = embedding_health(df, expected_dim=2).collect()
+    assert r["n_vecs"] == 5 and r["n_null_vec"] == 1
+    assert r["n_wrong_dim"] == 1 and r["n_zero_norm"] == 1
+    assert r["min_norm"] == 0.0 and r["max_norm"] == 5.0
+    assert r["mean_norm"] == 2.0  # (5 + 1 + 0) / 3 valid-width vectors
