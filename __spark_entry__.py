@@ -1590,6 +1590,117 @@ def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_OOO_STAGE_CACHE: dict[str, str] = {}
+_OOO_DELAY_DAYS = 31  # > the 30-day testdata span: zero on-time drops
+
+
+def _ooo_staged_events(sf_dir: str) -> str:
+    """Stage events as two event-id-parity files + a sentinel file.
+
+    Replayed with ``maxFilesPerTrigger=1`` the halves interleave in
+    event time, so delivery across micro-batches is genuinely OUT of
+    order — the input shape ``attribution_state_ooo`` exists for.  The
+    third file is a single far-future sentinel row whose watermark
+    (sentinel ts − delay > real max ts) flushes every buffered
+    conversion before the bounded drain ends.  File mtimes are set
+    explicitly — the file source replays by mtime.  Driver-side pyarrow
+    staging is test-harness plumbing (a real deployment already HAS an
+    out-of-order topic); cached per sf_dir per process.
+    """
+    if sf_dir not in _OOO_STAGE_CACHE:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        import time as _time
+
+        cols = ["event_id", "ts", "user_id", "event_type"]
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "events.parquet"), columns=cols
+        ).select(cols)
+        ts_type = tbl.schema.field("ts").type
+        if pa.types.is_integer(ts_type):  # nanos-long generation
+            max_us = pc.max(tbl["ts"]).as_py() // 1000
+            adv = (max_us + (_OOO_DELAY_DAYS * 24 * 60 + 60) * 60_000_000) * 1000
+            sent_ts = pa.array([adv], ts_type)
+        else:
+            max_us = pc.max(tbl["ts"]).cast(pa.int64()).as_py()
+            adv = max_us + (_OOO_DELAY_DAYS * 24 * 60 + 60) * 60_000_000
+            sent_ts = pa.array([adv], pa.int64()).cast(ts_type)
+        sentinel = pa.table(
+            {
+                "event_id": pa.array([-1], pa.int64()),
+                "ts": sent_ts,
+                "user_id": pa.array([-1], pa.int64()),
+                "event_type": pa.array(["sentinel"], pa.string()),
+            }
+        )
+        d = scratch_dir("ooo_events_")
+        now = _time.time()
+        parts = [
+            tbl.filter(pc.equal(pc.bit_wise_and(tbl["event_id"], 1), i))
+            for i in (0, 1)
+        ] + [sentinel]
+        for i, part in enumerate(parts):
+            path = os.path.join(d, f"part-{i}.parquet")
+            pq.write_table(part, path)
+            os.utime(path, (now - 20 + 10 * i, now - 20 + 10 * i))
+        _OOO_STAGE_CACHE[sf_dir] = d
+    return _OOO_STAGE_CACHE[sf_dir]
+
+
+def q_stream_attribution_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUT-OF-ORDER streaming attribution (VERDICT r06 item 4): the
+    watermark-buffered twin of q_stream_attribution.  Conversions are
+    held in per-key state until the watermark passes their event time,
+    then resolved against the complete touch history — exact under
+    arbitrary cross-batch reordering within the 31-day delay, where the
+    in-order variant provably mis-attributes (fixture in
+    tests/test_streaming.py).  Delivery here is genuinely shuffled: the
+    events table is replayed as two event-id-parity files one
+    micro-batch apart, so each batch interleaves the full time range.
+    Shares the batch attribution oracle verbatim."""
+    from flink_kmeans_clustering_spark.sources.parquet import (
+        normalize_event_ts,
+    )
+    from flink_kmeans_clustering_spark.streaming.stateful import (
+        attribution_state_ooo,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    d = _ooo_staged_events(sf_dir)
+    schema = spark.read.parquet(d).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    ev = normalize_event_ts(raw).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    out = run_available_now(
+        attribution_state_ooo(ev, delay=f"{_OOO_DELAY_DAYS} days"),
+        output_mode="append",
+        state_partitions=8,
+    )
+    secs = F.expr("conv_ts_us DIV 1000000") - F.expr(
+        "touch_ts_us DIV 1000000"
+    )
+    return out.filter(F.col("user_id") >= 0).select(
+        "event_id",
+        "user_id",
+        F.date_format(F.timestamp_micros("conv_ts_us"), "yyyy-MM-dd HH:mm:ss")
+          .alias("conv_ts"),
+        "touch_event_id",
+        F.date_format(F.timestamp_micros("touch_ts_us"), "yyyy-MM-dd HH:mm:ss")
+          .alias("touch_ts"),
+        secs.cast("long").alias("secs_since_touch"),
+        (F.col("touch_ts_us").isNotNull() & (secs <= 1800)).alias(
+            "attributed"
+        ),
+    )
+
+
 def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join: purchases ⋈ same-user views within
     the preceding hour, watermark-bounded state on both sides.  The
@@ -2911,6 +3022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     193/193.
     """
     return {
+        "q_stream_attribution_ooo": q_stream_attribution_ooo,
         "q_events_rfm": q_events_rfm,
         "q_dedup_incremental": q_dedup_incremental,
         "q_dedup_url": q_dedup_url,
@@ -6982,6 +7094,7 @@ GROUP BY event_type
         "q_events_cooccur": events_cooccur_sql,
         "q_events_attribution": events_attribution_sql,
         "q_stream_attribution": events_attribution_sql,
+        "q_stream_attribution_ooo": events_attribution_sql,
         "q_events_cohorts": events_cohorts_sql,
         "q_events_paths": events_paths_sql,
         "q_text_langid_eval": text_langid_eval_sql,

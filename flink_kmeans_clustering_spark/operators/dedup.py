@@ -603,17 +603,20 @@ def connected_components(
     p = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     p = p.localCheckpoint()
     if method == "star":
-        labels, rounds = _cc_star(p, max_iterations)
+        labels, rounds, converged = _cc_star(p, max_iterations)
     elif method == "label_prop":
-        labels, rounds = _cc_label_prop(p, max_iterations)
+        labels, rounds, converged = _cc_label_prop(p, max_iterations)
     else:
         raise ValueError(f"unknown method: {method!r}")
-    if rounds >= max_iterations:
-        # The fixpoint was never CONFIRMED (the confirming round is free
-        # only if the budget allows it) — returning the current labels
-        # would silently split components on a deep graph
-        # (docs/CC_DEPTH.md: a 256-node chain needs 256 label_prop
-        # rounds; the default budget of 50 would stop mid-propagation).
+    if not converged:
+        # The fixpoint was never CONFIRMED (the loop exhausted its budget
+        # without the Σ-label / edge-signature probe going stable) —
+        # returning the current labels would silently split components
+        # on a deep graph (docs/CC_DEPTH.md: a 256-node chain needs 256
+        # label_prop rounds; the default budget of 50 would stop
+        # mid-propagation).  A fixpoint confirmed ON the last budgeted
+        # round counts as converged — rounds == max_iterations alone is
+        # not a failure.
         raise RuntimeError(
             f"connected_components({method!r}) did not converge within "
             f"{max_iterations} rounds — the pair graph is deeper than "
@@ -623,8 +626,10 @@ def connected_components(
     return labels.select(F.col("id").alias(node_col), F.col("comp").alias(comp_col))
 
 
-def _cc_label_prop(p: DataFrame, max_iterations: int) -> tuple[DataFrame, int]:
-    """Min-label propagation; returns (labels(id, comp), rounds run).
+def _cc_label_prop(
+    p: DataFrame, max_iterations: int
+) -> tuple[DataFrame, int, bool]:
+    """Min-label propagation; returns (labels(id, comp), rounds, converged).
 
     Convergence is detected by a *scalar*: labels only ever decrease,
     so Σlabel strictly decreases until fixpoint — one cheap aggregate
@@ -640,6 +645,7 @@ def _cc_label_prop(p: DataFrame, max_iterations: int) -> tuple[DataFrame, int]:
     labels = labels.localCheckpoint()
     prev_sum = None
     rounds = 0
+    converged = False
     for _ in range(max_iterations):
         nbr = (
             edges.join(labels, edges["src"] == labels["id"])
@@ -660,14 +666,17 @@ def _cc_label_prop(p: DataFrame, max_iterations: int) -> tuple[DataFrame, int]:
         row = labels.agg(F.sum("comp").alias("s")).collect()[0]
         cur_sum = row["s"]
         if cur_sum is None or cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
     edges.unpersist()
-    return labels, rounds
+    return labels, rounds, converged
 
 
-def _cc_star(p: DataFrame, max_iterations: int) -> tuple[DataFrame, int]:
-    """Alternating large-star/small-star; returns (labels, rounds).
+def _cc_star(
+    p: DataFrame, max_iterations: int
+) -> tuple[DataFrame, int, bool]:
+    """Alternating large-star/small-star; returns (labels, rounds, converged).
 
     Per round (one round = large-star then small-star, each a
     groupBy-min + join on the node id):
@@ -690,6 +699,7 @@ def _cc_star(p: DataFrame, max_iterations: int) -> tuple[DataFrame, int]:
     ).distinct().localCheckpoint()
     prev_sig = None
     rounds = 0
+    converged = False
     for _ in range(max_iterations):
         # large-star over the undirected view
         bidir = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).union(
@@ -728,6 +738,7 @@ def _cc_star(p: DataFrame, max_iterations: int) -> tuple[DataFrame, int]:
             ).collect()[0]
         )
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
     roots = edges.select(F.col("v").alias("id")).distinct().join(
@@ -748,7 +759,7 @@ def _cc_star(p: DataFrame, max_iterations: int) -> tuple[DataFrame, int]:
         .join(labels.select("id"), "id", "left_anti")
     )
     labels = labels.union(iso.select("id", F.col("id").alias("comp")))
-    return labels, rounds
+    return labels, rounds, converged
 
 
 def embedding_cosine_pairs_gemm(

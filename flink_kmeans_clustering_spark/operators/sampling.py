@@ -688,7 +688,7 @@ def epoch_upsample(
         cond = F.col(strata_col) == s
         full_c = F.when(cond, F.lit(fs)).otherwise(full_c)
         keep_c = F.when(cond, F.lit(ks)).otherwise(keep_c)
-    b = hash_bucket(F.col(id_col).cast("string"), 256)
+    b = hash_bucket(F.col(id_col).cast("string"), buckets)
     n = (full_c + (b < keep_c).cast("int")).alias("_n")
     seq = F.when(
         F.col("_n") > 0, F.sequence(F.lit(0), F.col("_n") - 1)

@@ -29,12 +29,16 @@ from flink_kmeans_clustering_spark.streaming.sources import (
     stream_table,
 )
 from flink_kmeans_clustering_spark.streaming.stateful import (
+    attribution_state,
+    attribution_state_ooo,
     running_user_totals,
     sessionize_stream,
 )
 from flink_kmeans_clustering_spark.streaming.windowed import windowed_event_counts
 
 __all__ = [
+    "attribution_state",
+    "attribution_state_ooo",
     "dedup_stream",
     "flush_sentinel_stream",
     "run_available_now",

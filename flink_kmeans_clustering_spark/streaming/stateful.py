@@ -26,6 +26,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
@@ -260,14 +261,19 @@ def attribution_state(
     (ts, id) tuple (the latest touch seen), each conversion emits an
     attribution row the moment it arrives.
 
-    Within a micro-batch the rows sort by (ts_us, event_id) and the
-    latest-strictly-prior touch resolves by a vectorized forward-fill
-    seeded from the carried state — no per-row Python loop.  Across
-    batches the carried touch seeds the next batch, which is exact
-    under per-key in-order delivery (the per-user Kafka-partition
-    contract this operator targets); out-of-order input would need the
-    watermark-buffered variant (hold conversions until the watermark
-    passes them), same trade ``sessionize_stream`` documents.
+    Within a micro-batch ALL Arrow chunks for the key are concatenated
+    before the single (ts_us, event_id) sort — ``applyInPandasWithState``
+    splits one key's batch into multiple unordered chunks past
+    ``maxRecordsPerBatch``, so chunk-at-a-time processing would miss
+    touches landing in a later chunk (same concat-first discipline as
+    ``sessionize_stream``).  The latest-strictly-prior touch resolves by
+    a vectorized forward-fill seeded from the carried state — no per-row
+    Python loop; touch ids/timestamps stay int64 throughout (sentinel
+    -1, never a NaN-float round-trip that would corrupt ids > 2^53).
+    Across batches the carried touch seeds the next batch, which is
+    exact under per-key in-order delivery (the per-user Kafka-partition
+    contract this operator targets); out-of-order input needs the
+    watermark-buffered variant ``attribution_state_ooo``.
 
     Expects (key, ts_us long, event_id long, event_type string).
     Emits (key, event_id, conv_ts_us, touch_event_id, touch_ts_us) per
@@ -285,19 +291,21 @@ def attribution_state(
             lts, lid = state.get
         else:
             lts, lid = (-1, -1)
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
+        # Concat ALL chunks, then sort ONCE: chunks of one key's batch
+        # arrive unordered, so per-chunk ffill would miss cross-chunk
+        # touches and could regress the carried state to an older touch.
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf) > 0:
             pdf = pdf.sort_values(["ts_us", "event_id"])
-            ts = pdf["ts_us"].to_numpy()
-            eid = pdf["event_id"].to_numpy()
+            ts = pdf["ts_us"].to_numpy(dtype="int64")
+            eid = pdf["event_id"].to_numpy(dtype="int64")
             is_touch = (pdf["event_type"] == touch_type).to_numpy()
-            ct = pd.Series(np.where(is_touch, ts, np.nan)).ffill().to_numpy()
-            ci = pd.Series(np.where(is_touch, eid, np.nan)).ffill().to_numpy()
-            # rows before the first in-batch touch inherit carried state
-            if lts >= 0:
-                ct = np.where(np.isnan(ct), float(lts), ct)
-                ci = np.where(np.isnan(ci), float(lid), ci)
+            # int64 forward-fill with -1 sentinel (no float64 round-trip:
+            # ids above 2^53 stay exact)
+            idx = np.where(is_touch, np.arange(len(ts)), -1)
+            np.maximum.accumulate(idx, out=idx)
+            ct = np.where(idx >= 0, ts[np.maximum(idx, 0)], lts)
+            ci = np.where(idx >= 0, eid[np.maximum(idx, 0)], lid)
             conv = (pdf["event_type"] == convert_type).to_numpy()
             if conv.any():
                 yield pd.DataFrame(
@@ -308,11 +316,11 @@ def attribution_state(
                         "event_id": pd.array(eid[conv], dtype="Int64"),
                         "conv_ts_us": pd.array(ts[conv], dtype="Int64"),
                         "touch_event_id": pd.array(
-                            [None if np.isnan(v) else int(v) for v in ci[conv]],
+                            [None if v < 0 else int(v) for v in ci[conv]],
                             dtype="Int64",
                         ),
                         "touch_ts_us": pd.array(
-                            [None if np.isnan(v) else int(v) for v in ct[conv]],
+                            [None if v < 0 else int(v) for v in ct[conv]],
                             dtype="Int64",
                         ),
                     }
@@ -331,4 +339,160 @@ def attribution_state(
         stateStructType="ts_us bigint, seq bigint",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def attribution_state_ooo(
+    stream: DataFrame,
+    delay: str = "31 days",
+    convert_type: str = "purchase",
+    touch_type: str = "click",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Watermark-buffered last-touch attribution for OUT-OF-ORDER input.
+
+    ``attribution_state`` is exact only under per-key in-order delivery:
+    it resolves each conversion the moment it arrives, so a touch whose
+    event time PRECEDES an already-emitted conversion but which arrives
+    in a later micro-batch is silently missed.  This variant makes the
+    classic watermark trade instead — hold every conversion in state
+    until the watermark passes its event time (at which point no
+    earlier-timestamped touch can still arrive: rows at/below the
+    watermark are filtered at arrival — Spark leaves late-row handling
+    to the user function in flatMapGroupsWithState, fixture-pinned),
+    then resolve it against the COMPLETE touch history and emit.
+    Exactness for rows within ``delay`` of the stream head; rows later
+    than that are dropped (the DROP side is fixture-pinned in tests).
+
+    Per-key state is a bounded buffer of the not-yet-mature touches and
+    conversions (everything newer than the watermark — size is
+    O(events within the watermark horizon), the same bound every
+    watermarked stream-stream join carries) plus the single carried
+    latest mature touch; mature touches compact into that one tuple as
+    the watermark advances, so state never grows with total history.
+    An ``EventTimeTimeout`` re-arms at the oldest pending conversion so
+    buffered conversions drain even when the key receives no further
+    events (flush via ``flush_sentinel_stream`` on bounded drains).
+
+    Expects (key, ts timestamp, event_id long, event_type string); the
+    watermark is applied here on ``ts``.  Emits the same append-mode
+    schema as ``attribution_state``.
+    """
+    import numpy as np
+
+    def resolve(
+        key: tuple[Any, ...],
+        state: GroupState,
+        lts: int,
+        lid: int,
+        bts: list[int],
+        bid: list[int],
+        btouch: list[bool],
+    ) -> Iterator[pd.DataFrame]:
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        n = len(bts)
+        if n:
+            order = sorted(range(n), key=lambda i: (bts[i], bid[i]))
+            ts = np.array([bts[i] for i in order], dtype=np.int64)
+            eid = np.array([bid[i] for i in order], dtype=np.int64)
+            istouch = np.array([btouch[i] for i in order], dtype=bool)
+            idx = np.where(istouch, np.arange(n), -1)
+            np.maximum.accumulate(idx, out=idx)
+            ct = np.where(idx >= 0, ts[np.maximum(idx, 0)], lts)
+            ci = np.where(idx >= 0, eid[np.maximum(idx, 0)], lid)
+            ripe = (~istouch) & (ts <= wm_us)
+            if ripe.any():
+                yield pd.DataFrame(
+                    {
+                        key_col: pd.array(
+                            [key[0]] * int(ripe.sum()), dtype="Int64"
+                        ),
+                        "event_id": pd.array(eid[ripe], dtype="Int64"),
+                        "conv_ts_us": pd.array(ts[ripe], dtype="Int64"),
+                        "touch_event_id": pd.array(
+                            [None if v < 0 else int(v) for v in ci[ripe]],
+                            dtype="Int64",
+                        ),
+                        "touch_ts_us": pd.array(
+                            [None if v < 0 else int(v) for v in ct[ripe]],
+                            dtype="Int64",
+                        ),
+                    }
+                )
+            mature_touch = istouch & (ts <= wm_us)
+            if mature_touch.any():
+                # monotone compaction: a LATE touch (Spark does not
+                # pre-filter late rows for this operator — fixture-pinned)
+                # older than the carried touch must not regress it
+                j = int(np.flatnonzero(mature_touch)[-1])
+                if (int(ts[j]), int(eid[j])) > (lts, lid):
+                    lts, lid = int(ts[j]), int(eid[j])
+            pend = ts > wm_us
+            bts = ts[pend].tolist()
+            bid = eid[pend].tolist()
+            btouch = istouch[pend].tolist()
+        else:
+            bts, bid, btouch = [], [], []
+        state.update((lts, lid, bts, bid, btouch))
+        pend_conv = [t for t, c in zip(bts, btouch) if not c]
+        if pend_conv:
+            # wake when the watermark passes the oldest pending
+            # conversion; must be strictly above the current watermark
+            state.setTimeoutTimestamp(
+                max(wm_us // 1000 + 1, min(pend_conv) // 1000 + 1)
+            )
+
+    def fold(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            lts, lid, bts, bid, btouch = state.get
+            bts = list(bts or [])
+            bid = list(bid or [])
+            btouch = list(btouch or [])
+        else:
+            lts, lid, bts, bid, btouch = -1, -1, [], [], []
+        if not state.hasTimedOut:
+            pdf = pd.concat(list(pdfs), ignore_index=True)
+            if len(pdf):
+                # Spark does NOT pre-filter late rows for this operator
+                # (flatMapGroupsWithState contract: late handling is the
+                # user function's job) — drop rows at/below the watermark
+                # here.  This keeps the invariant that every buffered row
+                # is event-time-newer than every compacted touch, which
+                # is what makes resolution exact for on-time rows.
+                wm_arrival_us = state.getCurrentWatermarkMs() * 1000
+                pdf = pdf[
+                    pdf["event_type"].isin([touch_type, convert_type])
+                    & (pdf["ts_us"].astype("int64") > wm_arrival_us)
+                ]
+                bts += pdf["ts_us"].astype("int64").tolist()
+                bid += pdf["event_id"].astype("int64").tolist()
+                btouch += (pdf["event_type"] == touch_type).tolist()
+        yield from resolve(key, state, lts, lid, bts, bid, btouch)
+
+    # the watermarked column itself must survive into the grouped plan
+    # (event-time timeout is rejected otherwise); fold ignores it and
+    # reads the integer twin ts_us
+    keyed = stream.withWatermark("ts", delay).select(
+        F.col(key_col),
+        F.col("ts"),
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+    return keyed.groupBy(key_col).applyInPandasWithState(
+        fold,
+        outputStructType=(
+            f"{key_col} bigint, event_id bigint, conv_ts_us bigint, "
+            "touch_event_id bigint, touch_ts_us bigint"
+        ),
+        stateStructType=(
+            "lts bigint, lid bigint, buf_ts array<bigint>, "
+            "buf_id array<bigint>, buf_touch array<boolean>"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -63,9 +63,9 @@ def measure(spark, gen, n: int, method: str, max_iterations: int = 200):
     ).localCheckpoint()
     t0 = time.perf_counter()
     if method == "star":
-        labels, rounds = _cc_star(p, max_iterations)
+        labels, rounds, _conv = _cc_star(p, max_iterations)
     else:
-        labels, rounds = _cc_label_prop(p, max_iterations)
+        labels, rounds, _conv = _cc_label_prop(p, max_iterations)
     [row] = labels.agg(
         F.countDistinct("comp").alias("nc"), F.count(F.lit(1)).alias("nn")
     ).collect()

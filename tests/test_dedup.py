@@ -586,8 +586,8 @@ def test_cc_star_fewer_rounds_on_chain_graph(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(n)], "src long, dst long"
     ).localCheckpoint()
-    lp_labels, lp_rounds = _cc_label_prop(chain, max_iterations=200)
-    st_labels, st_rounds = _cc_star(chain, max_iterations=200)
+    lp_labels, lp_rounds, _ = _cc_label_prop(chain, max_iterations=200)
+    st_labels, st_rounds, _ = _cc_star(chain, max_iterations=200)
     lp = {(r["id"], r["comp"]) for r in lp_labels.collect()}
     st = {(r["id"], r["comp"]) for r in st_labels.collect()}
     assert lp == {(i, 0) for i in range(n + 1)}
@@ -610,7 +610,7 @@ def test_cc_star_rounds_logarithmic_on_deep_chain(spark):
         .select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
         .localCheckpoint()
     )
-    labels, rounds = _cc_star(chain, max_iterations=50)
+    labels, rounds, _ = _cc_star(chain, max_iterations=50)
     assert rounds <= math.ceil(math.log2(n - 1)) + 4, rounds
     [row] = labels.agg(
         F.countDistinct("comp").alias("nc"), F.count(F.lit(1)).alias("nn")
@@ -686,8 +686,8 @@ def test_cc_engines_agree_on_self_pair_only_nodes(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (9, 9), (5, 5), (5, 6)], "src long, dst long"
     ).localCheckpoint()
-    lp_labels, _ = _cc_label_prop(pairs, max_iterations=50)
-    st_labels, _ = _cc_star(pairs, max_iterations=50)
+    lp_labels, _, _ = _cc_label_prop(pairs, max_iterations=50)
+    st_labels, _, _ = _cc_star(pairs, max_iterations=50)
     lp = {(r["id"], r["comp"]) for r in lp_labels.collect()}
     st = {(r["id"], r["comp"]) for r in st_labels.collect()}
     want = {(1, 1), (2, 1), (3, 1), (9, 9), (5, 5), (6, 5)}
@@ -967,3 +967,28 @@ def test_pair_cosine_histogram_bins(spark):
     assert out[1.0]["n_pairs"] == 1 and out[1.0]["min_cos"] == 1.0
     assert out[0.0]["n_pairs"] == 2
     assert out[-1.0]["n_pairs"] == 1 and out[-1.0]["max_cos"] == -1.0
+
+
+def test_cc_converging_on_last_budgeted_round_is_not_a_failure(spark):
+    """Regression (ADVICE r06): a fixpoint CONFIRMED on exactly the
+    last budgeted round is convergence, not failure — the old
+    ``rounds >= max_iterations`` check raised on it.  A 0-1-2 chain
+    under label_prop stabilizes on round 2 and confirms on round 3, so
+    max_iterations=3 must succeed while max_iterations=2 (budget
+    exhausted before the Σ-label probe goes stable) must still raise."""
+    import pytest
+    from flink_kmeans_clustering_spark.operators.dedup import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame([(0, 1), (1, 2)], "id_a long, id_b long")
+    ok = connected_components(chain, method="label_prop", max_iterations=3)
+    assert {(r["id"], r["component_id"]) for r in ok.collect()} == {
+        (0, 0),
+        (1, 0),
+        (2, 0),
+    }
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(
+            chain, method="label_prop", max_iterations=2
+        ).collect()

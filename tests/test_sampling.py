@@ -660,3 +660,32 @@ def test_epoch_upsample_is_shuffle_free_expansion(spark):
 
     docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     assert_max_shuffles(epoch_upsample(docs, {"src0": 2.5}), 1)
+
+
+def test_epoch_upsample_honors_buckets_param(spark):
+    """Regression (VERDICT r06 / ADVICE): the fractional-share
+    threshold is computed in the caller's ``buckets`` domain, so the
+    hash draw must use the SAME domain — the old hardcoded 256 draw
+    silently halved fractional rates for buckets=128 callers.  With
+    buckets=64 and m=1.5, keep = int(1.5*64) - 64 = 32 of 64 buckets:
+    exactly the md5-bucket-in-[0,32) docs repeat."""
+    import hashlib
+
+    from flink_kmeans_clustering_spark.operators.sampling import (
+        epoch_upsample,
+    )
+
+    rows = [(i, "s0") for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = epoch_upsample(docs, {"s0": 1.5}, buckets=64).collect()
+    got = {(r["source"], r["epoch"]): (r["n_docs"], r["id_sum"]) for r in out}
+
+    def bucket64(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:2], 16) % 64
+
+    ids = [i for i, _ in rows]
+    extra = [i for i in ids if bucket64(i) < 32]
+    assert got[("s0", 0)] == (200, sum(ids))
+    assert got[("s0", 1)] == (len(extra), sum(extra))
+    # the m=1.5 fractional share must actually be ~half, not ~quarter
+    assert 0.35 <= len(extra) / 200 <= 0.65

@@ -724,3 +724,219 @@ def test_stream_attribution_state_carries_across_batches(spark, tmp_path):
     assert out[3]["touch_event_id"] == 1 and out[3]["touch_ts_us"] == 100 * us
     assert out[4]["touch_event_id"] is None
     assert out[6]["touch_event_id"] == 5
+
+
+def test_stream_attribution_concats_chunks_before_resolving(spark, tmp_path):
+    """Regression (ADVICE r06 high): applyInPandasWithState splits one
+    key's micro-batch into multiple Arrow chunks past
+    maxRecordsPerBatch — the old per-chunk forward-fill missed touches
+    landing in a later chunk and could regress carried state to an
+    older touch.  With maxRecordsPerBatch=1 and rows written
+    conversion-FIRST, every attribution below requires the cross-chunk
+    concat+sort."""
+    import time as _time
+
+    from flink_kmeans_clustering_spark.streaming.run import run_available_now
+    from flink_kmeans_clustering_spark.streaming.stateful import (
+        attribution_state,
+    )
+
+    d = str(tmp_path / "ev")
+    schema = "user_id long, ts_us long, event_id long, event_type string"
+    us = 1_000_000
+    # physical row order is deliberately NOT event-time order: the
+    # purchase at ts=500 lands in an earlier Arrow chunk than the
+    # click at ts=400 that must win its attribution
+    b1 = spark.createDataFrame(
+        [
+            (1, 500 * us, 6, "purchase"),
+            (1, 100 * us, 1, "click"),
+            (1, 400 * us, 5, "click"),
+            (1, 300 * us, 3, "purchase"),
+        ],
+        schema,
+    )
+    b2 = spark.createDataFrame([(1, 600 * us, 7, "purchase")], schema)
+    b1.coalesce(1).write.parquet(d + "/f0")
+    _time.sleep(1.1)
+    b2.coalesce(1).write.parquet(d + "/f1")
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1")
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d + "/*")
+        )
+        out = {
+            r["event_id"]: r
+            for r in run_available_now(
+                attribution_state(stream), output_mode="append"
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert set(out) == {3, 6, 7}
+    assert out[3]["touch_event_id"] == 1  # click in a LATER chunk
+    assert out[6]["touch_event_id"] == 5
+    # carried state must be the max-(ts,id) touch, not the last chunk's
+    assert out[7]["touch_event_id"] == 5 and out[7]["touch_ts_us"] == 400 * us
+
+
+def test_stream_attribution_snowflake_ids_stay_exact(spark, tmp_path):
+    """Touch ids/timestamps never round-trip through float64: a
+    snowflake-style id above 2^53 (odd, so any float64 pass corrupts
+    it) must come back bit-exact in touch_event_id."""
+    from flink_kmeans_clustering_spark.streaming.run import run_available_now
+    from flink_kmeans_clustering_spark.streaming.stateful import (
+        attribution_state,
+    )
+
+    d = str(tmp_path / "ev")
+    schema = "user_id long, ts_us long, event_id long, event_type string"
+    big = (1 << 53) + 1
+    spark.createDataFrame(
+        [(1, 100, big, "click"), (1, 200, 2, "purchase")], schema
+    ).coalesce(1).write.parquet(d + "/f0")
+    stream = spark.readStream.schema(schema).parquet(d + "/*")
+    out = run_available_now(
+        attribution_state(stream), output_mode="append"
+    ).collect()
+    assert len(out) == 1 and out[0]["touch_event_id"] == big
+
+
+def _write_batches(spark, root, batches, schema):
+    """Write micro-batch files whose mtime order fixes delivery order."""
+    import time as _time
+
+    for i, rows in enumerate(batches):
+        if i:
+            _time.sleep(1.1)  # file-source batch order follows mtime
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{root}/f{i}"
+        )
+
+
+def test_stream_attribution_ooo_resolves_cross_batch_late_touch(
+    spark, tmp_path
+):
+    """Out-of-order delivery: a click whose EVENT time precedes an
+    already-buffered conversion arrives one micro-batch later.  The
+    watermark-buffered variant must attribute the conversion to that
+    late-arriving click; the in-order variant on the same delivery
+    provably attributes to the older click (the exact failure mode
+    attribution_state documents)."""
+    from pyspark.sql import functions as F
+
+    from flink_kmeans_clustering_spark.streaming.run import run_available_now
+    from flink_kmeans_clustering_spark.streaming.stateful import (
+        attribution_state,
+        attribution_state_ooo,
+    )
+
+    d = str(tmp_path / "ev")
+    schema = "user_id long, ts timestamp, event_id long, event_type string"
+
+    def t(sec):
+        import datetime
+
+        return datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=sec)
+
+    _write_batches(
+        spark,
+        d,
+        [
+            [(1, t(100), 1, "click"), (1, t(300), 3, "purchase")],
+            # click id2 at ts=250 arrives AFTER the ts=300 purchase
+            [(1, t(250), 2, "click"), (2, t(1000), 9, "view")],
+            # watermark mover: wm = 2000 - 150 = 1850s > 300s
+            [(2, t(2000), 10, "view")],
+        ],
+        schema,
+    )
+
+    def read():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d + "/*")
+        )
+
+    ooo = {
+        r["event_id"]: r
+        for r in run_available_now(
+            attribution_state_ooo(read(), delay="150 seconds"),
+            output_mode="append",
+        ).collect()
+    }
+    assert set(ooo) == {3}
+    base_us = 1704067200 * 10**6  # 2024-01-01 epoch micros
+    assert ooo[3]["touch_event_id"] == 2
+    assert ooo[3]["touch_ts_us"] == base_us + 250 * 10**6
+
+    in_order = {
+        r["event_id"]: r
+        for r in run_available_now(
+            attribution_state(
+                read().select(
+                    "user_id",
+                    F.unix_micros("ts").alias("ts_us"),
+                    "event_id",
+                    "event_type",
+                )
+            ),
+            output_mode="append",
+        ).collect()
+    }
+    # same delivery, wrong touch: the in-order variant resolved the
+    # purchase in batch 1, before click 2 ever arrived
+    assert in_order[3]["touch_event_id"] == 1
+
+
+def test_stream_attribution_ooo_drops_rows_below_watermark(spark, tmp_path):
+    """The DROP side of the watermark trade, fixture-pinned: a touch
+    arriving BELOW the current watermark is filtered as late input and
+    never participates in attribution — a conversion resolving later
+    uses the older on-time click instead."""
+    import datetime
+
+    from flink_kmeans_clustering_spark.streaming.run import run_available_now
+    from flink_kmeans_clustering_spark.streaming.stateful import (
+        attribution_state_ooo,
+    )
+
+    d = str(tmp_path / "ev")
+    schema = "user_id long, ts timestamp, event_id long, event_type string"
+
+    def t(sec):
+        return datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=sec)
+
+    _write_batches(
+        spark,
+        d,
+        [
+            # wm after this batch: 900 - 150 = 750s
+            [(1, t(100), 1, "click"), (1, t(900), 11, "purchase")],
+            # click@500 arrives when wm=750 -> LATE, dropped
+            [(1, t(500), 8, "click"), (2, t(2000), 10, "view")],
+            # wm -> 1850s: the purchase resolves
+            [(2, t(3000), 12, "view")],
+        ],
+        schema,
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    out = {
+        r["event_id"]: r
+        for r in run_available_now(
+            attribution_state_ooo(stream, delay="150 seconds"),
+            output_mode="append",
+        ).collect()
+    }
+    assert set(out) == {11}
+    # click 8 (event time 500 < conversion 900) was DROPPED as late —
+    # the on-time click 1 wins despite being older
+    assert out[11]["touch_event_id"] == 1
