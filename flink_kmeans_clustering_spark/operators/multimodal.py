@@ -162,13 +162,15 @@ def decode_features(assets: DataFrame, decoder, dim: int) -> DataFrame:
 
 
 def decode_real(assets: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
-    """Real codec decode — NOT AVAILABLE in this environment (STUB).
+    """Image/video codec decode — NOT AVAILABLE in this environment.
 
-    The production implementation plugs a PIL/soundfile/pyav-backed
-    decoder into :func:`decode_features` (the contract above); those
-    libraries are not in this container, so this raises immediately
-    rather than pretending.  ``byte_histogram_features`` is the
-    deterministic substitute that exercises the identical plumbing.
+    Scoped to the codecs that genuinely need PIL/pyav (JPEG/PNG frame
+    decode); those libraries are not in this container, so this raises
+    immediately rather than pretending.  Audio is NOT stubbed anymore:
+    :func:`wav_features` runs a real stdlib-parsed WAV decoder through
+    the same :func:`decode_features` plumbing, and
+    ``byte_histogram_features`` remains the deterministic fake for the
+    image/video path.
     """
 
     def _codec_decoder(blob: bytes):
@@ -346,3 +348,102 @@ def audio_window_stats(
     if round_to is not None:
         res = res.withColumn("rms", F.round("rms", round_to))
     return res
+
+
+def wav_pack_assets(docs: DataFrame) -> DataFrame:
+    """Synthesize REAL RIFF/WAVE blobs from the documents table.
+
+    Each document becomes a 16-bit PCM mono little-endian 8 kHz WAV
+    whose sample ``i`` is ``(byte_i − 128) · 256`` of the UTF-8 text —
+    deterministic, engine-replayable content behind a genuine codec
+    container (44-byte RIFF header, fmt/data chunks, the stdlib
+    ``wave`` writer).  This is the producer side of the decode
+    contract: unlike the opaque stand-in bytes, these blobs exercise a
+    real format's framing — magic, chunk lengths, sample width,
+    endianness — so truncation/corruption edges are testable.
+    Arrow-batched ``mapInPandas``, zero shuffle.
+    """
+
+    def pack(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import io
+        import wave as _wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            blobs = []
+            for t in pdf["text"]:
+                b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+                samples = (b.astype(np.int16) - 128) * 256
+                buf = io.BytesIO()
+                with _wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(samples.astype("<i2").tobytes())
+                blobs.append(buf.getvalue())
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "modality": ["audio"] * len(pdf),
+                    "content": blobs,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        pack, "asset_id long, modality string, content binary"
+    )
+
+
+def wav_decoder(dim: int = FEATURE_DIM):
+    """A REAL production decoder for :func:`decode_features` —
+    stdlib-``wave``-parsed 16-bit PCM, no third-party codec needed.
+
+    Validates the container (RIFF magic and chunk structure via
+    ``wave``, mono/16-bit params, payload length against the header's
+    frame count — a TRUNCATED blob raises instead of silently yielding
+    short features) and decodes samples explicitly little-endian
+    (``<i2``, the WAV spec) so a big-endian host can't flip signs.
+    Features: per-segment mean byte value normalized to [0, 1) —
+    ``dim`` segments, half-up-rounded at 6 decimals in float64 BEFORE
+    the float32 cast (survives the round-trip, same discipline as the
+    histogram decoder), replayable exactly by a SQL oracle.
+    """
+
+    def decode(blob: bytes):
+        import io
+        import wave as _wave
+
+        import numpy as np
+
+        with _wave.open(io.BytesIO(blob), "rb") as w:
+            if w.getnchannels() != 1 or w.getsampwidth() != 2:
+                raise ValueError(
+                    f"expected mono 16-bit PCM, got channels="
+                    f"{w.getnchannels()} width={w.getsampwidth()}"
+                )
+            n = w.getnframes()
+            raw = w.readframes(n)
+        if len(raw) != 2 * n:
+            raise ValueError(
+                f"truncated WAV payload: header promises {n} frames "
+                f"({2 * n} bytes), data chunk holds {len(raw)}"
+            )
+        if n == 0:
+            return np.zeros(dim, dtype=np.float32)
+        s = np.frombuffer(raw, dtype="<i2")  # little-endian by spec
+        byte_vals = (s.astype(np.int64) // 256 + 128).astype(np.float64)
+        seg = (np.arange(n, dtype=np.int64) * dim) // n
+        sums = np.bincount(seg, weights=byte_vals, minlength=dim)
+        cnts = np.bincount(seg, minlength=dim)
+        val = sums / (np.maximum(cnts, 1) * 256.0)
+        return (np.floor(val * 1e6 + 0.5) / 1e6).astype(np.float32)
+
+    return decode
+
+
+def wav_features(assets: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """:func:`decode_features` with the real WAV decoder plugged in —
+    identical plan shape to the histogram fake, real codec inside."""
+    return decode_features(assets, wav_decoder(dim), dim)

@@ -219,3 +219,72 @@ def test_audio_window_stats_validates_window(spark):
     )
     with _pytest.raises(ValueError, match="window_bytes"):
         audio_window_stats(df, window_bytes=0)
+
+
+def test_wav_roundtrip_through_real_container(spark):
+    """Pack -> RIFF/WAVE -> parse -> features on a hand doc: 'AAAA'
+    (all byte 65) must yield every segment mean 65/256 = 0.253906."""
+    from flink_kmeans_clustering_spark.operators.multimodal import (
+        features_rounded,
+        wav_features,
+        wav_pack_assets,
+    )
+
+    docs = spark.createDataFrame([(7, "AAAA" * 8)], "doc_id long, text string")
+    assets = wav_pack_assets(docs)
+    blob = bytes(assets.collect()[0]["content"])
+    assert blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
+    rows = features_rounded(wav_features(assets)).collect()
+    assert len(rows) == 16
+    assert all(abs(r["val"] - round(65 / 256, 6)) < 1e-9 for r in rows)
+
+
+def test_wav_decoder_format_edges():
+    """The format edges a fake decoder can't exercise: truncated data
+    chunk raises (header/payload mismatch), garbage magic raises, and
+    a byte-0 sample round-trips through int16 LE without sign damage."""
+    import io
+    import wave as _wave
+
+    import numpy as np
+    import pytest as _pytest
+
+    from flink_kmeans_clustering_spark.operators.multimodal import (
+        wav_decoder,
+    )
+
+    dec = wav_decoder(4)
+
+    def pack(samples, framerate=8000, channels=1, width=2):
+        buf = io.BytesIO()
+        with _wave.open(buf, "wb") as w:
+            w.setnchannels(channels)
+            w.setsampwidth(width)
+            w.setframerate(framerate)
+            w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+        return buf.getvalue()
+
+    # byte 0 -> sample -32768 (int16 min) -> decoded byte 0 -> mean 0
+    lo = pack([-32768] * 8)
+    assert dec(lo).tolist() == [0.0, 0.0, 0.0, 0.0]
+    # byte 255 -> sample 32512 -> mean 255/256 in every segment
+    hi = pack([(255 - 128) * 256] * 8)
+    assert dec(hi).tolist() == _pytest.approx([round(255 / 256, 6)] * 4, abs=5e-7)
+
+    # truncated payload: chop the tail of a valid file — wave reads
+    # fewer frames than the header's data-chunk length promises
+    good = pack([0] * 100)
+    with _pytest.raises((ValueError, EOFError, _wave.Error)):
+        dec(good[:-30])
+
+    # garbage magic is rejected by the container parser
+    with _pytest.raises(_wave.Error):
+        dec(b"JUNK" + good[4:])
+
+    # wrong params are rejected, not silently misparsed
+    stereo = pack([0, 0, 0, 0], channels=2)
+    with _pytest.raises(ValueError, match="mono 16-bit"):
+        dec(stereo)
+
+    # zero-frame file is valid audio of length 0 -> zero features
+    assert dec(pack([])).tolist() == [0.0] * 4
