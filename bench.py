@@ -174,10 +174,14 @@ def main() -> None:
         metric = "headline_queries_total"
         value = total
     sf = _sf_of(sf_dir)
-    # The full ~100-entry timing map goes to a sidecar file and an EARLY
-    # stdout line; the LAST stdout line is a compact headline-only JSON.
-    # (The driver parses the tail of stdout — round 2's single giant
-    # line overflowed its buffer and the headline went unrecorded.)
+    # The full ~200-entry timing map goes ONLY to sidecar files — never
+    # to stdout.  The driver records the last ~4 KB of stdout; a giant
+    # full-map line ahead of the compact line used to eat that window,
+    # so BENCH_rN artifacts arrived truncated mid-line (VERDICT r06).
+    # Two sidecars: the rolling bench_queries.json, plus a self-numbered
+    # per-round copy (bench_queries_rNN.json, NN = 1 + the highest
+    # BENCH_r*.json the driver has recorded) committed into history so
+    # cross-round per-query comparison never needs the driver artifact.
     full = {
         "metric": metric,
         "value": value,
@@ -186,12 +190,19 @@ def main() -> None:
         "warm_retimes": warm_retimes,
         "sf": sf,
     }
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_queries.json"),
-        "w",
-    ) as fh:
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "bench_queries.json"), "w") as fh:
         json.dump(full, fh, indent=1)
-    print(json.dumps(full))
+    import re as _re
+
+    rounds = [
+        int(m.group(1))
+        for f in os.listdir(here)
+        if (m := _re.fullmatch(r"BENCH_r(\d+)\.json", f))
+    ]
+    rn = (max(rounds) if rounds else 0) + 1
+    with open(os.path.join(here, f"bench_queries_r{rn:02d}.json"), "w") as fh:
+        json.dump(full, fh, indent=1)
     sys.stdout.flush()
     # The compact driver-parsed line carries the 5 raw headline runs so
     # the recorded artifact shows the variance band, not just the median
