@@ -119,6 +119,9 @@ from flink_kmeans_clustering_spark.operators.events import (
     first_event_per_day,
     match_pattern,
     funnel_counts,
+    windowed_funnel,
+    covered_time,
+    mad_outliers,
     extract_props,
     props_map_stats,
     props_stats_by_type,
@@ -2088,6 +2091,35 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_anomalies(load_events(spark, sf_dir))
 
 
+FUNNEL_WINDOW_MIN = 24 * 60  # 1-day conversion window
+COVER_HOLD_MIN = 30
+
+
+def q_events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained view->click->purchase funnel: each stage must
+    land within 24 h of the previous stage's completion — the
+    conversion-window semantics funnel products use; the unbounded
+    variant (q_events_funnel) over-counts late conversions."""
+    return windowed_funnel(
+        load_events(spark, sf_dir), within_minutes=FUNNEL_WINDOW_MIN
+    )
+
+
+def q_events_covered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user interval-union coverage: each event holds a 30-min
+    lease; overlaps merge; output = merged-interval count + total
+    covered seconds.  One user-key window, integer-second arithmetic —
+    engine-exact, no self-join."""
+    return covered_time(load_events(spark, sf_dir), hold_minutes=COVER_HOLD_MIN)
+
+
+def q_events_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust median/MAD outliers per type (Iglewicz-Hoaglin modified
+    z) — the 50%-breakdown twin of q_events_anomaly's moment z-score;
+    a fat-tailed burst can't mask itself here."""
+    return mad_outliers(load_events(spark, sf_dir))
+
+
 def q_rel_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Year-over-year revenue growth per supplier nation: decimal-exact
     yearly aggregate feeding a per-nation lag window."""
@@ -3039,6 +3071,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_stream_attribution_ooo": q_stream_attribution_ooo,
         "q_multimodal_wav": q_multimodal_wav,
+        "q_events_funnel_windowed": q_events_funnel_windowed,
+        "q_events_covered": q_events_covered,
+        "q_events_mad": q_events_mad,
         "q_events_rfm": q_events_rfm,
         "q_dedup_incremental": q_dedup_incremental,
         "q_dedup_url": q_dedup_url,
@@ -4081,6 +4116,73 @@ p AS (
 )
 SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
 FROM p GROUP BY path ORDER BY n_users DESC, path LIMIT 20
+"""
+    events_funnel_windowed_sql = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t
+    AND e.ts <= s1.t + INTERVAL 1440 MINUTE
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t
+    AND e.ts <= s2.t + INTERVAL 1440 MINUTE
+  GROUP BY e.user_id
+)
+SELECT CAST(1 AS INT) AS stage, 'view' AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS users FROM s1
+UNION ALL
+SELECT CAST(2 AS INT), 'click', CAST(COUNT(*) AS BIGINT) FROM s2
+UNION ALL
+SELECT CAST(3 AS INT), 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3
+"""
+    events_covered_sql = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 1000000 AS s, event_id FROM events
+),
+m AS (
+  SELECT user_id, s, event_id,
+         MAX(s + 1800) OVER (PARTITION BY user_id ORDER BY s, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM e
+),
+f AS (
+  SELECT user_id, s, event_id,
+         CASE WHEN prev_end IS NULL OR s > prev_end THEN 1 ELSE 0 END AS nw
+  FROM m
+),
+isl AS (
+  SELECT user_id, s,
+         SUM(nw) OVER (PARTITION BY user_id ORDER BY s, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM f
+),
+per AS (
+  SELECT user_id, g, MIN(s) AS st, MAX(s) + 1800 AS en
+  FROM isl GROUP BY user_id, g
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(en - st) AS BIGINT) AS covered_secs
+FROM per GROUP BY user_id
+"""
+    events_mad_sql = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS m
+  FROM events GROUP BY event_type
+),
+mad AS (
+  SELECT e.event_type, quantile_cont(abs(e.value - med.m), 0.5) AS d
+  FROM events e JOIN med USING (event_type) GROUP BY e.event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       ROUND(0.6745 * (e.value - med.m) / mad.d, 6) AS rz
+FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
+WHERE abs(ROUND(0.6745 * (e.value - med.m) / mad.d, 6)) >= 3.5
 """
     events_attribution_sql = """
 WITH carried AS (
@@ -7128,6 +7230,9 @@ GROUP BY event_type
         "q_stream_attribution": events_attribution_sql,
         "q_stream_attribution_ooo": events_attribution_sql,
         "q_multimodal_wav": multimodal_wav_sql,
+        "q_events_funnel_windowed": events_funnel_windowed_sql,
+        "q_events_covered": events_covered_sql,
+        "q_events_mad": events_mad_sql,
         "q_events_cohorts": events_cohorts_sql,
         "q_events_paths": events_paths_sql,
         "q_text_langid_eval": text_langid_eval_sql,

@@ -1325,3 +1325,153 @@ def top_paths(
         .orderBy(F.desc("n_users"), "path")
         .limit(top_n)
     )
+
+
+def windowed_funnel(
+    df: DataFrame,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+    within_minutes: int = 7 * 24 * 60,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Time-constrained ordered funnel: stage i+1 must occur strictly
+    AFTER the user's stage-i completion AND within ``within_minutes``
+    of it — the conversion-window semantics real funnel products use
+    (an unbounded funnel counts a purchase a year later as converted).
+
+    Same physics as :func:`funnel_counts`: each stage is one filtered
+    user-key aggregate, later stages join the O(users) frontier on the
+    already-partitioned key, result is O(stages) rows.  The frontier
+    carries the stage-completion time, so the window test is a narrow
+    filter, never an interval self-join.
+
+    Output: (stage, event_type, users) — 1-indexed; stage 1 is
+    unconstrained (it opens the window).
+    """
+    bound = F.expr(f"INTERVAL {int(within_minutes)} MINUTES")
+    reached = (
+        df.filter(F.col(type_col) == stages[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_t"))
+    )
+    out = [
+        reached.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(1).alias("stage"), F.lit(stages[0]).alias("event_type"), "users"
+        )
+    ]
+    for i, stage in enumerate(stages[1:], start=2):
+        nxt = (
+            df.filter(F.col(type_col) == stage)
+            .join(reached, user_col)
+            .filter(
+                (F.col(ts_col) > F.col("_t"))
+                & (F.col(ts_col) <= F.col("_t") + bound)
+            )
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias("_t"))
+        )
+        out.append(
+            nxt.agg(F.count(F.lit(1)).alias("users")).select(
+                F.lit(i).alias("stage"), F.lit(stage).alias("event_type"), "users"
+            )
+        )
+        reached = nxt
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def covered_time(
+    df: DataFrame,
+    hold_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Per-user interval-union coverage: each event claims the interval
+    ``[ts, ts + hold]``; overlapping claims merge, and the output is
+    the total covered seconds plus the merged-interval count — "time
+    the user had an active session/lease/lock", the interval-union
+    aggregate every billing/occupancy pipeline needs (distinct from
+    gaps-and-islands RLE, which segments by VALUE runs).
+
+    One user-key window (running max of interval end over prior rows
+    decides merges — integer epoch-second arithmetic, engine-exact),
+    one aggregate.  No self-join; scales as a single shuffle on the
+    user key.
+
+    Output: (user_id, n_intervals, covered_secs).
+    """
+    from pyspark.sql import Window
+
+    hold_s = hold_minutes * 60
+    # integer epoch seconds via micros floor-div — same truncation as
+    # DuckDB's epoch_us // 1e6, exact at any timestamp resolution
+    ts_s = (F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(1_000_000)).cast(
+        "long"
+    )
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy("_s", "_o")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = df.select(
+        F.col(user_col),
+        ts_s.alias("_s"),
+        F.col(order_col).alias("_o"),
+    ).withColumn("_prev_end", F.max(F.col("_s") + hold_s).over(w))
+    flagged = start.withColumn(
+        "_new", (F.col("_prev_end").isNull() | (F.col("_s") > F.col("_prev_end"))).cast("int")
+    )
+    w2 = Window.partitionBy(user_col).orderBy("_s", "_o").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    islands = flagged.withColumn("_isl", F.sum("_new").over(w2))
+    per_island = islands.groupBy(user_col, "_isl").agg(
+        F.min("_s").alias("_start"),
+        (F.max("_s") + hold_s).alias("_end"),
+    )
+    return per_island.groupBy(user_col).agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(F.col("_end") - F.col("_start")).alias("covered_secs"),
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    rz_threshold: float = 3.5,
+    type_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Robust per-type outliers by median/MAD — the skew-proof twin of
+    :func:`value_anomalies`: one fat-tailed burst inflates a z-score's
+    mean and σ (masking itself), while the median and the median
+    absolute deviation have a 50% breakdown point (Iglewicz-Hoaglin
+    modified z, 0.6745·(x−med)/MAD).
+
+    Two aggregation passes (median, then MAD on the residuals) — both
+    exact ``percentile`` aggregates, O(types) rows broadcast back onto
+    the scan.  At 100 TB swap the exact percentile for the GK sketch
+    (q_events_approx_quantiles' machinery) without touching the shape.
+
+    Output: (event_id, event_type, value, rz) for |rz| ≥ threshold.
+    """
+    x = F.col(value_col)
+    med = df.groupBy(type_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("_med")
+    )
+    resid = df.join(F.broadcast(med), type_col)
+    mad = resid.groupBy(type_col).agg(
+        F.expr(f"percentile(abs({value_col} - _med), 0.5)").alias("_mad")
+    )
+    enriched = resid.join(F.broadcast(mad), type_col)
+    rz = F.lit(0.6745) * (x - F.col("_med")) / F.col("_mad")
+    return (
+        enriched.select(
+            id_col, type_col, value_col, F.round(rz, 6).alias("rz")
+        )
+        .filter(F.abs(F.col("rz")) >= rz_threshold)
+    )

@@ -66,11 +66,24 @@ def synth_dir(mult: int, root: str = "/tmp/scale_bench") -> str:
     n_docs = BASE_DOCS * mult
     rng = np.random.default_rng(20260815)
     lengths = rng.integers(8, 60, size=n_docs)  # words per doc (~300 chars)
-    words = rng.integers(0, len(VOCAB), size=int(lengths.sum()))
+    total = int(lengths.sum())
+    # Zipf-ish vocabulary: ~30% of tokens from 30 hot words (their
+    # shingles exceed the df cap — the guard SHOULD drop them), the
+    # rest from a 20k-word tail (shingle df ~1, so the candidate pairs
+    # that survive are exactly the injected duplicate groups — constant
+    # per-doc candidate density at every scale, like a real corpus).
+    hot = rng.integers(0, len(VOCAB), size=total)
+    tail = rng.integers(0, 20_000, size=total)
+    use_hot = rng.random(total) < 0.3
+    toks = np.where(
+        use_hot,
+        np.array(VOCAB, dtype=object)[hot],
+        np.char.add("t", tail.astype(str)).astype(object),
+    )
     texts: list[str] = []
     off = 0
     for ln in lengths:
-        texts.append(" ".join(VOCAB[w] for w in words[off : off + ln]))
+        texts.append(" ".join(toks[off : off + ln]))
         off += ln
     # constant-RATE duplicate injection (same density at every scale)
     for i in range(n_docs):
