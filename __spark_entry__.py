@@ -1321,6 +1321,33 @@ def q_text_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_token_drift(load_table(spark, "documents", sf_dir))
 
 
+def q_text_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Jensen-Shannon divergence vs the corpus — the
+    bounded symmetric drift score ([0, ln 2]; finite even where the
+    slice lacks corpus tokens, which reverse-KL is not)."""
+    from flink_kmeans_clustering_spark.operators.textstats import token_jsd
+
+    return token_jsd(load_table(spark, "documents", sf_dir))
+
+
+WINNOW_K = 4
+WINNOW_WINDOW = 5
+
+
+def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) document fingerprints: window-min selection
+    over k-gram md5 hashes — every shared >= k+w-1-token substring
+    leaves a shared fingerprint at ~2/(w+1) storage; the sparse
+    position-robust twin of the dense rolling fingerprint."""
+    from flink_kmeans_clustering_spark.operators.textstats import (
+        winnowing_fingerprints,
+    )
+
+    return winnowing_fingerprints(
+        load_table(spark, "documents", sf_dir), k=WINNOW_K, window=WINNOW_WINDOW
+    )
+
+
 PAGERANK_ITERS = 3
 PAGERANK_DAMPING = 0.85
 
@@ -2469,6 +2496,50 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall(emb, queries, k=TOPK_K, n_probe=ANN_PROBES)
 
 
+STD_PANEL = 8
+
+
+def q_embed_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension standardization (diagonal whitening) of the
+    embeddings with DECIMAL-exact population moments; oracle surface is
+    the flattened z-scores of the vec_id < 8 panel."""
+    from flink_kmeans_clustering_spark.operators.linalg import (
+        standardize_embeddings,
+    )
+
+    return standardize_embeddings(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        panel_max_id=STD_PANEL,
+    )
+
+
+def q_ann_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR of the IVF index vs exact search, self-excluded on both
+    sides — the position-sensitive companion of q_ann_recall (where the
+    truth lands in the approximate list, not just whether it does)."""
+    from flink_kmeans_clustering_spark.operators.similarity import ann_mrr
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < RECALL_QUERY_PANEL).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_mrr(emb, queries, k=TOPK_K, n_probe=ANN_PROBES)
+
+
+def q_ann_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 quantization-error report per label: relative
+    reconstruction error of the symmetric int8 codec q_ann_quantized
+    searches with — the 'what does 4x compression destroy' monitor,
+    index-ordered folds so the oracle replays the float sequence."""
+    from flink_kmeans_clustering_spark.operators.similarity import (
+        quantization_error,
+    )
+
+    return quantization_error(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    )
+
+
 BPE_TOP_PAIRS = 20
 
 
@@ -3074,6 +3145,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_funnel_windowed": q_events_funnel_windowed,
         "q_events_covered": q_events_covered,
         "q_events_mad": q_events_mad,
+        "q_ann_mrr": q_ann_mrr,
+        "q_embed_standardize": q_embed_standardize,
+        "q_ann_quant_error": q_ann_quant_error,
+        "q_text_jsd": q_text_jsd,
+        "q_text_winnowing": q_text_winnowing,
         "q_events_rfm": q_events_rfm,
         "q_dedup_incremental": q_dedup_incremental,
         "q_dedup_url": q_dedup_url,
@@ -4502,6 +4578,108 @@ hits AS (
 SELECT q.query_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
        ROUND(COALESCE(h.n_hits, 0) / CAST({TOPK_K}.0 AS DOUBLE), 6) AS recall
 FROM q LEFT JOIN hits h USING (query_id)
+"""
+    embed_standardize_sql = f"""
+WITH flat AS (
+  SELECT vec_id,
+         CAST(unnest(range(len(embedding))) AS INT) AS pos,
+         unnest(CAST(embedding AS DOUBLE[])) AS x
+  FROM embeddings
+),
+stats AS (
+  SELECT pos, COUNT(*) AS n,
+         SUM(CAST(x AS DECIMAL(25,8))) AS sx,
+         SUM(CAST(x * x AS DECIMAL(30,10))) AS sxx
+  FROM flat GROUP BY pos
+)
+SELECT f.vec_id, f.pos,
+       ROUND((f.x - CAST(s.sx AS DOUBLE) / s.n)
+             / sqrt(CAST(s.sxx AS DOUBLE) / s.n
+                    - (CAST(s.sx AS DOUBLE) / s.n)
+                      * (CAST(s.sx AS DOUBLE) / s.n)), 6) AS z
+FROM flat f JOIN stats s USING (pos)
+WHERE f.vec_id < {STD_PANEL}
+"""
+    ann_mrr_sql = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv,
+             sqrt(list_sum(list_transform(v, x -> x*x))) AS qn
+      FROM e WHERE vec_id < {RECALL_QUERY_PANEL}),
+exact AS (
+  SELECT query_id, vec_id AS neighbor_id,
+         ROUND(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*qv[i]))
+               / (sqrt(list_sum(list_transform(v, x -> x*x))) * qn), 6) AS cosine
+  FROM e CROSS JOIN q WHERE vec_id <> query_id
+),
+exact_1 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rnk
+    FROM exact WHERE cosine IS NOT NULL
+  ) WHERE rnk = 1
+),
+ex2 AS (SELECT label, unnest(v) AS comp, unnest(range(1, len(v)+1)) AS pos FROM e),
+cents AS (
+  SELECT label AS cell, list(mv ORDER BY pos) AS cv
+  FROM (SELECT label, pos, avg(comp) AS mv FROM ex2 GROUP BY label, pos)
+  GROUP BY label
+),
+probes AS (
+  SELECT query_id, cell, qv, qn FROM (
+    SELECT q.query_id, cents.cell, q.qv, q.qn,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             (list_sum(list_transform(range(1, len(cv)+1), i -> cv[i]*qv[i]))
+              / (sqrt(list_sum(list_transform(cv, x -> x*x))) * qn)) DESC,
+             cents.cell) AS crnk
+    FROM q CROSS JOIN cents
+  ) WHERE crnk <= {ANN_PROBES}
+),
+approx AS (
+  SELECT p.query_id, e.vec_id AS neighbor_id,
+         ROUND(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*p.qv[i]))
+               / (sqrt(list_sum(list_transform(v, x -> x*x))) * p.qn), 6) AS cosine
+  FROM e JOIN probes p ON e.label = p.cell WHERE e.vec_id <> p.query_id
+),
+approx_r AS (
+  SELECT query_id, neighbor_id, arnk FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS arnk
+    FROM approx WHERE cosine IS NOT NULL
+  ) WHERE arnk <= {TOPK_K}
+),
+hit AS (
+  SELECT t.query_id, a.arnk
+  FROM exact_1 t LEFT JOIN approx_r a USING (query_id, neighbor_id)
+)
+SELECT q.query_id,
+       CAST(COALESCE(h.arnk, 0) AS BIGINT) AS truth_rank,
+       ROUND(CASE WHEN h.arnk IS NULL THEN 0.0 ELSE 1.0 / h.arnk END, 6) AS rr
+FROM q LEFT JOIN hit h USING (query_id)
+"""
+    ann_quant_error_sql = """
+WITH e AS (
+  SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) > 0
+),
+s AS (
+  SELECT label, v, 127.0 / list_max(list_transform(v, x -> abs(x))) AS sc
+  FROM e
+),
+r AS (
+  SELECT label,
+         ROUND(
+           list_sum(list_transform(range(1, len(v)+1),
+             i -> (v[i] - round(v[i]*sc)/sc) * (v[i] - round(v[i]*sc)/sc)))
+           / list_sum(list_transform(v, x -> x*x)), 6) AS rel
+  FROM s
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(CAST(SUM(CAST(rel AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6)
+         AS avg_rel_err,
+       MAX(rel) AS max_rel_err
+FROM r GROUP BY label
 """
     # q_ann_quantized: identical int8 quantization on both sides —
     # round() is half-away-from-zero for doubles in Spark AND DuckDB,
@@ -6572,6 +6750,61 @@ SELECT grp AS source,
 FROM by_st JOIN gt USING (grp) JOIN gl USING (t) CROSS JOIN nt
 GROUP BY grp
 """
+    text_jsd_sql = """
+WITH tok AS (
+  SELECT source AS grp,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS t
+  FROM documents
+),
+by_st AS (SELECT grp, t, COUNT(*) AS c_st FROM tok GROUP BY grp, t),
+gt AS (SELECT grp, SUM(c_st) AS n_s FROM by_st GROUP BY grp),
+gl AS (SELECT t, SUM(c_st) AS c_t FROM by_st GROUP BY t),
+nt AS (SELECT SUM(c_st) AS n_tot FROM by_st),
+grid AS (
+  SELECT gt.grp,
+         COALESCE(b.c_st, 0) * 1.0 / gt.n_s AS q,
+         gl.c_t * 1.0 / nt.n_tot AS p
+  FROM gt CROSS JOIN gl CROSS JOIN nt
+  LEFT JOIN by_st b ON b.grp = gt.grp AND b.t = gl.t
+)
+SELECT grp AS source,
+       ROUND(SUM((CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2)) ELSE 0 END
+                  + p * ln(p / ((p + q) / 2))) / 2), 6) AS jsd
+FROM grid GROUP BY grp
+"""
+    text_winnowing_sql = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS tk
+  FROM documents
+),
+ok AS (SELECT doc_id, tk FROM toks WHERE len(tk) >= 4),
+grams AS (
+  SELECT doc_id,
+         unnest(range(0, len(tk) - 3)) AS pos,
+         unnest(list_transform(range(0, len(tk) - 3),
+                i -> array_to_string(list_slice(tk, CAST(i + 1 AS INT),
+                                                CAST(i + 4 AS INT)), ' ')))
+           AS gram
+  FROM ok
+),
+hashed AS (
+  SELECT doc_id, pos,
+         CAST(('0x' || substring(md5(gram), 1, 8)) AS BIGINT) AS h
+  FROM grams
+),
+win AS (
+  SELECT doc_id,
+         MIN({'h': h, 'np': -pos}) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS m,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS wpos
+  FROM hashed
+)
+SELECT doc_id, m.h AS fp, CAST(MIN(-m.np) AS BIGINT) AS first_pos
+FROM win WHERE wpos >= 5 GROUP BY doc_id, m.h
+"""
     knn_join_sql = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, v AS qv,
@@ -6967,6 +7200,8 @@ SELECT event_type, event_id, ROUND(value, 6) AS value FROM (
         "q_graph_pagerank": graph_pagerank_sql,
         "q_rel_upsert": rel_upsert_sql,
         "q_text_drift": text_drift_sql,
+        "q_text_jsd": text_jsd_sql,
+        "q_text_winnowing": text_winnowing_sql,
         "q_sink_bucketed": sink_bucketed_sql,
         "q_dedup_embedding": dedup_embedding_sql,
         "q_dedup_minhash": dedup_minhash_sql,
@@ -7220,6 +7455,9 @@ GROUP BY event_type
         "q_topk_sim": topk_sim_sql,
         "q_ann_ivf": ann_ivf_sql,
         "q_ann_recall": ann_recall_sql,
+        "q_ann_mrr": ann_mrr_sql,
+        "q_embed_standardize": embed_standardize_sql,
+        "q_ann_quant_error": ann_quant_error_sql,
         "q_dedup_url": dedup_url_sql,
         "q_dedup_incremental": dedup_incremental_sql,
         "q_dedup_spans": dedup_spans_sql,

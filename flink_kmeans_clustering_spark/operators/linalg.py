@@ -491,3 +491,56 @@ def embedding_health(
         F.max(nrm).alias("max_norm"),
         F.round(F.avg(nrm), round_to).alias("mean_norm"),
     )
+
+
+def standardize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    panel_max_id: int = 8,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-dimension standardization (diagonal whitening) of an
+    embedding column: z_ij = (x_ij − μ_j) / σ_j with POPULATION moments
+    — the preprocessing step vector indexes and drift monitors want
+    before comparing corpora (a dimension with 100× the variance
+    otherwise dominates every distance).
+
+    Moments are DECIMAL-exact per dimension (Σx, Σx² accumulate in
+    decimal; the x² product is one deterministic double multiply before
+    the cast — the same discipline as the events z-score), so μ_j and
+    σ_j are identical across engines and partitionings.  One
+    posexplode + per-dimension aggregate (64 rows broadcast back);
+    the transform itself is a narrow projection at scan speed.
+
+    Output: the standardized panel (``id < panel_max_id``) flattened to
+    (vec_id, pos, z) — bounded rows, full-precision oracle surface; the
+    full standardized corpus is the same projection without the panel
+    filter.
+    """
+    flat = df.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x"),
+    )
+    x = F.col("x")
+    stats = flat.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(x.cast("decimal(25,8)")).alias("_sx"),
+        F.sum((x * x).cast("decimal(30,10)")).alias("_sxx"),
+    )
+    mean = (F.col("_sx").cast("double") / F.col("_n")).alias("_mean")
+    var = (
+        F.col("_sxx").cast("double") / F.col("_n")
+        - (F.col("_sx").cast("double") / F.col("_n"))
+        * (F.col("_sx").cast("double") / F.col("_n"))
+    ).alias("_var")
+    panel = flat.filter(F.col(id_col) < panel_max_id)
+    z = (x - F.col("_mean")) / F.sqrt(F.col("_var"))
+    return (
+        panel.join(F.broadcast(stats.select("pos", mean, var)), "pos")
+        .select(
+            id_col,
+            "pos",
+            F.round(z, round_to).alias("z"),
+        )
+    )

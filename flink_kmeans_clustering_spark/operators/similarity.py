@@ -939,3 +939,118 @@ def filtered_knn_join(
         query_vec_col=query_vec_col,
         round_to=round_to,
     )
+
+
+def ann_mrr(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """Mean-reciprocal-rank evaluation of the IVF index — the
+    position-sensitive companion of :func:`ann_recall` (recall@k says
+    the truth is SOMEWHERE in the top k; MRR says WHERE — rank 1 vs
+    rank 10 matter very differently to a retrieval consumer).
+
+    Self-matches are excluded on BOTH sides (the standard eval: a query
+    trivially retrieving itself says nothing).  Exact truth is the
+    top-1 non-self neighbor from :func:`knn_join` at k=2 (removing the
+    ≤1 self row from a top-2 list always leaves the true non-self
+    top-1); the approximate side is :func:`ivf_knn_join` at k+1
+    re-ranked after self-exclusion — top-k of (top-(k+1) minus self) ==
+    top-k of (all minus self).  Same broadcast/one-scan physics as the
+    underlying joins; the re-rank window touches ≤ k+1 rows per query.
+
+    Output: (query_id, truth_rank, rr) — truth_rank 0 and rr 0.0 when
+    the exact top-1 is outside the approximate top-k.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("neighbor_id")
+    )
+    truth = (
+        knn_join(
+            corpus, queries, k=2, id_col=id_col, vec_col=vec_col,
+            query_id_col=query_id_col, query_vec_col=query_vec_col,
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("query_id", "neighbor_id")
+    )
+    approx = (
+        ivf_knn_join(
+            corpus, queries, k=k + 1, n_probe=n_probe, cell_col=cell_col,
+            id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("arnk", F.row_number().over(w))
+        .filter(F.col("arnk") <= k)
+        .select("query_id", "neighbor_id", "arnk")
+    )
+    spine = queries.select(F.col(query_id_col).alias("query_id")).distinct()
+    hit = truth.join(approx, ["query_id", "neighbor_id"], "left").select(
+        "query_id", "arnk"
+    )
+    return spine.join(hit, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("arnk"), F.lit(0)).cast("long").alias("truth_rank"),
+        F.round(
+            F.when(F.col("arnk").isNotNull(), F.lit(1.0) / F.col("arnk"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("rr"),
+    )
+
+
+def quantization_error(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str = "label",
+) -> DataFrame:
+    """Int8 quantization-error report per group — the monitoring twin
+    of :func:`ann_quantized`: before trusting a 4×-smaller index, a
+    pipeline measures what the quantizer destroys.  Per vector, the
+    symmetric int8 codec (scale 127/max|x|, round half-away, dequantize
+    q/scale) is applied and the relative reconstruction error
+    ``Σ(x−x̂)²/Σx²`` computed — all inside one scan with index-ordered
+    ``aggregate`` folds, so a SQL oracle replays the float sequence
+    exactly.  Per-group roll-up sums the 6-decimal-rounded per-vector
+    errors in DECIMAL (engine- and partitioning-exact).
+
+    Output: (label, n_vecs, avg_rel_err, max_rel_err).
+    """
+    v = f"CAST({vec_col} AS array<double>)"
+    scale = f"(127.0D / array_max(transform({v}, x -> abs(x))))"
+    xhat = f"transform({v}, x -> round(x * {scale}) / {scale})"
+    num = (
+        f"aggregate(zip_with({v}, {xhat}, (a, b) -> (a - b) * (a - b)), "
+        "0.0D, (acc, e) -> acc + e)"
+    )
+    den = f"aggregate(transform({v}, x -> x * x), 0.0D, (acc, e) -> acc + e)"
+    per_vec = df.filter(
+        F.expr(f"array_max(transform({v}, x -> abs(x)))") > 0
+    ).select(
+        F.col(group_col),
+        F.round(F.expr(num) / F.expr(den), 6).alias("_rel"),
+    )
+    return (
+        per_vec.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(
+                F.sum(F.col("_rel").cast("decimal(20,6)"))
+                .cast("double") / F.count(F.lit(1)),
+                6,
+            ).alias("avg_rel_err"),
+            F.max("_rel").alias("max_rel_err"),
+        )
+    )

@@ -1262,3 +1262,133 @@ def langid_confusion(
             "is_match", F.col("declared_lang") == F.col("pred_lang")
         )
     )
+
+
+def token_jsd(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Jensen-Shannon divergence per corpus slice vs the whole corpus —
+    the bounded, symmetric upgrade of :func:`source_token_drift`'s KL:
+    JSD never blows up on tokens one side lacks (KL(slice‖corpus) is
+    finite only because a slice's tokens are corpus tokens by
+    construction — the REVERSE direction would be +∞ the moment the
+    corpus has a token the slice misses), lives in [0, ln 2], and is
+    the standard "how far did this slice move" score in data-mixture
+    dashboards.
+
+    JSD(Q, P) = ½ Σ_t q·ln(q/m) + ½ Σ_t p·ln(p/m), m = (p+q)/2, summed
+    over the CORPUS vocabulary (q = 0 terms contribute p·ln2 on the P
+    side, 0 on the Q side — lim x·ln x = 0).
+
+    Plan: the same single heavy (group, token) aggregate as the KL
+    drift, then a groups×vocabulary LEFT join (vocabulary-scale rows —
+    the absent-token terms exist only there, never against the corpus
+    stream).
+
+    Output: (source, jsd) in nats, rounded 6.
+    """
+    tok = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(tokenize(F.col(text_col))).alias("t"),
+    )
+    by = tok.groupBy("grp", "t").agg(F.count(F.lit(1)).alias("c_st"))
+    grp_tot = by.groupBy("grp").agg(F.sum("c_st").alias("n_s"))
+    glob = by.groupBy("t").agg(F.sum("c_st").alias("c_t"))
+    n_row = by.agg(F.sum("c_st").alias("n_tot"))
+    # groups × vocabulary grid, slice counts joined in (0 when absent)
+    grid = (
+        grp_tot.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(n_row))
+        .join(by, ["grp", "t"], "left")
+        .select(
+            "grp",
+            (F.coalesce(F.col("c_st"), F.lit(0)) / F.col("n_s")).alias("q"),
+            (F.col("c_t") / F.col("n_tot")).alias("p"),
+        )
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    term = (
+        F.when(F.col("q") > 0, F.col("q") * F.log(F.col("q") / m)).otherwise(
+            F.lit(0.0)
+        )
+        + F.col("p") * F.log(F.col("p") / m)
+    ) / 2
+    return (
+        grid.select("grp", term.alias("term"))
+        .groupBy("grp")
+        .agg(F.round(F.sum("term"), 6).alias("jsd"))
+        .select(F.col("grp").alias(group_col), "jsd")
+    )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    k: int = 4,
+    window: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every k-gram of tokens, then
+    keep each ``window``-length window's MINIMUM hash (rightmost-
+    lowest).  Guarantees every shared substring of ≥ k+window−1 tokens
+    leaves at least one shared fingerprint, while storing ~2/(window+1)
+    of the hashes — the position-robust sparse fingerprint set
+    substring-plagiarism and near-dup detection pipelines use (the
+    rolling :func:`doc_fingerprint` is order-sensitive but dense).
+
+    Hashes are the first 8 md5 hex digits of the joined k-gram
+    (engine-replayable, like every digest in this repo); the window
+    minimum is one bounded window function over the posexploded k-gram
+    stream — narrow, no shuffle beyond the doc key.
+
+    Output: (doc_id, fp, first_pos) — distinct selected fingerprints
+    with the first k-gram position that selected them.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), tokenize(F.col(text_col)).alias("_toks")
+    ).filter(F.size("_toks") >= k)
+    grams = toks.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - k),
+                lambda i: F.array_join(F.slice("_toks", i + 1, k), " "),
+            )
+        ).alias("pos", "gram"),
+    )
+    hashed = grams.select(
+        id_col,
+        "pos",
+        F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(-(window - 1), 0)
+    )
+    # rightmost-minimum tie-break: order by (hash, -pos) inside the
+    # window via min of struct(h, -pos)
+    sel = hashed.withColumn(
+        "_m", F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).over(w)
+    ).withColumn(
+        "_wpos", F.row_number().over(Window.partitionBy(id_col).orderBy("pos"))
+    )
+    # every FULL window emits ITS minimum (h, pos); the same gram picked
+    # by several windows dedups in the aggregate below
+    picked = sel.filter(F.col("_wpos") >= window).select(
+        id_col,
+        F.col("_m.h").alias("h"),
+        (-F.col("_m.np")).alias("selpos"),
+    )
+    return (
+        picked.groupBy(id_col, "h")
+        .agg(F.min("selpos").cast("long").alias("first_pos"))
+        .select(id_col, F.col("h").alias("fp"), "first_pos")
+    )
