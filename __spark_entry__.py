@@ -2140,6 +2140,42 @@ def q_events_covered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return covered_time(load_events(spark, sf_dir), hold_minutes=COVER_HOLD_MIN)
 
 
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality matrix per event type (volume + decimal-
+    exact mean value) — the capacity-planning/baselining profile."""
+    from flink_kmeans_clustering_spark.operators.events import (
+        hourly_seasonality,
+    )
+
+    return hourly_seasonality(load_events(spark, sf_dir))
+
+
+def q_text_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed doc-length histogram per source — bucket computed
+    integer-exactly as binary digit count (length(bin(n))-1), never a
+    float log at a power-of-two boundary."""
+    from flink_kmeans_clustering_spark.operators.textstats import (
+        length_histogram,
+    )
+
+    return length_histogram(load_table(spark, "documents", sf_dir))
+
+
+def q_dedup_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the n-gram candidate-pair graph — the
+    dedup-health gate run before transitive closure (a hub node means
+    a boilerplate shingle slipped the df cap)."""
+    from flink_kmeans_clustering_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        pair_degree_histogram,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pair_degree_histogram(
+        ngram_jaccard_pairs(docs, n=3, threshold=NGRAM_JACCARD_THRESHOLD)
+    )
+
+
 def q_events_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust median/MAD outliers per type (Iglewicz-Hoaglin modified
     z) — the 50%-breakdown twin of q_events_anomaly's moment z-score;
@@ -3115,29 +3151,35 @@ def q_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    174 queries; 170 carry DuckDB oracles, 4 are rows-only by design
-    (MLlib placement RNG, HLL/KLL sketch internals, GEMM ulp twin —
+    206 queries; 202 carry DuckDB oracles, 4 are rows-only by design
+    (MLlib placement RNG, HLL/GK sketch internals, GEMM ulp twin —
     each has a DETERMINISTIC full-oracle twin registered beside it:
-    lloyd_nd/kmv/sampled-quantiles/expression-cosine).
+    lloyd_nd/kmv/sampled-quantiles/expression-cosine, and since r07
+    each also carries an sf0.1 numeric cross-check in
+    tests/test_sketch_crosschecks.py).  Counts are asserted
+    programmatically in tests/test_entry.py, so this header cannot go
+    stale again (ADVICE r06).
 
     Registry ORDER is load-bearing: the driver's correctness artifact
-    records the first 50 entries only.  Round 6 rotates the window
-    onto the STALE TAIL (VERDICT r05 item 1): the r01/r02 events/json/
-    window families, udaf/multimodal/sink-orc, most of the r01 q_rel_*
-    family — plus the TWENTY queries new this round (q_events_rfm,
-    q_dedup_incremental, q_dedup_url, q_ann_recall, q_dedup_spans,
-    q_sample_token_budget, q_ann_negatives, q_text_datacard,
-    q_events_markov, q_dedup_threshold_hist) and the two whose oracle
-    text changed (mlquality NULL-text coalesce, expectations
-    empty-drop coalesce).  Fitting the 20 new queries displaced 16 of
-    the stale-tail set to the rest-tail HEAD, re-queued for r07:
-    q_rel_setops/custdist/promo/brandrev/tradevolume/returns/topparts/
+    records the first 50 entries only.  Round 7 window (VERDICT r06
+    item 1, exactly as docs/STATUS.md planned): the TEN queries new
+    this round (q_stream_attribution_ooo, q_multimodal_wav,
+    q_events_funnel_windowed, q_events_covered, q_events_mad,
+    q_ann_mrr, q_ann_quant_error, q_text_jsd, q_text_winnowing,
+    q_embed_standardize), then the SIXTEEN requeued r01-green q_rel_*
+    rows (setops/custdist/promo/brandrev/tradevolume/returns/topparts/
     idle_rich/late_orders/anti_parts/forecast/topsupplier/profit/
-    bigorders/mktshare/local_supplier — chosen
-    because relational.py is the least-touched operator file since
-    their r01 green rows (events.py, by contrast, changed this
-    round).  With this window, cumulative driver coverage reaches
-    193/193.
+    bigorders/mktshare/local_supplier — relational.py is the
+    least-touched operator file since their r01 rows), then
+    q_dedup_semantic, q_topk_sim, q_text_vocab_coverage, then the r03
+    tail (q_ann_ivf/lsh/pruned/quantized, q_events_funnel/retention/
+    wau/anomaly/histogram, q_window_range, the eight r03 q_stream_*
+    rows, q_dedup_canonical, q_text_tokens, q_text_langid).  With this
+    window, cumulative driver coverage reaches 203 of 206 this round
+    (the three rest-tail-head additions q_events_hourly,
+    q_text_length_hist, q_dedup_degree_hist land r08-window-first); the
+    stalest remaining surface is the r04-green family, requeued for r08
+    (see docs/STATUS.md).
     """
     return {
         "q_stream_attribution_ooo": q_stream_attribution_ooo,
@@ -3146,10 +3188,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_covered": q_events_covered,
         "q_events_mad": q_events_mad,
         "q_ann_mrr": q_ann_mrr,
-        "q_embed_standardize": q_embed_standardize,
         "q_ann_quant_error": q_ann_quant_error,
         "q_text_jsd": q_text_jsd,
         "q_text_winnowing": q_text_winnowing,
+        "q_embed_standardize": q_embed_standardize,
+        "q_rel_setops": q_rel_setops,
+        "q_rel_custdist": q_rel_custdist,
+        "q_rel_promo": q_rel_promo,
+        "q_rel_brandrev": q_rel_brandrev,
+        "q_rel_tradevolume": q_rel_tradevolume,
+        "q_rel_returns": q_rel_returns,
+        "q_rel_topparts": q_rel_topparts,
+        "q_rel_idle_rich": q_rel_idle_rich,
+        "q_rel_late_orders": q_rel_late_orders,
+        "q_rel_anti_parts": q_rel_anti_parts,
+        "q_rel_forecast": q_rel_forecast,
+        "q_rel_topsupplier": q_rel_topsupplier,
+        "q_rel_profit": q_rel_profit,
+        "q_rel_bigorders": q_rel_bigorders,
+        "q_rel_mktshare": q_rel_mktshare,
+        "q_rel_local_supplier": q_rel_local_supplier,
+        "q_dedup_semantic": q_dedup_semantic,
+        "q_topk_sim": q_topk_sim,
+        "q_text_vocab_coverage": q_text_vocab_coverage,
+        "q_ann_ivf": q_ann_ivf,
+        "q_ann_lsh": q_ann_lsh,
+        "q_ann_pruned": q_ann_pruned,
+        "q_ann_quantized": q_ann_quantized,
+        "q_events_funnel": q_events_funnel,
+        "q_events_retention": q_events_retention,
+        "q_events_wau": q_events_wau,
+        "q_events_anomaly": q_events_anomaly,
+        "q_events_histogram": q_events_histogram,
+        "q_window_range": q_window_range,
+        "q_stream_enrich": q_stream_enrich,
+        "q_stream_window": q_stream_window,
+        "q_stream_dedup": q_stream_dedup,
+        "q_stream_totals": q_stream_totals,
+        "q_stream_interval_join": q_stream_interval_join,
+        "q_stream_session": q_stream_session,
+        "q_stream_sink": q_stream_sink,
+        "q_stream_gate": q_stream_gate,
+        "q_dedup_canonical": q_dedup_canonical,
+        "q_text_tokens": q_text_tokens,
+        "q_text_langid": q_text_langid,
+        # --- below: outside the driver's 50-row window this round;
+        # --- r06-green head first, then the r04-green stale tail
+        # --- requeued for r08 (see docs/STATUS.md rotation note)
+        "q_events_hourly": q_events_hourly,
+        "q_text_length_hist": q_text_length_hist,
+        "q_dedup_degree_hist": q_dedup_degree_hist,
         "q_events_rfm": q_events_rfm,
         "q_dedup_incremental": q_dedup_incremental,
         "q_dedup_url": q_dedup_url,
@@ -3200,27 +3288,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_udaf_geomean": q_udaf_geomean,
         "q_events_sliding": q_events_sliding,
         "q_events_session_native": q_events_session_native,
-        # --- below: outside the driver's 50-row window this round;
-        # all driver-green in rounds 1-5 ---
-        "q_rel_local_supplier": q_rel_local_supplier,
-        "q_rel_mktshare": q_rel_mktshare,
-        "q_rel_bigorders": q_rel_bigorders,
-        "q_rel_forecast": q_rel_forecast,
-        "q_rel_topsupplier": q_rel_topsupplier,
-        "q_rel_profit": q_rel_profit,
-        "q_rel_anti_parts": q_rel_anti_parts,
-        "q_rel_late_orders": q_rel_late_orders,
-        "q_rel_idle_rich": q_rel_idle_rich,
-        "q_rel_topparts": q_rel_topparts,
-        "q_rel_tradevolume": q_rel_tradevolume,
-        "q_rel_returns": q_rel_returns,
-        "q_rel_setops": q_rel_setops,
-        "q_rel_custdist": q_rel_custdist,
-        "q_rel_promo": q_rel_promo,
-        "q_rel_brandrev": q_rel_brandrev,
-        "q_text_vocab_coverage": q_text_vocab_coverage,
-        "q_dedup_semantic": q_dedup_semantic,
-        "q_topk_sim": q_topk_sim,
         "q_ann_pq": q_ann_pq,
         "q_dedup_contain": q_dedup_contain,
         "q_profile": q_profile,
@@ -3267,25 +3334,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_gate": q_text_gate,
         "q_text_packing": q_text_packing,
         "q_rel_small_qty": q_rel_small_qty,
-        "q_stream_enrich": q_stream_enrich,
-        "q_stream_window": q_stream_window,
-        "q_stream_dedup": q_stream_dedup,
-        "q_stream_totals": q_stream_totals,
-        "q_stream_interval_join": q_stream_interval_join,
-        "q_stream_session": q_stream_session,
-        "q_stream_sink": q_stream_sink,
-        "q_stream_gate": q_stream_gate,
-        "q_ann_ivf": q_ann_ivf,
-        "q_ann_lsh": q_ann_lsh,
-        "q_ann_quantized": q_ann_quantized,
-        "q_ann_pruned": q_ann_pruned,
-        "q_dedup_canonical": q_dedup_canonical,
-        "q_events_funnel": q_events_funnel,
-        "q_events_retention": q_events_retention,
-        "q_events_wau": q_events_wau,
-        "q_events_anomaly": q_events_anomaly,
-        "q_events_histogram": q_events_histogram,
-        "q_window_range": q_window_range,
         "q_rel_yoy": q_rel_yoy,
         "q_knn_join": q_knn_join,
         "q_embed_cov": q_embed_cov,
@@ -3335,10 +3383,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_lmscore": q_text_lmscore,
         "q_sample_split": q_sample_split,
         "q_sink_roundtrip": q_sink_roundtrip,
-        "q_text_tokens": q_text_tokens,
         "q_text_clean": q_text_clean,
         "q_text_tokenfreq_salted": q_text_tokenfreq_salted,
-        "q_text_langid": q_text_langid,
         "q_text_quality": q_text_quality,
         "q_text_fingerprint": q_text_fingerprint,
         "q_text_tokenfreq": q_text_tokenfreq,
@@ -4192,6 +4238,27 @@ p AS (
 )
 SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
 FROM p GROUP BY path ORDER BY n_users DESC, path LIMIT 20
+"""
+    events_hourly_sql = """
+SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(25,8))) AS DOUBLE) / COUNT(*), 6)
+         AS avg_value
+FROM events GROUP BY event_type, hour
+"""
+    text_length_hist_sql = """
+WITH b AS (
+  SELECT source,
+         CASE WHEN n_chars <= 0 THEN -1
+              ELSE CAST(length(format('{:b}', n_chars)) - 1 AS INT)
+         END AS bucket
+  FROM documents
+)
+SELECT source, CAST(bucket AS INT) AS bucket,
+       CAST(CASE WHEN bucket >= 0 THEN power(2.0, bucket) ELSE 0 END
+            AS BIGINT) AS lo,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM b GROUP BY source, bucket
 """
     events_funnel_windowed_sql = """
 WITH s1 AS (
@@ -7469,6 +7536,19 @@ GROUP BY event_type
         "q_stream_attribution_ooo": events_attribution_sql,
         "q_multimodal_wav": multimodal_wav_sql,
         "q_events_funnel_windowed": events_funnel_windowed_sql,
+        "q_events_hourly": events_hourly_sql,
+        "q_text_length_hist": text_length_hist_sql,
+        "q_dedup_degree_hist": dedup_ngram_capped_sql.replace(
+            "SELECT id_a, id_b, jaccard FROM capped_pairs",
+            """, deg AS (
+  SELECT id, COUNT(*) AS degree FROM (
+    SELECT id_a AS id FROM capped_pairs
+    UNION ALL SELECT id_b FROM capped_pairs
+  ) GROUP BY id
+)
+SELECT CAST(degree AS BIGINT) AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY degree""",
+        ),
         "q_events_covered": events_covered_sql,
         "q_events_mad": events_mad_sql,
         "q_events_cohorts": events_cohorts_sql,

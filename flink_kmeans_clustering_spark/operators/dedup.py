@@ -1978,3 +1978,27 @@ def pair_cosine_histogram(
             F.max("_c").alias("max_cos"),
         )
     )
+
+
+def pair_degree_histogram(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Degree distribution of a candidate-pair graph — the dedup-health
+    monitor: a healthy near-dup graph is shallow near-cliques (small
+    degrees); a hub node (one doc paired with thousands) means a
+    boilerplate shingle slipped past the df cap and the transitive
+    closure is about to glue unrelated documents together.  Run this on
+    every new pair batch BEFORE connected components.
+
+    Two bounded aggregates over the pair list (already tiny relative to
+    the corpus): per-node degree, then the degree histogram.
+
+    Output: (degree, n_nodes).
+    """
+    nodes = pairs.select(F.col(id_a).alias("id")).unionAll(
+        pairs.select(F.col(id_b).alias("id"))
+    )
+    deg = nodes.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))

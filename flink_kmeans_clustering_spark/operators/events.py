@@ -1475,3 +1475,31 @@ def mad_outliers(
         )
         .filter(F.abs(F.col("rz")) >= rz_threshold)
     )
+
+
+def hourly_seasonality(
+    df: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hour-of-day seasonality profile per event type: volume and mean
+    value for each (type, hour) cell — the 24×types matrix capacity
+    planning and anomaly baselining read first.  One aggregate with
+    map-side combine; means are DECIMAL-exact (Σ in decimal, one final
+    divide) so the profile is engine- and partitioning-reproducible.
+
+    Output: (event_type, hour, n_events, avg_value).
+    """
+    x = F.col(value_col)
+    return (
+        df.groupBy(type_col, F.hour(ts_col).alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(x.cast("decimal(25,8)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_value"),
+        )
+    )

@@ -1392,3 +1392,44 @@ def winnowing_fingerprints(
         .agg(F.min("selpos").cast("long").alias("first_pos"))
         .select(id_col, F.col("h").alias("fp"), "first_pos")
     )
+
+
+def length_histogram(
+    df: DataFrame,
+    group_col: str = "source",
+    len_col: str = "n_chars",
+) -> DataFrame:
+    """Log2-bucketed document-length histogram per slice — the length
+    profile a data card plots (truncation cliffs and boilerplate spikes
+    show up as bucket anomalies long before means move).
+
+    The bucket is ⌊log2 n⌋ computed INTEGER-exactly as
+    ``length(bin(n)) − 1`` (binary digit count): float ``log2`` sits a
+    half-ulp from an integer at every power of two — exactly the bucket
+    boundaries — so the arithmetic the histogram pivots on never
+    touches a float.  Zero-length docs land in bucket −1.  One
+    aggregate, map-side combined.
+
+    Output: (source, bucket, lo, n_docs) with ``lo`` = 2^bucket, the
+    bucket's inclusive lower edge.
+    """
+    n = F.col(len_col)
+    bucket = (
+        F.when(n <= 0, F.lit(-1))
+        .otherwise(F.length(F.bin(n.cast("bigint"))) - 1)
+        .cast("int")
+    )
+    return (
+        df.select(F.col(group_col), bucket.alias("bucket"))
+        .groupBy(group_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            group_col,
+            "bucket",
+            F.when(F.col("bucket") >= 0, F.pow(F.lit(2.0), F.col("bucket")))
+            .otherwise(F.lit(0.0))
+            .cast("long")
+            .alias("lo"),
+            "n_docs",
+        )
+    )

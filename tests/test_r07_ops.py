@@ -268,3 +268,71 @@ def test_standardize_embeddings_zero_mean_unit_var(spark):
     assert len(stats) == 64
     for r in stats:
         assert abs(r["m"]) < 1e-4 and abs(r["v"] - 1.0) < 1e-3
+
+
+def test_hourly_seasonality_hand_counts(spark):
+    import datetime
+
+    from flink_kmeans_clustering_spark.operators.events import (
+        hourly_seasonality,
+    )
+
+    ev = _ts(
+        spark,
+        [
+            ("a", datetime.datetime(2024, 1, 1, 9, 5), 10.0),
+            ("a", datetime.datetime(2024, 1, 2, 9, 55), 20.0),
+            ("a", datetime.datetime(2024, 1, 1, 23, 0), 7.0),
+        ],
+        "event_type string, ts timestamp, value double",
+    )
+    got = {
+        (r["event_type"], r["hour"]): (r["n_events"], r["avg_value"])
+        for r in hourly_seasonality(ev).collect()
+    }
+    assert got == {("a", 9): (2, 15.0), ("a", 23): (1, 7.0)}
+
+
+def test_length_histogram_integer_exact_buckets(spark):
+    """Powers of two land in THEIR bucket (n=256 -> bucket 8), the
+    boundary float log2 gets wrong; zero-length -> bucket -1."""
+    from flink_kmeans_clustering_spark.operators.textstats import (
+        length_histogram,
+    )
+
+    docs = _ts(
+        spark,
+        [(i, "s", n) for i, n in enumerate([0, 1, 2, 3, 4, 255, 256, 257])],
+        "doc_id long, source string, n_chars long",
+    )
+    got = {
+        r["bucket"]: (r["lo"], r["n_docs"])
+        for r in length_histogram(docs).collect()
+    }
+    assert got == {
+        -1: (0, 1),   # n=0
+        0: (1, 1),    # n=1
+        1: (2, 2),    # n=2,3
+        2: (4, 1),    # n=4
+        7: (128, 1),  # n=255
+        8: (256, 2),  # n=256,257 — 256 must NOT fall in bucket 7
+    }
+
+
+def test_pair_degree_histogram_hand_graph(spark):
+    """Path 1-2-3 plus isolated pair (4,5): degrees 1,2,1,1,1 ->
+    histogram {1: 4, 2: 1}."""
+    from flink_kmeans_clustering_spark.operators.dedup import (
+        pair_degree_histogram,
+    )
+
+    pairs = _ts(
+        spark,
+        [(1, 2), (2, 3), (4, 5)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["degree"]: r["n_nodes"]
+        for r in pair_degree_histogram(pairs).collect()
+    }
+    assert got == {1: 4, 2: 1}
