@@ -211,6 +211,27 @@ PICKS = [
         "Temperature mixing — k-row rate derivation driver-side, "
         "narrow md5-bucket predicate in the scan",
     ),
+    (
+        "q_events_covered",
+        "Interval-union coverage — ONE user-key exchange shared by both "
+        "window passes and the island aggregate",
+    ),
+    (
+        "q_ann_mrr",
+        "IVF MRR eval — broadcast probe lists, one corpus scan per side, "
+        "WindowGroupLimit before the bounded exchanges",
+    ),
+    (
+        "q_events_funnel_windowed",
+        "Windowed funnel — per-stage pushed type filters; the window "
+        "test is a filter on the O(users) frontier join, no interval "
+        "self-join",
+    ),
+    (
+        "q_text_winnowing",
+        "Winnowing fingerprints — posexplode + bounded sliding window "
+        "on the doc key; no shuffle beyond it",
+    ),
 ]
 
 
