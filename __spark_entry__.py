@@ -4325,7 +4325,8 @@ mad AS (
 SELECT e.event_id, e.event_type, e.value,
        ROUND(0.6745 * (e.value - med.m) / mad.d, 6) AS rz
 FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
-WHERE abs(ROUND(0.6745 * (e.value - med.m) / mad.d, 6)) >= 3.5
+WHERE mad.d > 0
+  AND abs(ROUND(0.6745 * (e.value - med.m) / mad.d, 6)) >= 3.5
 """
     events_attribution_sql = """
 WITH carried AS (

@@ -1467,7 +1467,11 @@ def mad_outliers(
     mad = resid.groupBy(type_col).agg(
         F.expr(f"percentile(abs({value_col} - _med), 0.5)").alias("_mad")
     )
-    enriched = resid.join(F.broadcast(mad), type_col)
+    # MAD = 0 (over half the group identical) leaves the scale estimate
+    # undefined — flag NOTHING there rather than divide by zero
+    # (hypothesis-found edge; value_anomalies is the fallback detector
+    # for such degenerate groups)
+    enriched = resid.join(F.broadcast(mad), type_col).filter(F.col("_mad") > 0)
     rz = F.lit(0.6745) * (x - F.col("_med")) / F.col("_mad")
     return (
         enriched.select(
