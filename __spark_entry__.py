@@ -867,6 +867,28 @@ def q_multimodal_feat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return features_rounded(byte_histogram_features(synthesize_assets(docs)))
 
 
+PHASH_MAX_HAMMING = 3
+PHASH_MAX_BLOCK = 200
+
+
+def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual (aHash) near-duplicate pairs over the multimodal byte
+    grid: 64 sampled bytes thresholded at the sample mean (pure-integer
+    compare), 16-bit pigeonhole chunks as blocking keys with the
+    repo-standard hot-block cap, Hamming<=3 verify — the "same picture,
+    re-encoded" dedup byte digests can't do."""
+    from flink_kmeans_clustering_spark.operators.multimodal import (
+        phash_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return phash_pairs(
+        synthesize_assets(docs),
+        max_hamming=PHASH_MAX_HAMMING,
+        max_block=PHASH_MAX_BLOCK,
+    )
+
+
 def q_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL byte format through the decode contract (VERDICT r06 item
     5): every document packed as a genuine RIFF/WAVE blob (stdlib wave
@@ -1328,6 +1350,18 @@ def q_text_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_kmeans_clustering_spark.operators.textstats import token_jsd
 
     return token_jsd(load_table(spark, "documents", sf_dir))
+
+
+ZIPF_TOP_N = 100
+
+
+def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus Zipf diagnostics: token totals, vocabulary size, top-1
+    share, and the log-log rank-frequency slope over the top 100 ranks
+    (closed-form least squares) — natural language sits near −1."""
+    from flink_kmeans_clustering_spark.operators.textstats import zipf_profile
+
+    return zipf_profile(load_table(spark, "documents", sf_dir), top_n=ZIPF_TOP_N)
 
 
 WINNOW_K = 4
@@ -2159,6 +2193,19 @@ def q_text_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return length_histogram(load_table(spark, "documents", sf_dir))
+
+
+def q_dedup_minhash_calib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration: every band-collision pair's
+    lane-fraction estimate beside its exact shingle Jaccard, rolled up
+    per estimate value (n, avg exact, MAE) — the sketch-quality report
+    read before trusting a band/row configuration."""
+    from flink_kmeans_clustering_spark.operators.dedup import (
+        minhash_calibration,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_calibration(docs)
 
 
 def q_dedup_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3151,7 +3198,7 @@ def q_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    206 queries; 202 carry DuckDB oracles, 4 are rows-only by design
+    209 queries; 205 carry DuckDB oracles, 4 are rows-only by design
     (MLlib placement RNG, HLL/GK sketch internals, GEMM ulp twin —
     each has a DETERMINISTIC full-oracle twin registered beside it:
     lloyd_nd/kmv/sampled-quantiles/expression-cosine, and since r07
@@ -3176,8 +3223,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     wau/anomaly/histogram, q_window_range, the eight r03 q_stream_*
     rows, q_dedup_canonical, q_text_tokens, q_text_langid).  With this
     window, cumulative driver coverage reaches 203 of 206 this round
-    (the three rest-tail-head additions q_events_hourly,
-    q_text_length_hist, q_dedup_degree_hist land r08-window-first); the
+    (the rest-tail-head additions q_events_hourly, q_text_length_hist,
+    q_dedup_degree_hist, q_text_zipf, q_multimodal_phash,
+    q_dedup_minhash_calib land r08-window-first); the
     stalest remaining surface is the r04-green family, requeued for r08
     (see docs/STATUS.md).
     """
@@ -3238,6 +3286,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_hourly": q_events_hourly,
         "q_text_length_hist": q_text_length_hist,
         "q_dedup_degree_hist": q_dedup_degree_hist,
+        "q_text_zipf": q_text_zipf,
+        "q_multimodal_phash": q_multimodal_phash,
+        "q_dedup_minhash_calib": q_dedup_minhash_calib,
         "q_events_rfm": q_events_rfm,
         "q_dedup_incremental": q_dedup_incremental,
         "q_dedup_url": q_dedup_url,
@@ -5998,6 +6049,104 @@ SELECT asset_id,
          AS digest
 FROM px GROUP BY asset_id
 """
+    dedup_minhash_calib_sql = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(t)-2, 1)+1),
+           i -> array_to_string(list_slice(t, i, i+2), ' '))) AS shingles
+  FROM toks WHERE len(t) > 0
+),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+lanes AS (
+  SELECT doc_id, g.g * 2 + h.h AS lane,
+         MIN(CAST(('0x' || substring(md5(CAST(g.g AS VARCHAR) || ':' || s),
+                                     1 + 15 * h.h, 15)) AS BIGINT)) AS mv
+  FROM ex
+  CROSS JOIN (SELECT unnest(range(0, 8)) AS g) g
+  CROSS JOIN (SELECT unnest(range(0, 2)) AS h) h
+  GROUP BY doc_id, g.g, h.h
+),
+sig AS (SELECT doc_id, list(mv ORDER BY lane) AS sig FROM lanes GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE len(list_filter(range(0, 4),
+        j -> list_slice(a.sig, j*4+1, j*4+4) = list_slice(b.sig, j*4+1, j*4+4))) > 0
+),
+est AS (
+  SELECT id_a, id_b,
+         CAST(len(list_filter(range(1, 17), i -> sa[i] = sb[i])) AS DOUBLE) / 16
+           AS est_jaccard
+  FROM cand
+),
+scored AS (
+  SELECT e.est_jaccard,
+         ROUND(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+               / (len(x.shingles) + len(y.shingles)
+                  - len(list_intersect(x.shingles, y.shingles))), 6) AS exact
+  FROM est e
+  JOIN sh x ON x.doc_id = e.id_a
+  JOIN sh y ON y.doc_id = e.id_b
+  WHERE len(x.shingles) + len(y.shingles)
+        - len(list_intersect(x.shingles, y.shingles)) > 0
+)
+SELECT est_jaccard,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(CAST(SUM(CAST(exact AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6)
+         AS avg_exact,
+       ROUND(CAST(SUM(CAST(ROUND(abs(est_jaccard - exact), 6)
+                           AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6)
+         AS mae
+FROM scored GROUP BY est_jaccard
+"""
+    multimodal_phash_sql = f"""
+WITH a AS (
+  SELECT doc_id AS asset_id, text FROM documents WHERE length(text) > 0
+),
+bytes AS (
+  SELECT asset_id,
+         list_transform(range(0, 64), i ->
+           ascii(substr(text, CAST((i * length(text)) // 64 AS INT) + 1, 1)))
+           AS b
+  FROM a
+),
+hb AS (SELECT asset_id, b, list_sum(b) AS sm FROM bytes),
+chunks AS (
+  SELECT asset_id,
+         list_transform(range(0, 4), j ->
+           list_sum(list_transform(range(0, 16), m ->
+             CASE WHEN b[CAST(j * 16 + m AS INT) + 1] * 64 > sm
+                  THEN (1 << CAST(m AS INT)) ELSE 0 END))) AS c
+  FROM hb
+),
+ex AS (
+  SELECT asset_id, CAST(unnest(range(0, 4)) AS INT) AS ci, unnest(c) AS cv, c
+  FROM chunks
+),
+keep AS (SELECT ci, cv FROM ex GROUP BY ci, cv
+         HAVING COUNT(*) <= {PHASH_MAX_BLOCK}),
+exk AS (SELECT ex.* FROM ex JOIN keep USING (ci, cv)),
+cand AS (
+  SELECT DISTINCT x.asset_id AS id_a, y.asset_id AS id_b, x.c AS ca, y.c AS cb
+  FROM exk x JOIN exk y
+    ON x.ci = y.ci AND x.cv = y.cv AND x.asset_id < y.asset_id
+),
+scored AS (
+  SELECT id_a, id_b,
+         CAST(list_sum(list_transform(range(1, 5), j ->
+           bit_count(CAST(xor(ca[CAST(j AS INT)], cb[CAST(j AS INT)])
+                          AS BIGINT)))) AS BIGINT) AS hamming
+  FROM cand
+)
+SELECT id_a, id_b, hamming FROM scored WHERE hamming <= {PHASH_MAX_HAMMING}
+"""
     multimodal_wav_sql = """
 WITH pos AS (
   SELECT doc_id, length(text) AS n, text,
@@ -6841,6 +6990,38 @@ SELECT grp AS source,
                   + p * ln(p / ((p + q) / 2))) / 2), 6) AS jsd
 FROM grid GROUP BY grp
 """
+    text_zipf_sql = f"""
+WITH tok AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS t
+  FROM documents
+),
+freq AS (SELECT t, COUNT(*) AS f FROM tok GROUP BY t),
+totals AS (
+  SELECT CAST(SUM(f) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS vocab_size
+  FROM freq
+),
+top AS (
+  SELECT t, f, row_number() OVER (ORDER BY f DESC, t) AS r
+  FROM freq ORDER BY f DESC, t LIMIT {ZIPF_TOP_N}
+),
+fit AS (
+  SELECT COUNT(*) AS n,
+         SUM(ln(CAST(r AS DOUBLE))) AS sx,
+         SUM(ln(CAST(f AS DOUBLE))) AS sy,
+         SUM(ln(CAST(r AS DOUBLE)) * ln(CAST(f AS DOUBLE))) AS sxy,
+         SUM(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE))) AS sxx,
+         MIN({{'nf': -f, 't': t}}) AS top1
+  FROM top
+)
+SELECT totals.n_tokens, totals.vocab_size,
+       fit.top1.t AS top1_token,
+       ROUND(-fit.top1.nf * 1.0 / totals.n_tokens, 6) AS top1_share,
+       ROUND((fit.n * fit.sxy - fit.sx * fit.sy)
+             / (fit.n * fit.sxx - fit.sx * fit.sx), 6) AS zipf_slope
+FROM fit CROSS JOIN totals
+"""
     text_winnowing_sql = """
 WITH toks AS (
   SELECT doc_id,
@@ -7270,6 +7451,7 @@ SELECT event_type, event_id, ROUND(value, 6) AS value FROM (
         "q_text_drift": text_drift_sql,
         "q_text_jsd": text_jsd_sql,
         "q_text_winnowing": text_winnowing_sql,
+        "q_text_zipf": text_zipf_sql,
         "q_sink_bucketed": sink_bucketed_sql,
         "q_dedup_embedding": dedup_embedding_sql,
         "q_dedup_minhash": dedup_minhash_sql,
@@ -7536,6 +7718,8 @@ GROUP BY event_type
         "q_stream_attribution": events_attribution_sql,
         "q_stream_attribution_ooo": events_attribution_sql,
         "q_multimodal_wav": multimodal_wav_sql,
+        "q_multimodal_phash": multimodal_phash_sql,
+        "q_dedup_minhash_calib": dedup_minhash_calib_sql,
         "q_events_funnel_windowed": events_funnel_windowed_sql,
         "q_events_hourly": events_hourly_sql,
         "q_text_length_hist": text_length_hist_sql,

@@ -2002,3 +2002,89 @@ def pair_degree_histogram(
     )
     deg = nodes.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+def minhash_calibration(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """MinHash estimator calibration — measure the sketch against the
+    truth it estimates, in-engine: every LSH candidate pair's estimated
+    Jaccard (matching-lane fraction) beside its EXACT shingle Jaccard,
+    rolled up per estimate value.  The report a pipeline reads before
+    picking a band/row configuration or trusting a threshold — the
+    sketch-quality twin of :func:`similarity.quantization_error`.
+
+    Candidates are every band-collision pair (threshold = one matching
+    band, the structural minimum — no extra cut, so the calibration
+    sees the estimator's full operating range).  Exact Jaccard uses the
+    two-stage verify physics: candidate ids broadcast-semi-join the
+    corpus BEFORE the shingle HOF runs, candidate-sized text work, the
+    corpus never shuffled.  Estimates are exact multiples of
+    1/num_hashes; the rollup sums 6-decimal-rounded values in DECIMAL.
+
+    Output: (est_jaccard, n_pairs, avg_exact, mae) — mae is the mean
+    |est − exact| within the estimate bucket.
+    """
+    from flink_kmeans_clustering_spark.functions.text import (
+        ngram_shingles,
+        tokenize,
+    )
+
+    cand = minhash_lsh_pairs(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=1.0 / num_hashes,  # one matching band implies more
+        hash_fn=hash_fn,
+    ).localCheckpoint()
+    cand_ids = (
+        cand.select(F.col("id_a").alias("_cid"))
+        .union(cand.select(F.col("id_b").alias("_cid")))
+        .distinct()
+    )
+    needed = docs.join(
+        F.broadcast(cand_ids), docs[id_col] == F.col("_cid"), "left_semi"
+    )
+    sh = needed.select(
+        F.col(id_col).alias("_id"),
+        ngram_shingles(tokenize(F.col(text_col)), n).alias("_sh"),
+    ).localCheckpoint()
+    with_a = (
+        sh.join(F.broadcast(cand), F.col("_id") == F.col("id_a"))
+        .drop("_id")
+        .withColumnRenamed("_sh", "sh_a")
+    )
+    with_ab = (
+        sh.join(F.broadcast(with_a), F.col("_id") == F.col("id_b"))
+        .drop("_id")
+        .withColumnRenamed("_sh", "sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    exact = F.round(inter.cast("double") / union, 6)
+    scored = with_ab.filter(union > 0).select(
+        "est_jaccard",
+        exact.alias("_exact"),
+        F.round(F.abs(F.col("est_jaccard") - exact), 6).alias("_err"),
+    )
+    cnt = F.count(F.lit(1))
+    return scored.groupBy("est_jaccard").agg(
+        cnt.alias("n_pairs"),
+        F.round(
+            F.sum(F.col("_exact").cast("decimal(20,6)")).cast("double") / cnt,
+            6,
+        ).alias("avg_exact"),
+        F.round(
+            F.sum(F.col("_err").cast("decimal(20,6)")).cast("double") / cnt,
+            6,
+        ).alias("mae"),
+    )

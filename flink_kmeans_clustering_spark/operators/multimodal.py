@@ -447,3 +447,126 @@ def wav_features(assets: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     """:func:`decode_features` with the real WAV decoder plugged in —
     identical plan shape to the histogram fake, real codec inside."""
     return decode_features(assets, wav_decoder(dim), dim)
+
+
+def ahash_chunks(
+    assets: DataFrame,
+    id_col: str = "asset_id",
+    content_col: str = "content",
+    bits: int = 64,
+    chunks: int = 4,
+) -> DataFrame:
+    """Average-hash (aHash) of the content byte grid, as chunk ints.
+
+    The classic perceptual image hash, computed on the deterministic
+    byte grid: sample ``bits`` evenly-spaced bytes (position
+    ``\u230ai\u00b7n/bits\u230b`` — the same nearest-neighbor downsample a real
+    image pipeline runs), threshold each at the sample MEAN, pack the
+    bit vector into ``chunks`` little-endian 16-bit integers.  Every
+    step is integer/exact-double arithmetic replayable in SQL (the
+    mean of 64 small ints is exact in a double); byte extraction is
+    JVM-side — latin-1 decode maps byte k to code point k, so
+    ``ascii(substr(decode(content), pos, 1))`` IS the byte value, no
+    UDF.  The chunk split is the pigeonhole blocking key: two hashes
+    within Hamming distance < chunks must agree on SOME chunk.
+
+    Output: (asset_id, chunk_idx, chunk_val, c0..c{chunks-1}) — one
+    row per chunk for blocking, the full hash carried along for the
+    verify step.
+    """
+    per = bits // chunks
+    # ONE expression tree with let-style bindings (single-element-array
+    # transform lambdas): Catalyst's projection collapse would otherwise
+    # inline the decode into all 64 sampling positions and re-decode the
+    # whole blob per element (measured 13 s for 500 assets; this form is
+    # sub-second).  The threshold compare is PURE INTEGER
+    # (b_i * bits > Σb — equivalent to b_i > mean, no division), so the
+    # hash is integer-exact in any engine.
+    chunks_expr = (
+        f"element_at(transform(array(decode({content_col}, 'ISO-8859-1')), "
+        f"s -> element_at(transform(array("
+        f"transform(sequence(0, {bits - 1}), i -> "
+        f"ascii(substr(s, int(i * length(s) / {bits}) + 1, 1)))"
+        f"), b -> transform(sequence(0, {chunks - 1}), j -> "
+        f"aggregate(sequence(0, {per - 1}), 0, (acc, m) -> acc + "
+        f"if(element_at(b, j * {per} + m + 1) * {bits} > "
+        f"aggregate(b, 0, (a2, e) -> a2 + e), shiftleft(1, m), 0)))"
+        f"), 1)), 1)"
+    )
+    hashed = assets.filter(F.octet_length(content_col) > 0).select(
+        F.col(id_col), F.expr(chunks_expr).alias("c")
+    )
+    return hashed.select(
+        id_col,
+        F.posexplode("c").alias("chunk_idx", "chunk_val"),
+        *[F.element_at("c", j + 1).alias(f"c{j}") for j in range(chunks)],
+    )
+
+
+def phash_pairs(
+    assets: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "asset_id",
+    content_col: str = "content",
+    bits: int = 64,
+    chunks: int = 4,
+    max_block: int | None = 200,
+) -> DataFrame:
+    """Perceptual near-duplicate pairs by aHash Hamming distance —
+    multimodal dedup for image-like binary columns (the "same picture,
+    re-encoded" case byte digests can't catch).
+
+    Pigeonhole blocking for ``max_hamming < chunks``: two hashes
+    within the threshold must share at least one exact chunk, so the
+    equi-join on (chunk_idx, chunk_val) generates every qualifying
+    pair and the Hamming filter verifies — identical physics to the
+    SimHash text pairs, applied to the decoded byte grid.  ``max_block``
+    is the mandatory hot-block guard (the df cap of this family): a
+    chunk value shared by thousands of assets is boilerplate, not
+    near-duplication — on low-entropy grids (text bytes, flat images)
+    the correlated bits WOULD otherwise degenerate the blocking toward
+    all-pairs.  Same documented trade as the n-gram cap: a pair whose
+    every shared chunk is hot is dropped.  ``max_block=None`` restores
+    exact pigeonhole completeness for small corpora.
+
+    Output: (id_a, id_b, hamming), id_a < id_b.
+    """
+    if max_hamming >= chunks:
+        raise ValueError(
+            f"pigeonhole completeness needs max_hamming < chunks "
+            f"({max_hamming} >= {chunks})"
+        )
+    h = ahash_chunks(assets, id_col, content_col, bits, chunks)
+    if max_block is not None:
+        from pyspark.sql import Window
+
+        counts = h.groupBy("chunk_idx", "chunk_val").agg(
+            F.count(F.lit(1)).alias("_bn")
+        )
+        h = (
+            h.join(F.broadcast(counts), ["chunk_idx", "chunk_val"])
+            .filter(F.col("_bn") <= max_block)
+            .drop("_bn")
+        )
+    a, bb = h.alias("a"), h.alias("b")
+    ham = sum(
+        F.bit_count(
+            F.col(f"a.c{j}").bitwiseXOR(F.col(f"b.c{j}")).cast("long")
+        )
+        for j in range(chunks)
+    )
+    return (
+        a.join(
+            bb,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1433,3 +1433,63 @@ def length_histogram(
             "n_docs",
         )
     )
+
+
+def zipf_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 100,
+) -> DataFrame:
+    """Corpus Zipf diagnostics: does the token rank-frequency curve
+    look like natural language (log-log slope ≈ −1) or like synthetic/
+    boilerplate text (flat head or cliff)?  A standard corpus-health
+    scalar next to the entropy and repetition signals.
+
+    One explode + token aggregate (the only corpus-scale shuffle),
+    then the top-``top_n`` ranks (TakeOrderedAndProject) and a
+    closed-form least-squares fit of ln(freq) on ln(rank) over them —
+    slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²), every term a sum over
+    ``top_n`` rows, rounded 6 (the repo's drift-score float
+    discipline).
+
+    Output: ONE row — (n_tokens, vocab_size, top1_token, top1_share,
+    zipf_slope).
+    """
+    from pyspark.sql import Window
+
+    ex = df.select(F.explode(tokenize(F.col(text_col))).alias("t"))
+    freq = ex.groupBy("t").agg(F.count(F.lit(1)).alias("f"))
+    totals = freq.agg(
+        F.sum("f").alias("n_tokens"), F.count(F.lit(1)).alias("vocab_size")
+    )
+    top = (
+        freq.orderBy(F.desc("f"), F.col("t"))
+        .limit(top_n)
+        .withColumn(
+            "r",
+            F.row_number().over(Window.orderBy(F.desc("f"), F.col("t"))),
+        )
+    )
+    x = F.log(F.col("r").cast("double"))
+    y = F.log(F.col("f").cast("double"))
+    fit = top.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+        # min over (-f, t): highest frequency, ties to lexicographically
+        # smallest token — same order as the rank window
+        F.min(F.struct((-F.col("f")).alias("nf"), F.col("t"))).alias("_top1"),
+    )
+    slope = (
+        (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+        / (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
+    )
+    return fit.crossJoin(F.broadcast(totals)).select(
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("vocab_size").cast("long").alias("vocab_size"),
+        F.col("_top1.t").alias("top1_token"),
+        F.round(-F.col("_top1.nf") / F.col("n_tokens"), 6).alias("top1_share"),
+        F.round(slope, 6).alias("zipf_slope"),
+    )

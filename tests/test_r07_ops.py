@@ -336,3 +336,80 @@ def test_pair_degree_histogram_hand_graph(spark):
         for r in pair_degree_histogram(pairs).collect()
     }
     assert got == {1: 4, 2: 1}
+
+
+def test_zipf_profile_hand_corpus(spark):
+    """9 a's, 3 b's, 1 c: slope of ln f on ln r over ranks 1..3 is
+    hand-computable; top1 = 'a' with share 9/13."""
+    from flink_kmeans_clustering_spark.operators.textstats import zipf_profile
+
+    docs = _ts(
+        spark,
+        [(1, "a a a a a a a a a b b b c")],
+        "doc_id long, text string",
+    )
+    [row] = zipf_profile(docs, top_n=3).collect()
+    assert (row["n_tokens"], row["vocab_size"]) == (13, 3)
+    assert row["top1_token"] == "a"
+    assert row["top1_share"] == round(9 / 13, 6)
+    xs = [math.log(r) for r in (1, 2, 3)]
+    ys = [math.log(f) for f in (9, 3, 1)]
+    n = 3
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    want = round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+    assert row["zipf_slope"] == want
+
+
+def test_zipf_top1_tie_breaks_to_lexicographic(spark):
+    from flink_kmeans_clustering_spark.operators.textstats import zipf_profile
+
+    docs = _ts(spark, [(1, "zz aa zz aa")], "doc_id long, text string")
+    [row] = zipf_profile(docs, top_n=2).collect()
+    assert row["top1_token"] == "aa"
+
+
+def test_phash_identical_bytes_hamming_zero(spark):
+    """Identical blobs -> hamming 0; a blob with a few flipped sampled
+    bytes -> small positive hamming; unrelated content excluded."""
+    from flink_kmeans_clustering_spark.operators.multimodal import (
+        phash_pairs,
+    )
+
+    base = ("hello world this is a doc " * 4).encode()
+    tweaked = bytearray(base)
+    tweaked[0] = 1  # letter (above mean) -> byte 1 (far below): bit flips
+    other = ("completely different words entirely " * 4).encode()
+    assets = spark.createDataFrame(
+        [
+            (1, bytearray(base)),
+            (2, bytearray(base)),
+            (3, bytearray(tweaked)),
+            (4, bytearray(other)),
+        ],
+        "asset_id long, content binary",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_pairs(assets, max_block=None).collect()
+    }
+    assert got[(1, 2)] == 0
+    assert 1 <= got.get((1, 3), 99) <= 3 and got[(1, 3)] == got[(2, 3)]
+    assert not any(4 in k for k in got)
+
+
+def test_phash_hot_block_cap_drops_boilerplate(spark):
+    """Forty identical blobs exceed a max_block of 10: every chunk
+    block is hot, so the guard drops ALL pairs (the documented df-cap
+    trade); with the cap off the pairs come back."""
+    from flink_kmeans_clustering_spark.operators.multimodal import (
+        phash_pairs,
+    )
+
+    blob = bytearray(("spam " * 20).encode())
+    assets = spark.createDataFrame(
+        [(i, blob) for i in range(40)], "asset_id long, content binary"
+    )
+    assert phash_pairs(assets, max_block=10).count() == 0
+    assert phash_pairs(assets, max_block=None).count() == 40 * 39 // 2
