@@ -1780,6 +1780,30 @@ def q_stream_attribution_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming time-constrained funnel twin: per-key (stage, ts)
+    state emits an advance row per stage transition (append mode);
+    under in-order delivery each stage advances at its minimum
+    qualifying event time, so the drained advances aggregate to the
+    batch windowed_funnel counts — the shared oracle."""
+    from flink_kmeans_clustering_spark.streaming.stateful import funnel_state
+
+    ev = stream_events(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+    out = run_available_now(
+        funnel_state(ev, within_minutes=FUNNEL_WINDOW_MIN),
+        output_mode="append",
+        state_partitions=8,
+    )
+    return out.groupBy("stage", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("users")
+    )
+
+
 def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join: purchases ⋈ same-user views within
     the preceding hour, watermark-bounded state on both sides.  The
@@ -3198,7 +3222,7 @@ def q_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    209 queries; 205 carry DuckDB oracles, 4 are rows-only by design
+    210 queries; 206 carry DuckDB oracles, 4 are rows-only by design
     (MLlib placement RNG, HLL/GK sketch internals, GEMM ulp twin —
     each has a DETERMINISTIC full-oracle twin registered beside it:
     lloyd_nd/kmv/sampled-quantiles/expression-cosine, and since r07
@@ -3225,7 +3249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window, cumulative driver coverage reaches 203 of 206 this round
     (the rest-tail-head additions q_events_hourly, q_text_length_hist,
     q_dedup_degree_hist, q_text_zipf, q_multimodal_phash,
-    q_dedup_minhash_calib land r08-window-first); the
+    q_dedup_minhash_calib, q_stream_funnel land r08-window-first); the
     stalest remaining surface is the r04-green family, requeued for r08
     (see docs/STATUS.md).
     """
@@ -3289,6 +3313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_zipf": q_text_zipf,
         "q_multimodal_phash": q_multimodal_phash,
         "q_dedup_minhash_calib": q_dedup_minhash_calib,
+        "q_stream_funnel": q_stream_funnel,
         "q_events_rfm": q_events_rfm,
         "q_dedup_incremental": q_dedup_incremental,
         "q_dedup_url": q_dedup_url,
@@ -7721,6 +7746,7 @@ GROUP BY event_type
         "q_multimodal_phash": multimodal_phash_sql,
         "q_dedup_minhash_calib": dedup_minhash_calib_sql,
         "q_events_funnel_windowed": events_funnel_windowed_sql,
+        "q_stream_funnel": events_funnel_windowed_sql,
         "q_events_hourly": events_hourly_sql,
         "q_text_length_hist": text_length_hist_sql,
         "q_dedup_degree_hist": dedup_ngram_capped_sql.replace(

@@ -496,3 +496,76 @@ def attribution_state_ooo(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def funnel_state(
+    stream: DataFrame,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+    within_minutes: int = 24 * 60,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Streaming time-constrained funnel — the stream twin of
+    ``operators.events.windowed_funnel``: per-key state is the pair
+    (stage reached, its event time); each event that advances the
+    funnel emits an advance row the moment it arrives (append mode).
+
+    Within a micro-batch ALL Arrow chunks concat before one
+    (ts_us, event_id) sort (the attribution_state discipline); the fold
+    is a per-key Python loop over the handful of that key's batch rows
+    — the state machine is inherently sequential, and the rows/key/batch
+    term is tiny next to the Arrow transfer.  Exact under per-key
+    in-order delivery, the same contract (and the same watermark-buffer
+    upgrade path) as ``attribution_state``.
+
+    Under in-order delivery each stage advances at its MINIMUM
+    qualifying event time, which is exactly the batch operator's
+    frontier — so the drained advance rows aggregate to the batch
+    funnel counts.
+
+    Expects (key, ts_us long, event_id long, event_type string); emits
+    (key, stage, event_type, ts_us) per advance — stage is 1-indexed.
+    """
+    within_us = within_minutes * 60 * 1_000_000
+    idx = {s: i for i, s in enumerate(stages)}
+
+    def fold(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        stage, sts = state.get if state.exists else (0, -1)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        out = []
+        if len(pdf):
+            pdf = pdf[pdf["event_type"].isin(list(stages))]
+            pdf = pdf.sort_values(["ts_us", "event_id"])
+            for ts, et in zip(
+                pdf["ts_us"].astype("int64"), pdf["event_type"]
+            ):
+                if stage >= len(stages) or idx[et] != stage:
+                    continue
+                if stage > 0 and not (sts < ts <= sts + within_us):
+                    continue
+                stage += 1
+                sts = int(ts)
+                out.append((key[0], stage, et, int(ts)))
+        state.update((stage, sts))
+        if out:
+            yield pd.DataFrame(
+                {
+                    key_col: pd.array([o[0] for o in out], dtype="Int64"),
+                    "stage": pd.array([o[1] for o in out], dtype="Int32"),
+                    "event_type": [o[2] for o in out],
+                    "ts_us": pd.array([o[3] for o in out], dtype="Int64"),
+                }
+            )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        fold,
+        outputStructType=(
+            f"{key_col} bigint, stage int, event_type string, ts_us bigint"
+        ),
+        stateStructType="stage int, sts bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -176,3 +176,96 @@ def test_mad_outliers_match_brute_force(spark, vals):
         if abs(round(0.6745 * (v - med) / mad, 6)) >= 3.5
     }
     assert got == want
+
+
+attr_events = st.lists(
+    st.tuples(
+        st.integers(0, 2),                      # user
+        st.integers(0, 200),                    # ts minute
+        st.sampled_from(["click", "purchase"]),
+        st.integers(0, 3),                      # micro-batch assignment
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(attr_events)
+def test_attribution_ooo_exact_under_arbitrary_delivery(
+    spark, tmp_path_factory, evs
+):
+    """THE watermark-buffer guarantee, property-tested: for ANY
+    assignment of events to micro-batches (arbitrary cross-batch
+    reordering) with a delay exceeding the event-time span (no late
+    drops), the drained output equals the batch last-touch model
+    exactly — every conversion, every touch id."""
+    import os
+
+    from flink_kmeans_clustering_spark.streaming.run import run_available_now
+    from flink_kmeans_clustering_spark.streaming.stateful import (
+        attribution_state_ooo,
+    )
+
+    d = str(tmp_path_factory.mktemp("ooo_prop"))
+    schema = "user_id long, ts timestamp, event_id long, event_type string"
+    rows = [
+        (u, BASE + datetime.timedelta(minutes=m), i, t)
+        for i, (u, m, t, _) in enumerate(evs)
+    ]
+    batches = [[r for r, (_, _, _, b) in zip(rows, evs) if b == bi]
+               for bi in range(4)]
+    # far-future watermark mover so every buffered conversion drains
+    batches.append([(99, BASE + datetime.timedelta(minutes=10_000), 9999, "view")])
+    now = 1_700_000_000
+    nfiles = 0
+    for bi, batch in enumerate(batches):
+        if not batch:
+            continue
+        path = f"{d}/f{bi}"
+        spark.createDataFrame(batch, schema).coalesce(1).write.parquet(path)
+        for root, _, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (now + bi, now + bi))
+        os.utime(path, (now + bi, now + bi))
+        nfiles += 1
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    got = {
+        r["event_id"]: (r["touch_event_id"], r["touch_ts_us"])
+        for r in run_available_now(
+            attribution_state_ooo(stream, delay="300 minutes"),
+            output_mode="append",
+        ).collect()
+        if r["user_id"] >= 0 and r["user_id"] != 99
+    }
+
+    # batch model: latest strictly-prior click by (ts, event_id)
+    want = {}
+    for i, (u, m, t, _) in enumerate(evs):
+        if t != "purchase":
+            continue
+        prior = [
+            (mm, j)
+            for j, (uu, mm, tt, _) in enumerate(evs)
+            if uu == u and tt == "click" and (mm, j) < (m, i)
+        ]
+        ts_us = int(
+            (BASE + datetime.timedelta(minutes=m)).timestamp() * 1_000_000
+        )
+        if prior:
+            bm, bj = max(prior)
+            bt_us = int(
+                (BASE + datetime.timedelta(minutes=bm)).timestamp() * 1_000_000
+            )
+            want[i] = (bj, bt_us)
+        else:
+            want[i] = (None, None)
+    assert got == want

@@ -940,3 +940,49 @@ def test_stream_attribution_ooo_drops_rows_below_watermark(spark, tmp_path):
     # click 8 (event time 500 < conversion 900) was DROPPED as late —
     # the on-time click 1 wins despite being older
     assert out[11]["touch_event_id"] == 1
+
+
+def test_stream_funnel_carries_stage_across_batches(spark, tmp_path):
+    """The funnel state machine survives micro-batch boundaries: a
+    view in batch 1 lets a click in batch 2 advance (in-window) while
+    an out-of-window click on another user does not."""
+    import time as _time
+
+    from flink_kmeans_clustering_spark.streaming.run import run_available_now
+    from flink_kmeans_clustering_spark.streaming.stateful import funnel_state
+
+    d = str(tmp_path / "ev")
+    schema = "user_id long, ts_us long, event_id long, event_type string"
+    m = 60 * 1_000_000
+    b1 = spark.createDataFrame(
+        [(1, 0 * m, 1, "view"), (2, 0 * m, 2, "view")], schema
+    )
+    b2 = spark.createDataFrame(
+        [
+            (1, 10 * m, 3, "click"),      # in window -> stage 2
+            (2, 2000 * m, 4, "click"),    # outside 24h -> stays stage 1
+            (1, 20 * m, 5, "purchase"),   # stage 3
+            (1, 25 * m, 6, "purchase"),   # already complete: no emission
+        ],
+        schema,
+    )
+    b1.coalesce(1).write.parquet(d + "/f0")
+    _time.sleep(1.1)
+    b2.coalesce(1).write.parquet(d + "/f1")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    out = [
+        (r["user_id"], r["stage"], r["event_type"], r["ts_us"])
+        for r in run_available_now(
+            funnel_state(stream, within_minutes=24 * 60), output_mode="append"
+        ).collect()
+    ]
+    assert sorted(out) == [
+        (1, 1, "view", 0),
+        (1, 2, "click", 10 * m),
+        (1, 3, "purchase", 20 * m),
+        (2, 1, "view", 0),
+    ]
