@@ -2620,6 +2620,24 @@ def q_embed_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ISO_PANEL_BUCKETS = 32
+
+
+def q_embed_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-geometry diagnostics: pairwise |cosine| stats over an
+    md5-sampled panel vs the 1/sqrt(d) isotropic floor — the in-engine
+    measurement of docs/RECALL.md's qualitative isotropy finding; read
+    it BEFORE picking IVF/LSH parameters."""
+    from flink_kmeans_clustering_spark.operators.linalg import (
+        isotropy_profile,
+    )
+
+    return isotropy_profile(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        panel_buckets=ISO_PANEL_BUCKETS,
+    )
+
+
 def q_ann_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MRR of the IVF index vs exact search, self-excluded on both
     sides — the position-sensitive companion of q_ann_recall (where the
@@ -3222,7 +3240,7 @@ def q_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    210 queries; 206 carry DuckDB oracles, 4 are rows-only by design
+    211 queries; 207 carry DuckDB oracles, 4 are rows-only by design
     (MLlib placement RNG, HLL/GK sketch internals, GEMM ulp twin —
     each has a DETERMINISTIC full-oracle twin registered beside it:
     lloyd_nd/kmv/sampled-quantiles/expression-cosine, and since r07
@@ -3249,7 +3267,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window, cumulative driver coverage reaches 203 of 206 this round
     (the rest-tail-head additions q_events_hourly, q_text_length_hist,
     q_dedup_degree_hist, q_text_zipf, q_multimodal_phash,
-    q_dedup_minhash_calib, q_stream_funnel land r08-window-first); the
+    q_dedup_minhash_calib, q_stream_funnel, q_embed_isotropy land
+    r08-window-first); the
     stalest remaining surface is the r04-green family, requeued for r08
     (see docs/STATUS.md).
     """
@@ -3314,6 +3333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal_phash": q_multimodal_phash,
         "q_dedup_minhash_calib": q_dedup_minhash_calib,
         "q_stream_funnel": q_stream_funnel,
+        "q_embed_isotropy": q_embed_isotropy,
         "q_events_rfm": q_events_rfm,
         "q_dedup_incremental": q_dedup_incremental,
         "q_dedup_url": q_dedup_url,
@@ -4743,6 +4763,37 @@ SELECT f.vec_id, f.pos,
                       * (CAST(s.sx AS DOUBLE) / s.n)), 6) AS z
 FROM flat f JOIN stats s USING (pos)
 WHERE f.vec_id < {STD_PANEL}
+"""
+    embed_isotropy_sql = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+panel AS (
+  SELECT vec_id AS id, v,
+         sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
+  FROM e
+  WHERE CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 2))
+             AS BIGINT) % {ISO_PANEL_BUCKETS} = 0
+    AND list_sum(list_transform(v, x -> x*x)) > 0
+),
+np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_panel,
+              MIN(len(v)) AS d FROM panel),
+pairs AS (
+  SELECT ROUND(abs(
+           list_sum(list_transform(range(1, len(a.v)+1),
+                                   i -> a.v[i]*b.v[i]))
+           / (a.nrm * b.nrm)), 6) AS c
+  FROM panel a JOIN panel b ON a.id < b.id
+)
+SELECT np.n_panel,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(CAST(SUM(CAST(c AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_abs_cos,
+       ROUND(quantile_cont(c, 0.9), 6) AS p90_abs_cos,
+       MAX(c) AS max_abs_cos,
+       ROUND(1.0 / sqrt(np.d), 6) AS iso_floor
+FROM pairs CROSS JOIN np
+GROUP BY np.n_panel, np.d
 """
     ann_mrr_sql = f"""
 WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -7732,6 +7783,7 @@ GROUP BY event_type
         "q_ann_recall": ann_recall_sql,
         "q_ann_mrr": ann_mrr_sql,
         "q_embed_standardize": embed_standardize_sql,
+        "q_embed_isotropy": embed_isotropy_sql,
         "q_ann_quant_error": ann_quant_error_sql,
         "q_dedup_url": dedup_url_sql,
         "q_dedup_incremental": dedup_incremental_sql,

@@ -544,3 +544,74 @@ def standardize_embeddings(
             F.round(z, round_to).alias("z"),
         )
     )
+
+
+def isotropy_profile(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    panel_buckets: int = 32,
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-geometry diagnostics: pairwise-cosine statistics over
+    a deterministic hash-sampled panel — the in-engine measurement of
+    HOW CLUSTERED the embedding space is.  An isotropic corpus has
+    E|cos| ≈ 1/√d (≈ 0.125 at d=64 — exactly what docs/RECALL.md found
+    qualitatively: partition-probe recall capped at the scanned
+    fraction); a collapsed/anisotropic one (the classic "cone effect"
+    of untuned encoders) shows E|cos| ≫ that, and every
+    blocking/IVF/LSH structure works better than the isotropic floor.
+    Run this BEFORE choosing index parameters.
+
+    Physics: the md5 lottery keeps ~1/panel_buckets of vectors (a
+    bounded panel — the all-pairs term is panel², never corpus²); the
+    panel self-joins broadcast-side, cosines in codegen'd folds,
+    DECIMAL-exact aggregates of the 6-decimal-rounded values.
+
+    Output: ONE row — (n_panel, n_pairs, mean_abs_cos, p90_abs_cos,
+    max_abs_cos, iso_floor) with iso_floor = 1/√d for reference.
+    """
+    from flink_kmeans_clustering_spark.functions.vector import (
+        cosine_similarity,
+        l2_norm,
+    )
+    from flink_kmeans_clustering_spark.operators.sampling import hash_bucket
+
+    v = F.col(vec_col).cast("array<double>")
+    panel = (
+        df.filter(
+            hash_bucket(F.col(id_col).cast("string"), panel_buckets) == 0
+        )
+        .filter(l2_norm(v) > 0)
+        .select(F.col(id_col).alias("id"), v.alias("v"))
+    )
+    dim = F.size(F.col("v"))
+    a, b = panel.alias("a"), panel.alias("b")
+    cos = F.round(
+        F.abs(cosine_similarity(F.col("a.v"), F.col("b.v"))), round_to
+    )
+    pairs = a.join(
+        F.broadcast(b), F.col("a.id") < F.col("b.id")
+    ).select(cos.alias("c"))
+    n_panel = panel.select(
+        F.count(F.lit(1)).alias("n_panel"),
+        F.first(dim).alias("_d"),
+    )
+    stats = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(
+            F.sum(F.col("c").cast("decimal(20,6)")).cast("double")
+            / F.count(F.lit(1)),
+            round_to,
+        ).alias("mean_abs_cos"),
+        F.round(F.expr("percentile(c, 0.9)"), round_to).alias("p90_abs_cos"),
+        F.max("c").alias("max_abs_cos"),
+    )
+    return stats.crossJoin(F.broadcast(n_panel)).select(
+        F.col("n_panel").cast("long").alias("n_panel"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        "mean_abs_cos",
+        "p90_abs_cos",
+        "max_abs_cos",
+        F.round(F.lit(1.0) / F.sqrt(F.col("_d")), round_to).alias("iso_floor"),
+    )

@@ -413,3 +413,32 @@ def test_phash_hot_block_cap_drops_boilerplate(spark):
     )
     assert phash_pairs(assets, max_block=10).count() == 0
     assert phash_pairs(assets, max_block=None).count() == 40 * 39 // 2
+
+
+def test_isotropy_profile_detects_anisotropy(spark):
+    """A clustered (anisotropic) corpus must show mean |cos| far above
+    the 1/sqrt(d) floor; an orthogonal corpus shows ~0."""
+    import numpy as np
+
+    from flink_kmeans_clustering_spark.operators.linalg import (
+        isotropy_profile,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(16)
+    cone = [
+        (i, [float(x) for x in base + 0.05 * rng.standard_normal(16)], 0)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        cone, "vec_id long, embedding array<float>, label int"
+    )
+    [row] = isotropy_profile(df, panel_buckets=1).collect()
+    assert row["iso_floor"] == round(1 / 4, 6)  # d=16
+    assert row["mean_abs_cos"] > 0.9  # cone: everything nearly parallel
+    ortho = [(i, [1.0 if j == i else 0.0 for j in range(16)], 0) for i in range(16)]
+    df2 = spark.createDataFrame(
+        ortho, "vec_id long, embedding array<float>, label int"
+    )
+    [row2] = isotropy_profile(df2, panel_buckets=1).collect()
+    assert row2["mean_abs_cos"] == 0.0 and row2["n_pairs"] == 16 * 15 // 2
