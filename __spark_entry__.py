@@ -4356,7 +4356,9 @@ SELECT source, CAST(bucket AS INT) AS bucket,
        CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM b GROUP BY source, bucket
 """
-    events_funnel_windowed_sql = """
+    # Parameterized on FUNNEL_WINDOW_MIN so the Spark query and its
+    # oracle can never silently desynchronize when the constant moves.
+    events_funnel_windowed_sql = f"""
 WITH s1 AS (
   SELECT user_id, MIN(ts) AS t FROM events
   WHERE event_type = 'view' GROUP BY user_id
@@ -4364,13 +4366,13 @@ WITH s1 AS (
 s2 AS (
   SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s1 USING (user_id)
   WHERE e.event_type = 'click' AND e.ts > s1.t
-    AND e.ts <= s1.t + INTERVAL 1440 MINUTE
+    AND e.ts <= s1.t + INTERVAL {FUNNEL_WINDOW_MIN} MINUTE
   GROUP BY e.user_id
 ),
 s3 AS (
   SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s2 USING (user_id)
   WHERE e.event_type = 'purchase' AND e.ts > s2.t
-    AND e.ts <= s2.t + INTERVAL 1440 MINUTE
+    AND e.ts <= s2.t + INTERVAL {FUNNEL_WINDOW_MIN} MINUTE
   GROUP BY e.user_id
 )
 SELECT CAST(1 AS INT) AS stage, 'view' AS event_type,
@@ -4380,13 +4382,14 @@ SELECT CAST(2 AS INT), 'click', CAST(COUNT(*) AS BIGINT) FROM s2
 UNION ALL
 SELECT CAST(3 AS INT), 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3
 """
-    events_covered_sql = """
+    events_covered_sql = f"""
 WITH e AS (
   SELECT user_id, epoch_us(ts) // 1000000 AS s, event_id FROM events
 ),
 m AS (
   SELECT user_id, s, event_id,
-         MAX(s + 1800) OVER (PARTITION BY user_id ORDER BY s, event_id
+         MAX(s + {COVER_HOLD_MIN * 60}) OVER (
+           PARTITION BY user_id ORDER BY s, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
   FROM e
 ),
@@ -4402,7 +4405,8 @@ isl AS (
   FROM f
 ),
 per AS (
-  SELECT user_id, g, MIN(s) AS st, MAX(s) + 1800 AS en
+  SELECT user_id, g, MIN(s) AS st,
+         MAX(s) + {COVER_HOLD_MIN * 60} AS en
   FROM isl GROUP BY user_id, g
 )
 SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
@@ -4763,6 +4767,9 @@ SELECT f.vec_id, f.pos,
                       * (CAST(s.sx AS DOUBLE) / s.n)), 6) AS z
 FROM flat f JOIN stats s USING (pos)
 WHERE f.vec_id < {STD_PANEL}
+  AND (CAST(s.sxx AS DOUBLE) / s.n
+       - (CAST(s.sx AS DOUBLE) / s.n)
+         * (CAST(s.sx AS DOUBLE) / s.n)) > 0
 """
     embed_isotropy_sql = f"""
 WITH e AS (

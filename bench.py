@@ -193,14 +193,22 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "bench_queries.json"), "w") as fh:
         json.dump(full, fh, indent=1)
-    import re as _re
+    # Round number for the per-round sidecar: explicit env var first
+    # (SPARK_GRAFT_ROUND), so a re-run after the driver has already
+    # recorded this round's BENCH artifact cannot write a misnumbered
+    # sidecar; the 1+max(BENCH_r*) inference is only the fallback.
+    rn_env = os.environ.get("SPARK_GRAFT_ROUND")
+    if rn_env is not None:
+        rn = int(rn_env)
+    else:
+        import re as _re
 
-    rounds = [
-        int(m.group(1))
-        for f in os.listdir(here)
-        if (m := _re.fullmatch(r"BENCH_r(\d+)\.json", f))
-    ]
-    rn = (max(rounds) if rounds else 0) + 1
+        rounds = [
+            int(m.group(1))
+            for f in os.listdir(here)
+            if (m := _re.fullmatch(r"BENCH_r(\d+)\.json", f))
+        ]
+        rn = (max(rounds) if rounds else 0) + 1
     with open(os.path.join(here, f"bench_queries_r{rn:02d}.json"), "w") as fh:
         json.dump(full, fh, indent=1)
     sys.stdout.flush()

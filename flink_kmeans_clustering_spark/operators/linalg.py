@@ -536,8 +536,17 @@ def standardize_embeddings(
     ).alias("_var")
     panel = flat.filter(F.col(id_col) < panel_max_id)
     z = (x - F.col("_mean")) / F.sqrt(F.col("_var"))
+    # Guard degenerate dimensions: σ=0 would make the division yield
+    # NULL z rows silently (Spark null-on-zero-divisor), and engines
+    # disagree on 0/0 — drop constant dimensions explicitly instead
+    # (same discipline as mad_outliers' MAD=0 guard).
     return (
-        panel.join(F.broadcast(stats.select("pos", mean, var)), "pos")
+        panel.join(
+            F.broadcast(
+                stats.select("pos", mean, var).filter(F.col("_var") > 0)
+            ),
+            "pos",
+        )
         .select(
             id_col,
             "pos",

@@ -31,6 +31,7 @@ from flink_kmeans_clustering_spark.streaming.sources import (
 from flink_kmeans_clustering_spark.streaming.stateful import (
     attribution_state,
     attribution_state_ooo,
+    funnel_state,
     running_user_totals,
     sessionize_stream,
 )
@@ -41,6 +42,7 @@ __all__ = [
     "attribution_state_ooo",
     "dedup_stream",
     "flush_sentinel_stream",
+    "funnel_state",
     "run_available_now",
     "running_user_totals",
     "sessionize_stream",

@@ -294,7 +294,14 @@ def attribution_state(
         # Concat ALL chunks, then sort ONCE: chunks of one key's batch
         # arrive unordered, so per-chunk ffill would miss cross-chunk
         # touches and could regress the carried state to an older touch.
-        pdf = pd.concat(list(pdfs), ignore_index=True)
+        # pd.concat raises on an EMPTY iterator (zero chunks is possible
+        # if a timeout variant is ever enabled) — guard it.
+        chunks = list(pdfs)
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            if chunks
+            else pd.DataFrame()
+        )
         if len(pdf) > 0:
             pdf = pdf.sort_values(["ts_us", "event_id"])
             ts = pdf["ts_us"].to_numpy(dtype="int64")
@@ -455,7 +462,12 @@ def attribution_state_ooo(
         else:
             lts, lid, bts, bid, btouch = -1, -1, [], [], []
         if not state.hasTimedOut:
-            pdf = pd.concat(list(pdfs), ignore_index=True)
+            chunks = list(pdfs)
+            pdf = (
+                pd.concat(chunks, ignore_index=True)
+                if chunks
+                else pd.DataFrame()
+            )
             if len(pdf):
                 # Spark does NOT pre-filter late rows for this operator
                 # (flatMapGroupsWithState contract: late handling is the
@@ -534,7 +546,12 @@ def funnel_state(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         stage, sts = state.get if state.exists else (0, -1)
-        pdf = pd.concat(list(pdfs), ignore_index=True)
+        chunks = list(pdfs)
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            if chunks
+            else pd.DataFrame()
+        )
         out = []
         if len(pdf):
             pdf = pdf[pdf["event_type"].isin(list(stages))]
