@@ -78,6 +78,8 @@ from flink_kmeans_clustering_spark.operators.multimodal import (
     byte_histogram_features,
     features_rounded,
     frame_sample,
+    png_features,
+    png_pack_assets,
     resize_nearest,
     synthesize_assets,
     wav_features,
@@ -524,6 +526,39 @@ def q_dedup_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benchmark_overlap(docs, bench, n=8)
 
 
+def q_dedup_crosssource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: distinct normalized-text
+    digests shared between every source pair, with set sizes and
+    Jaccard — ONE corpus shuffle (digest → sorted source-set → pair
+    explode), no digest self-join.  The mixture-weighting prerequisite
+    at 100 TB: overlapping crawls must not be sampled as independent."""
+    from flink_kmeans_clustering_spark.operators.dedup import (
+        cross_source_overlap,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return cross_source_overlap(docs)
+
+
+def q_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom prefilter for decontamination, FP rate measured in-pass:
+    the benchmark slice's 8-gram shingles set k=3 md5-lane bits in a
+    64 Ki-bit filter (built distributedly, collected bounded-by-m,
+    shipped as 1024 long literals); the non-benchmark corpus probes it
+    with pure codegen bit tests — no UDF, no shuffle on the probe —
+    while the exact broadcast semi-join runs beside it as ground
+    truth.  Per-source report: bloom hits vs exact hits vs measured
+    false-positive rate."""
+    from flink_kmeans_clustering_spark.operators.dedup import (
+        bloom_prefilter,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    probe = docs.filter(F.col("doc_id") % 50 != 0)
+    return bloom_prefilter(probe, bench, n=8)
+
+
 # --- relational star-schema queries (joins / set ops / top-k) ---------------
 
 
@@ -900,6 +935,21 @@ def q_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     pack->container->parse->feature loop is oracle-checked."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return features_rounded(wav_features(wav_pack_assets(docs)))
+
+
+def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image format through the decode contract (VERDICT r07 item
+    5, the last codec stub retired): every document packed as a genuine
+    PNG (stdlib zlib/struct — signature, CRC-framed chunks, rotating
+    Sub/Up/Average/Paeth/None scanline filters, multi-chunk IDAT),
+    then decoded back through decode_features with a strict stdlib
+    decoder that validates signature, every chunk CRC, IHDR shape, and
+    the inflated length (truncation/corruption raise) and implements
+    all five unfilters.  Features are per-segment normalized pixel
+    means over the zero-padded byte grid — SQL-replayable, so the full
+    pack->container->parse->feature loop is oracle-checked."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return features_rounded(png_features(png_pack_assets(docs)))
 
 
 CMS_TOP_N = 20
@@ -1676,9 +1726,12 @@ _OOO_DELAY_DAYS = 31  # > the 30-day testdata span: zero on-time drops
 def _ooo_staged_events(sf_dir: str) -> str:
     """Stage events as two event-id-parity files + a sentinel file.
 
-    Replayed with ``maxFilesPerTrigger=1`` the halves interleave in
-    event time, so delivery across micro-batches is genuinely OUT of
-    order — the input shape ``attribution_state_ooo`` exists for.  The
+    The parity halves interleave in event time, so delivery is
+    genuinely OUT of order — the input shape ``attribution_state_ooo``
+    exists for (with ``maxFilesPerTrigger=2`` both halves share a
+    micro-batch and every conversion buffers across the batch boundary
+    until the sentinel's watermark flushes it; with 1 the halves also
+    split across batches — the unit fixtures cover that path).  The
     third file is a single far-future sentinel row whose watermark
     (sentinel ts − delay > real max ts) flushes every buffered
     conversion before the bounded drain ends.  File mtimes are set
@@ -1735,9 +1788,14 @@ def q_stream_attribution_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
     arbitrary cross-batch reordering within the 31-day delay, where the
     in-order variant provably mis-attributes (fixture in
     tests/test_streaming.py).  Delivery here is genuinely shuffled: the
-    events table is replayed as two event-id-parity files one
-    micro-batch apart, so each batch interleaves the full time range.
-    Shares the batch attribution oracle verbatim."""
+    events table is replayed as two event-id-parity files whose rows
+    interleave the full time range, then a sentinel file one
+    micro-batch later (maxFilesPerTrigger=2 — VERDICT r07 item 4's
+    drain lever: every conversion buffers in state across the batch
+    boundary until the sentinel's watermark flushes it; the harder
+    touch-arrives-after-conversion cross-batch reorder stays pinned by
+    the dedicated fixtures in tests/test_streaming.py).  Shares the
+    batch attribution oracle verbatim."""
     from flink_kmeans_clustering_spark.sources.parquet import (
         normalize_event_ts,
     )
@@ -1751,7 +1809,7 @@ def q_stream_attribution_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(d).schema
     raw = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", 2)
         .parquet(d)
     )
     ev = normalize_event_ts(raw).select(
@@ -2277,6 +2335,43 @@ def q_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_histogram(load_events(spark, sf_dir))
 
 
+SKEW_SALTS = 16
+
+
+def q_rel_skewjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted shuffle join on a Zipf-skewed key: events joined to a
+    per-type dim on event_type (a handful of values, one holding a
+    third of the fact table — the hot-key shape that pins a 100 TB
+    stage on one reducer).  The fact side salts on pmod(event_id, 16),
+    the dim side replicates 16 ways with a merge hint (no silent
+    broadcast), so the hot key spreads over 16 reducers; the salt is
+    dropped post-join and results equal the plain join's — which is
+    exactly what the oracle replays.  Plan pinned in
+    tests/test_r08_ops.py: SortMergeJoin on (event_type, _salt), no
+    BroadcastHashJoin."""
+    from flink_kmeans_clustering_spark.operators.relational import (
+        salted_join,
+    )
+
+    ev = load_events(spark, sf_dir)
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn(
+            "rate", (F.length("event_type") % 5 + 1) / F.lit(10.0)
+        )
+    )
+    joined = salted_join(ev, dim, "event_type", "event_id", salts=SKEW_SALTS)
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.sum((F.col("value") * F.col("rate")).cast("decimal(25,8)")), 6
+        )
+        .cast("double")
+        .alias("weighted_value"),
+    )
+
+
 def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-frame window: trailing-7-day revenue over the O(days)
     decimal-exact daily aggregate (frame sums stay in decimal)."""
@@ -2649,6 +2744,29 @@ def q_ann_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ann_mrr(emb, queries, k=TOPK_K, n_probe=ANN_PROBES)
+
+
+MATRYOSHKA_DIMS = (8, 16, 32, 64)
+
+
+def q_embed_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation study: exact top-k recall with embeddings
+    cut to their first 8/16/32/64 dims vs the full-dim truth — ONE
+    corpus scan computes every level's cosine (sliced JVM folds), one
+    shuffle on (query_id, dims) ranks them (WindowGroupLimit).  The
+    64-dim rows are the 1.0 sanity floor; the 8-dim rows measure what
+    a d/8 coarse-pass index would actually retrieve."""
+    from flink_kmeans_clustering_spark.operators.similarity import (
+        matryoshka_recall,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < RECALL_QUERY_PANEL).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return matryoshka_recall(
+        emb, queries, k=TOPK_K, dims_levels=MATRYOSHKA_DIMS
+    )
 
 
 def q_ann_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3240,92 +3358,42 @@ def q_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    211 queries; 207 carry DuckDB oracles, 4 are rows-only by design
+    216 queries; 212 carry DuckDB oracles, 4 are rows-only by design
     (MLlib placement RNG, HLL/GK sketch internals, GEMM ulp twin —
     each has a DETERMINISTIC full-oracle twin registered beside it:
-    lloyd_nd/kmv/sampled-quantiles/expression-cosine, and since r07
-    each also carries an sf0.1 numeric cross-check in
-    tests/test_sketch_crosschecks.py).  Counts are asserted
-    programmatically in tests/test_entry.py, so this header cannot go
-    stale again (ADVICE r06).
+    lloyd_nd/kmv/sampled-quantiles/expression-cosine, plus an sf0.1
+    numeric cross-check in tests/test_sketch_crosschecks.py).  Counts
+    are asserted programmatically in tests/test_entry.py, so this
+    header cannot go stale again (ADVICE r06).
 
     Registry ORDER is load-bearing: the driver's correctness artifact
-    records the first 50 entries only.  Round 7 window (VERDICT r06
-    item 1, exactly as docs/STATUS.md planned): the TEN queries new
-    this round (q_stream_attribution_ooo, q_multimodal_wav,
-    q_events_funnel_windowed, q_events_covered, q_events_mad,
-    q_ann_mrr, q_ann_quant_error, q_text_jsd, q_text_winnowing,
-    q_embed_standardize), then the SIXTEEN requeued r01-green q_rel_*
-    rows (setops/custdist/promo/brandrev/tradevolume/returns/topparts/
-    idle_rich/late_orders/anti_parts/forecast/topsupplier/profit/
-    bigorders/mktshare/local_supplier — relational.py is the
-    least-touched operator file since their r01 rows), then
-    q_dedup_semantic, q_topk_sim, q_text_vocab_coverage, then the r03
-    tail (q_ann_ivf/lsh/pruned/quantized, q_events_funnel/retention/
-    wau/anomaly/histogram, q_window_range, the eight r03 q_stream_*
-    rows, q_dedup_canonical, q_text_tokens, q_text_langid).  With this
-    window, cumulative driver coverage reaches 203 of 206 this round
-    (the rest-tail-head additions q_events_hourly, q_text_length_hist,
+    records the first 50 entries only.  Round 8 window (VERDICT r07
+    items 1+2, exactly as docs/STATUS.md planned): the FIVE queries
+    new this round (q_multimodal_png, q_embed_matryoshka,
+    q_rel_skewjoin, q_dedup_bloom, q_dedup_crosssource — new-query
+    count capped so the stale tail drains in two rounds), then the
+    EIGHT queries that landed after the r07 window froze and have
+    never been driver-checked (q_events_hourly, q_text_length_hist,
     q_dedup_degree_hist, q_text_zipf, q_multimodal_phash,
-    q_dedup_minhash_calib, q_stream_funnel, q_embed_isotropy land
-    r08-window-first); the
-    stalest remaining surface is the r04-green family, requeued for r08
-    (see docs/STATUS.md).
+    q_dedup_minhash_calib, q_stream_funnel, q_embed_isotropy), then
+    the full r03-green tail led by q_rel_yoy (the stalest row:
+    q_text_lmscore, q_sample_split, q_sink_roundtrip, q_text_clean,
+    q_text_tokenfreq_salted, q_text_quality, q_text_fingerprint,
+    q_text_tokenfreq, q_text_repetition, q_text_tfidf,
+    q_dedup_decontam), then the first 25 of the r04-green family in
+    STATUS order (q_knn_join .. q_rel_groupsets).  With this window,
+    cumulative driver coverage reaches 216 of 216 registered-at-r07
+    queries... precisely: all 8 never-checked rows get their first
+    check, every r03 row re-verifies, and 25 of 45 r04 rows refresh;
+    the 20 r04 leftovers (q_events_first .. q_sample_mixture) lead
+    the r09 window per the STATUS rotation note.
     """
     return {
-        "q_stream_attribution_ooo": q_stream_attribution_ooo,
-        "q_multimodal_wav": q_multimodal_wav,
-        "q_events_funnel_windowed": q_events_funnel_windowed,
-        "q_events_covered": q_events_covered,
-        "q_events_mad": q_events_mad,
-        "q_ann_mrr": q_ann_mrr,
-        "q_ann_quant_error": q_ann_quant_error,
-        "q_text_jsd": q_text_jsd,
-        "q_text_winnowing": q_text_winnowing,
-        "q_embed_standardize": q_embed_standardize,
-        "q_rel_setops": q_rel_setops,
-        "q_rel_custdist": q_rel_custdist,
-        "q_rel_promo": q_rel_promo,
-        "q_rel_brandrev": q_rel_brandrev,
-        "q_rel_tradevolume": q_rel_tradevolume,
-        "q_rel_returns": q_rel_returns,
-        "q_rel_topparts": q_rel_topparts,
-        "q_rel_idle_rich": q_rel_idle_rich,
-        "q_rel_late_orders": q_rel_late_orders,
-        "q_rel_anti_parts": q_rel_anti_parts,
-        "q_rel_forecast": q_rel_forecast,
-        "q_rel_topsupplier": q_rel_topsupplier,
-        "q_rel_profit": q_rel_profit,
-        "q_rel_bigorders": q_rel_bigorders,
-        "q_rel_mktshare": q_rel_mktshare,
-        "q_rel_local_supplier": q_rel_local_supplier,
-        "q_dedup_semantic": q_dedup_semantic,
-        "q_topk_sim": q_topk_sim,
-        "q_text_vocab_coverage": q_text_vocab_coverage,
-        "q_ann_ivf": q_ann_ivf,
-        "q_ann_lsh": q_ann_lsh,
-        "q_ann_pruned": q_ann_pruned,
-        "q_ann_quantized": q_ann_quantized,
-        "q_events_funnel": q_events_funnel,
-        "q_events_retention": q_events_retention,
-        "q_events_wau": q_events_wau,
-        "q_events_anomaly": q_events_anomaly,
-        "q_events_histogram": q_events_histogram,
-        "q_window_range": q_window_range,
-        "q_stream_enrich": q_stream_enrich,
-        "q_stream_window": q_stream_window,
-        "q_stream_dedup": q_stream_dedup,
-        "q_stream_totals": q_stream_totals,
-        "q_stream_interval_join": q_stream_interval_join,
-        "q_stream_session": q_stream_session,
-        "q_stream_sink": q_stream_sink,
-        "q_stream_gate": q_stream_gate,
-        "q_dedup_canonical": q_dedup_canonical,
-        "q_text_tokens": q_text_tokens,
-        "q_text_langid": q_text_langid,
-        # --- below: outside the driver's 50-row window this round;
-        # --- r06-green head first, then the r04-green stale tail
-        # --- requeued for r08 (see docs/STATUS.md rotation note)
+        "q_multimodal_png": q_multimodal_png,
+        "q_embed_matryoshka": q_embed_matryoshka,
+        "q_rel_skewjoin": q_rel_skewjoin,
+        "q_dedup_bloom": q_dedup_bloom,
+        "q_dedup_crosssource": q_dedup_crosssource,
         "q_events_hourly": q_events_hourly,
         "q_text_length_hist": q_text_length_hist,
         "q_dedup_degree_hist": q_dedup_degree_hist,
@@ -3334,6 +3402,112 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_minhash_calib": q_dedup_minhash_calib,
         "q_stream_funnel": q_stream_funnel,
         "q_embed_isotropy": q_embed_isotropy,
+        "q_rel_yoy": q_rel_yoy,
+        "q_text_lmscore": q_text_lmscore,
+        "q_sample_split": q_sample_split,
+        "q_sink_roundtrip": q_sink_roundtrip,
+        "q_text_clean": q_text_clean,
+        "q_text_tokenfreq_salted": q_text_tokenfreq_salted,
+        "q_text_quality": q_text_quality,
+        "q_text_fingerprint": q_text_fingerprint,
+        "q_text_tokenfreq": q_text_tokenfreq,
+        "q_text_repetition": q_text_repetition,
+        "q_text_tfidf": q_text_tfidf,
+        "q_dedup_decontam": q_dedup_decontam,
+        "q_knn_join": q_knn_join,
+        "q_embed_cov": q_embed_cov,
+        "q_sample_weighted": q_sample_weighted,
+        "q_graph_triangles": q_graph_triangles,
+        "q_text_bm25": q_text_bm25,
+        "q_stream_outer_join": q_stream_outer_join,
+        "q_sink_compact": q_sink_compact,
+        "q_text_entropy": q_text_entropy,
+        "q_sink_evolve": q_sink_evolve,
+        "q_source_jsonl": q_source_jsonl,
+        "q_events_ewma": q_events_ewma,
+        "q_sink_zorder": q_sink_zorder,
+        "q_text_packed_seqs": q_text_packed_seqs,
+        "q_stream_session_native": q_stream_session_native,
+        "q_events_ohlc": q_events_ohlc,
+        "q_dedup_prefix": q_dedup_prefix,
+        "q_events_variant": q_events_variant,
+        "q_source_custom": q_source_custom,
+        "q_rel_dpp": q_rel_dpp,
+        "q_sql_pipe": q_sql_pipe,
+        "q_rel_lateral": q_rel_lateral,
+        "q_rel_stats": q_rel_stats,
+        "q_kmeans_scalable": q_kmeans_scalable,
+        "q_stream_kmeans": q_stream_kmeans,
+        "q_rel_groupsets": q_rel_groupsets,
+        # --- below: outside the driver's 50-row window this round ---
+        # --- r09 plan (docs/STATUS.md): the 20 remaining r04-green
+        # --- rows lead, then the r05-green family ---
+        "q_events_first": q_events_first,
+        "q_dedup_fuzzy": q_dedup_fuzzy,
+        "q_rel_upsert": q_rel_upsert,
+        "q_text_drift": q_text_drift,
+        "q_graph_pagerank": q_graph_pagerank,
+        "q_multimodal_resize": q_multimodal_resize,
+        "q_stream_dedup_wm": q_stream_dedup_wm,
+        "q_text_heavyhitters": q_text_heavyhitters,
+        "q_events_runs": q_events_runs,
+        "q_events_pattern": q_events_pattern,
+        "q_events_bandjoin": q_events_bandjoin,
+        "q_sink_bucketed": q_sink_bucketed,
+        "q_text_chunk_udtf": q_text_chunk_udtf,
+        "q_events_approx_quantiles": q_events_approx_quantiles,
+        "q_rel_mincost": q_rel_mincost,
+        "q_rel_suppcnt": q_rel_suppcnt,
+        "q_rel_excess": q_rel_excess,
+        "q_rel_shipmodes": q_rel_shipmodes,
+        "q_rel_waiting": q_rel_waiting,
+        "q_sample_mixture": q_sample_mixture,
+        "q_ann_pq": q_ann_pq,
+        "q_dedup_contain": q_dedup_contain,
+        "q_profile": q_profile,
+        "q_ann_pq_trained": q_ann_pq_trained,
+        "q_ann_trained": q_ann_trained,
+        "q_embed_pca": q_embed_pca,
+        "q_dedup_keep": q_dedup_keep,
+        "q_kmeans_nd": q_kmeans_nd,
+        "q_stream_mview": q_stream_mview,
+        "q_events_kmv_users": q_events_kmv_users,
+        "q_events_sampled_quantiles": q_events_sampled_quantiles,
+        "q_text_novelty": q_text_novelty,
+        "q_text_seg_dedup": q_text_seg_dedup,
+        "q_text_redact": q_text_redact,
+        "q_sample_temperature": q_sample_temperature,
+        "q_embed_drift": q_embed_drift,
+        "q_ann_hamming": q_ann_hamming,
+        "q_text_bpe": q_text_bpe,
+        "q_sample_kcenter": q_sample_kcenter,
+        "q_sample_domain_cap": q_sample_domain_cap,
+        "q_text_lm_bigram": q_text_lm_bigram,
+        "q_multimodal_audio": q_multimodal_audio,
+        "q_dedup_soft": q_dedup_soft,
+        "q_text_ppl_buckets": q_text_ppl_buckets,
+        "q_embed_outliers": q_embed_outliers,
+        "q_events_cdc": q_events_cdc,
+        "q_stream_cdc": q_stream_cdc,
+        "q_dedup_minhash": q_dedup_minhash,
+        "q_dedup_simhash": q_dedup_simhash,
+        "q_rel_pricing": q_rel_pricing,
+        "q_dedup_ngram": q_dedup_ngram,
+        "q_dedup_twostage": q_dedup_twostage,
+        "q_assign": q_assign,
+        "q_text_chunk": q_text_chunk,
+        "q_objfun": q_objfun,
+        "q_convergence": q_convergence,
+        "q_kmeans": q_kmeans,
+        "q_events_cube": q_events_cube,
+        "q_events_asof": q_events_asof,
+        "q_events_running": q_events_running,
+        "q_events_quantiles": q_events_quantiles,
+        "q_sample_docs": q_sample_docs,
+        "q_sample_stratified": q_sample_stratified,
+        "q_text_gate": q_text_gate,
+        "q_text_packing": q_text_packing,
+        "q_rel_small_qty": q_rel_small_qty,
         "q_events_rfm": q_events_rfm,
         "q_dedup_incremental": q_dedup_incremental,
         "q_dedup_url": q_dedup_url,
@@ -3384,109 +3558,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_udaf_geomean": q_udaf_geomean,
         "q_events_sliding": q_events_sliding,
         "q_events_session_native": q_events_session_native,
-        "q_ann_pq": q_ann_pq,
-        "q_dedup_contain": q_dedup_contain,
-        "q_profile": q_profile,
-        "q_ann_pq_trained": q_ann_pq_trained,
-        "q_ann_trained": q_ann_trained,
-        "q_embed_pca": q_embed_pca,
-        "q_dedup_keep": q_dedup_keep,
-        "q_kmeans_nd": q_kmeans_nd,
-        "q_stream_mview": q_stream_mview,
-        "q_events_kmv_users": q_events_kmv_users,
-        "q_events_sampled_quantiles": q_events_sampled_quantiles,
-        "q_text_novelty": q_text_novelty,
-        "q_text_seg_dedup": q_text_seg_dedup,
-        "q_text_redact": q_text_redact,
-        "q_sample_temperature": q_sample_temperature,
-        "q_embed_drift": q_embed_drift,
-        "q_ann_hamming": q_ann_hamming,
-        "q_text_bpe": q_text_bpe,
-        "q_sample_kcenter": q_sample_kcenter,
-        "q_sample_domain_cap": q_sample_domain_cap,
-        "q_text_lm_bigram": q_text_lm_bigram,
-        "q_multimodal_audio": q_multimodal_audio,
-        "q_dedup_soft": q_dedup_soft,
-        "q_text_ppl_buckets": q_text_ppl_buckets,
-        "q_embed_outliers": q_embed_outliers,
-        "q_events_cdc": q_events_cdc,
-        "q_stream_cdc": q_stream_cdc,
-        "q_dedup_minhash": q_dedup_minhash,
-        "q_dedup_simhash": q_dedup_simhash,
-        "q_rel_pricing": q_rel_pricing,
-        "q_dedup_ngram": q_dedup_ngram,
-        "q_dedup_twostage": q_dedup_twostage,
-        "q_assign": q_assign,
-        "q_text_chunk": q_text_chunk,
-        "q_objfun": q_objfun,
-        "q_convergence": q_convergence,
-        "q_kmeans": q_kmeans,
-        "q_events_cube": q_events_cube,
-        "q_events_asof": q_events_asof,
-        "q_events_running": q_events_running,
-        "q_events_quantiles": q_events_quantiles,
-        "q_sample_docs": q_sample_docs,
-        "q_sample_stratified": q_sample_stratified,
-        "q_text_gate": q_text_gate,
-        "q_text_packing": q_text_packing,
-        "q_rel_small_qty": q_rel_small_qty,
-        "q_rel_yoy": q_rel_yoy,
-        "q_knn_join": q_knn_join,
-        "q_embed_cov": q_embed_cov,
-        "q_sample_weighted": q_sample_weighted,
-        "q_graph_triangles": q_graph_triangles,
-        "q_text_bm25": q_text_bm25,
-        "q_stream_outer_join": q_stream_outer_join,
-        "q_sink_compact": q_sink_compact,
-        "q_text_entropy": q_text_entropy,
-        "q_sink_evolve": q_sink_evolve,
-        "q_source_jsonl": q_source_jsonl,
-        "q_events_ewma": q_events_ewma,
-        "q_sink_zorder": q_sink_zorder,
-        "q_text_packed_seqs": q_text_packed_seqs,
-        "q_stream_session_native": q_stream_session_native,
-        "q_events_ohlc": q_events_ohlc,
-        "q_dedup_prefix": q_dedup_prefix,
-        "q_events_variant": q_events_variant,
-        "q_source_custom": q_source_custom,
-        "q_rel_dpp": q_rel_dpp,
-        "q_sql_pipe": q_sql_pipe,
-        "q_rel_lateral": q_rel_lateral,
-        "q_rel_stats": q_rel_stats,
-        "q_kmeans_scalable": q_kmeans_scalable,
-        "q_stream_kmeans": q_stream_kmeans,
-        "q_rel_groupsets": q_rel_groupsets,
-        "q_events_first": q_events_first,
-        "q_dedup_fuzzy": q_dedup_fuzzy,
-        "q_rel_upsert": q_rel_upsert,
-        "q_text_drift": q_text_drift,
-        "q_graph_pagerank": q_graph_pagerank,
-        "q_multimodal_resize": q_multimodal_resize,
-        "q_stream_dedup_wm": q_stream_dedup_wm,
-        "q_text_heavyhitters": q_text_heavyhitters,
-        "q_events_runs": q_events_runs,
-        "q_events_pattern": q_events_pattern,
-        "q_events_bandjoin": q_events_bandjoin,
-        "q_sink_bucketed": q_sink_bucketed,
-        "q_text_chunk_udtf": q_text_chunk_udtf,
-        "q_events_approx_quantiles": q_events_approx_quantiles,
-        "q_rel_mincost": q_rel_mincost,
-        "q_rel_suppcnt": q_rel_suppcnt,
-        "q_rel_excess": q_rel_excess,
-        "q_rel_shipmodes": q_rel_shipmodes,
-        "q_rel_waiting": q_rel_waiting,
-        "q_sample_mixture": q_sample_mixture,
-        "q_text_lmscore": q_text_lmscore,
-        "q_sample_split": q_sample_split,
-        "q_sink_roundtrip": q_sink_roundtrip,
-        "q_text_clean": q_text_clean,
-        "q_text_tokenfreq_salted": q_text_tokenfreq_salted,
-        "q_text_quality": q_text_quality,
-        "q_text_fingerprint": q_text_fingerprint,
-        "q_text_tokenfreq": q_text_tokenfreq,
-        "q_text_repetition": q_text_repetition,
-        "q_text_tfidf": q_text_tfidf,
-        "q_dedup_decontam": q_dedup_decontam,
+        "q_stream_attribution_ooo": q_stream_attribution_ooo,
+        "q_multimodal_wav": q_multimodal_wav,
+        "q_events_funnel_windowed": q_events_funnel_windowed,
+        "q_events_covered": q_events_covered,
+        "q_events_mad": q_events_mad,
+        "q_ann_mrr": q_ann_mrr,
+        "q_ann_quant_error": q_ann_quant_error,
+        "q_text_jsd": q_text_jsd,
+        "q_text_winnowing": q_text_winnowing,
+        "q_embed_standardize": q_embed_standardize,
+        "q_rel_setops": q_rel_setops,
+        "q_rel_custdist": q_rel_custdist,
+        "q_rel_promo": q_rel_promo,
+        "q_rel_brandrev": q_rel_brandrev,
+        "q_rel_tradevolume": q_rel_tradevolume,
+        "q_rel_returns": q_rel_returns,
+        "q_rel_topparts": q_rel_topparts,
+        "q_rel_idle_rich": q_rel_idle_rich,
+        "q_rel_late_orders": q_rel_late_orders,
+        "q_rel_anti_parts": q_rel_anti_parts,
+        "q_rel_forecast": q_rel_forecast,
+        "q_rel_topsupplier": q_rel_topsupplier,
+        "q_rel_profit": q_rel_profit,
+        "q_rel_bigorders": q_rel_bigorders,
+        "q_rel_mktshare": q_rel_mktshare,
+        "q_rel_local_supplier": q_rel_local_supplier,
+        "q_dedup_semantic": q_dedup_semantic,
+        "q_topk_sim": q_topk_sim,
+        "q_text_vocab_coverage": q_text_vocab_coverage,
+        "q_ann_ivf": q_ann_ivf,
+        "q_ann_lsh": q_ann_lsh,
+        "q_ann_pruned": q_ann_pruned,
+        "q_ann_quantized": q_ann_quantized,
+        "q_events_funnel": q_events_funnel,
+        "q_events_retention": q_events_retention,
+        "q_events_wau": q_events_wau,
+        "q_events_anomaly": q_events_anomaly,
+        "q_events_histogram": q_events_histogram,
+        "q_window_range": q_window_range,
+        "q_stream_enrich": q_stream_enrich,
+        "q_stream_window": q_stream_window,
+        "q_stream_dedup": q_stream_dedup,
+        "q_stream_totals": q_stream_totals,
+        "q_stream_interval_join": q_stream_interval_join,
+        "q_stream_session": q_stream_session,
+        "q_stream_sink": q_stream_sink,
+        "q_stream_gate": q_stream_gate,
+        "q_dedup_canonical": q_dedup_canonical,
+        "q_text_tokens": q_text_tokens,
+        "q_text_langid": q_text_langid,
     }
 
 
@@ -4801,6 +4922,49 @@ SELECT np.n_panel,
        ROUND(1.0 / sqrt(np.d), 6) AS iso_floor
 FROM pairs CROSS JOIN np
 GROUP BY np.n_panel, np.d
+"""
+    embed_matryoshka_sql = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e
+      WHERE vec_id < {RECALL_QUERY_PANEL}),
+lvl AS (SELECT CAST(unnest({list(MATRYOSHKA_DIMS)}) AS INT) AS dims),
+pairs AS (
+  SELECT l.dims, q.query_id, e.vec_id AS neighbor_id,
+         ROUND(
+           list_sum(list_transform(range(1, l.dims + 1),
+                                   i -> e.v[i] * q.qv[i]))
+           / (sqrt(list_sum(list_transform(range(1, l.dims + 1),
+                                           i -> e.v[i] * e.v[i])))
+              * sqrt(list_sum(list_transform(range(1, l.dims + 1),
+                                             i -> q.qv[i] * q.qv[i])))),
+           6) AS c
+  FROM e CROSS JOIN q CROSS JOIN lvl l
+  WHERE list_sum(list_transform(range(1, l.dims + 1),
+                                i -> e.v[i] * e.v[i])) > 0
+    AND list_sum(list_transform(range(1, l.dims + 1),
+                                i -> q.qv[i] * q.qv[i])) > 0
+),
+topk AS (
+  SELECT dims, query_id, neighbor_id FROM (
+    SELECT dims, query_id, neighbor_id,
+           row_number() OVER (PARTITION BY dims, query_id
+                              ORDER BY c DESC, neighbor_id) AS rnk
+    FROM pairs
+  ) WHERE rnk <= {TOPK_K}
+),
+truth AS (SELECT query_id, neighbor_id FROM topk
+          WHERE dims = {MATRYOSHKA_DIMS[-1]}),
+hits AS (
+  SELECT t.dims, t.query_id, COUNT(*) AS n
+  FROM topk t JOIN truth USING (query_id, neighbor_id)
+  GROUP BY 1, 2
+),
+spine AS (SELECT l.dims, q.query_id FROM lvl l CROSS JOIN q)
+SELECT s.dims, s.query_id,
+       CAST(COALESCE(n, 0) AS BIGINT) AS n_hits,
+       ROUND(COALESCE(n, 0) / {float(TOPK_K)}, 6) AS recall
+FROM spine s LEFT JOIN hits ON hits.dims = s.dims
+                           AND hits.query_id = s.query_id
 """
     ann_mrr_sql = f"""
 WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -6246,6 +6410,31 @@ SELECT doc_id AS asset_id, pos,
        ROUND(SUM(code) / (COUNT(*) * 256.0), 6) AS val
 FROM segs GROUP BY doc_id, pos
 """
+    # Replays the PNG pack->decode loop without PNG: the decoded pixel
+    # array is exactly text bytes zero-padded to a multiple of the
+    # 32-px scanline width (min one row), so segment means are
+    # computable from the text alone.
+    multimodal_png_sql = """
+WITH d AS (
+  SELECT doc_id, length(text) AS n, text,
+         GREATEST((length(text) + 31) // 32, 1) * 32 AS npix
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, n, npix, text, unnest(range(npix)) AS i FROM d
+),
+segs AS (
+  SELECT doc_id,
+         CAST((i * 16) // npix AS INT) AS pos,
+         CASE WHEN i < n
+              THEN ascii(substring(text, CAST(i AS INT) + 1, 1))
+              ELSE 0 END AS code
+  FROM pos
+)
+SELECT doc_id AS asset_id, pos,
+       ROUND(SUM(code) / (COUNT(*) * 256.0), 6) AS val
+FROM segs GROUP BY doc_id, pos
+"""
     multimodal_feat_sql = """
 WITH pos AS (
   SELECT doc_id, text, unnest(range(1, length(text)+1)) AS i FROM documents
@@ -6264,6 +6453,20 @@ SELECT g.doc_id AS asset_id, g.pos,
        CASE WHEN g.n = 0 THEN 0.0
             ELSE ROUND(COALESCE(c, 0) * 1.0 / g.n, 6) END AS val
 FROM grid g LEFT JOIN cnt ON cnt.doc_id = g.doc_id AND cnt.bucket = g.pos
+"""
+    # The salt is a pure partitioning trick — the oracle replays the
+    # UNSALTED join, which the salted plan must equal exactly.
+    rel_skewjoin_sql = """
+WITH dim AS (
+  SELECT event_type,
+         (length(event_type) % 5 + 1) / CAST(10.0 AS DOUBLE) AS rate
+  FROM (SELECT DISTINCT event_type FROM events)
+)
+SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(ROUND(SUM(CAST(e.value * d.rate AS DECIMAL(25,8))), 6)
+            AS DOUBLE) AS weighted_value
+FROM events e JOIN dim d USING (event_type)
+GROUP BY e.event_type
 """
     events_window_sql = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start,
@@ -6793,6 +6996,88 @@ bench AS (SELECT DISTINCT s FROM ex WHERE doc_id % 50 = 0)
 SELECT doc_id, COUNT(*) AS n_hits, MIN(s) AS sample_ngram
 FROM ex JOIN bench USING (s)
 GROUP BY doc_id
+"""
+    dedup_crosssource_sql = """
+WITH fp AS (
+  SELECT DISTINCT source,
+         md5(trim(regexp_replace(
+             regexp_replace(lower(text), '[[:cntrl:]]', ' ', 'g'),
+             '\\s+', ' ', 'g'))) AS f
+  FROM documents
+),
+sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM fp GROUP BY source),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM fp a JOIN fp b ON a.f = b.f AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT sa.source AS source_a, sb.source AS source_b,
+       sa.n AS n_a, sb.n AS n_b,
+       CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared,
+       ROUND(COALESCE(n_shared, 0)
+             / CAST(sa.n + sb.n - COALESCE(n_shared, 0) AS DOUBLE),
+             6) AS jaccard
+FROM sizes sa JOIN sizes sb ON sa.source < sb.source
+LEFT JOIN shared ON shared.source_a = sa.source
+                AND shared.source_b = sb.source
+"""
+    # Bloom bits replayed literally: lane j's bit is the first 8
+    # md5-hex chars of "j:shingle" mod 2^16; a probe shingle bloom-hits
+    # iff all 3 lanes' bits are in the benchmark's set-bit relation.
+    dedup_bloom_sql = f"""
+WITH {_TOKS_CTE},
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(t)-7, 1)+1),
+           i -> array_to_string(list_slice(t, i, i+7), ' '))) AS shingles
+  FROM toks WHERE len(t) > 0
+),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+bench AS (SELECT DISTINCT s FROM ex WHERE doc_id % 50 = 0),
+lanes3 AS (SELECT CAST(unnest(range(3)) AS INT) AS j),
+bits AS (
+  SELECT DISTINCT
+         CAST(('0x' || substring(md5(concat(CAST(j AS VARCHAR), ':', s)),
+                                 1, 8)) AS BIGINT) % 65536 AS pos
+  FROM bench CROSS JOIN lanes3
+),
+probe AS (SELECT doc_id, s FROM ex WHERE doc_id % 50 <> 0),
+plane AS (
+  SELECT doc_id, s,
+         CAST(('0x' || substring(md5(concat(CAST(j AS VARCHAR), ':', s)),
+                                 1, 8)) AS BIGINT) % 65536 AS pos
+  FROM probe CROSS JOIN lanes3
+),
+hitlanes AS (
+  SELECT p.doc_id, p.s, COUNT(b.pos) AS nb
+  FROM plane p LEFT JOIN bits b USING (pos)
+  GROUP BY p.doc_id, p.s
+),
+flag AS (
+  SELECT h.doc_id, h.s, (h.nb = 3) AS bloom_hit,
+         (bench.s IS NOT NULL) AS exact_hit
+  FROM hitlanes h LEFT JOIN bench ON bench.s = h.s
+),
+agg AS (
+  SELECT d.source,
+         CAST(COUNT(DISTINCT f.doc_id) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+           AS bloom_hits,
+         CAST(SUM(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS BIGINT)
+           AS exact_hits
+  FROM flag f JOIN documents d ON d.doc_id = f.doc_id
+  GROUP BY d.source
+)
+SELECT source, n_docs, n_shingles, bloom_hits, exact_hits,
+       bloom_hits - exact_hits AS false_pos,
+       CASE WHEN n_shingles - exact_hits > 0
+            THEN ROUND((bloom_hits - exact_hits)
+                       / CAST(n_shingles - exact_hits AS DOUBLE), 6)
+       END AS fp_rate
+FROM agg
 """
     # capped (default) semantics: intersections count only shingles with
     # df <= 20, while set sizes stay FULL (mirrors ngram_jaccard_pairs
@@ -7562,6 +7847,7 @@ SELECT event_type, event_id, ROUND(value, 6) AS value FROM (
         "q_events_anomaly": events_anomaly_sql,
         "q_events_histogram": events_histogram_sql,
         "q_window_range": window_range_sql,
+        "q_rel_skewjoin": rel_skewjoin_sql,
         "q_rel_yoy": rel_yoy_sql,
         "q_text_lmscore": text_lmscore_sql,
         "q_text_chunk": text_chunk_sql,
@@ -7789,6 +8075,7 @@ GROUP BY event_type
         "q_ann_ivf": ann_ivf_sql,
         "q_ann_recall": ann_recall_sql,
         "q_ann_mrr": ann_mrr_sql,
+        "q_embed_matryoshka": embed_matryoshka_sql,
         "q_embed_standardize": embed_standardize_sql,
         "q_embed_isotropy": embed_isotropy_sql,
         "q_ann_quant_error": ann_quant_error_sql,
@@ -7802,6 +8089,7 @@ GROUP BY event_type
         "q_stream_attribution": events_attribution_sql,
         "q_stream_attribution_ooo": events_attribution_sql,
         "q_multimodal_wav": multimodal_wav_sql,
+        "q_multimodal_png": multimodal_png_sql,
         "q_multimodal_phash": multimodal_phash_sql,
         "q_dedup_minhash_calib": dedup_minhash_calib_sql,
         "q_events_funnel_windowed": events_funnel_windowed_sql,
@@ -7861,4 +8149,6 @@ FROM c
         "q_text_repetition": text_repetition_sql,
         "q_text_tfidf": text_tfidf_sql,
         "q_dedup_decontam": dedup_decontam_sql,
+        "q_dedup_bloom": dedup_bloom_sql,
+        "q_dedup_crosssource": dedup_crosssource_sql,
     }

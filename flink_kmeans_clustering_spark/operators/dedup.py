@@ -854,6 +854,211 @@ def benchmark_overlap(
     )
 
 
+BLOOM_M = 1 << 16  # filter bits (8 KiB — broadcast as 1024 long literals)
+BLOOM_K = 3  # hash lanes per shingle
+
+
+def _bloom_lane_pos(j: int, col: Column, m: int) -> Column:
+    """Lane ``j``'s bit position for a shingle: first 8 md5-hex chars of
+    ``"j:shingle"`` as an integer, mod ``m`` — deterministic and
+    byte-identical in any engine with md5 (the repo's standard
+    replayable-hash construction)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{j}:"), col)), 1, 8), 16, 10
+        ).cast("long")
+        % m
+    )
+
+
+def bloom_prefilter(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Bloom-filter contamination prefilter, with its false-positive
+    rate MEASURED in the same pass.
+
+    The scale story: :func:`benchmark_overlap` broadcasts the
+    benchmark's distinct shingles — fine at eval-set size, but a
+    multi-benchmark suite can reach GBs of shingles, past broadcast
+    comfort.  The classic fix is a Bloom filter: ``m`` bits, ``k``
+    md5-lane hashes per shingle, built once from the benchmark side
+    (the bit positions are an aggregate BOUNDED BY ``m``, never by
+    data — the only driver-side collect here is ≤ m rows) and shipped
+    to every task as 1024 long literals (8 KiB in the plan).  The
+    probe is pure codegen: each corpus shingle tests ``k`` bits via
+    ``element_at`` + bitwise-AND against the literal word array — no
+    UDF, no shuffle, one corpus scan.  Exact membership (a broadcast
+    semi-join, the ground truth) runs beside it, so the output reports
+    the filter's real FP rate instead of the textbook formula.
+
+    Determinism: every lane is an md5 hex-slice (no xxhash — engines
+    must replay it), so the SAME bits are set in any engine and the
+    oracle can reproduce bloom hits bit-for-bit.
+
+    Output, one row per ``group_col``: n_docs, n_shingles, bloom_hits,
+    exact_hits, false_pos (= bloom − exact), fp_rate (= false_pos /
+    clean shingles; NULL when no clean shingles).
+    """
+    bench_sh = (
+        benchmark.select(
+            F.explode(ngram_shingles(tokenize(F.col(text_col)), n)).alias(
+                "sh"
+            )
+        )
+        .distinct()
+    )
+    pos_rows = (
+        bench_sh.select(
+            F.explode(
+                F.array(
+                    *[_bloom_lane_pos(j, F.col("sh"), m) for j in range(k)]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * (m // 64)
+    for r in pos_rows:
+        words[r["pos"] // 64] |= 1 << (r["pos"] % 64)
+    # two's-complement into signed longs (Spark LongType)
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    wlit = F.array(*[F.lit(w) for w in words])
+    pow2 = F.array(
+        *[
+            F.lit(b - (1 << 64) if (b := 1 << i) >= (1 << 63) else b)
+            for i in range(64)
+        ]
+    )
+
+    doc_sh = docs.select(
+        F.col(id_col), F.col(group_col), tokenize(F.col(text_col)).alias("_t")
+    ).select(
+        id_col,
+        group_col,
+        F.explode(ngram_shingles(F.col("_t"), n)).alias("sh"),
+    )
+
+    def _bit_set(j: int) -> Column:
+        pos = _bloom_lane_pos(j, F.col("sh"), m)
+        word = F.element_at(wlit, (pos / 64 + 1).cast("int"))
+        mask = F.element_at(pow2, (pos % 64 + 1).cast("int"))
+        return word.bitwiseAND(mask) != 0
+
+    import functools
+
+    all_bits = functools.reduce(
+        lambda a, b: a & b, [_bit_set(j) for j in range(k)]
+    )
+    flagged = doc_sh.withColumn("_bloom", all_bits).join(
+        F.broadcast(bench_sh.withColumn("_exact", F.lit(True))), "sh", "left"
+    )
+    agg = flagged.groupBy(group_col).agg(
+        F.countDistinct(id_col).cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.sum(F.col("_bloom").cast("long")).cast("long").alias("bloom_hits"),
+        F.sum(F.col("_exact").isNotNull().cast("long"))
+        .cast("long")
+        .alias("exact_hits"),
+    )
+    clean = F.col("n_shingles") - F.col("exact_hits")
+    fp = F.col("bloom_hits") - F.col("exact_hits")
+    return agg.select(
+        group_col,
+        "n_docs",
+        "n_shingles",
+        "bloom_hits",
+        "exact_hits",
+        fp.alias("false_pos"),
+        F.when(clean > 0, F.round(fp / clean.cast("double"), 6)).alias(
+            "fp_rate"
+        ),
+    )
+
+
+def cross_source_overlap(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, how
+    many NORMALIZED-exact duplicate documents the two sources share —
+    the measurement a mixture builder runs before weighting corpora
+    (two crawls that are 40% the same corpus should not be sampled as
+    independent; CCNet/RefinedWeb-style pipelines dedup ACROSS dumps
+    for exactly this reason).
+
+    The key is the md5 of the :func:`~flink_kmeans_clustering_spark.
+    operators.textstats.clean_text` normalization (lowercase, control
+    chars stripped, whitespace collapsed) — same digest the corpus
+    cleaning pass already computes, so at scale this reads a
+    precomputed column instead of re-hashing.
+
+    One corpus-wide shuffle total: distinct (source, digest) pairs
+    aggregate to digest → sorted source-set (map-side combine; set
+    size bounded by #sources, not corpus), then pairs explode from
+    each multi-source set (≤ sources² rows per digest) and reduce to
+    the bounded sources×sources matrix — there is NO digest self-join
+    (which would shuffle the corpus twice and square the hot digests).
+
+    Output per unordered pair (source_a < source_b): n_a / n_b =
+    distinct digests per source, n_shared, jaccard = shared /
+    (n_a + n_b − shared), rounded 6.
+    """
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), r"[\p{Cntrl}]", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    fps = docs.select(
+        F.col(group_col), F.md5(cleaned).alias("_fp")
+    ).distinct()
+    sizes = fps.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    srcsets = (
+        fps.groupBy("_fp")
+        .agg(F.sort_array(F.collect_set(group_col)).alias("_srcs"))
+        .filter(F.size("_srcs") > 1)
+    )
+    shared = (
+        srcsets.select(F.explode("_srcs").alias("source_a"), "_srcs")
+        .select("source_a", F.explode("_srcs").alias("source_b"))
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    a = sizes.select(
+        F.col(group_col).alias("source_a"), F.col("_n").alias("n_a")
+    )
+    b = sizes.select(
+        F.col(group_col).alias("source_b"), F.col("_n").alias("n_b")
+    )
+    spine = a.crossJoin(F.broadcast(b)).filter(
+        F.col("source_a") < F.col("source_b")
+    )
+    ns = F.coalesce(F.col("n_shared"), F.lit(0)).cast("long")
+    return spine.join(shared, ["source_a", "source_b"], "left").select(
+        "source_a",
+        "source_b",
+        "n_a",
+        "n_b",
+        ns.alias("n_shared"),
+        F.round(
+            ns / (F.col("n_a") + F.col("n_b") - ns).cast("double"), 6
+        ).alias("jaccard"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Semantic dedup: k-means-style blocking + within-block cosine pairs
 # ---------------------------------------------------------------------------

@@ -1439,3 +1439,45 @@ def validate_expectations(
         "n_violations",
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key_col: str,
+    salt_src_col: str,
+    salts: int = 16,
+) -> DataFrame:
+    """Skew-defeating shuffle join: salt the fact side, replicate the
+    dim side, join on (key, salt) — the classic remedy when BOTH sides
+    are too big to broadcast and the join key is Zipf-skewed (one hot
+    key otherwise lands an entire 100 TB stage on one reducer while
+    the other 999 executors idle).
+
+    Mechanics: the fact row's salt is ``pmod(salt_src_col, salts)`` —
+    deterministic (replayable, AQE-independent) and uniform when the
+    source column is a dense id; the dim side is exploded ``salts``
+    ways, so every (key, salt) partition holds the full dim row.  The
+    hot key's rows now spread across ``salts`` reducers instead of
+    one.  The dim side carries an explicit ``merge`` hint: without it
+    Spark would broadcast a small dim and the salt would silently do
+    nothing — this operator exists to exercise the shuffle path the
+    technique is for (plan-pinned in tests).  The salt column never
+    escapes: it is dropped after the join, so results are exactly the
+    unsalted join's.
+
+    At 100 TB, prefer AQE's skew-join splitting when it fires
+    (`spark.sql.adaptive.skewJoin`); explicit salting is the
+    deterministic fallback for the cases AQE can't see — e.g. a
+    skewed AGGREGATION feeding the join, or a first shuffle whose map
+    outputs are already skewed.
+    """
+    if salts < 1:
+        raise ValueError(f"salts must be >= 1, got {salts}")
+    f = fact.withColumn(
+        "_salt", F.pmod(F.col(salt_src_col), F.lit(salts)).cast("int")
+    )
+    d = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salts)]))
+    ).withColumn("_salt", F.col("_salt").cast("int"))
+    return f.join(d.hint("merge"), [key_col, "_salt"]).drop("_salt")

@@ -852,6 +852,108 @@ def ann_recall(
     )
 
 
+def matryoshka_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dims_levels: Sequence[int] = (8, 16, 32, 64),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-representation evaluation: exact top-k recall when
+    embeddings are TRUNCATED to their first ``d`` dimensions, for each
+    ``d`` in ``dims_levels`` — the measurement behind MRL-style
+    (Kusupati et al., NeurIPS'22) tiered retrieval, where a 100 TB
+    index stores d/8 prefixes for the coarse pass and full vectors only
+    for re-ranking.  This answers "how many prefix dims does the coarse
+    pass need" with data, not folklore.
+
+    Execution is ONE corpus scan for ALL levels: the query batch is
+    broadcast, every (corpus row × query) computes all level cosines in
+    a single projection (prefix dot/norms via sliced folds, JVM-side),
+    then one posexplode to (level, cosine) long form and ONE shuffle on
+    (query_id, dims) for the per-level ranking — not a rescan per
+    level.  Ranking follows the knn_join discipline: cosine rounded to
+    6 before ranking, ties by neighbor id, NULL cosines (zero-norm
+    prefixes) filtered, window row_number ≤ k compiles to
+    WindowGroupLimit so each partition pre-trims before the exchange.
+
+    Truth = the ranking at the LARGEST level (the full vector).
+    Output: (dims, query_id, n_hits, recall), recall = overlap@k / k —
+    the max-dims rows are the 1.0 sanity floor.
+    """
+    levels = sorted(set(int(d) for d in dims_levels))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).cast("array<double>").alias("_qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+
+    def _prefix_cos(d: int):
+        a, b = F.slice("_v", 1, d), F.slice("_qv", 1, d)
+        den = F.sqrt(dot(a, a)) * F.sqrt(dot(b, b))
+        return F.round(
+            F.when(den > 0, dot(a, b) / den), 6
+        )
+
+    long = (
+        c.join(F.broadcast(q))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.posexplode(F.array(*[_prefix_cos(d) for d in levels])).alias(
+                "_lvl", "cosine"
+            ),
+        )
+        .filter(F.col("cosine").isNotNull())
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id", "_lvl").orderBy(
+        F.desc("cosine"), F.col("neighbor_id")
+    )
+    lvl_dims = F.element_at(
+        F.array(*[F.lit(d) for d in levels]), F.col("_lvl") + 1
+    )
+    ranked = (
+        long.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "_lvl", lvl_dims.alias("dims"), "neighbor_id")
+    )
+    truth = ranked.filter(F.col("dims") == levels[-1]).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        ranked.join(truth, ["query_id", "neighbor_id"])
+        .groupBy("dims", "query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    spine = (
+        q.select("query_id")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                corpus.sparkSession.createDataFrame(
+                    [(d,) for d in levels], "dims int"
+                )
+            )
+        )
+    )
+    return spine.join(hits, ["dims", "query_id"], "left").select(
+        F.col("dims").cast("int").alias("dims"),
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        F.round(
+            F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(k)), 6
+        ).alias("recall"),
+    )
+
+
 def hard_negative_mining(
     corpus: DataFrame,
     queries: DataFrame,

@@ -232,6 +232,21 @@ PICKS = [
         "Winnowing fingerprints — posexplode + bounded sliding window "
         "on the doc key; no shuffle beyond it",
     ),
+    (
+        "q_rel_skewjoin",
+        "Salted skew join — SortMergeJoin on (key, salt), dim replicated "
+        "16 ways, merge-hinted so no silent broadcast hides the salt",
+    ),
+    (
+        "q_embed_matryoshka",
+        "Matryoshka recall — all prefix-dim cosines from ONE corpus scan "
+        "(broadcast query batch), single exchange on (query, level)",
+    ),
+    (
+        "q_dedup_bloom",
+        "Bloom prefilter — literal-array bit tests in codegen on the "
+        "probe scan; only the bounded benchmark side ever aggregates",
+    ),
 ]
 
 

@@ -99,6 +99,13 @@ def main() -> int:
             new = r["shuffle_write_mb"]
             if old is not None and new > 2 * old and new - old > 1.0:
                 regressions.append((r["query"], old, new))
+    # One row per query, no exceptions: a duplicated row silently
+    # doubles in the regression diff and confuses per-query history
+    # (VERDICT r07 item 6 — a q_stream_attribution_ooo row was once
+    # written twice).
+    names = [r["query"] for r in rows]
+    dupes = sorted({n for n in names if names.count(n) > 1})
+    assert not dupes, f"duplicate audit rows for {dupes}"
     # On regression, leave the committed baseline untouched (so a re-run
     # reproduces the failure) and park the new numbers in a sidecar.
     audit_name = "shuffle_audit.regressed.json" if regressions else "shuffle_audit.json"

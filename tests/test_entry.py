@@ -38,18 +38,23 @@ def test_rows_only_set_is_exactly_the_adjudicated_four():
     assert qs - osql == ROWS_ONLY_BY_DESIGN
 
 
-def test_window_leads_with_new_round7_queries():
+def test_window_leads_with_round8_rotation():
+    """r08 window plan (VERDICT r07 items 1+2): the 5 new queries, the
+    8 never-driver-checked rows, the r03 tail led by q_rel_yoy, and
+    the head of the r04-green family."""
     first50 = list(entrymod.queries())[:50]
     for q in (
-        "q_stream_attribution_ooo",
-        "q_multimodal_wav",
-        "q_events_funnel_windowed",
-        "q_ann_mrr",
-        "q_text_winnowing",
-        "q_embed_standardize",
-        "q_rel_setops",
-        "q_rel_local_supplier",
-        "q_stream_gate",
-        "q_text_langid",
+        "q_multimodal_png",
+        "q_embed_matryoshka",
+        "q_rel_skewjoin",
+        "q_dedup_bloom",
+        "q_dedup_crosssource",
+        "q_events_hourly",
+        "q_stream_funnel",
+        "q_embed_isotropy",
+        "q_rel_yoy",
+        "q_dedup_decontam",
+        "q_knn_join",
+        "q_rel_groupsets",
     ):
         assert q in first50, q

@@ -288,3 +288,135 @@ def test_wav_decoder_format_edges():
 
     # zero-frame file is valid audio of length 0 -> zero features
     assert dec(pack([])).tolist() == [0.0] * 4
+
+
+def test_png_roundtrip_through_real_container(spark):
+    """Pack -> PNG -> parse -> features on a hand doc: 64 'A' bytes
+    fill two 32-px scanlines exactly (no padding), so every segment
+    mean is 65/256 = 0.253906; a 1-char doc pads to one 32-px row
+    whose first segment mean is 65/(2*256) (2 pixels per segment, one
+    real + one zero pad)."""
+    from flink_kmeans_clustering_spark.operators.multimodal import (
+        features_rounded,
+        png_features,
+        png_pack_assets,
+    )
+
+    docs = spark.createDataFrame(
+        [(7, "A" * 64), (8, "A")], "doc_id long, text string"
+    )
+    assets = png_pack_assets(docs)
+    blobs = {r["asset_id"]: bytes(r["content"]) for r in assets.collect()}
+    assert blobs[7][:8] == b"\x89PNG\r\n\x1a\n"
+    rows = features_rounded(png_features(assets)).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["asset_id"], {})[r["pos"]] = r["val"]
+    assert len(by[7]) == 16
+    assert all(abs(v - round(65 / 256, 6)) < 1e-9 for v in by[7].values())
+    # doc 8: 32 padded pixels, 2 per segment; only pixel 0 is nonzero
+    assert abs(by[8][0] - round(65 / 512, 6)) < 1e-9
+    assert all(by[8][p] == 0.0 for p in range(1, 16))
+
+
+def test_png_encoder_uses_all_filter_types_and_multi_idat():
+    """The synthesized container must exercise the real format: at
+    least 5 scanlines -> all five filter types appear in the filtered
+    stream, and an incompressible payload splits into multiple IDAT
+    chunks that the decoder must concatenate."""
+    import struct
+    import zlib
+
+    from flink_kmeans_clustering_spark.operators.multimodal import (
+        _png_encode,
+        png_decoder,
+    )
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, 32 * 10).astype(np.uint8)
+    blob = _png_encode(px, 32)
+    off, idat, n_idat = 8, bytearray(), 0
+    while off < len(blob):
+        (ln,) = struct.unpack(">I", blob[off : off + 4])
+        ctype = blob[off + 4 : off + 8]
+        if ctype == b"IDAT":
+            n_idat += 1
+            idat.extend(blob[off + 8 : off + 8 + ln])
+        off += 12 + ln
+    assert n_idat > 1  # multi-chunk IDAT is part of the contract
+    raw = zlib.decompress(bytes(idat))
+    ftypes = {raw[r * 33] for r in range(10)}
+    assert ftypes == {0, 1, 2, 3, 4}
+    # and the strict decoder reconstructs the exact pixel array
+    feat = png_decoder(16)(blob)
+    seg = (np.arange(px.size) * 16) // px.size
+    exp = np.bincount(seg, weights=px.astype(float), minlength=16) / (
+        np.bincount(seg, minlength=16) * 256.0
+    )
+    exp = (np.floor(exp * 1e6 + 0.5) / 1e6).astype(np.float32)
+    assert np.array_equal(feat, exp)
+
+
+def test_png_decoder_format_edges():
+    """Corruption raises instead of yielding wrong features: bad
+    signature, flipped CRC byte, truncated chunk, wrong color type,
+    invalid filter byte, and an inflated payload shorter than the
+    IHDR's promise."""
+    import struct
+    import zlib
+
+    from flink_kmeans_clustering_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        _png_encode,
+        png_decoder,
+    )
+
+    dec = png_decoder(16)
+    rng = np.random.default_rng(11)
+    good = _png_encode(rng.integers(0, 256, 32 * 6).astype(np.uint8), 32)
+
+    with pytest.raises(ValueError, match="signature"):
+        dec(b"\x00" + good[1:])
+
+    bad = bytearray(good)
+    bad[60] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        dec(bytes(bad))
+
+    with pytest.raises(ValueError, match="truncated"):
+        dec(good[: len(good) // 2])
+
+    rgb_ihdr = struct.pack(">IIBBBBB", 32, 1, 8, 2, 0, 0, 0)
+    rgb = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", rgb_ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 33))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="grayscale"):
+        dec(rgb)
+
+    gray_ihdr = struct.pack(">IIBBBBB", 32, 1, 8, 0, 0, 0, 0)
+    badfilt = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", gray_ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x09" + b"\x00" * 32))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="filter type"):
+        dec(badfilt)
+
+    two_row_ihdr = struct.pack(">IIBBBBB", 32, 2, 8, 0, 0, 0, 0)
+    short = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", two_row_ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" + b"\x01" * 32))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="truncated pixel data"):
+        dec(short)
+
+    noend = good[: len(good) - 12]  # drop the IEND chunk
+    with pytest.raises(ValueError, match="IHDR or IEND"):
+        dec(noend)
