@@ -925,7 +925,9 @@ def bloom_prefilter(
         .distinct()
         .collect()
     )
-    words = [0] * (m // 64)
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    words = [0] * ((m + 63) // 64)  # ceil: m below/off a word boundary
     for r in pos_rows:
         words[r["pos"] // 64] |= 1 << (r["pos"] % 64)
     # two's-complement into signed longs (Spark LongType)

@@ -190,7 +190,8 @@ def main() -> None:
         "",
         "| query | " + " | ".join(f"x{m} rows" for m in sizes) + " | "
         + " | ".join(f"x{m} s" for m in sizes)
-        + " | growth 3×→10× (data 3.33×) |",
+        + f" | growth x{sizes[-2]}→x{sizes[-1]}"
+        + f" (data {sizes[-1] / sizes[-2]:.2f}×) |",
         "|---|" + "---|" * (2 * len(sizes) + 1),
     ]
     for q in queries:
