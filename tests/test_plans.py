@@ -1136,3 +1136,61 @@ def test_filtered_knn_pushes_metadata_predicate(spark):
     schemas = read_schemas(df)
     doc_schema = [s for s in schemas if "doc_id" in s]
     assert doc_schema and all("text" not in s for s in doc_schema)
+
+
+# --- round-8 operators -------------------------------------------------------
+
+
+def test_png_pipeline_is_shuffle_free_arrow_batched(spark):
+    """Pack -> decode -> flatten is a pure narrow pipeline: Arrow
+    mapInPandas stages, zero exchanges — feature extraction must fan
+    out embarrassingly parallel at 100 TB."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q_multimodal_png"](spark, SF)
+    assert_max_shuffles(df, 0)
+    s = explain_str(df)
+    assert "MapInPandas" in s
+
+
+def test_matryoshka_ranks_with_window_group_limit(spark):
+    """All prefix-dim cosines come from broadcast-joined corpus scans
+    (never a shuffled corpus join), and every per-(query, level)
+    ranking pre-trims to top-k per partition BEFORE its exchange —
+    the only corpus-sized data movement is partition-local."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q_embed_matryoshka"](spark, SF)
+    s = explain_str(df)
+    assert "WindowGroupLimit" in s
+    assert "BroadcastNestedLoopJoin" in s  # the broadcast query batch
+    # 7-exchange budget: two window branches (partial rank trims each
+    # corpus scan pre-exchange), the hits aggregate, and the bounded
+    # spine joins — nothing corpus-wide
+    assert_max_shuffles(df, 7)
+
+
+def test_bloom_probe_is_codegen_no_python(spark):
+    """The Bloom probe must be literal-array bit tests in codegen —
+    no Python UDF anywhere in the plan, and the probe side reaches
+    the aggregate through only the countDistinct expand shuffles."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q_dedup_bloom"](spark, SF)
+    s = explain_str(df)
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+    assert "MapInPandas" not in s
+    assert_max_shuffles(df, 3)
+
+
+def test_crosssource_no_corpus_self_join(spark):
+    """Pairs come from the digest -> source-set explode, never a
+    corpus-digest self-join: no join operator may consume a
+    corpus-sized (unaggregated) side."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q_dedup_crosssource"](spark, SF)
+    s = explain_str(df)
+    # the only joins are over the bounded per-source aggregates
+    assert s.count("SortMergeJoin") == 0
+    assert_max_shuffles(df, 6)
