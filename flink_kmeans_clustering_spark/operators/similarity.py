@@ -925,13 +925,24 @@ def matryoshka_recall(
         .filter(F.col("rnk") <= k)
         .select("query_id", "_lvl", lvl_dims.alias("dims"), "neighbor_id")
     )
-    truth = ranked.filter(F.col("dims") == levels[-1]).select(
-        "query_id", "neighbor_id"
-    )
+    # Truth = the max-level rows of `ranked` itself.  Deriving the
+    # overlap via a per-query window collect_set (k-bounded set)
+    # instead of a ranked⋈ranked self-join keeps this ONE corpus pass
+    # — a self-join would re-run the scan + ranking for each side.
+    wq = Window.partitionBy("query_id")
+    truth_set = F.collect_set(
+        F.when(F.col("dims") == levels[-1], F.col("neighbor_id"))
+    ).over(wq)
     hits = (
-        ranked.join(truth, ["query_id", "neighbor_id"])
+        ranked.withColumn("_truth", truth_set)
         .groupBy("dims", "query_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .agg(
+            F.sum(
+                F.array_contains(F.col("_truth"), F.col("neighbor_id")).cast(
+                    "long"
+                )
+            ).alias("n_hits")
+        )
     )
     spine = (
         q.select("query_id")

@@ -1164,10 +1164,10 @@ def test_matryoshka_ranks_with_window_group_limit(spark):
     s = explain_str(df)
     assert "WindowGroupLimit" in s
     assert "BroadcastNestedLoopJoin" in s  # the broadcast query batch
-    # 7-exchange budget: two window branches (partial rank trims each
-    # corpus scan pre-exchange), the hits aggregate, and the bounded
-    # spine joins — nothing corpus-wide
-    assert_max_shuffles(df, 7)
+    # 5-exchange budget: ONE window branch (ranked is localCheckpointed
+    # so the truth filter reuses it — one corpus pass total), the hits
+    # aggregate, and the bounded spine joins — nothing corpus-wide
+    assert_max_shuffles(df, 5)
 
 
 def test_bloom_probe_is_codegen_no_python(spark):
