@@ -948,7 +948,14 @@ def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     all five unfilters.  Features are per-segment normalized pixel
     means over the zero-padded byte grid — SQL-replayable, so the full
     pack->container->parse->feature loop is oracle-checked."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from flink_kmeans_clustering_spark.operators.common import spread
+
+    # encode+unfilter is per-row CPU-heavy Python: rebalance the skinny
+    # single-file scan across slots first (no-op when the input already
+    # has enough splits — the 100 TB case)
+    docs = spread(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id"
+    )
     return features_rounded(png_features(png_pack_assets(docs)))
 
 
