@@ -409,3 +409,77 @@ def test_wave5_ops_empty(spark, empty_docs, empty_events):
     assert last_touch_attribution(empty_events).count() == 0
     docs2 = empty_docs.withColumn("lang", F.lit("en"))
     assert langid_confusion(docs2).count() == 0
+
+
+# --- round-8 operators -------------------------------------------------------
+
+R08_DOCS_SCHEMA = "doc_id long, text string, source string"
+
+
+def test_png_pipeline_empty_docs(spark):
+    from flink_kmeans_clustering_spark.operators.multimodal import (
+        features_rounded,
+        png_features,
+        png_pack_assets,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = features_rounded(png_features(png_pack_assets(empty)))
+    assert out.count() == 0
+
+
+def test_matryoshka_empty_corpus_and_empty_queries(spark):
+    from flink_kmeans_clustering_spark.operators.similarity import (
+        matryoshka_recall,
+    )
+
+    schema = "vec_id long, embedding array<double>"
+    empty = spark.createDataFrame([], schema)
+    some = spark.createDataFrame([(0, [1.0, 0.0])], schema)
+    q = some.select(F.col("vec_id").alias("query_id"), "embedding")
+    eq = empty.select(F.col("vec_id").alias("query_id"), "embedding")
+    # empty corpus: the query spine still emits (dims, query) rows
+    # with zero hits — the spine is the contract
+    rows = matryoshka_recall(empty, q, k=2, dims_levels=(1, 2)).collect()
+    assert len(rows) == 2 and all(r["n_hits"] == 0 for r in rows)
+    # empty query batch: nothing to report
+    assert matryoshka_recall(some, eq, k=2, dims_levels=(1, 2)).count() == 0
+
+
+def test_salted_join_empty_sides(spark):
+    from flink_kmeans_clustering_spark.operators.relational import salted_join
+
+    fact = spark.createDataFrame([], "event_id long, k string, v double")
+    dim = spark.createDataFrame([("hot", 2.0)], "k string, rate double")
+    assert salted_join(fact, dim, "k", "event_id").count() == 0
+    fact2 = spark.createDataFrame(
+        [(1, "hot", 1.0)], "event_id long, k string, v double"
+    )
+    dim2 = spark.createDataFrame([], "k string, rate double")
+    assert salted_join(fact2, dim2, "k", "event_id").count() == 0
+
+
+def test_bloom_prefilter_empty_benchmark_and_probe(spark):
+    from flink_kmeans_clustering_spark.operators.dedup import bloom_prefilter
+
+    empty = spark.createDataFrame([], R08_DOCS_SCHEMA)
+    probe = spark.createDataFrame([(1, "alpha beta", "web")], R08_DOCS_SCHEMA)
+    # empty benchmark -> empty filter: zero bloom AND zero exact hits,
+    # but the probe's shingles are still counted
+    [r] = bloom_prefilter(probe, empty, n=1).collect()
+    assert (r["bloom_hits"], r["exact_hits"], r["n_shingles"]) == (0, 0, 2)
+    # empty probe -> no rows
+    bench = spark.createDataFrame([(0, "alpha", "b")], R08_DOCS_SCHEMA)
+    assert bloom_prefilter(empty, bench, n=1).count() == 0
+
+
+def test_cross_source_overlap_empty_and_single_source(spark):
+    from flink_kmeans_clustering_spark.operators.dedup import (
+        cross_source_overlap,
+    )
+
+    empty = spark.createDataFrame([], R08_DOCS_SCHEMA)
+    assert cross_source_overlap(empty).count() == 0
+    one = spark.createDataFrame([(1, "x", "only")], R08_DOCS_SCHEMA)
+    # a single source has no pairs — empty matrix, not a crash
+    assert cross_source_overlap(one).count() == 0
