@@ -542,7 +542,8 @@ def q_dedup_crosssource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom prefilter for decontamination, FP rate measured in-pass:
-    the benchmark slice's 8-gram shingles set k=3 md5-lane bits in a
+    the benchmark slice's 8-gram shingles set k=3 sliced-md5-lane
+    bits (one digest per shingle) in a
     64 Ki-bit filter (built distributedly, collected bounded-by-m,
     shipped as 1024 long literals); the non-benchmark corpus probes it
     with pure codegen bit tests — no UDF, no shuffle on the probe —
@@ -7029,9 +7030,10 @@ FROM sizes sa JOIN sizes sb ON sa.source < sb.source
 LEFT JOIN shared ON shared.source_a = sa.source
                 AND shared.source_b = sb.source
 """
-    # Bloom bits replayed literally: lane j's bit is the first 8
-    # md5-hex chars of "j:shingle" mod 2^16; a probe shingle bloom-hits
-    # iff all 3 lanes' bits are in the benchmark's set-bit relation.
+    # Bloom bits replayed literally: lane j's bit is md5-hex chars
+    # [8j, 8j+8) of the shingle digest mod 2^16 (3 lanes slice ONE
+    # md5); a probe shingle bloom-hits iff all 3 lanes' bits are in
+    # the benchmark's set-bit relation.
     dedup_bloom_sql = f"""
 WITH {_TOKS_CTE},
 sh AS (
@@ -7046,15 +7048,15 @@ bench AS (SELECT DISTINCT s FROM ex WHERE doc_id % 50 = 0),
 lanes3 AS (SELECT CAST(unnest(range(3)) AS INT) AS j),
 bits AS (
   SELECT DISTINCT
-         CAST(('0x' || substring(md5(concat(CAST(j AS VARCHAR), ':', s)),
-                                 1, 8)) AS BIGINT) % 65536 AS pos
+         CAST(('0x' || substring(md5(s), 1 + 8 * j, 8))
+              AS BIGINT) % 65536 AS pos
   FROM bench CROSS JOIN lanes3
 ),
 probe AS (SELECT doc_id, s FROM ex WHERE doc_id % 50 <> 0),
 plane AS (
   SELECT doc_id, s,
-         CAST(('0x' || substring(md5(concat(CAST(j AS VARCHAR), ':', s)),
-                                 1, 8)) AS BIGINT) % 65536 AS pos
+         CAST(('0x' || substring(md5(s), 1 + 8 * j, 8))
+              AS BIGINT) % 65536 AS pos
   FROM probe CROSS JOIN lanes3
 ),
 hitlanes AS (

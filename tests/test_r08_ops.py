@@ -133,7 +133,8 @@ def test_salted_join_rejects_bad_salts(spark):
 
 
 def _bloom_pos(j: int, s: str, m: int) -> int:
-    return int(hashlib.md5(f"{j}:{s}".encode()).hexdigest()[:8], 16) % m
+    # lane j = md5-hex chars [8j, 8j+8) of ONE digest per shingle
+    return int(hashlib.md5(s.encode()).hexdigest()[8 * j : 8 * j + 8], 16) % m
 
 
 def test_bloom_prefilter_matches_python_reference(spark):
