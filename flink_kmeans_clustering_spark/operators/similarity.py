@@ -885,30 +885,53 @@ def matryoshka_recall(
     the max-dims rows are the 1.0 sanity floor.
     """
     levels = sorted(set(int(d) for d in dims_levels))
+
+    def _prefix_norms(vec: Column) -> Column:
+        # per-ROW prefix norms, one array per vector: computed once per
+        # corpus/query row instead of once per (row × query) pair —
+        # HOF folds are interpreted per element, so moving them off
+        # the pair product is the dominant cost lever here
+        return F.array(
+            *[F.sqrt(dot(F.slice(vec, 1, d), F.slice(vec, 1, d))) for d in levels]
+        )
+
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).cast("array<double>").alias("_qv"),
-    )
+    ).withColumn("_qn", _prefix_norms(F.col("_qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
-    )
+    ).withColumn("_vn", _prefix_norms(F.col("_v")))
 
-    def _prefix_cos(d: int):
-        a, b = F.slice("_v", 1, d), F.slice("_qv", 1, d)
-        den = F.sqrt(dot(a, a)) * F.sqrt(dot(b, b))
-        return F.round(
-            F.when(den > 0, dot(a, b) / den), 6
-        )
+    # Per pair, the only remaining folds are over ONE shared
+    # elementwise-product array.  The product is let-bound via a
+    # single-element transform() so Catalyst's projection collapse
+    # cannot re-inline the zip_with into every level's aggregate
+    # (the q_multimodal_phash lesson — measured re-inlining costs).
+    def _pair_cos_array() -> Column:
+        prod = F.zip_with("_v", "_qv", lambda x, y: x * y)
+
+        def _per_level(p: Column) -> Column:
+            def _cos(i: int, d: int) -> Column:
+                den = F.element_at("_vn", i + 1) * F.element_at(
+                    "_qn", i + 1
+                )
+                num = F.aggregate(
+                    F.slice(p, 1, d), F.lit(0.0), lambda a, x: a + x
+                )
+                return F.round(F.when(den > 0, num / den), 6)
+
+            return F.array(*[_cos(i, d) for i, d in enumerate(levels)])
+
+        return F.element_at(F.transform(F.array(prod), _per_level), 1)
 
     long = (
         c.join(F.broadcast(q))
         .select(
             "query_id",
             "neighbor_id",
-            F.posexplode(F.array(*[_prefix_cos(d) for d in levels])).alias(
-                "_lvl", "cosine"
-            ),
+            F.posexplode(_pair_cos_array()).alias("_lvl", "cosine"),
         )
         .filter(F.col("cosine").isNotNull())
     )
