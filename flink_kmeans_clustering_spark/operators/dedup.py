@@ -931,18 +931,16 @@ def bloom_prefilter(
     )
     if m < 1:
         raise ValueError(f"m must be >= 1, got {m}")
-    words = [0] * ((m + 63) // 64)  # ceil: m below/off a word boundary
+    # The filter ships as ONE latin-1 string literal (code point k ==
+    # byte k, the repo's phash byte-extraction trick): a single plan
+    # node, where 1024 long literals made an expression tree whose
+    # per-session analysis+codegen cost ~2.5 s at m=2^16.  Byte layout:
+    # byte[i] bit b (LSB-first) == position 8·i + b.
+    bits = bytearray((m + 7) // 8)
     for r in pos_rows:
-        words[r["pos"] // 64] |= 1 << (r["pos"] % 64)
-    # two's-complement into signed longs (Spark LongType)
-    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
-    wlit = F.array(*[F.lit(w) for w in words])
-    pow2 = F.array(
-        *[
-            F.lit(b - (1 << 64) if (b := 1 << i) >= (1 << 63) else b)
-            for i in range(64)
-        ]
-    )
+        bits[r["pos"] // 8] |= 1 << (r["pos"] % 8)
+    bitstr = F.lit(bits.decode("latin-1"))
+    pow2_8 = F.array(*[F.lit(1 << i) for i in range(8)])
 
     doc_sh = docs.select(
         F.col(id_col), F.col(group_col), tokenize(F.col(text_col)).alias("_t")
@@ -954,9 +952,9 @@ def bloom_prefilter(
 
     def _bit_set(j: int) -> Column:
         pos = _bloom_lane_pos(j, F.col("sh"), m)
-        word = F.element_at(wlit, (pos / 64 + 1).cast("int"))
-        mask = F.element_at(pow2, (pos % 64 + 1).cast("int"))
-        return word.bitwiseAND(mask) != 0
+        byte = F.ascii(bitstr.substr((pos / 8 + 1).cast("int"), F.lit(1)))
+        mask = F.element_at(pow2_8, (pos % 8 + 1).cast("int"))
+        return byte.bitwiseAND(mask) != 0
 
     import functools
 
