@@ -287,6 +287,40 @@ def measure_recall_curve(spark, sf_dir, n_queries=16, k=10):
     return out
 
 
+def measure_matryoshka_curve(spark, sf_dir, n_queries=16, k=10,
+                             dims_levels=(8, 16, 32, 64)):
+    """Recall@k of EXACT search under prefix-dim truncation vs the
+    full-dim truth — the numpy twin of `q_embed_matryoshka` (which
+    computes the same curve distributedly under a DuckDB oracle).
+    This is the 'how many prefix dims does a coarse pass need' knob,
+    measured on the same panel as the index families so the curves
+    compose: an MRL-style tiered index pays prefix-dims × shortlist
+    where a flat index pays full-dims × corpus."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    rows = emb.orderBy("vec_id").collect()
+    ids = np.array([int(r["vec_id"]) for r in rows])
+    mat = np.array([[float(v) for v in r["embedding"]] for r in rows])
+    n = len(ids)
+    stride = max(1, n // n_queries)
+    panel = [mat[i] for i in range(0, n, stride)][:n_queries]
+    out = {}
+    full = mat.shape[1]
+    for d in dims_levels:
+        hits = 0
+        for qvec in panel:
+            truth = _true_topk(ids, mat, qvec, k, "cosine")
+            got = _true_topk(ids, mat[:, :d], qvec[:d], k, "cosine")
+            hits += len(truth & got)
+        out[f"dims={d}" + ("(full)" if d == full else "")] = round(
+            hits / (k * len(panel)), 4
+        )
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -305,13 +339,17 @@ def main() -> int:
         {} if args.skip_curve
         else measure_recall_curve(spark, args.sf_dir, n_queries=16, k=args.k)
     )
+    mat_curve = measure_matryoshka_curve(
+        spark, args.sf_dir, n_queries=16, k=args.k
+    )
 
     docs = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "docs"
     )
     with open(os.path.join(docs, "recall.json"), "w") as fh:
         json.dump(
-            {"sf_dir": args.sf_dir, "k": args.k, "methods": res, "curve": curve},
+            {"sf_dir": args.sf_dir, "k": args.k, "methods": res,
+             "curve": curve, "matryoshka": mat_curve},
             fh, indent=1,
         )
     md = [
@@ -350,6 +388,23 @@ def main() -> int:
         ]
         for fam, pts in curve.items():
             md.append(f"| {fam} | " + " | ".join(str(v) for v in pts.values()) + " |")
+    if mat_curve:
+        md += [
+            "",
+            "## Matryoshka prefix-dims curve (exact search, truncated dims)",
+            "",
+            "Recall@k of exact search over the first d dims vs the full-dim "
+            "truth (in-engine twin: `q_embed_matryoshka`, DuckDB-oracled).  "
+            "An MRL-style tiered index pays prefix-dims × shortlist where a "
+            "flat scan pays full-dims × corpus — on THIS isotropic corpus "
+            "truncation loses signal fast (random directions don't "
+            "concentrate information in the prefix), which is itself the "
+            "measurement: run this before buying the tiered layout.",
+            "",
+            "| " + " | ".join(mat_curve.keys()) + " |",
+            "|---|" + "---|" * (len(mat_curve) - 1),
+            "| " + " | ".join(str(v) for v in mat_curve.values()) + " |",
+        ]
     with open(os.path.join(docs, "RECALL.md"), "w") as fh:
         fh.write("\n".join(md) + "\n")
     print(json.dumps({"methods": res, "curve": curve}, indent=1))
