@@ -931,15 +931,17 @@ def bloom_prefilter(
     )
     if m < 1:
         raise ValueError(f"m must be >= 1, got {m}")
-    # The filter ships as ONE latin-1 string literal (code point k ==
-    # byte k, the repo's phash byte-extraction trick): a single plan
-    # node, where 1024 long literals made an expression tree whose
-    # per-session analysis+codegen cost ~2.5 s at m=2^16.  Byte layout:
-    # byte[i] bit b (LSB-first) == position 8·i + b.
+    # The filter ships as ONE BinaryType literal: a single plan node
+    # (1024 long literals made a tree with ~2.5 s per-session analysis
+    # cost), and substring on BINARY is byte-positional O(1) — a
+    # latin-1 STRING literal was measured 2× slower end-to-end because
+    # UTF8String.substring must scan variable-width chars from the
+    # start on every bit test.  Byte layout: byte[i] bit b (LSB-first)
+    # == position 8·i + b.
     bits = bytearray((m + 7) // 8)
     for r in pos_rows:
         bits[r["pos"] // 8] |= 1 << (r["pos"] % 8)
-    bitstr = F.lit(bits.decode("latin-1"))
+    blob = F.lit(bytes(bits))
     pow2_8 = F.array(*[F.lit(1 << i) for i in range(8)])
 
     doc_sh = docs.select(
@@ -950,17 +952,43 @@ def bloom_prefilter(
         F.explode(ngram_shingles(F.col("_t"), n)).alias("sh"),
     )
 
-    def _bit_set(j: int) -> Column:
-        pos = _bloom_lane_pos(j, F.col("sh"), m)
-        byte = F.ascii(bitstr.substr((pos / 8 + 1).cast("int"), F.lit(1)))
-        mask = F.element_at(pow2_8, (pos % 8 + 1).cast("int"))
-        return byte.bitwiseAND(mask) != 0
-
     import functools
 
-    all_bits = functools.reduce(
-        lambda a, b: a & b, [_bit_set(j) for j in range(k)]
+    # Let-bind so each level of the chain evaluates ONCE per shingle
+    # (stacked selects re-inline via projection collapse, and boolean
+    # short-circuits block codegen CSE): the md5 digest binds via one
+    # transform() lambda producing the k lane positions, and the
+    # bit-test chain binds the positions array the same way.
+    def _lane_positions(h: Column) -> Column:
+        return F.array(
+            *[
+                F.conv(F.substring(h, 1 + 8 * j, 8), 16, 10).cast("long")
+                % m
+                for j in range(k)
+            ]
+        )
+
+    def _test_all(p: Column) -> Column:
+        def test(j: int) -> Column:
+            pos = F.element_at(p, j + 1)
+            byte = F.conv(
+                F.hex(
+                    F.substring(blob, (pos / 8 + 1).cast("int"), F.lit(1))
+                ),
+                16,
+                10,
+            ).cast("long")
+            mask = F.element_at(pow2_8, (pos % 8 + 1).cast("int"))
+            return byte.bitwiseAND(mask) != 0
+
+        return functools.reduce(
+            lambda a, b: a & b, [test(j) for j in range(k)]
+        )
+
+    pos_arr = F.element_at(
+        F.transform(F.array(F.md5(F.col("sh"))), _lane_positions), 1
     )
+    all_bits = F.element_at(F.transform(F.array(pos_arr), _test_all), 1)
     flagged = doc_sh.withColumn("_bloom", all_bits).join(
         F.broadcast(bench_sh.withColumn("_exact", F.lit(True))), "sh", "left"
     )
