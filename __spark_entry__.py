@@ -809,6 +809,33 @@ def q_kmeans_nd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", "dim", F.round("value", 6).alias("value"))
 
 
+def q_kmeans_spherical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical K-Means (Dhillon & Modha 2001): Lloyd on the unit
+    sphere — rows L2-normalized once (zero-norm dropped), means
+    re-projected onto the sphere each iteration, so cells partition by
+    COSINE (the geometry IVF/semantic-dedup blocking actually wants).
+    Mean sums accumulate in DECIMAL (normalized components are
+    full-mantissa doubles — raw double sums would be partition-order-
+    dependent); renormalization is a driver-side sequential fold the
+    oracle's list_sum replays exactly.  Output (id, dim, value) like
+    q_kmeans_nd."""
+    from flink_kmeans_clustering_spark.operators.kmeans import (
+        spherical_kmeans_nd,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    init_rows = emb.orderBy("vec_id").limit(K_DEFAULT).collect()
+    init = [[float(v) for v in r["embedding"]] for r in init_rows]
+    cents, cids = spherical_kmeans_nd(
+        emb.select("vec_id", "embedding"), init, max_iterations=KMEANS_ITERS
+    )
+    rows = [
+        (i, j, c[j]) for i, c in zip(cids, cents) for j in range(len(c))
+    ]
+    out = spark.createDataFrame(rows, "id int, dim int, value double")
+    return out.select("id", "dim", F.round("value", 6).alias("value"))
+
+
 def q_rel_shipmodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape: late-commit lines received in 1997 by ship
     mode, split by order priority — over the deterministic shipping
@@ -1266,6 +1293,28 @@ def q_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STRAT_RATES = {"click": 1 / 4, "view": 1 / 2, "purchase": 1.0}
+
+
+NEYMAN_BUDGET = 1000
+
+
+def q_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sampling (allocation proportional to
+    stratum size x value std — the fixed-budget minimum-variance
+    design): one decimal-exact stats aggregate, O(strata) allocation
+    arithmetic, then a deterministic md5-ranked draw of exactly
+    alloc_h rows per stratum.  Report: per-stratum N/std/alloc/drawn/
+    sample value mass."""
+    from flink_kmeans_clustering_spark.operators.sampling import (
+        neyman_allocation_sample,
+    )
+
+    return neyman_allocation_sample(
+        load_events(spark, sf_dir),
+        "event_type",
+        "value",
+        budget=NEYMAN_BUDGET,
+    )
 
 
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2296,6 +2345,21 @@ def q_dedup_minhash_calib(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return minhash_calibration(docs)
+
+
+def q_dedup_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit MinHash (Li & Koenig WWW'10) compression study: keep only
+    the lowest 2 bits of each of 16 md5 lanes (16x smaller sketches),
+    estimate Jaccard with the collision-corrected estimator
+    (match - 1/4)/(3/4), and report its MAE beside the full sketch's
+    and the exact truth per estimate bucket — candidate-sized physics
+    throughout (broadcast semi-join before any per-pair work)."""
+    from flink_kmeans_clustering_spark.operators.dedup import (
+        bbit_minhash_report,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bbit_minhash_report(docs)
 
 
 def q_dedup_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3366,7 +3430,7 @@ def q_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    216 queries; 212 carry DuckDB oracles, 4 are rows-only by design
+    219 queries; 215 carry DuckDB oracles, 4 are rows-only by design
     (MLlib placement RNG, HLL/GK sketch internals, GEMM ulp twin —
     each has a DETERMINISTIC full-oracle twin registered beside it:
     lloyd_nd/kmv/sampled-quantiles/expression-cosine, plus an sf0.1
@@ -3393,8 +3457,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     cumulative driver coverage reaches 216 of 216 registered-at-r07
     queries... precisely: all 8 never-checked rows get their first
     check, every r03 row re-verifies, and 25 of 45 r04 rows refresh;
-    the 20 r04 leftovers (q_events_first .. q_sample_mixture) lead
-    the r09 window per the STATUS rotation note.
+    the 20 r04 leftovers (q_events_first .. q_sample_mixture) follow
+    the late-r08 trio (q_dedup_bbit, q_sample_neyman,
+    q_kmeans_spherical — in-repo green at 3 scales, never
+    driver-checked) in the r09 window per the STATUS rotation note.
     """
     return {
         "q_multimodal_png": q_multimodal_png,
@@ -3448,8 +3514,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_kmeans": q_stream_kmeans,
         "q_rel_groupsets": q_rel_groupsets,
         # --- below: outside the driver's 50-row window this round ---
-        # --- r09 plan (docs/STATUS.md): the 20 remaining r04-green
-        # --- rows lead, then the r05-green family ---
+        # --- r09 plan (docs/STATUS.md): new-in-late-r08 rows lead the
+        # --- r09 window, then the 20 remaining r04-green rows, then
+        # --- the r05-green family ---
+        "q_dedup_bbit": q_dedup_bbit,
+        "q_sample_neyman": q_sample_neyman,
+        "q_kmeans_spherical": q_kmeans_spherical,
         "q_events_first": q_events_first,
         "q_dedup_fuzzy": q_dedup_fuzzy,
         "q_rel_upsert": q_rel_upsert,
@@ -3921,6 +3991,64 @@ def _kmeans_nd_oracle_sql(
 ) -> str:
     d1 = dim + 1
     return _lloyd_nd_ctes(k, dim, iters) + f"""
+SELECT id, CAST(jj.j - 1 AS INT) AS dim, ROUND(cent[jj.j], 6) AS value
+FROM c{iters}, (SELECT unnest(range(1, {d1})) AS j) jj"""
+
+
+def _spherical_nd_oracle_sql(
+    k: int = K_DEFAULT, dim: int = KMEANS_ND_DIM, iters: int = KMEANS_ITERS
+) -> str:
+    """Unrolled spherical-Lloyd replay: rows normalized once (zero-norm
+    dropped), DECIMAL-summed per-dim means, centroids re-normalized per
+    iteration with the same sequential list_sum fold the engine runs
+    driver-side.  Init = first k RAW vec_ids, normalized, survivors
+    renumbered — exactly spherical_kmeans_nd's rule."""
+    d1 = dim + 1
+    unit = (
+        "list_transform({v}, x -> x / "
+        "sqrt(list_sum(list_transform({v}, y -> y*y))))"
+    )
+    sql = f"""WITH vraw AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings
+),
+vecs AS MATERIALIZED (
+  SELECT vec_id, {unit.format(v="v0")} AS vec
+  FROM vraw WHERE list_sum(list_transform(v0, y -> y*y)) > 0
+),
+c0 AS MATERIALIZED (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS id,
+         {unit.format(v="v0")} AS cent
+  FROM (SELECT * FROM vraw ORDER BY vec_id LIMIT {k})
+  WHERE list_sum(list_transform(v0, y -> y*y)) > 0
+)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+a{i} AS MATERIALIZED (
+  SELECT vec_id, vec, id AS cluster FROM (
+    SELECT v.vec_id, v.vec, c.id,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_sum(list_transform(range(1, {d1}),
+                       j -> (v.vec[j]-c.cent[j])*(v.vec[j]-c.cent[j]))), c.id
+           ) AS rn
+    FROM vecs v CROSS JOIN c{i - 1} c
+  ) WHERE rn = 1
+),
+m{i} AS MATERIALIZED (
+  SELECT cluster, jj.j AS j,
+         CAST(SUM(CAST(vec[jj.j] AS DECIMAL(25,8))) AS DOUBLE) / COUNT(*)
+           AS mu
+  FROM a{i}, (SELECT unnest(range(1, {d1})) AS j) jj
+  GROUP BY cluster, jj.j
+),
+g{i} AS MATERIALIZED (
+  SELECT cluster AS id, list(mu ORDER BY j) AS mu FROM m{i} GROUP BY cluster
+),
+c{i} AS MATERIALIZED (
+  SELECT id, {unit.format(v="mu")} AS cent
+  FROM g{i} WHERE list_sum(list_transform(mu, y -> y*y)) > 0
+)"""
+    return sql + f"""
 SELECT id, CAST(jj.j - 1 AS INT) AS dim, ROUND(cent[jj.j], 6) AS value
 FROM c{iters}, (SELECT unnest(range(1, {d1})) AS j) jj"""
 
@@ -6361,6 +6489,119 @@ SELECT est_jaccard,
          AS mae
 FROM scored GROUP BY est_jaccard
 """
+    sample_neyman_sql = f"""
+WITH stats AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         SUM(CAST(value AS DECIMAL(25,8))) AS sx,
+         SUM(CAST(value * value AS DECIMAL(30,10))) AS sxx
+  FROM events GROUP BY event_type
+),
+s6 AS (
+  SELECT event_type, n_rows,
+         ROUND(sqrt(GREATEST(
+             CAST(sxx AS DOUBLE) / n_rows
+             - (CAST(sx AS DOUBLE) / n_rows)
+               * (CAST(sx AS DOUBLE) / n_rows),
+             CAST(0 AS DOUBLE))), 6) AS std6
+  FROM stats
+),
+al AS (
+  SELECT event_type, n_rows, std6,
+         CASE WHEN SUM(n_rows * std6) OVER () > 0
+              THEN LEAST(n_rows,
+                   CAST(FLOOR(CAST({NEYMAN_BUDGET} AS DOUBLE)
+                              * (n_rows * std6)
+                              / SUM(n_rows * std6) OVER ()) AS BIGINT))
+              ELSE 0 END AS alloc
+  FROM s6
+),
+rk AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+           ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rnk
+  FROM events
+),
+sm AS (
+  SELECT r.event_type, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+         CAST(ROUND(SUM(CAST(r.value AS DECIMAL(25,8))), 6) AS DOUBLE)
+           AS sample_sum
+  FROM rk r JOIN al USING (event_type)
+  WHERE r.rnk <= al.alloc
+  GROUP BY r.event_type
+)
+SELECT a.event_type, a.n_rows, a.std6, a.alloc,
+       CAST(COALESCE(n_sampled, 0) AS BIGINT) AS n_sampled,
+       COALESCE(sample_sum, CAST(0 AS DOUBLE)) AS sample_sum
+FROM al a LEFT JOIN sm ON sm.event_type = a.event_type
+"""
+    # b-bit lanes replay the calib oracle's signature CTEs; the 2-bit
+    # value is lane % 4, estimator (match/16 - 0.25)/0.75.
+    dedup_bbit_sql = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(t)-2, 1)+1),
+           i -> array_to_string(list_slice(t, i, i+2), ' '))) AS shingles
+  FROM toks WHERE len(t) > 0
+),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+lanes AS (
+  SELECT doc_id, g.g * 2 + h.h AS lane,
+         MIN(CAST(('0x' || substring(md5(CAST(g.g AS VARCHAR) || ':' || s),
+                                     1 + 15 * h.h, 15)) AS BIGINT)) AS mv
+  FROM ex
+  CROSS JOIN (SELECT unnest(range(0, 8)) AS g) g
+  CROSS JOIN (SELECT unnest(range(0, 2)) AS h) h
+  GROUP BY doc_id, g.g, h.h
+),
+sig AS (SELECT doc_id, list(mv ORDER BY lane) AS sig FROM lanes GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE len(list_filter(range(0, 4),
+        j -> list_slice(a.sig, j*4+1, j*4+4) = list_slice(b.sig, j*4+1, j*4+4))) > 0
+),
+est AS (
+  SELECT id_a, id_b,
+         CAST(len(list_filter(range(1, 17), i -> sa[i] = sb[i])) AS DOUBLE) / 16
+           AS est_jaccard,
+         ROUND((CAST(len(list_filter(range(1, 17),
+                                     i -> sa[i] % 4 = sb[i] % 4)) AS DOUBLE)
+                / 16 - CAST(0.25 AS DOUBLE)) / CAST(0.75 AS DOUBLE), 6)
+           AS est_bbit
+  FROM cand
+),
+scored AS (
+  SELECT e.est_jaccard, e.est_bbit,
+         ROUND(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+               / (len(x.shingles) + len(y.shingles)
+                  - len(list_intersect(x.shingles, y.shingles))), 6) AS exact
+  FROM est e
+  JOIN sh x ON x.doc_id = e.id_a
+  JOIN sh y ON y.doc_id = e.id_b
+  WHERE len(x.shingles) + len(y.shingles)
+        - len(list_intersect(x.shingles, y.shingles)) > 0
+)
+SELECT est_jaccard,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(CAST(SUM(CAST(exact AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6)
+         AS avg_exact,
+       ROUND(CAST(SUM(CAST(ROUND(abs(est_jaccard - exact), 6)
+                           AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6)
+         AS mae_full,
+       ROUND(CAST(SUM(CAST(est_bbit AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*),
+             6) AS avg_bbit,
+       ROUND(CAST(SUM(CAST(ROUND(abs(est_bbit - exact), 6)
+                           AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6)
+         AS mae_bbit
+FROM scored GROUP BY est_jaccard
+"""
     multimodal_phash_sql = f"""
 WITH a AS (
   SELECT doc_id AS asset_id, text FROM documents WHERE length(text) > 0
@@ -7802,6 +8043,7 @@ SELECT event_type, event_id, ROUND(value, 6) AS value FROM (
         "q_kmeans": kmeans,
         "q_kmeans_scalable": _kmeans_scalable_oracle_sql(),
         "q_kmeans_nd": _kmeans_nd_oracle_sql(),
+        "q_kmeans_spherical": _spherical_nd_oracle_sql(),
         "q_ann_pq": _ann_pq_oracle_sql(),
         "q_ann_pq_trained": _ann_pq_trained_oracle_sql(iters=PQ_TRAIN_ITERS),
         "q_ann_trained": _ann_trained_oracle_sql(),
@@ -8101,6 +8343,8 @@ GROUP BY event_type
         "q_multimodal_png": multimodal_png_sql,
         "q_multimodal_phash": multimodal_phash_sql,
         "q_dedup_minhash_calib": dedup_minhash_calib_sql,
+        "q_dedup_bbit": dedup_bbit_sql,
+        "q_sample_neyman": sample_neyman_sql,
         "q_events_funnel_windowed": events_funnel_windowed_sql,
         "q_stream_funnel": events_funnel_windowed_sql,
         "q_events_hourly": events_hourly_sql,

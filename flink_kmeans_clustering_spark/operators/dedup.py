@@ -1015,6 +1015,160 @@ def bloom_prefilter(
     )
 
 
+def bbit_minhash_report(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    b: int = 2,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """b-bit MinHash (Li & König, WWW'10) measured against the full
+    sketch AND the exact truth, in one report.
+
+    Storing only the lowest ``b`` bits of each minhash lane shrinks the
+    sketch 64/b× (b=2: a 16-lane signature fits in 4 bytes) at the cost
+    of accidental collisions; the unbiased estimator corrects them:
+    Ĵ_b = (match_rate − 2⁻ᵇ) / (1 − 2⁻ᵇ).  At 100 TB the sketch column
+    IS the dedup index's storage bill, so this is the "what does 16×
+    compression cost in MAE" report — read it next to
+    :func:`minhash_calibration` before sizing signatures.
+
+    Physics mirrors the calibration operator: candidates are every
+    band-collision pair at the structural minimum threshold; candidate
+    ids broadcast-semi-join the corpus BEFORE any per-pair work, so
+    signature rebuild + exact Jaccard stay candidate-sized and the
+    corpus is never shuffled twice.  Lanes are md5 hex-slices
+    (engine-replayable; ``hash_fn`` must be "md5" — the whole point is
+    an oracle-checkable estimator study).
+
+    Output per full-estimate bucket: (est_jaccard, n_pairs, avg_exact,
+    mae_full, avg_bbit, mae_bbit) — 6-decimal DECIMAL-summed means.
+    """
+    if hash_fn != "md5":
+        raise ValueError(
+            "bbit_minhash_report is an oracle-checked estimator study; "
+            "lanes must be md5 hex-slices (hash_fn='md5')"
+        )
+    if not 1 <= b <= 16:
+        raise ValueError(f"b must be in [1, 16], got {b}")
+    from flink_kmeans_clustering_spark.functions.text import (
+        ngram_shingles,
+        tokenize,
+    )
+
+    modulus = 1 << b
+    collision = 1.0 / modulus
+    cand = minhash_lsh_pairs(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=1.0 / num_hashes,
+        hash_fn="md5",
+    ).localCheckpoint()
+    cand_ids = (
+        cand.select(F.col("id_a").alias("_cid"))
+        .union(cand.select(F.col("id_b").alias("_cid")))
+        .distinct()
+    )
+    needed = docs.join(
+        F.broadcast(cand_ids), docs[id_col] == F.col("_cid"), "left_semi"
+    )
+    # candidate-sized signature rebuild, identical lane construction to
+    # minhash_lsh_pairs' md5 branch (two 60-bit hex-slice lanes per
+    # digest), plus the shingle set for the exact side
+    sh = needed.select(
+        F.col(id_col).alias("_id"),
+        ngram_shingles(tokenize(F.col(text_col)), n).alias("_sh"),
+    ).localCheckpoint()
+    ex = sh.select("_id", F.explode("_sh").alias("s"))
+    n_digests = (num_hashes + 1) // 2
+    ex = ex.select(
+        "_id",
+        *[
+            F.md5(F.concat(F.lit(f"{g}:"), F.col("s"))).alias(f"_m{g}")
+            for g in range(n_digests)
+        ],
+    )
+    lanes = [
+        F.min(
+            F.conv(
+                F.substring(F.col(f"_m{i // 2}"), 1 + 15 * (i % 2), 15),
+                16,
+                10,
+            ).cast("long")
+        ).alias(f"_h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = (
+        ex.groupBy("_id")
+        .agg(*lanes)
+        .select(
+            "_id",
+            F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias(
+                "sig"
+            ),
+        )
+        .join(sh, "_id")
+    )
+    with_a = (
+        sig.join(F.broadcast(cand), F.col("_id") == F.col("id_a"))
+        .drop("_id")
+        .withColumnRenamed("sig", "sig_a")
+        .withColumnRenamed("_sh", "sh_a")
+    )
+    with_ab = (
+        sig.join(F.broadcast(with_a), F.col("_id") == F.col("id_b"))
+        .drop("_id")
+        .withColumnRenamed("sig", "sig_b")
+        .withColumnRenamed("_sh", "sh_b")
+    )
+    match_b = F.size(
+        F.filter(
+            F.zip_with(
+                "sig_a",
+                "sig_b",
+                lambda x, y: (x % modulus) == (y % modulus),
+            ),
+            lambda v: v,
+        )
+    )
+    est_bbit = F.round(
+        (match_b.cast("double") / num_hashes - collision)
+        / (1.0 - collision),
+        6,
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    exact = F.round(inter.cast("double") / union, 6)
+    scored = with_ab.filter(union > 0).select(
+        "est_jaccard",
+        est_bbit.alias("_eb"),
+        exact.alias("_exact"),
+        F.round(F.abs(F.col("est_jaccard") - exact), 6).alias("_ef"),
+        F.round(F.abs(est_bbit - exact), 6).alias("_ebe"),
+    )
+    cnt = F.count(F.lit(1))
+
+    def _dmean(col: str):
+        return F.round(
+            F.sum(F.col(col).cast("decimal(20,6)")).cast("double") / cnt, 6
+        )
+
+    return scored.groupBy("est_jaccard").agg(
+        cnt.alias("n_pairs"),
+        _dmean("_exact").alias("avg_exact"),
+        _dmean("_ef").alias("mae_full"),
+        _dmean("_eb").alias("avg_bbit"),
+        _dmean("_ebe").alias("mae_bbit"),
+    )
+
+
 def cross_source_overlap(
     docs: DataFrame,
     text_col: str = "text",

@@ -987,3 +987,121 @@ def lloyd_nd(
         if cache:
             vectors.unpersist()
     return current, float(row["wcss"] or 0.0), ids
+
+
+def normalize_unit_nd(
+    vectors: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Project a vector column onto the unit sphere (zero-norm rows
+    dropped): the preprocessing step of spherical K-Means.  The norm is
+    let-bound through a single-element ``transform`` so it is computed
+    ONCE per row, not re-inlined per component (the projection-collapse
+    lesson); the fold order (index-sequential) matches any engine's
+    left-fold ``list_sum``, so normalized values are bit-identical
+    across engines."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    nrm = F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return (
+        vectors.withColumn("_nrm", nrm)
+        .filter(F.col("_nrm") > 0)
+        .withColumn(
+            vec_col,
+            F.element_at(
+                F.transform(
+                    F.array(F.col("_nrm")),
+                    lambda nn: F.transform(
+                        F.transform(
+                            F.col(vec_col), lambda x: x.cast("double")
+                        ),
+                        lambda x: x / nn,
+                    ),
+                ),
+                1,
+            ),
+        )
+        .drop("_nrm")
+    )
+
+
+def spherical_kmeans_nd(
+    vectors: DataFrame,
+    init_centroids: Sequence[Sequence[float]],
+    max_iterations: int = 3,
+    vec_col: str = "embedding",
+    cache: bool = True,
+) -> tuple[list[list[float]], list[int]]:
+    """Spherical K-Means (Dhillon & Modha, Mach. Learn. 2001): Lloyd
+    on the unit sphere — inputs L2-normalized once, and each mean
+    re-projected onto the sphere after the update, so the objective is
+    cosine similarity rather than raw Euclidean distance.  This is the
+    K-Means an embedding corpus wants (IVF cells for cosine ANN,
+    semantic-dedup blocks): without the renormalization, long documents
+    would drag centroids off the shell and cosine cells skew.
+
+    Engine-replayable by construction: assignment reuses
+    :func:`assign_points_nd` (argmin of index-ordered dist² folds on
+    unit vectors — monotone in cosine); per-dim mean sums accumulate in
+    DECIMAL(25,8) (normalized components are full-mantissa doubles, so
+    plain double SUMs would be partition-order-dependent — the float32
+    exactness that lets :func:`lloyd_nd` use raw sums does NOT carry
+    over); renormalization happens driver-side on the k collected
+    means with a sequential left-fold, matching an oracle's list_sum.
+    Clusters that empty OR whose mean is exactly zero drop (reference
+    drop-semantics extended with the spherical degeneracy).
+
+    Returns (unit centroids ordered by id, surviving centroid ids).
+    """
+    unit = normalize_unit_nd(
+        vectors.select("*"), vec_col=vec_col
+    )
+    if cache:
+        unit = unit.cache()
+    dim = len(init_centroids[0])
+
+    def _unitize(c: Sequence[float]) -> list[float] | None:
+        s = 0.0
+        for x in c:  # sequential fold — list_sum order
+            s += x * x
+        if s <= 0:
+            return None
+        n = math.sqrt(s)
+        return [float(x) / n for x in c]
+
+    current = [u for u in (_unitize(c) for c in init_centroids) if u]
+    ids = list(range(len(current)))
+    conf = vectors.sparkSession.conf
+    prev_aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    try:
+        conf.set("spark.sql.adaptive.enabled", "false")
+        for _ in range(max_iterations):
+            a = assign_points_nd(
+                unit, current, vec_col=vec_col, centroid_ids=ids
+            )
+            vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+            sums = [
+                F.sum(
+                    F.element_at(vec, j + 1).cast("decimal(25,8)")
+                ).alias(f"_s{j}")
+                for j in range(dim)
+            ]
+            rows = (
+                a.groupBy(F.col("cluster").alias("id"))
+                .agg(*sums, F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            rows.sort(key=lambda r: r["id"])
+            nxt_ids, nxt = [], []
+            for r in rows:
+                mu = [float(r[f"_s{j}"]) / r["n"] for j in range(dim)]
+                u = _unitize(mu)
+                if u is not None:
+                    nxt_ids.append(int(r["id"]))
+                    nxt.append(u)
+            ids, current = nxt_ids, nxt
+    finally:
+        conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        if cache:
+            unit.unpersist()
+    return current, ids

@@ -700,3 +700,89 @@ def epoch_upsample(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(id_col).alias("id_sum"),
     )
+
+
+def neyman_allocation_sample(
+    df: DataFrame,
+    strata_col: str,
+    value_col: str,
+    budget: int = 1000,
+    id_col: str = "event_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Neyman-optimal stratified sampling: allocate a fixed sample
+    budget across strata proportional to N_h·S_h (stratum size × value
+    std) — the allocation that minimizes the estimator's variance for
+    a fixed cost (Neyman 1934; every survey-sampling text).  A
+    training pipeline uses this to spend its labeling/eval budget
+    where the signal varies, not uniformly.
+
+    Two stages, both deterministic and engine-replayable:
+
+    1. ONE aggregate computes every stratum's N_h and S_h (population
+       std from DECIMAL-exact Σx/Σx², rounded to 6 decimals so both
+       engines hold the identical double).  Weights w_h = N_h·S_h_6;
+       alloc_h = min(N_h, floor(budget · w_h / Σw)) — plain IEEE
+       double arithmetic on identical inputs, so the floor is
+       engine-identical (zero-variance strata get weight 0).
+    2. The sample itself is hash-ranked: rows rank per stratum by
+       (md5(id), id) — content-defined, partition-independent — and
+       rank ≤ alloc_h survives.  One exchange on the strata key does
+       the ranking; the allocation table (O(strata)) broadcasts back.
+
+    Output per stratum: (strata, n_rows, std6, alloc, n_sampled,
+    sample_sum) — n_sampled == alloc by construction (asserting that
+    equality IS the oracle check), sample_sum is the decimal-rounded
+    value mass the sample captured.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    x = F.col(value_col).cast("double")
+    stats = df.groupBy(strata_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(x.cast("decimal(25,8)")).alias("_sx"),
+        F.sum((x * x).cast("decimal(30,10)")).alias("_sxx"),
+    )
+    mean = F.col("_sx").cast("double") / F.col("n_rows")
+    var = F.col("_sxx").cast("double") / F.col("n_rows") - mean * mean
+    std6 = F.round(F.sqrt(F.greatest(var, F.lit(0.0))), round_to)
+    stats = stats.select(strata_col, "n_rows", std6.alias("std6"))
+    w = F.col("n_rows").cast("double") * F.col("std6")
+    from pyspark.sql import Window
+
+    total_w = F.sum(w).over(Window.partitionBy())
+    alloc = F.when(
+        total_w > 0,
+        F.least(
+            F.col("n_rows"),
+            F.floor(F.lit(float(budget)) * w / total_w).cast("long"),
+        ),
+    ).otherwise(F.lit(0))
+    allocs = stats.select(
+        strata_col, "n_rows", "std6", alloc.alias("alloc")
+    )
+    wr = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    ranked = df.select(
+        F.col(strata_col), F.col(id_col), x.alias("_v")
+    ).withColumn("_rnk", F.row_number().over(wr))
+    sampled = ranked.join(F.broadcast(allocs), strata_col).filter(
+        F.col("_rnk") <= F.col("alloc")
+    )
+    agg = sampled.groupBy(strata_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.round(F.sum(F.col("_v").cast("decimal(25,8)")), round_to)
+        .cast("double")
+        .alias("sample_sum"),
+    )
+    return allocs.join(agg, strata_col, "left").select(
+        strata_col,
+        "n_rows",
+        "std6",
+        "alloc",
+        F.coalesce(F.col("n_sampled"), F.lit(0)).cast("long").alias(
+            "n_sampled"
+        ),
+        F.coalesce(F.col("sample_sum"), F.lit(0.0)).alias("sample_sum"),
+    )

@@ -483,3 +483,40 @@ def test_cross_source_overlap_empty_and_single_source(spark):
     one = spark.createDataFrame([(1, "x", "only")], R08_DOCS_SCHEMA)
     # a single source has no pairs — empty matrix, not a crash
     assert cross_source_overlap(one).count() == 0
+
+
+def test_bbit_minhash_empty_docs(spark):
+    from flink_kmeans_clustering_spark.operators.dedup import (
+        bbit_minhash_report,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert bbit_minhash_report(empty).count() == 0
+
+
+def test_neyman_empty_input(spark):
+    from flink_kmeans_clustering_spark.operators.sampling import (
+        neyman_allocation_sample,
+    )
+
+    empty = spark.createDataFrame(
+        [], "event_id long, event_type string, value double"
+    )
+    assert (
+        neyman_allocation_sample(empty, "event_type", "value").count() == 0
+    )
+
+
+def test_spherical_kmeans_empty_and_all_zero(spark):
+    from flink_kmeans_clustering_spark.operators.kmeans import (
+        spherical_kmeans_nd,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    cents, ids = spherical_kmeans_nd(empty, [[1.0, 0.0]], max_iterations=1)
+    assert cents == [] and ids == []
+    zeros = spark.createDataFrame(
+        [(0, [0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    cents, ids = spherical_kmeans_nd(zeros, [[1.0, 0.0]], max_iterations=1)
+    assert cents == [] and ids == []

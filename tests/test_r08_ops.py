@@ -257,3 +257,186 @@ def test_cross_source_overlap_no_self_pairs_and_bounded(spark):
     rows = cross_source_overlap(docs).collect()
     assert len(rows) == 6  # C(4,2) — the spine is all pairs
     assert all(r["source_a"] < r["source_b"] for r in rows)
+
+
+# --- bbit_minhash_report ----------------------------------------------------
+
+
+def _mh_sig(text: str, num_hashes: int = 16, n: int = 3) -> list[int]:
+    import re
+
+    toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+    if not toks:
+        return []
+    sh = list(
+        dict.fromkeys(
+            " ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 1))
+        )
+    )
+    sig = []
+    for i in range(num_hashes):
+        g, h = i // 2, i % 2
+        sig.append(
+            min(
+                int(
+                    hashlib.md5(f"{g}:{s}".encode()).hexdigest()[
+                        15 * h : 15 * h + 15
+                    ],
+                    16,
+                )
+                for s in sh
+            )
+        )
+    return sig
+
+
+def test_bbit_minhash_matches_python_reference(spark):
+    """Identical docs give est=1.0 / est_bbit=1.0 / exact=1.0 with zero
+    MAE; a near-dup pair's b-bit estimate is reproduced by an
+    independent Python model of the md5 lanes."""
+    from flink_kmeans_clustering_spark.operators.dedup import (
+        bbit_minhash_report,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    near = "alpha beta gamma delta epsilon zeta eta iota"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, near)], "doc_id long, text string"
+    )
+    rows = {
+        r["est_jaccard"]: r for r in bbit_minhash_report(docs).collect()
+    }
+    assert rows[1.0]["n_pairs"] >= 1
+    assert rows[1.0]["avg_exact"] == 1.0
+    assert rows[1.0]["mae_full"] == 0.0
+    assert rows[1.0]["avg_bbit"] == 1.0
+    assert rows[1.0]["mae_bbit"] == 0.0
+    # the near pair, if banded in: its bucket's avg_bbit must equal the
+    # Python model's collision-corrected estimate
+    sa, sb = _mh_sig(base), _mh_sig(near)
+    full = sum(x == y for x, y in zip(sa, sb)) / 16
+    mb = sum(x % 4 == y % 4 for x, y in zip(sa, sb)) / 16
+    est_b = round((mb - 0.25) / 0.75, 6)
+    if full in rows and full != 1.0:
+        assert rows[full]["avg_bbit"] == pytest.approx(est_b, abs=1e-9)
+
+
+def test_bbit_minhash_rejects_unreplayable_config(spark):
+    from flink_kmeans_clustering_spark.operators.dedup import (
+        bbit_minhash_report,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="md5"):
+        bbit_minhash_report(docs, hash_fn="xxhash64")
+    with pytest.raises(ValueError, match="b must be"):
+        bbit_minhash_report(docs, b=0)
+
+
+# --- neyman_allocation_sample -----------------------------------------------
+
+
+def test_neyman_allocates_by_size_times_std(spark):
+    """Stratum A: 40 rows of high-variance values; stratum B: 40 rows
+    near-constant.  Neyman must give A nearly the whole budget even
+    though the strata are the same size — and draw exactly alloc rows."""
+    from flink_kmeans_clustering_spark.operators.sampling import (
+        neyman_allocation_sample,
+    )
+
+    rows = [(i, "a", float(100 * (i % 2))) for i in range(40)]
+    rows += [(100 + i, "b", 5.0 + (i % 2) * 0.01) for i in range(40)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = {
+        r["event_type"]: r
+        for r in neyman_allocation_sample(
+            df, "event_type", "value", budget=20
+        ).collect()
+    }
+    assert out["a"]["n_rows"] == 40 and out["b"]["n_rows"] == 40
+    # std(a) = 50, std(b) = 0.005 -> w_a/w_b = 10000: a gets 19, b 0
+    assert out["a"]["alloc"] == 19
+    assert out["b"]["alloc"] == 0
+    assert out["a"]["n_sampled"] == out["a"]["alloc"]
+    assert out["b"]["n_sampled"] == 0 and out["b"]["sample_sum"] == 0.0
+
+
+def test_neyman_caps_at_stratum_size_and_zero_variance(spark):
+    from flink_kmeans_clustering_spark.operators.sampling import (
+        neyman_allocation_sample,
+    )
+
+    rows = [(i, "small", float(i)) for i in range(3)]
+    rows += [(10 + i, "flat", 7.0) for i in range(50)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = {
+        r["event_type"]: r
+        for r in neyman_allocation_sample(
+            df, "event_type", "value", budget=1000
+        ).collect()
+    }
+    # zero-variance stratum weights 0; the whole budget points at
+    # 'small' but alloc caps at N_h
+    assert out["flat"]["alloc"] == 0
+    assert out["small"]["alloc"] == 3
+    assert out["small"]["n_sampled"] == 3
+
+
+def test_neyman_is_deterministic_across_runs(spark):
+    from flink_kmeans_clustering_spark.operators.sampling import (
+        neyman_allocation_sample,
+    )
+
+    rows = [(i, f"s{i % 3}", float((i * 7) % 23)) for i in range(90)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    a = sorted(map(tuple, neyman_allocation_sample(df, "event_type", "value", budget=30).collect()))
+    b = sorted(map(tuple, neyman_allocation_sample(df, "event_type", "value", budget=30).collect()))
+    assert a == b
+
+
+# --- spherical_kmeans_nd ----------------------------------------------------
+
+
+def test_spherical_kmeans_centroids_are_unit_and_cosine_clustered(spark):
+    """Two direction bundles with very different magnitudes: plain
+    Lloyd would split by magnitude; spherical must split by DIRECTION
+    and return unit-norm centroids."""
+    import math
+
+    from flink_kmeans_clustering_spark.operators.kmeans import (
+        spherical_kmeans_nd,
+    )
+
+    rows = []
+    for i in range(10):
+        mag = 1.0 + 99.0 * (i % 2)  # alternate tiny/huge magnitudes
+        rows.append((i, [mag, 0.02 * i, 0.0, 0.0]))        # +x direction
+        rows.append((100 + i, [0.0, 0.01 * i, 0.0, -mag]))  # -w direction
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    init = [[1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 0.0, -1.0]]
+    cents, ids = spherical_kmeans_nd(df, init, max_iterations=4)
+    assert ids == [0, 1]
+    for c in cents:
+        assert math.isclose(sum(x * x for x in c), 1.0, rel_tol=1e-9)
+    # centroid 0 points +x, centroid 1 points -w
+    assert cents[0][0] > 0.95
+    assert cents[1][3] < -0.95
+
+
+def test_spherical_kmeans_drops_zero_rows_and_empty_clusters(spark):
+    from flink_kmeans_clustering_spark.operators.kmeans import (
+        spherical_kmeans_nd,
+    )
+
+    rows = [
+        (0, [0.0, 0.0]),  # zero vector: dropped at normalization
+        (1, [1.0, 0.0]),
+        (2, [0.9, 0.1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # second centroid starts opposite everything -> empties -> drops
+    cents, ids = spherical_kmeans_nd(
+        df, [[1.0, 0.0], [-1.0, 0.0]], max_iterations=2
+    )
+    assert ids == [0]
+    assert len(cents) == 1
