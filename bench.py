@@ -30,6 +30,19 @@ def _sf_of(sf_dir: str) -> float:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Ambient-load guard (VERDICT r08 #1): BENCH_r08's 2.552 s headline
+    # was 25% above the same-commit quiet-machine 2.03 s with K-Means
+    # untouched — machine load, not code.  Record the 1-min loadavg at
+    # start (and again after the headline block) in every artifact so
+    # the next such delta carries its own evidence, and warn loudly on
+    # stderr when the machine is already busy before Spark starts.
+    load_start = round(os.getloadavg()[0], 2)
+    if load_start > 0.5:
+        print(
+            f"WARNING: 1-min loadavg {load_start} > 0.5 at bench start; "
+            "headline timings will be inflated by ambient load",
+            file=sys.stderr,
+        )
     spark = get_spark(app_name="bench")
 
     # Warm up the one-time session costs so per-query timings measure
@@ -112,6 +125,8 @@ def main() -> None:
         timings["kmeans_ref_100k_k8_10iter"] = sorted(runs)[len(runs) // 2]
         pts.unpersist()
 
+    load_after_headline = round(os.getloadavg()[0], 2)
+
     import gc
 
     for name, q in entrymod.queries().items():
@@ -189,6 +204,8 @@ def main() -> None:
         "queries": timings,
         "warm_retimes": warm_retimes,
         "sf": sf,
+        "load1_start": load_start,
+        "load1_after_headline": load_after_headline,
     }
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "bench_queries.json"), "w") as fh:
@@ -227,6 +244,8 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "queries": compact_queries,
+        "load1_start": load_start,
+        "load1_after_headline": load_after_headline,
     }
     print(json.dumps(out))
     spark.stop()
