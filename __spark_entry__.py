@@ -3427,10 +3427,80 @@ def q_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+DSIR_BUCKETS = 256
+DSIR_TOPN = 20
+
+
+def q_text_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al., NeurIPS 2023): hashed
+    unigram+bigram LMs for the English slice vs the raw corpus,
+    per-doc weight = sum of count_b * ln(p_target/p_raw) — the
+    data-selection scorer you run before sampling a 100 TB crawl down
+    to a training mix.  One explode shuffle, a 256-row LM broadcast,
+    decimal-exact weight sums; top-20 by (weight DESC, doc_id)."""
+    from flink_kmeans_clustering_spark.operators.textstats import dsir_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dsir_weights(
+        docs,
+        F.col("lang") == "en",
+        n_buckets=DSIR_BUCKETS,
+        top_n=DSIR_TOPN,
+    )
+
+
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC — coarse cells + residual PQ + exact rerank (Jegou et
+    al., TPAMI 2011; the FAISS billion-scale layout): per-label mean
+    centroids prune the scan to 2 probed cells, residual-coded ADC
+    with a per-cell LUT map literal scores the survivors (no join, no
+    shuffle), exact L2 reranks the shortlist.  Codebooks follow the
+    trainless first-k-residuals contract (q_ann_pq's family) so the
+    whole chain replays in DuckDB."""
+    from flink_kmeans_clustering_spark.operators.similarity import (
+        ann_ivfpq,
+        ivfpq_residual_codebooks,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = [
+        (r["cell"], list(r["centroid"]))
+        for r in cell_centroids(emb, "label").collect()
+    ]
+    books = ivfpq_residual_codebooks(
+        emb, cents, m=PQ_M, k=PQ_CODEWORDS
+    )
+    return ann_ivfpq(
+        emb,
+        _query_vector(spark, sf_dir),
+        cents,
+        books,
+        k=TOPK_K,
+        n_probe=ANN_PROBES,
+        shortlist=ANN_SHORTLIST,
+    )
+
+
+CORESET_K = 50
+
+
+def q_sample_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lightweight k-means coreset (Bachem, Lucic & Krause, KDD 2018):
+    sensitivity sampling proportional to 1/(2n) + d(x,mu)^2/(2*mass),
+    Efraimidis-Spirakis md5 draw, unbiased 1/(k*s(x)) weights — two
+    linear passes that shrink a 100 TB k-means problem to k weighted
+    rows."""
+    from flink_kmeans_clustering_spark.operators.sampling import coreset_sample
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return coreset_sample(emb, k=CORESET_K)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    219 queries; 215 carry DuckDB oracles, 4 are rows-only by design
+    222 queries; 218 carry DuckDB oracles, 4 are rows-only by design
     (MLlib placement RNG, HLL/GK sketch internals, GEMM ulp twin —
     each has a DETERMINISTIC full-oracle twin registered beside it:
     lloyd_nd/kmv/sampled-quantiles/expression-cosine, plus an sf0.1
@@ -3439,87 +3509,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     header cannot go stale again (ADVICE r06).
 
     Registry ORDER is load-bearing: the driver's correctness artifact
-    records the first 50 entries only.  Round 8 window (VERDICT r07
-    items 1+2, exactly as docs/STATUS.md planned): the FIVE queries
-    new this round (q_multimodal_png, q_embed_matryoshka,
-    q_rel_skewjoin, q_dedup_bloom, q_dedup_crosssource — new-query
-    count capped so the stale tail drains in two rounds), then the
-    EIGHT queries that landed after the r07 window froze and have
-    never been driver-checked (q_events_hourly, q_text_length_hist,
-    q_dedup_degree_hist, q_text_zipf, q_multimodal_phash,
-    q_dedup_minhash_calib, q_stream_funnel, q_embed_isotropy), then
-    the full r03-green tail led by q_rel_yoy (the stalest row:
-    q_text_lmscore, q_sample_split, q_sink_roundtrip, q_text_clean,
-    q_text_tokenfreq_salted, q_text_quality, q_text_fingerprint,
-    q_text_tokenfreq, q_text_repetition, q_text_tfidf,
-    q_dedup_decontam), then the first 25 of the r04-green family in
-    STATUS order (q_knn_join .. q_rel_groupsets).  With this window,
-    cumulative driver coverage reaches 216 of 216 registered-at-r07
-    queries... precisely: all 8 never-checked rows get their first
-    check, every r03 row re-verifies, and 25 of 45 r04 rows refresh;
-    the 20 r04 leftovers (q_events_first .. q_sample_mixture) follow
-    the late-r08 trio (q_dedup_bbit, q_sample_neyman,
-    q_kmeans_spherical — in-repo green at 3 scales, never
-    driver-checked) in the r09 window per the STATUS rotation note.
+    records the first 50 entries only.  Round 9 window (VERDICT r08
+    items 2+5, exactly as docs/STATUS.md planned): the late-r08 trio
+    that has never sat in a driver window (q_dedup_bbit,
+    q_sample_neyman, q_kmeans_spherical), the THREE queries new this
+    round (q_text_dsir — DSIR importance resampling, q_ann_ivfpq —
+    residual IVFADC, q_sample_coreset — lightweight k-means coreset;
+    new-query count capped so the stale tail keeps draining), the 20
+    r04-green leftovers (q_events_first .. q_sample_mixture) with the
+    rows-only q_events_approx_quantiles followed directly by its
+    full-oracle twin q_events_sampled_quantiles, the other three
+    rows-only+twin pairs (q_dedup_gemm+q_dedup_embedding,
+    q_events_approx_users+q_events_kmv_users, q_kmeans_ml+q_kmeans_nd
+    — VERDICT r08 #5: rows-only status and twin agreement re-checked
+    together), then 17 rows from the r05-green family head.  With
+    this window, cumulative driver coverage reaches 222 of 222 and no
+    row is older than r05; the tail below the window is sorted
+    stalest-first so the r10 window is simply the next 50 rows.
     """
     return {
-        "q_multimodal_png": q_multimodal_png,
-        "q_embed_matryoshka": q_embed_matryoshka,
-        "q_rel_skewjoin": q_rel_skewjoin,
-        "q_dedup_bloom": q_dedup_bloom,
-        "q_dedup_crosssource": q_dedup_crosssource,
-        "q_events_hourly": q_events_hourly,
-        "q_text_length_hist": q_text_length_hist,
-        "q_dedup_degree_hist": q_dedup_degree_hist,
-        "q_text_zipf": q_text_zipf,
-        "q_multimodal_phash": q_multimodal_phash,
-        "q_dedup_minhash_calib": q_dedup_minhash_calib,
-        "q_stream_funnel": q_stream_funnel,
-        "q_embed_isotropy": q_embed_isotropy,
-        "q_rel_yoy": q_rel_yoy,
-        "q_text_lmscore": q_text_lmscore,
-        "q_sample_split": q_sample_split,
-        "q_sink_roundtrip": q_sink_roundtrip,
-        "q_text_clean": q_text_clean,
-        "q_text_tokenfreq_salted": q_text_tokenfreq_salted,
-        "q_text_quality": q_text_quality,
-        "q_text_fingerprint": q_text_fingerprint,
-        "q_text_tokenfreq": q_text_tokenfreq,
-        "q_text_repetition": q_text_repetition,
-        "q_text_tfidf": q_text_tfidf,
-        "q_dedup_decontam": q_dedup_decontam,
-        "q_knn_join": q_knn_join,
-        "q_embed_cov": q_embed_cov,
-        "q_sample_weighted": q_sample_weighted,
-        "q_graph_triangles": q_graph_triangles,
-        "q_text_bm25": q_text_bm25,
-        "q_stream_outer_join": q_stream_outer_join,
-        "q_sink_compact": q_sink_compact,
-        "q_text_entropy": q_text_entropy,
-        "q_sink_evolve": q_sink_evolve,
-        "q_source_jsonl": q_source_jsonl,
-        "q_events_ewma": q_events_ewma,
-        "q_sink_zorder": q_sink_zorder,
-        "q_text_packed_seqs": q_text_packed_seqs,
-        "q_stream_session_native": q_stream_session_native,
-        "q_events_ohlc": q_events_ohlc,
-        "q_dedup_prefix": q_dedup_prefix,
-        "q_events_variant": q_events_variant,
-        "q_source_custom": q_source_custom,
-        "q_rel_dpp": q_rel_dpp,
-        "q_sql_pipe": q_sql_pipe,
-        "q_rel_lateral": q_rel_lateral,
-        "q_rel_stats": q_rel_stats,
-        "q_kmeans_scalable": q_kmeans_scalable,
-        "q_stream_kmeans": q_stream_kmeans,
-        "q_rel_groupsets": q_rel_groupsets,
-        # --- below: outside the driver's 50-row window this round ---
-        # --- r09 plan (docs/STATUS.md): new-in-late-r08 rows lead the
-        # --- r09 window, then the 20 remaining r04-green rows, then
-        # --- the r05-green family ---
         "q_dedup_bbit": q_dedup_bbit,
         "q_sample_neyman": q_sample_neyman,
         "q_kmeans_spherical": q_kmeans_spherical,
+        "q_text_dsir": q_text_dsir,
+        "q_ann_ivfpq": q_ann_ivfpq,
+        "q_sample_coreset": q_sample_coreset,
         "q_events_first": q_events_first,
         "q_dedup_fuzzy": q_dedup_fuzzy,
         "q_rel_upsert": q_rel_upsert,
@@ -3534,12 +3548,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sink_bucketed": q_sink_bucketed,
         "q_text_chunk_udtf": q_text_chunk_udtf,
         "q_events_approx_quantiles": q_events_approx_quantiles,
+        "q_events_sampled_quantiles": q_events_sampled_quantiles,
         "q_rel_mincost": q_rel_mincost,
         "q_rel_suppcnt": q_rel_suppcnt,
         "q_rel_excess": q_rel_excess,
         "q_rel_shipmodes": q_rel_shipmodes,
         "q_rel_waiting": q_rel_waiting,
         "q_sample_mixture": q_sample_mixture,
+        "q_dedup_gemm": q_dedup_gemm,
+        "q_dedup_embedding": q_dedup_embedding,
+        "q_events_approx_users": q_events_approx_users,
+        "q_events_kmv_users": q_events_kmv_users,
+        "q_kmeans_ml": q_kmeans_ml,
+        "q_kmeans_nd": q_kmeans_nd,
         "q_ann_pq": q_ann_pq,
         "q_dedup_contain": q_dedup_contain,
         "q_profile": q_profile,
@@ -3547,10 +3568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_trained": q_ann_trained,
         "q_embed_pca": q_embed_pca,
         "q_dedup_keep": q_dedup_keep,
-        "q_kmeans_nd": q_kmeans_nd,
         "q_stream_mview": q_stream_mview,
-        "q_events_kmv_users": q_events_kmv_users,
-        "q_events_sampled_quantiles": q_events_sampled_quantiles,
         "q_text_novelty": q_text_novelty,
         "q_text_seg_dedup": q_text_seg_dedup,
         "q_text_redact": q_text_redact,
@@ -3560,6 +3578,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_bpe": q_text_bpe,
         "q_sample_kcenter": q_sample_kcenter,
         "q_sample_domain_cap": q_sample_domain_cap,
+        # --- below: outside the driver's 50-row window this round,
+        # --- stalest-first (latest driver-check round ascending) so
+        # --- the r10 window is simply the next rows in order ---
         "q_text_lm_bigram": q_text_lm_bigram,
         "q_multimodal_audio": q_multimodal_audio,
         "q_dedup_soft": q_dedup_soft,
@@ -3609,14 +3630,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_attribution": q_stream_attribution,
         "q_embed_health": q_embed_health,
         "q_dedup_cc": q_dedup_cc,
-        "q_dedup_embedding": q_dedup_embedding,
         "q_update": q_update,
-        "q_events_approx_users": q_events_approx_users,
-        "q_kmeans_ml": q_kmeans_ml,
         "q_assign_join": q_assign_join,
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_ngram_exact": q_dedup_ngram_exact,
-        "q_dedup_gemm": q_dedup_gemm,
         "q_rel_shipping": q_rel_shipping,
         "q_window_ranks": q_window_ranks,
         "q_window_daydelta": q_window_daydelta,
@@ -3686,6 +3703,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_canonical": q_dedup_canonical,
         "q_text_tokens": q_text_tokens,
         "q_text_langid": q_text_langid,
+        "q_multimodal_png": q_multimodal_png,
+        "q_embed_matryoshka": q_embed_matryoshka,
+        "q_rel_skewjoin": q_rel_skewjoin,
+        "q_dedup_bloom": q_dedup_bloom,
+        "q_dedup_crosssource": q_dedup_crosssource,
+        "q_events_hourly": q_events_hourly,
+        "q_text_length_hist": q_text_length_hist,
+        "q_dedup_degree_hist": q_dedup_degree_hist,
+        "q_text_zipf": q_text_zipf,
+        "q_multimodal_phash": q_multimodal_phash,
+        "q_dedup_minhash_calib": q_dedup_minhash_calib,
+        "q_stream_funnel": q_stream_funnel,
+        "q_embed_isotropy": q_embed_isotropy,
+        "q_rel_yoy": q_rel_yoy,
+        "q_text_lmscore": q_text_lmscore,
+        "q_sample_split": q_sample_split,
+        "q_sink_roundtrip": q_sink_roundtrip,
+        "q_text_clean": q_text_clean,
+        "q_text_tokenfreq_salted": q_text_tokenfreq_salted,
+        "q_text_quality": q_text_quality,
+        "q_text_fingerprint": q_text_fingerprint,
+        "q_text_tokenfreq": q_text_tokenfreq,
+        "q_text_repetition": q_text_repetition,
+        "q_text_tfidf": q_text_tfidf,
+        "q_dedup_decontam": q_dedup_decontam,
+        "q_knn_join": q_knn_join,
+        "q_embed_cov": q_embed_cov,
+        "q_sample_weighted": q_sample_weighted,
+        "q_graph_triangles": q_graph_triangles,
+        "q_text_bm25": q_text_bm25,
+        "q_stream_outer_join": q_stream_outer_join,
+        "q_sink_compact": q_sink_compact,
+        "q_text_entropy": q_text_entropy,
+        "q_sink_evolve": q_sink_evolve,
+        "q_source_jsonl": q_source_jsonl,
+        "q_events_ewma": q_events_ewma,
+        "q_sink_zorder": q_sink_zorder,
+        "q_text_packed_seqs": q_text_packed_seqs,
+        "q_stream_session_native": q_stream_session_native,
+        "q_events_ohlc": q_events_ohlc,
+        "q_dedup_prefix": q_dedup_prefix,
+        "q_events_variant": q_events_variant,
+        "q_source_custom": q_source_custom,
+        "q_rel_dpp": q_rel_dpp,
+        "q_sql_pipe": q_sql_pipe,
+        "q_rel_lateral": q_rel_lateral,
+        "q_rel_stats": q_rel_stats,
+        "q_kmeans_scalable": q_kmeans_scalable,
+        "q_stream_kmeans": q_stream_kmeans,
+        "q_rel_groupsets": q_rel_groupsets,
     }
 
 
@@ -4481,6 +4548,157 @@ scored AS (
 )
 SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT {TOPK_K}
 """
+
+    text_dsir_sql = """
+WITH toksls AS (
+  SELECT doc_id, lang, source,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+ng AS (
+  SELECT doc_id, lang, source,
+         list_concat(t,
+           CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+                ELSE list_transform(range(1, len(t)),
+                                    i -> t[i] || ' ' || t[i+1]) END) AS gs
+  FROM toksls
+),
+pdb AS (
+  SELECT doc_id, lang, source,
+         CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT) % 256 AS bucket,
+         COUNT(*) AS cnt
+  FROM (SELECT doc_id, lang, source, unnest(gs) AS g FROM ng)
+  GROUP BY ALL
+),
+lm AS (
+  SELECT bucket, SUM(cnt) AS raw_b,
+         SUM(CASE WHEN lang = 'en' THEN cnt ELSE 0 END) AS tgt_b
+  FROM pdb GROUP BY bucket
+),
+tot AS (SELECT SUM(raw_b) AS raw_total, SUM(tgt_b) AS tgt_total FROM lm),
+lr AS (
+  SELECT bucket,
+         ln((tgt_b + 1.0) / (tgt_total + 256.0))
+       - ln((raw_b + 1.0) / (raw_total + 256.0)) AS _lr
+  FROM lm CROSS JOIN tot
+)
+SELECT doc_id, lang, source,
+       CAST(SUM(cnt) AS BIGINT) AS n_ngrams,
+       ROUND(CAST(SUM(CAST(cnt * _lr AS DECIMAL(25,10))) AS DOUBLE), 6)
+         AS dsir_weight
+FROM pdb JOIN lr USING (bucket)
+GROUP BY doc_id, lang, source
+ORDER BY dsir_weight DESC, doc_id
+LIMIT 20
+"""
+
+    ann_ivfpq_sql = f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+q AS MATERIALIZED (
+  SELECT v AS qv, sqrt(list_sum(list_transform(v, x -> x*x))) AS qn
+  FROM e WHERE vec_id = 0
+),
+ex AS (SELECT label, unnest(v) AS comp, unnest(range(1, len(v)+1)) AS pos FROM e),
+cents AS MATERIALIZED (
+  SELECT label, list(mv ORDER BY pos) AS cv
+  FROM (SELECT label, pos, avg(comp) AS mv FROM ex GROUP BY label, pos)
+  GROUP BY label
+),
+ranked AS MATERIALIZED (
+  SELECT label, cv
+  FROM cents CROSS JOIN q
+  ORDER BY list_sum(list_transform(range(1, len(cv)+1), i -> cv[i]*qv[i]))
+           / (sqrt(list_sum(list_transform(cv, x -> x*x))) * qn) DESC, label
+  LIMIT {ANN_PROBES}
+),
+res AS MATERIALIZED (
+  SELECT e.vec_id, e.label,
+         list_transform(range(1, 65), i -> e.v[i] - c.cv[i]) AS r
+  FROM e JOIN cents c USING (label)
+),
+cw AS MATERIALIZED (
+  SELECT ss.s, rr.c, list_transform(range(1, 9), j -> rr.r[ss.s*8 + j]) AS sub
+  FROM (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS c, r
+        FROM (SELECT * FROM res ORDER BY vec_id LIMIT {PQ_CODEWORDS})) rr,
+       (SELECT unnest(range(0, {PQ_M})) AS s) ss
+),
+probed AS MATERIALIZED (SELECT res.* FROM res JOIN ranked USING (label)),
+codes AS MATERIALIZED (
+  SELECT vec_id, label, s, c FROM (
+    SELECT t.vec_id, t.label, cw.s, cw.c,
+           ROW_NUMBER() OVER (
+             PARTITION BY t.vec_id, cw.s
+             ORDER BY list_sum(list_transform(range(1, 9),
+                       j -> (t.r[cw.s*8 + j]-cw.sub[j])
+                          * (t.r[cw.s*8 + j]-cw.sub[j]))), cw.c
+           ) AS rn
+    FROM probed t CROSS JOIN cw
+  ) WHERE rn = 1
+),
+qres AS MATERIALIZED (
+  SELECT r.label, list_transform(range(1, 65), i -> q.qv[i] - r.cv[i]) AS rq
+  FROM ranked r CROSS JOIN q
+),
+lut AS MATERIALIZED (
+  SELECT qres.label, cw.s, cw.c,
+         list_sum(list_transform(range(1, 9),
+           j -> (qres.rq[cw.s*8 + j]-cw.sub[j])
+              * (qres.rq[cw.s*8 + j]-cw.sub[j]))) AS dist
+  FROM cw CROSS JOIN qres
+),
+adc AS MATERIALIZED (
+  SELECT codes.vec_id, list_sum(list(lut.dist ORDER BY codes.s)) AS score
+  FROM codes JOIN lut ON codes.label = lut.label
+                     AND codes.s = lut.s AND codes.c = lut.c
+  GROUP BY codes.vec_id
+),
+short AS MATERIALIZED (
+  SELECT vec_id FROM adc ORDER BY score, vec_id LIMIT {ANN_SHORTLIST}
+)
+SELECT vec_id, ROUND(d2, 6) AS d2 FROM (
+  SELECT t.vec_id,
+         list_sum(list_transform(range(1, 65),
+           j -> (t.v[j]-q.qv[j])*(t.v[j]-q.qv[j]))) AS d2
+  FROM e t JOIN short USING (vec_id), q
+) ORDER BY d2, vec_id LIMIT {TOPK_K}
+"""
+
+    sample_coreset_sql = f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+ex AS (SELECT unnest(v) AS comp, unnest(range(1, len(v)+1)) AS pos FROM e),
+mu AS MATERIALIZED (
+  SELECT list(mv ORDER BY pos) AS m
+  FROM (SELECT pos, avg(comp) AS mv FROM ex GROUP BY pos)
+),
+nn AS (SELECT COUNT(*) AS n FROM e),
+d2t AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(list_sum(list_transform(range(1, 65),
+                i -> (v[i]-m[i])*(v[i]-m[i]))) AS DECIMAL(25,10)) AS d2d
+  FROM e CROSS JOIN mu
+),
+mass AS (SELECT SUM(d2d) AS mass FROM d2t),
+scored AS (
+  SELECT vec_id,
+         ROUND(CAST(d2d AS DOUBLE), 6) AS d2,
+         0.5 / n + 0.5 * (CAST(d2d AS DOUBLE) / CAST(mass AS DOUBLE)) AS sens
+  FROM d2t CROSS JOIN mass CROSS JOIN nn
+)
+SELECT vec_id, d2,
+       ROUND(sens, 9) AS sensitivity,
+       ROUND(1.0 / ({CORESET_K}.0 * sens), 6) AS coreset_weight,
+       ROUND(ln((CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) + 1.0) / 4294967296.0) / sens, 6) AS es_key
+FROM scored
+ORDER BY es_key DESC, vec_id
+LIMIT {CORESET_K}
+"""
+
     ann_ivf_sql = f"""
 WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 q AS (SELECT v AS qv, sqrt(list_sum(list_transform(v, x -> x*x))) AS qn
@@ -8400,6 +8618,9 @@ FROM c
 """,
         "q_text_tokenfreq_salted": text_tokenfreq_salted_sql,
         "q_text_repetition": text_repetition_sql,
+        "q_text_dsir": text_dsir_sql,
+        "q_ann_ivfpq": ann_ivfpq_sql,
+        "q_sample_coreset": sample_coreset_sql,
         "q_text_tfidf": text_tfidf_sql,
         "q_dedup_decontam": dedup_decontam_sql,
         "q_dedup_bloom": dedup_bloom_sql,

@@ -21,3 +21,37 @@ def spread(df: DataFrame, key: str) -> DataFrame:
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target, F.col(key))
+
+
+def array_lit(nested, kind: str = "double"):
+    """Nested array literal as ONE parsed SQL expression.
+
+    ``F.lit(nested_list)`` recurses in Python and makes a py4j call per
+    LEAF — an 8×16×8 codebook literal costs ~1 s of driver round-trips,
+    and an iterative trainer pays it EVERY iteration (measured: the
+    bulk of q_ann_pq_trained's local floor).  Rendering the same values
+    as one ``array(array(...))`` SQL string and parsing it JVM-side is
+    ~3 ms and bit-identical: ``repr(float)`` is the shortest
+    round-tripping decimal form and both Python and the JVM parse such
+    forms to the same IEEE-754 double (correctly-rounded semantics).
+
+    ``kind``: "double" (default) suffixes leaves with ``D``; "int" /
+    "long" render integer leaves (``L`` for long).  NaN/±Inf are
+    rejected — they have no portable SQL literal form and no operator
+    here ships them.
+    """
+    import math
+
+    def render(x) -> str:
+        if isinstance(x, (list, tuple)):
+            return "array(" + ",".join(render(v) for v in x) + ")"
+        if kind == "double":
+            v = float(x)
+            if math.isnan(v) or math.isinf(v):
+                raise ValueError(f"non-finite literal {v!r}")
+            return repr(v) + "D"
+        if kind == "long":
+            return str(int(x)) + "L"
+        return str(int(x))
+
+    return F.expr(render(nested))

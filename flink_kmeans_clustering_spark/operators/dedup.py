@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from flink_kmeans_clustering_spark.operators.common import spread as _spread
+from flink_kmeans_clustering_spark.operators.common import array_lit, spread as _spread
 from flink_kmeans_clustering_spark.functions.hashing import (
     band_hashes,
     hamming64,
@@ -1317,7 +1317,7 @@ def semantic_blocks(
             *[
                 F.struct(
                     F.round(
-                        dot(F.col("nv"), F.lit([float(x) for x in r["nv"]])),
+                        dot(F.col("nv"), array_lit([float(x) for x in r["nv"]])),
                         round_to,
                     ).alias("c"),
                     F.lit(-int(r["id"])).cast("long").alias("neg"),

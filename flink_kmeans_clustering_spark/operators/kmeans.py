@@ -52,6 +52,8 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from flink_kmeans_clustering_spark.operators.common import array_lit
+
 Centroid = tuple[int, float, float]  # (id, x, y)
 
 
@@ -140,9 +142,9 @@ def assign_points_param(
         return assign_points(points, centroids, x=x, y=y,
                              cluster_col=cluster_col, dist2_col=dist2_col)
     k = len(centroids)
-    ids = F.lit([int(c[0]) for c in centroids])
-    xs = F.lit([float(c[1]) for c in centroids])
-    ys = F.lit([float(c[2]) for c in centroids])
+    ids = array_lit([int(c[0]) for c in centroids], kind="int")
+    xs = array_lit([float(c[1]) for c in centroids])
+    ys = array_lit([float(c[2]) for c in centroids])
     idx = F.sequence(F.lit(0), F.lit(k - 1))
 
     def _cand(i: Column) -> Column:
@@ -271,7 +273,7 @@ def update_centroids_observe(
     from pyspark.sql import Observation
 
     ids = [int(i) for i in centroid_ids]
-    ids_lit = F.lit(ids)
+    ids_lit = array_lit(ids, kind="int")
     aggs = []
     for j in range(len(ids)):
         cond = F.col(cluster_col) == F.get(ids_lit, F.lit(j))
@@ -905,8 +907,8 @@ def assign_points_nd(
         )
     if centroid_ids is None:
         centroid_ids = range(len(centroids))
-    mat = F.lit([[float(v) for v in c] for c in centroids])
-    ids = F.lit([int(i) for i in centroid_ids])
+    mat = array_lit([[float(v) for v in c] for c in centroids])
+    ids = array_lit([int(i) for i in centroid_ids], kind="int")
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
 

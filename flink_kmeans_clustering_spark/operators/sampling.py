@@ -786,3 +786,85 @@ def neyman_allocation_sample(
         ),
         F.coalesce(F.col("sample_sum"), F.lit(0.0)).alias("sample_sum"),
     )
+
+
+def coreset_sample(
+    df: DataFrame,
+    k: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lightweight k-means coreset (Bachem, Lucic & Krause, KDD 2018):
+    sensitivity ``s(x) = 1/(2n) + d(x, μ)² / (2·Σ_y d(y, μ)²)`` with μ
+    the corpus mean, draw ``k`` points with probability ∝ s(x), weight
+    each kept point ``w(x) = 1/(k·s(x))`` so the coreset is an unbiased
+    estimator of any k-means objective.
+
+    This is how you k-means 100 TB: ONE pass for μ (per-dim partial
+    means, map-side combined), ONE pass for the distance mass and the
+    weighted draw — then the expensive Lloyd loop runs on k rows.
+
+    Determinism: the corpus mean is exact (float32-origin components
+    sum exactly in doubles), per-row d² folds in index order, the
+    distance mass Σd² is summed in DECIMAL space (d² is full-mantissa —
+    a double sum would be partition-order dependent), and the draw is
+    Efraimidis-Spirakis with md5-derived uniforms and rounded keys —
+    the same contract as :func:`weighted_sample`, replayable by any
+    engine.
+
+    Output: (id, d2, sensitivity, coreset_weight, es_key) for the k
+    sampled rows, ordered by (es_key DESC, id).
+    """
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    ex = df.select(F.posexplode(vec).alias("pos", "v"))
+    mu = ex.groupBy("pos").agg(F.avg("v").alias("mu_v"))
+    mu_row = mu.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mu_v"))),
+            lambda s: s["mu_v"],
+        ).alias("mu")
+    )
+    n_row = df.agg(F.count(F.lit(1)).alias("_n"))
+    d2 = F.aggregate(
+        F.zip_with(vec, F.col("mu"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    with_d2 = (
+        df.crossJoin(F.broadcast(mu_row))
+        .select(
+            F.col(id_col), d2.cast("decimal(25,10)").alias("_d2d")
+        )
+    )
+    mass = with_d2.agg(F.sum("_d2d").alias("_mass"))
+    sens = (
+        F.lit(0.5) / F.col("_n")
+        + F.lit(0.5)
+        * (F.col("_d2d").cast("double") / F.col("_mass").cast("double"))
+    )
+    scored = (
+        with_d2.crossJoin(F.broadcast(mass))
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            F.col(id_col),
+            F.round(F.col("_d2d").cast("double"), 6).alias("d2"),
+            sens.alias("_sens"),
+        )
+    )
+    key_s = F.col(id_col).cast("string")
+    h = F.conv(F.substring(F.md5(key_s), 1, 8), 16, 10).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(4294967296.0)  # (0, 1]
+    es = F.round(F.log(u) / F.col("_sens"), 6)
+    return (
+        scored.select(
+            F.col(id_col),
+            F.col("d2"),
+            F.round(F.col("_sens"), 9).alias("sensitivity"),
+            F.round(F.lit(1.0) / (F.lit(float(k)) * F.col("_sens")), 6).alias(
+                "coreset_weight"
+            ),
+            es.alias("es_key"),
+        )
+        .orderBy(F.desc("es_key"), F.col(id_col))
+        .limit(k)
+    )

@@ -26,6 +26,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from flink_kmeans_clustering_spark.operators.common import array_lit
 from flink_kmeans_clustering_spark.functions.vector import (
     cosine_similarity,
     dot,
@@ -581,8 +582,8 @@ def pq_codebooks_trained_grouped(
     )
     try:
         for _ in range(iters):
-            cb = F.lit(books)
-            idl = F.lit(ids)
+            cb = array_lit(books)
+            idl = array_lit(ids, kind="int")
             row_cb = F.get(cb, F.col("s"))
             row_ids = F.get(idl, F.col("s"))
 
@@ -629,7 +630,7 @@ def _pq_codes(vec, codebooks: list[list[list[float]]]):
     by encode and any future symmetric-distance scorer."""
     m = len(codebooks)
     d = len(codebooks[0][0])
-    cb = F.lit(codebooks)  # array<array<array<double>>> literal
+    cb = array_lit(codebooks)  # array<array<array<double>>> as ONE parsed expr
 
     def _code(s: int):
         # per-subspace codeword count: a trained codebook can lose an
@@ -696,7 +697,7 @@ def ann_pq(
     ]
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     codes = _pq_codes(vec, codebooks)
-    lut_lit = F.lit(lut)
+    lut_lit = array_lit(lut)
     score = F.aggregate(
         F.zip_with(
             codes,
@@ -711,7 +712,7 @@ def ann_pq(
         .orderBy("_score", id_col)
         .limit(shortlist)
     )
-    qlit = F.lit(q)
+    qlit = array_lit(q)
     d2 = F.aggregate(
         F.zip_with(vec, qlit, lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
@@ -1190,3 +1191,160 @@ def quantization_error(
             F.max("_rel").alias("max_rel_err"),
         )
     )
+
+
+def ivfpq_residual_codebooks(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> list[list[list[float]]]:
+    """Residual PQ codebooks WITHOUT a training job: codeword ``c`` of
+    subspace ``s`` is the s-th subvector of the RESIDUAL (vector minus
+    its own cell's centroid) of the (c+1)-th corpus vector by id.
+
+    The residual twin of :func:`pq_codebooks_first` — the same
+    deterministic, any-engine-replayable contract (production would
+    train per-subspace k-means over residuals with
+    :func:`pq_codebooks_trained_grouped`; the encode/ADC plumbing in
+    :func:`ann_ivfpq` is identical either way).
+    """
+    cmap = {int(cell): [float(x) for x in cent] for cell, cent in centroids}
+    rows = (
+        df.orderBy(id_col).limit(k).select(id_col, cell_col, vec_col).collect()
+    )
+    res = [
+        [float(v) - c for v, c in zip(r[vec_col], cmap[int(r[cell_col])])]
+        for r in rows
+    ]
+    dim = len(res[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    return [[vec[s * d : (s + 1) * d] for vec in res] for s in range(m)]
+
+
+def ann_ivfpq(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    n_probe: int = 2,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    cell_col: str = "label",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """IVFADC — the canonical billion-scale ANN layout (Jégou et al.,
+    TPAMI 2011 §IV; FAISS ``IVFxx,PQyy``): coarse cells prune the scan,
+    residual product-quantization codes score the survivors, exact L2
+    reranks the shortlist.
+
+    Scale shape, stage by stage:
+
+    1. **Probe** — cell centroids are a k-row driver-side list; the
+       query ranks them (cosine, ties → lowest cell) and keeps
+       ``n_probe``.  The ``isin`` filter pushes into the scan; on a
+       cell-partitioned table that is partition pruning — the 100 TB
+       corpus shrinks to the probed cells' files.
+    2. **ADC over residuals** — within probed cells each vector's
+       residual (v − centroid(cell)) is encoded as m codes
+       (:func:`_pq_codes`); the query side is a PER-CELL lookup table
+       (residual q − centroid(cell) against every codeword) computed
+       driver-side and shipped as ONE map literal keyed by cell —
+       scoring is m array lookups + an ordered fold, no join, no
+       shuffle.  Residual coding is what separates IVFADC from
+       plain IVF+PQ: quantizing v − centroid removes the coarse
+       cell's offset so the same codebook budget spends its bits on
+       the fine structure.
+    3. **Rerank** — exact squared L2 against the ORIGINAL query for the
+       shortlist; both cuts are TakeOrderedAndProject (per-partition
+       heaps, no global sort).
+
+    Output: (vec_id, d2) — ties to the lowest id at both cuts.
+    """
+    import math
+
+    q = [float(v) for v in query_vec]
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+
+    def cos(a: Sequence[float], b: Sequence[float]) -> float:
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(
+            sum(y * y for y in b)
+        )
+        return num / den if den else 0.0
+
+    ranked = sorted(centroids, key=lambda c: (-cos(c[1], q), c[0]))
+    probed = [(int(c), [float(x) for x in v]) for c, v in ranked[:n_probe]]
+    probed_cells = [c for c, _ in probed]
+
+    # Per-cell ADC lookup tables from the query's per-cell residual,
+    # folded in (s asc, j asc) order so an independent engine lands on
+    # the same doubles (same contract as ann_pq's single LUT).
+    luts = []
+    for _, cent in probed:
+        rq = [q[i] - cent[i] for i in range(len(q))]
+        luts.append(
+            [
+                [
+                    sum(
+                        (rq[s * d + j] - cw[j]) * (rq[s * d + j] - cw[j])
+                        for j in range(d)
+                    )
+                    for cw in codebooks[s]
+                ]
+                for s in range(m)
+            ]
+        )
+
+    cell = F.col(cell_col).cast("int")
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cent_lit = F.element_at(
+        F.map_from_arrays(
+            array_lit(probed_cells, kind="int"),
+            array_lit([cent for _, cent in probed]),
+        ),
+        cell,
+    )
+    residual = F.zip_with(vec, cent_lit, lambda a, b: a - b)
+    codes = _pq_codes(residual, codebooks)
+    lut_cell = F.element_at(
+        F.map_from_arrays(array_lit(probed_cells, kind="int"), array_lit(luts)),
+        cell,
+    )
+    score = F.aggregate(
+        F.zip_with(
+            codes,
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda code, s: F.get(F.get(lut_cell, s), code),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    short = (
+        df.filter(cell.isin(probed_cells))
+        .select(F.col(id_col), F.col(vec_col), score.alias("_score"))
+        .orderBy("_score", id_col)
+        .limit(shortlist)
+    )
+    qlit = array_lit(q)
+    d2 = F.aggregate(
+        F.zip_with(vec, qlit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    out = (
+        short.select(F.col(id_col), d2.alias("d2"))
+        .orderBy("d2", id_col)
+        .limit(k)
+    )
+    if round_to is not None:
+        out = out.select(id_col, F.round("d2", round_to).alias("d2"))
+    return out

@@ -1493,3 +1493,96 @@ def zipf_profile(
         F.round(-F.col("_top1.nf") / F.col("n_tokens"), 6).alias("top1_share"),
         F.round(slope, 6).alias("zipf_slope"),
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_pred: Column,
+    n_buckets: int = 256,
+    alpha: float = 1.0,
+    top_n: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance weights for training-data selection (Xie et al.,
+    NeurIPS 2023, "Data Selection for Language Models via Importance
+    Resampling"): hashed n-gram bag-of-words language models for the
+    TARGET slice (``target_pred``) and the RAW corpus, per-document
+    importance weight = Σ_b count_b(doc) · ln(p_target(b)/p_raw(b)).
+
+    Distributed shape (the paper's hashed features exist exactly so
+    this stays linear at corpus scale):
+
+    1. one token/bigram explode → groupBy (doc, bucket): the ONLY
+       corpus-wide shuffle, and buckets cap its value domain at
+       ``n_buckets`` per doc;
+    2. the bucket LM table folds out of those rows map-side —
+       ``n_buckets`` rows total, add-α smoothed, with the target slice
+       counted by predicate, not a second scan;
+    3. LM table + 1-row totals broadcast back onto the (doc, bucket)
+       rows (replicated hash join, no fact shuffle), per-doc weight as
+       a DECIMAL-exact sum of per-bucket terms.
+
+    Buckets are md5-based (first 8 hex chars mod ``n_buckets``) so any
+    engine reproduces the assignment; weight terms are rounded to
+    fixed decimals BEFORE the sum so the fold is order-independent.
+
+    Output: top ``top_n`` documents by (weight DESC, id ASC) with the
+    doc's lang/source, its hashed-n-gram count, and the weight.
+    """
+    toks = tokenize(F.col(text_col))
+    bigrams = F.when(
+        F.size(toks) < 2, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        )
+    )
+    ngrams = F.concat(toks, bigrams)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("_ng")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+    per_doc_bucket = (
+        df.select(
+            F.col(id_col),
+            F.col("lang"),
+            F.col("source"),
+            target_pred.alias("_is_tgt"),
+            F.explode(ngrams).alias("_ng"),
+        )
+        .select(id_col, "lang", "source", "_is_tgt", bucket.alias("bucket"))
+        .groupBy(id_col, "lang", "source", "_is_tgt", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    lm = per_doc_bucket.groupBy("bucket").agg(
+        F.sum("cnt").alias("raw_b"),
+        F.sum(F.when(F.col("_is_tgt"), F.col("cnt")).otherwise(0)).alias(
+            "tgt_b"
+        ),
+    )
+    totals = lm.agg(
+        F.sum("raw_b").alias("raw_total"), F.sum("tgt_b").alias("tgt_total")
+    )
+    a = F.lit(float(alpha))
+    ab = F.lit(float(alpha) * n_buckets)
+    log_ratio = F.log(
+        (F.col("tgt_b") + a) / (F.col("tgt_total") + ab)
+    ) - F.log((F.col("raw_b") + a) / (F.col("raw_total") + ab))
+    lm_scored = (
+        lm.crossJoin(F.broadcast(totals))
+        .select("bucket", log_ratio.alias("_lr"))
+    )
+    term = (F.col("cnt") * F.col("_lr")).cast("decimal(25,10)")
+    weights = (
+        per_doc_bucket.join(F.broadcast(lm_scored), "bucket")
+        .groupBy(id_col, "lang", "source")
+        .agg(
+            F.sum("cnt").alias("n_ngrams"),
+            F.round(F.sum(term).cast("double"), 6).alias("dsir_weight"),
+        )
+    )
+    return weights.orderBy(F.desc("dsir_weight"), F.col(id_col)).limit(top_n)

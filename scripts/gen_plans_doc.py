@@ -247,6 +247,24 @@ PICKS = [
         "Bloom prefilter — literal-array bit tests in codegen on the "
         "probe scan; only the bounded benchmark side ever aggregates",
     ),
+    (
+        "q_ann_ivfpq",
+        "IVFADC — probed-cell filter pushed to the scan, residual codes "
+        "and per-cell ADC LUTs as parsed literals (join-free), both "
+        "cuts TakeOrderedAndProject",
+    ),
+    (
+        "q_text_dsir",
+        "DSIR importance weights — one (doc, bucket) count shuffle, the "
+        "256-row hashed-ngram LM and totals broadcast back, decimal-"
+        "exact weight sums, top-20 never sorts globally",
+    ),
+    (
+        "q_sample_coreset",
+        "k-means coreset — two corpus passes (per-dim mean, decimal "
+        "distance mass), 1-row broadcasts back, Efraimidis-Spirakis "
+        "draw as TakeOrderedAndProject",
+    ),
 ]
 
 

@@ -38,23 +38,35 @@ def test_rows_only_set_is_exactly_the_adjudicated_four():
     assert qs - osql == ROWS_ONLY_BY_DESIGN
 
 
-def test_window_leads_with_round8_rotation():
-    """r08 window plan (VERDICT r07 items 1+2): the 5 new queries, the
-    8 never-driver-checked rows, the r03 tail led by q_rel_yoy, and
-    the head of the r04-green family."""
-    first50 = list(entrymod.queries())[:50]
+def test_window_leads_with_round9_rotation():
+    """r09 window plan (VERDICT r08 items 2+5): the never-checked
+    late-r08 trio, the 3 new-in-r09 queries, the 20 r04-green
+    leftovers, the four rows-only+twin pairs ADJACENT, then the
+    r05-green family head."""
+    order = list(entrymod.queries())
+    first50 = order[:50]
+    assert first50[:6] == [
+        "q_dedup_bbit",
+        "q_sample_neyman",
+        "q_kmeans_spherical",
+        "q_text_dsir",
+        "q_ann_ivfpq",
+        "q_sample_coreset",
+    ]
     for q in (
-        "q_multimodal_png",
-        "q_embed_matryoshka",
-        "q_rel_skewjoin",
-        "q_dedup_bloom",
-        "q_dedup_crosssource",
-        "q_events_hourly",
-        "q_stream_funnel",
-        "q_embed_isotropy",
-        "q_rel_yoy",
-        "q_dedup_decontam",
-        "q_knn_join",
-        "q_rel_groupsets",
+        "q_events_first",
+        "q_sample_mixture",
+        "q_graph_pagerank",
+        "q_ann_pq_trained",
+        "q_sample_domain_cap",
     ):
         assert q in first50, q
+    # rows-only rows sit directly before their full-oracle twins
+    for rows_only, twin in (
+        ("q_events_approx_quantiles", "q_events_sampled_quantiles"),
+        ("q_dedup_gemm", "q_dedup_embedding"),
+        ("q_events_approx_users", "q_events_kmv_users"),
+        ("q_kmeans_ml", "q_kmeans_nd"),
+    ):
+        i = order.index(rows_only)
+        assert i < 50 and order[i + 1] == twin, (rows_only, twin)

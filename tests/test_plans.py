@@ -1196,3 +1196,64 @@ def test_crosssource_no_corpus_self_join(spark):
     # the only joins are over the bounded per-source aggregates
     assert s.count("SortMergeJoin") == 0
     assert_max_shuffles(df, 6)
+
+
+def test_ivfpq_probe_pushed_scoring_narrow(spark):
+    """IVFADC plan shape: the probe filter reaches the scan
+    (PushedFilters on the cell column), per-cell residual/LUT lookups
+    are literals (no join anywhere), both cuts are
+    TakeOrderedAndProject — the partition-pruned zero-shuffle probe
+    story with residual coding on top."""
+    import pyspark.sql.functions as F
+
+    from flink_kmeans_clustering_spark.operators.similarity import (
+        ann_ivfpq,
+        cell_centroids,
+        ivfpq_residual_codebooks,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = [
+        (r["cell"], list(r["centroid"]))
+        for r in cell_centroids(emb, "label").collect()
+    ]
+    books = ivfpq_residual_codebooks(emb, cents, m=8, k=16)
+    [row] = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
+    qv = [float(v) for v in row["embedding"]]
+    df = ann_ivfpq(emb, qv, cents, books, k=10, n_probe=2, shortlist=50)
+    plan = explain_str(df)
+    assert "Join" not in plan, plan
+    assert plan.count("TakeOrderedAndProject") >= 2, plan
+    assert shuffle_count(df) == 0, plan
+    assert any("label" in f for f in pushed_filters(df)), pushed_filters(df)
+
+
+def test_dsir_lm_table_broadcast_no_fact_shuffle_beyond_counts(spark):
+    """DSIR plan shape: the 256-row LM table and the 1-row totals come
+    back as broadcasts (no SortMergeJoin anywhere), so the only
+    exchanges are the (doc, bucket) count aggregations."""
+    import pyspark.sql.functions as F
+
+    from flink_kmeans_clustering_spark.operators.textstats import dsir_weights
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = dsir_weights(docs, F.col("lang") == "en")
+    plan = explain_str(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert_has_node(df, "TakeOrderedAndProject")
+
+
+def test_coreset_is_two_aggregates_and_takeordered(spark):
+    """Coreset sampling plan shape: corpus-side work is the posexplode
+    mean + the decimal mass aggregate; the mean/mass/n rows come back
+    as broadcast nested loops (1-row each), and the final k-cut is
+    TakeOrderedAndProject, never a global sort."""
+    from flink_kmeans_clustering_spark.operators.sampling import coreset_sample
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = coreset_sample(emb, k=50)
+    plan = explain_str(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert_has_node(df, "TakeOrderedAndProject")
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", ""), plan
