@@ -1530,18 +1530,24 @@ def dsir_weights(
     Output: top ``top_n`` documents by (weight DESC, id ASC) with the
     doc's lang/source, its hashed-n-gram count, and the weight.
     """
-    toks = tokenize(F.col(text_col))
-    bigrams = F.when(
-        F.size(toks) < 2, F.array().cast("array<string>")
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
+    # Let-bind the token array: referencing `tokenize(...)` inside the
+    # bigram lambda would re-run the regexp split PER ELEMENT after
+    # Catalyst collapses the projections (measured 7.7 s -> 0.6 s at
+    # sf0.1 — the transform(array(x), ...) idiom from docs/TUNING.md).
+    def _ngrams(t: Column) -> Column:
+        bigrams = F.when(
+            F.size(t) < 2, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(t, i), F.element_at(t, i + 1)
+                ),
+            )
         )
-    )
-    ngrams = F.concat(toks, bigrams)
+        return F.concat(t, bigrams)
+
+    ngrams = F.get(F.transform(F.array(tokenize(F.col(text_col))), _ngrams), 0)
     bucket = (
         F.conv(F.substring(F.md5(F.col("_ng")), 1, 8), 16, 10).cast("long")
         % n_buckets
