@@ -247,3 +247,60 @@ def test_coreset_empty_input_yields_empty(spark):
 
     df = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert coreset_sample(df, k=3).count() == 0
+
+
+# --- array_lit (the nested-literal fast path) --------------------------------
+
+
+def test_array_lit_bit_identical_to_f_lit(spark):
+    """array_lit renders repr(float) literals parsed JVM-side; they
+    must be BIT-identical to F.lit for adversarial doubles (subnormal,
+    huge, tiny, negative zero, long mantissas) — the guarantee that
+    let the PQ/Lloyd trainers swap literal construction without
+    re-proving every oracle."""
+    from hypothesis import given, settings, strategies as st
+
+    from flink_kmeans_clustering_spark.operators.common import array_lit
+
+    adversarial = [
+        0.0, -0.0, 1.0, -1.0, 1e-308, 5e-324, 1.7976931348623157e308,
+        0.1, 1/3, 2/3, 1e16 + 1.0, -2.2250738585072014e-308,
+        123456789.123456789, 3.141592653589793,
+    ]
+    df = spark.range(1).select(
+        F.lit(adversarial).alias("a"), array_lit(adversarial).alias("b")
+    )
+    [r] = df.collect()
+    import struct
+
+    for x, y in zip(r["a"], r["b"]):
+        assert struct.pack("<d", x) == struct.pack("<d", y), (x, y)
+
+    # property half (no Spark job per example): the render path's
+    # exactness claim is exactly "repr(float) round-trips" — pin it
+    # over arbitrary finite doubles so a future render change (format
+    # specs, truncation) fails here, not in an oracle hash
+    @settings(max_examples=200, deadline=None)
+    @given(st.floats(allow_nan=False, allow_infinity=False, width=64))
+    def check(v):
+        assert float(repr(v)) == v or (v != v)  # exact round-trip
+
+    check()
+
+
+def test_array_lit_rejects_non_finite_and_renders_ints(spark):
+    import math
+
+    import pytest as _pytest
+
+    from flink_kmeans_clustering_spark.operators.common import array_lit
+
+    with _pytest.raises(ValueError):
+        array_lit([1.0, float("nan")])
+    with _pytest.raises(ValueError):
+        array_lit([float("inf")])
+    [r] = spark.range(1).select(
+        array_lit([[1, 2], [3, 4]], kind="int").alias("a"),
+        array_lit([2**40], kind="long").alias("b"),
+    ).collect()
+    assert r["a"] == [[1, 2], [3, 4]] and r["b"] == [2**40]
