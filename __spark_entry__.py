@@ -3497,10 +3497,24 @@ def q_sample_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coreset_sample(emb, k=CORESET_K)
 
 
+
+def q_dedup_gear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (gear hash, the LBFS/FastCDC
+    family): documents cut where a windowed integer gear hash hits a
+    boundary, chunk digests aggregated corpus-wide — the
+    insertion-robust "shared boilerplate at arbitrary offsets" dedup
+    that whole-doc digests and fixed shingles miss.  One linear
+    explode shuffle (~len/64 rows per doc); top-20 repeated chunks."""
+    from flink_kmeans_clustering_spark.operators.dedup import gear_chunk_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return gear_chunk_stats(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    222 queries; 218 carry DuckDB oracles, 4 are rows-only by design
+    223 queries; 219 carry DuckDB oracles, 4 are rows-only by design
     (MLlib placement RNG, HLL/GK sketch internals, GEMM ulp twin —
     each has a DETERMINISTIC full-oracle twin registered beside it:
     lloyd_nd/kmv/sampled-quantiles/expression-cosine, plus an sf0.1
@@ -3525,7 +3539,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     together), then 17 rows from the r05-green family head.  With
     this window, cumulative driver coverage reaches 222 of 222 and no
     row is older than r05; the tail below the window is sorted
-    stalest-first so the r10 window is simply the next 50 rows.
+    stalest-first so the r10 window is simply the next 50 rows, and
+    the late-r09 addition (q_dedup_gear — content-defined chunking
+    dedup, in-repo hash-verified at 3 scales after the r09 window
+    froze) sits at the tail head to LEAD the r10 window, the same
+    convention as r08's late trio.
     """
     return {
         "q_dedup_bbit": q_dedup_bbit,
@@ -3578,6 +3596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_bpe": q_text_bpe,
         "q_sample_kcenter": q_sample_kcenter,
         "q_sample_domain_cap": q_sample_domain_cap,
+        "q_dedup_gear": q_dedup_gear,
         # --- below: outside the driver's 50-row window this round,
         # --- stalest-first (latest driver-check round ascending) so
         # --- the r10 window is simply the next rows in order ---
@@ -4697,6 +4716,53 @@ SELECT vec_id, d2,
 FROM scored
 ORDER BY es_key DESC, vec_id
 LIMIT {CORESET_K}
+"""
+
+
+    from flink_kmeans_clustering_spark.operators.dedup import (
+        GEAR_BOUNDARY_MOD,
+        GEAR_WINDOW,
+        gear_table,
+    )
+
+    _gear_list = "[" + ",".join(str(v) for v in gear_table()) + "]"
+    _gw, _gm = GEAR_WINDOW, GEAR_BOUNDARY_MOD
+    dedup_gear_sql = f"""
+WITH d AS (SELECT doc_id, text AS s FROM documents WHERE length(text) > 0),
+cu AS (
+  SELECT doc_id, s,
+    CASE WHEN length(s) < {_gw} THEN [CAST(length(s) AS BIGINT)]
+         ELSE list_sort(list_distinct(list_concat(
+           list_filter(range({_gw}, CAST(length(s) AS BIGINT) + 1), i ->
+             list_sum(list_transform(range(0, {_gw}), j ->
+               {_gear_list}[(ascii(substring(s, CAST(i - j AS INT), 1)) % 256) + 1]
+               * (1 << ({_gw - 1} - j)))) % {_gm} = 0),
+           [CAST(length(s) AS BIGINT)]))) END AS cuts
+  FROM d
+),
+ch AS (
+  SELECT doc_id,
+         md5(substring(s,
+           CAST(CASE WHEN k = 1 THEN 1 ELSE cuts[CAST(k AS INT) - 1] + 1 END AS INT),
+           CAST(cuts[CAST(k AS INT)]
+                - (CASE WHEN k = 1 THEN 1 ELSE cuts[CAST(k AS INT) - 1] + 1 END)
+                + 1 AS INT))) AS digest,
+         CAST(cuts[CAST(k AS INT)]
+              - (CASE WHEN k = 1 THEN 1 ELSE cuts[CAST(k AS INT) - 1] + 1 END)
+              + 1 AS BIGINT) AS _len
+  FROM cu, (SELECT unnest(range(1, 10000)) AS k) ks
+  WHERE k <= len(cuts)
+)
+SELECT digest,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       MIN(_len) AS chunk_len,
+       MIN(doc_id) AS min_doc_id
+FROM ch
+GROUP BY digest
+HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY n_docs DESC, n_occurrences DESC, digest
+LIMIT 20
 """
 
     ann_ivf_sql = f"""
@@ -8618,6 +8684,7 @@ FROM c
 """,
         "q_text_tokenfreq_salted": text_tokenfreq_salted_sql,
         "q_text_repetition": text_repetition_sql,
+        "q_dedup_gear": dedup_gear_sql,
         "q_text_dsir": text_dsir_sql,
         "q_ann_ivfpq": ann_ivfpq_sql,
         "q_sample_coreset": sample_coreset_sql,

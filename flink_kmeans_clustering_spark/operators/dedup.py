@@ -2479,3 +2479,104 @@ def minhash_calibration(
             6,
         ).alias("mae"),
     )
+
+
+GEAR_WINDOW = 8       # rolling window width (chars)
+GEAR_BOUNDARY_MOD = 64  # expected chunk length (1-in-64 boundary rate)
+
+
+def gear_table() -> list[int]:
+    """The 256-entry gear table: value for byte/char class ``c`` is the
+    first 8 md5-hex chars of ``"gear:c"`` — the same portable-digest
+    contract as the MinHash/SimHash/CMS lane families, so any engine
+    regenerates the identical table from the same one-line recipe."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"gear:{c}".encode()).hexdigest()[:8], 16)
+        for c in range(256)
+    ]
+
+
+def gear_chunk_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = GEAR_WINDOW,
+    boundary_mod: int = GEAR_BOUNDARY_MOD,
+    top_n: int = 20,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Content-defined chunking dedup (gear hash — the LBFS/FastCDC
+    family): cut every document where a windowed gear hash of the last
+    ``window`` characters hits ``≡ 0 (mod boundary_mod)``, digest each
+    chunk, and report the chunks repeated ACROSS documents.
+
+    Why content-defined: fixed-offset blocks break under insertion
+    (one added character shifts every later block boundary), so
+    storage dedup and crawl-snapshot diffing cut at positions chosen
+    by the CONTENT — an edit only disturbs the chunks it touches and
+    every repeated region downstream re-aligns.  This catches shared
+    boilerplate/quotes at arbitrary offsets that whole-doc digests and
+    fixed shingles miss.
+
+    Engine-portable determinism: the hash at end-position i is
+    ``Σ_j gear[codepoint(s[i−j]) mod 256] · 2^(window−1−j)`` — pure
+    integer arithmetic (max < 2^42, exact in any BIGINT), windowed
+    rather than recursively rolling, so an engine without stateful
+    scans replays it as a per-position fixed sum.  Cut lists are
+    explicitly sorted (DuckDB's ``list_distinct`` does NOT preserve
+    order — measured).
+
+    Scale shape: per-document work is O(window·len) inside ONE
+    let-bound codegen'd expression (the text is bound once — the
+    projection-collapse guard); the only corpus-wide shuffle carries
+    (doc, chunk-digest) rows at ~len/boundary_mod per document —
+    linear; the digest aggregate is the dedup join of the storage
+    world.  Output: top ``top_n`` cross-document chunks by
+    (n_docs DESC, n_occurrences DESC, digest) with chunk length and
+    the lowest containing doc id.
+    """
+    glit = "array(" + ",".join(f"{v}L" for v in gear_table()) + ")"
+    w, mod = int(window), int(boundary_mod)
+    chunk_expr = f"""
+element_at(transform(array({text_col}), s ->
+  element_at(transform(array(
+    CASE WHEN length(s) < {w} THEN array(bigint(length(s)))
+         ELSE array_sort(array_distinct(concat(
+           filter(sequence(bigint({w}), bigint(length(s))), i ->
+             aggregate(sequence(0, {w - 1}), 0L, (acc, j) ->
+               acc + element_at({glit},
+                       int(pmod(ascii(substring(s, int(i - j), 1)), 256)) + 1)
+                     * shiftleft(1L, {w - 1} - j)) % {mod} = 0),
+           array(bigint(length(s)))))) END
+  ), cuts -> transform(sequence(1, size(cuts)), k ->
+       substring(s,
+         int(CASE WHEN k = 1 THEN 1L ELSE element_at(cuts, k - 1) + 1 END),
+         int(element_at(cuts, k)
+             - CASE WHEN k = 1 THEN 1L ELSE element_at(cuts, k - 1) + 1 END
+             + 1))
+  )), 1)), 1)
+"""
+    from flink_kmeans_clustering_spark.operators.common import spread
+
+    chunks = (
+        spread(df.filter(F.length(text_col) > 0), id_col)
+        .select(F.col(id_col), F.explode(F.expr(chunk_expr)).alias("_chunk"))
+        .select(
+            F.col(id_col),
+            F.md5(F.col("_chunk")).alias("digest"),
+            F.length("_chunk").alias("_len"),
+        )
+    )
+    stats = chunks.groupBy("digest").agg(
+        F.countDistinct(id_col).alias("n_docs"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.min("_len").alias("chunk_len"),
+        F.min(id_col).alias("min_doc_id"),
+    )
+    return (
+        stats.filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "digest")
+        .limit(top_n)
+    )

@@ -265,6 +265,12 @@ PICKS = [
         "distance mass), 1-row broadcasts back, Efraimidis-Spirakis "
         "draw as TakeOrderedAndProject",
     ),
+    (
+        "q_dedup_gear",
+        "Content-defined chunking — cut/slice/digest as ONE let-bound "
+        "codegen expression per row, a single linear digest-aggregate "
+        "shuffle, join-free",
+    ),
 ]
 
 

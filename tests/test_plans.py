@@ -1257,3 +1257,18 @@ def test_coreset_is_two_aggregates_and_takeordered(spark):
     assert "SortMergeJoin" not in plan, plan
     assert_has_node(df, "TakeOrderedAndProject")
     assert "Sort " not in plan.replace("TakeOrderedAndProject", ""), plan
+
+
+def test_gear_chunking_is_one_linear_shuffle(spark):
+    """Content-defined chunking plan shape: the cut/slice/digest work is
+    ONE let-bound codegen'd expression per row (no join), and the only
+    exchanges are the spread rebalance plus the digest aggregate —
+    linear corpus physics, no pair blow-up anywhere in the plan."""
+    from flink_kmeans_clustering_spark.operators.dedup import gear_chunk_stats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = gear_chunk_stats(docs)
+    plan = explain_str(df)
+    assert "Join" not in plan, plan
+    assert_max_shuffles(df, 3)  # spread + partial/final digest agg
+    assert_has_node(df, "TakeOrderedAndProject")

@@ -304,3 +304,70 @@ def test_array_lit_rejects_non_finite_and_renders_ints(spark):
         array_lit([2**40], kind="long").alias("b"),
     ).collect()
     assert r["a"] == [[1, 2], [3, 4]] and r["b"] == [2**40]
+
+
+# --- gear_chunk_stats (late-r09: content-defined chunking dedup) -------------
+
+
+def test_gear_chunks_realign_after_insertion(spark):
+    """The content-defined property itself: inserting a prefix shifts
+    every fixed-offset block, but gear cuts re-align — the two docs
+    must SHARE at least one cross-doc chunk digest."""
+    from flink_kmeans_clustering_spark.operators.dedup import gear_chunk_stats
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the miller grinds slowly through the long afternoon of "
+        "a dusty village summer with carts and bells and dogs barking"
+    )
+    docs = spark.createDataFrame(
+        [(0, base), (1, "INSERTED PREFIX >>> " + base)],
+        "doc_id long, text string",
+    )
+    got = gear_chunk_stats(docs, top_n=100).collect()
+    assert len(got) >= 1  # shared chunk(s) found across the two docs
+    assert all(r["n_docs"] == 2 for r in got)
+
+
+def test_gear_chunks_reassemble_and_short_doc_single_chunk(spark):
+    """Cuts partition the text exactly (no char lost or doubled), and a
+    doc shorter than the window is ONE chunk."""
+    from pyspark.sql import functions as F2
+
+    from flink_kmeans_clustering_spark.operators.dedup import (
+        GEAR_WINDOW,
+        gear_chunk_stats,
+    )
+
+    # reassembly: total chunk bytes per doc == doc length (digest-level
+    # stats are the public surface, so check via the digest table at
+    # min_docs=1 with occurrences * len summed per doc)
+    docs = spark.createDataFrame(
+        [(0, "x" * (GEAR_WINDOW - 1)), (1, "some longer text " * 20)],
+        "doc_id long, text string",
+    )
+    out = gear_chunk_stats(docs, top_n=1000, min_docs=1).collect()
+    total = {0: 0, 1: 0}
+    for r in out:
+        total[r["min_doc_id"]] += r["n_occurrences"] * r["chunk_len"]
+    assert total[0] == GEAR_WINDOW - 1  # single chunk, whole doc
+    [short] = [r for r in out if r["min_doc_id"] == 0]
+    assert short["n_occurrences"] == 1 and short["chunk_len"] == GEAR_WINDOW - 1
+
+
+def test_gear_table_is_deterministic_and_engine_free(spark):
+    import hashlib
+
+    from flink_kmeans_clustering_spark.operators.dedup import gear_table
+
+    t = gear_table()
+    assert len(t) == 256 and len(set(t)) > 250  # near-unique diffusion
+    assert t[0] == int(hashlib.md5(b"gear:0").hexdigest()[:8], 16)
+    assert all(0 <= v < 2**32 for v in t)
+
+
+def test_gear_empty_input_yields_empty(spark):
+    from flink_kmeans_clustering_spark.operators.dedup import gear_chunk_stats
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert gear_chunk_stats(docs).count() == 0
