@@ -283,6 +283,36 @@ def minhash_lsh_pairs(
 
     Output: (id_a, id_b, est_jaccard) with id_a < id_b.
     """
+    return _minhash_lsh_sig_pairs(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+        hash_fn=hash_fn,
+    ).select("id_a", "id_b", "est_jaccard")
+
+
+def _minhash_lsh_sig_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_hashes: int,
+    bands: int,
+    threshold: float,
+    hash_fn: str,
+) -> DataFrame:
+    """:func:`minhash_lsh_pairs` body, keeping the signatures.
+
+    Output: (id_a, id_b, est_jaccard, sig_a, sig_b).  Internal —
+    :func:`bbit_minhash_report` re-slices the SAME lane values for its
+    b-bit estimate instead of rebuilding candidate-sized signatures
+    (the rebuild was a second corpus-semi-join job + an extra eager
+    ``localCheckpoint``; the lanes were identical by construction).
+    """
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     if hash_fn not in ("xxhash64", "md5"):
@@ -357,9 +387,9 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     est = signature_similarity(F.col("sig_a"), F.col("sig_b"))
-    return cand.select("id_a", "id_b", est.alias("est_jaccard")).filter(
-        F.col("est_jaccard") >= threshold
-    )
+    return cand.select(
+        "id_a", "id_b", est.alias("est_jaccard"), "sig_a", "sig_b"
+    ).filter(F.col("est_jaccard") >= threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -1037,12 +1067,16 @@ def bbit_minhash_report(
     :func:`minhash_calibration` before sizing signatures.
 
     Physics mirrors the calibration operator: candidates are every
-    band-collision pair at the structural minimum threshold; candidate
-    ids broadcast-semi-join the corpus BEFORE any per-pair work, so
-    signature rebuild + exact Jaccard stay candidate-sized and the
-    corpus is never shuffled twice.  Lanes are md5 hex-slices
-    (engine-replayable; ``hash_fn`` must be "md5" — the whole point is
-    an oracle-checkable estimator study).
+    band-collision pair at the structural minimum threshold, and the
+    b-bit estimate re-slices the SAME md5 lane values the LSH pass
+    already computed (the signatures ride along on the pair rows —
+    no candidate-sized signature rebuild, no second eager checkpoint);
+    only the exact-Jaccard side re-shingles, candidate-sized, after a
+    broadcast semi-join, so the corpus is scanned exactly twice (once
+    for the sketch, once for the candidate shingles) and never
+    shuffled twice.  Lanes are md5 hex-slices (engine-replayable;
+    ``hash_fn`` must be "md5" — the whole point is an oracle-checkable
+    estimator study).
 
     Output per full-estimate bucket: (est_jaccard, n_pairs, avg_exact,
     mae_full, avg_bbit, mae_bbit) — 6-decimal DECIMAL-summed means.
@@ -1061,7 +1095,11 @@ def bbit_minhash_report(
 
     modulus = 1 << b
     collision = 1.0 / modulus
-    cand = minhash_lsh_pairs(
+    # ONE eager materialization: the pair list WITH both signatures.
+    # Everything downstream (ids for the semi-join, the b-bit slices,
+    # the full-sketch estimate) reads these rows — the LSH pass runs
+    # exactly once and no signature is ever rebuilt.
+    cand = _minhash_lsh_sig_pairs(
         docs,
         id_col=id_col,
         text_col=text_col,
@@ -1079,55 +1117,23 @@ def bbit_minhash_report(
     needed = docs.join(
         F.broadcast(cand_ids), docs[id_col] == F.col("_cid"), "left_semi"
     )
-    # candidate-sized signature rebuild, identical lane construction to
-    # minhash_lsh_pairs' md5 branch (two 60-bit hex-slice lanes per
-    # digest), plus the shingle set for the exact side
+    # candidate-sized shingle sets for the exact side only (signatures
+    # already ride on cand).  Broadcast onto the pair rows twice — the
+    # shingle table is candidate-sized by construction, and the two
+    # broadcast builds are cheaper than the eager checkpoint they
+    # replace.
     sh = needed.select(
         F.col(id_col).alias("_id"),
         ngram_shingles(tokenize(F.col(text_col)), n).alias("_sh"),
-    ).localCheckpoint()
-    ex = sh.select("_id", F.explode("_sh").alias("s"))
-    n_digests = (num_hashes + 1) // 2
-    ex = ex.select(
-        "_id",
-        *[
-            F.md5(F.concat(F.lit(f"{g}:"), F.col("s"))).alias(f"_m{g}")
-            for g in range(n_digests)
-        ],
     )
-    lanes = [
-        F.min(
-            F.conv(
-                F.substring(F.col(f"_m{i // 2}"), 1 + 15 * (i % 2), 15),
-                16,
-                10,
-            ).cast("long")
-        ).alias(f"_h{i}")
-        for i in range(num_hashes)
-    ]
-    sig = (
-        ex.groupBy("_id")
-        .agg(*lanes)
-        .select(
-            "_id",
-            F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias(
-                "sig"
-            ),
-        )
-        .join(sh, "_id")
-    )
-    with_a = (
-        sig.join(F.broadcast(cand), F.col("_id") == F.col("id_a"))
-        .drop("_id")
-        .withColumnRenamed("sig", "sig_a")
-        .withColumnRenamed("_sh", "sh_a")
-    )
-    with_ab = (
-        sig.join(F.broadcast(with_a), F.col("_id") == F.col("id_b"))
-        .drop("_id")
-        .withColumnRenamed("sig", "sig_b")
-        .withColumnRenamed("_sh", "sh_b")
-    )
+    with_a = cand.join(
+        F.broadcast(sh.select(F.col("_id"), F.col("_sh").alias("sh_a"))),
+        F.col("_id") == F.col("id_a"),
+    ).drop("_id")
+    with_ab = with_a.join(
+        F.broadcast(sh.select(F.col("_id"), F.col("_sh").alias("sh_b"))),
+        F.col("_id") == F.col("id_b"),
+    ).drop("_id")
     match_b = F.size(
         F.filter(
             F.zip_with(
