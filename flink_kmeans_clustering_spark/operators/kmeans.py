@@ -912,14 +912,26 @@ def assign_points_nd(
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
 
-    def _cand(i: Column) -> Column:
-        diff2 = F.zip_with(vec, F.get(mat, i), lambda a, b: (a - b) * (a - b))
-        d2 = F.aggregate(diff2, F.lit(0.0), lambda acc, v: acc + v)
+    def _cand(v: Column, i: Column) -> Column:
+        diff2 = F.zip_with(v, F.get(mat, i), lambda a, b: (a - b) * (a - b))
+        d2 = F.aggregate(diff2, F.lit(0.0), lambda acc, v_: acc + v_)
         return F.struct(
             d2.alias("dist2"), F.get(ids, i).cast("int").alias("cluster")
         )
 
-    best = F.array_min(F.transform(idx, _cand))
+    # let-bind the cast vector: referencing `vec` directly inside the
+    # per-candidate lambda would re-inline the O(dim) cast+alloc k
+    # times per row (the HOF projection-collapse pitfall, in argmin
+    # position this time)
+    best = F.element_at(
+        F.transform(
+            F.array(vec),
+            lambda v: F.array_min(
+                F.transform(idx, lambda i: _cand(v, i))
+            ),
+        ),
+        1,
+    )
     cols = [*vectors.columns, best["cluster"].alias(cluster_col)]
     if dist2_col:
         cols.append(best["dist2"].alias(dist2_col))
@@ -936,16 +948,38 @@ def update_centroids_nd(
     the ``dim`` components is its own SUM column in one HashAggregate,
     so the shuffle carries k rows × (dim+1) doubles — not the N×dim
     row blowup a posexplode would ship.  Returns (id, centroid
-    array<double>, n)."""
-    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    sums = [
-        F.sum(F.element_at(vec, j + 1)).alias(f"_s{j}") for j in range(dim)
-    ]
+    array<double>, n).
+
+    Each SUM input is ``element_at(col, j).cast(double)`` — casting
+    the ELEMENT, not the array: a whole-array ``transform`` cast here
+    would be re-inlined into all ``dim`` aggregate inputs (O(dim²)
+    interpreted work per row and a dim× bigger codegen unit); the
+    per-element cast is bit-identical (float→double is exact)."""
+    sums, centroid = _nd_update_exprs(dim, vec_col)
     agg = assigned.groupBy(F.col(cluster_col).alias("id")).agg(
         *sums, F.count(F.lit(1)).alias("n")
     )
-    centroid = F.array(*[F.col(f"_s{j}") / F.col("n") for j in range(dim)])
     return agg.select("id", centroid.alias("centroid"), "n")
+
+
+def _nd_update_exprs(
+    dim: int, vec_col: str
+) -> tuple[list[Column], Column]:
+    """(per-dim SUM columns, mean-array expr) for the nd mean update.
+
+    Built ONCE per training call and reused across iterations: the
+    Column objects are unresolved expressions independent of any
+    DataFrame, and constructing ~3·dim of them costs ~1.2 s of py4j
+    round-trips per call at dim=64 — the measured per-iteration floor
+    of the driver loop before hoisting (1.2 s → 0.2 s)."""
+    sums = [
+        F.sum(F.element_at(F.col(vec_col), j + 1).cast("double")).alias(
+            f"_s{j}"
+        )
+        for j in range(dim)
+    ]
+    centroid = F.array(*[F.col(f"_s{j}") / F.col("n") for j in range(dim)])
+    return sums, centroid
 
 
 def lloyd_nd(
@@ -969,13 +1003,29 @@ def lloyd_nd(
     ids = list(range(len(current)))
     conf = vectors.sparkSession.conf
     prev_aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    prev_sp = conf.get("spark.sql.shuffle.partitions", "200")
     try:
         conf.set("spark.sql.adaptive.enabled", "false")
+        # the per-iteration exchange carries ≤k rows — scheduling 32
+        # reduce tasks for 8 rows is pure job-floor; map-side width is
+        # unaffected, so this is scale-neutral
+        conf.set(
+            "spark.sql.shuffle.partitions", str(max(1, len(current)))
+        )
+        # hoist the update aggregate's Column objects out of the loop —
+        # see _nd_update_exprs (py4j construction is the iteration floor)
+        sums, centroid = _nd_update_exprs(dim, vec_col)
+        cnt = F.count(F.lit(1)).alias("n")
         for _ in range(max_iterations):
             a = assign_points_nd(
                 vectors, current, vec_col=vec_col, centroid_ids=ids
             )
-            rows = update_centroids_nd(a, dim, vec_col=vec_col).collect()
+            rows = (
+                a.groupBy(F.col("cluster").alias("id"))
+                .agg(*sums, cnt)
+                .select("id", centroid.alias("centroid"), "n")
+                .collect()
+            )
             rows.sort(key=lambda r: r["id"])
             ids = [int(r["id"]) for r in rows]
             current = [[float(v) for v in r["centroid"]] for r in rows]
@@ -986,6 +1036,7 @@ def lloyd_nd(
         [row] = a.agg(F.sum("_d2").alias("wcss")).collect()
     finally:
         conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        conf.set("spark.sql.shuffle.partitions", prev_sp)
         if cache:
             vectors.unpersist()
     return current, float(row["wcss"] or 0.0), ids
@@ -1075,22 +1126,35 @@ def spherical_kmeans_nd(
     ids = list(range(len(current)))
     conf = vectors.sparkSession.conf
     prev_aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    prev_sp = conf.get("spark.sql.shuffle.partitions", "200")
     try:
         conf.set("spark.sql.adaptive.enabled", "false")
+        # k-row exchanges — see lloyd_nd
+        conf.set(
+            "spark.sql.shuffle.partitions", str(max(1, len(current)))
+        )
+        # element-wise cast, not a whole-array transform: the HOF
+        # would be re-inlined into all dim aggregate inputs (see
+        # update_centroids_nd); vec_col is already array<double> after
+        # normalize_unit_nd, so the double cast is a no-op and the
+        # decimal cast sees identical values.  Hoisted out of the loop
+        # — see _nd_update_exprs (py4j construction is the floor).
+        sums = [
+            F.sum(
+                F.element_at(F.col(vec_col), j + 1)
+                .cast("double")
+                .cast("decimal(25,8)")
+            ).alias(f"_s{j}")
+            for j in range(dim)
+        ]
+        cnt = F.count(F.lit(1)).alias("n")
         for _ in range(max_iterations):
             a = assign_points_nd(
                 unit, current, vec_col=vec_col, centroid_ids=ids
             )
-            vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-            sums = [
-                F.sum(
-                    F.element_at(vec, j + 1).cast("decimal(25,8)")
-                ).alias(f"_s{j}")
-                for j in range(dim)
-            ]
             rows = (
                 a.groupBy(F.col("cluster").alias("id"))
-                .agg(*sums, F.count(F.lit(1)).alias("n"))
+                .agg(*sums, cnt)
                 .collect()
             )
             rows.sort(key=lambda r: r["id"])
@@ -1104,6 +1168,7 @@ def spherical_kmeans_nd(
             ids, current = nxt_ids, nxt
     finally:
         conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        conf.set("spark.sql.shuffle.partitions", prev_sp)
         if cache:
             unit.unpersist()
     return current, ids
