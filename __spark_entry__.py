@@ -3526,10 +3526,56 @@ def q_dedup_gear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gear_chunk_stats(docs)
 
 
+def q_sample_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain-weight learning (Xie et al., NeurIPS 2023):
+    multiplicative-weights updates on per-domain excess loss, where the
+    deterministic analogue of excess loss is KL(p_domain || q_mixture)
+    over hashed-unigram LMs — ONE (domain, md5-bucket) count shuffle,
+    then 5 rounds of k-row driver iteration (the K-Means bulk-iteration
+    contract, KMeans.java:148-236) with 9/12-decimal fixed-point state
+    both engines replay exactly."""
+    from flink_kmeans_clustering_spark.operators.sampling import (
+        doremi_domain_weights,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return doremi_domain_weights(docs)
+
+
+def q_multimodal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP-style image-text agreement filter (the LAION curation
+    stage): frozen md5-derived linear heads project the multimodal
+    byte-histogram tower (mapInPandas decode path) and a row-local
+    hashed-token text tower into a shared 8-dim space; cosine
+    agreement + keep flag per image doc.  Modality pruning pushes to
+    the scan; the only shuffle is the encoder-output ⋈ captions join
+    on doc id."""
+    from flink_kmeans_clustering_spark.operators.multimodal import (
+        clip_agreement_filter,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return clip_agreement_filter(docs)
+
+
+def q_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-snapshot delta-dedup: fraction of the NEW snapshot's bytes
+    already stored chunk-for-chunk in the OLD (md5-split snapshots,
+    gear content-defined cuts so edits don't cascade re-chunking, one
+    digest-key membership join) — the incremental-ingest economics
+    question, per source."""
+    from flink_kmeans_clustering_spark.operators.dedup import (
+        snapshot_delta_dedup,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return snapshot_delta_dedup(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    223 queries; 219 carry DuckDB oracles, 4 are rows-only by design
+    226 queries; 222 carry DuckDB oracles, 4 are rows-only by design
     (MLlib placement RNG, HLL/GK sketch internals, GEMM ulp twin —
     each has a DETERMINISTIC full-oracle twin registered beside it:
     lloyd_nd/kmv/sampled-quantiles/expression-cosine, plus an sf0.1
@@ -3538,83 +3584,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     header cannot go stale again (ADVICE r06).
 
     Registry ORDER is load-bearing: the driver's correctness artifact
-    records the first 50 entries only.  Round 9 window (VERDICT r08
-    items 2+5, exactly as docs/STATUS.md planned): the late-r08 trio
-    that has never sat in a driver window (q_dedup_bbit,
-    q_sample_neyman, q_kmeans_spherical), the THREE queries new this
-    round (q_text_dsir — DSIR importance resampling, q_ann_ivfpq —
-    residual IVFADC, q_sample_coreset — lightweight k-means coreset;
-    new-query count capped so the stale tail keeps draining), the 20
-    r04-green leftovers (q_events_first .. q_sample_mixture) with the
-    rows-only q_events_approx_quantiles followed directly by its
-    full-oracle twin q_events_sampled_quantiles, the other three
-    rows-only+twin pairs (q_dedup_gemm+q_dedup_embedding,
-    q_events_approx_users+q_events_kmv_users, q_kmeans_ml+q_kmeans_nd
-    — VERDICT r08 #5: rows-only status and twin agreement re-checked
-    together), then 17 rows from the r05-green family head.  With
-    this window, cumulative driver coverage reaches 222 of 222 and no
-    row is older than r05; the tail below the window is sorted
-    stalest-first so the r10 window is simply the next 50 rows, and
-    the late-r09 addition (q_dedup_gear — content-defined chunking
-    dedup, in-repo hash-verified at 3 scales after the r09 window
-    froze) sits at the tail head to LEAD the r10 window, the same
-    convention as r08's late trio.
+    records the first 50 entries only.  Round 10 window (VERDICT r09
+    item 2, exactly as docs/STATUS.md planned): q_dedup_gear LEADS
+    (the one registry row never driver-checked — landed after the r09
+    window froze), then the THREE queries new this round
+    (q_sample_doremi — DoReMi domain-weight learning,
+    q_multimodal_agreement — CLIP-style image-text agreement filter,
+    q_dedup_delta — crawl-snapshot delta-dedup over gear chunks;
+    new-query count capped at 3 so the stale tail keeps draining),
+    then the next 46 stalest rows in tail order: the 26 remaining
+    r05-green rows (q_text_lm_bigram .. q_rel_small_qty) and the
+    first 20 of the r06-green family (q_events_rfm ..
+    q_sample_epochs).  With this window, cumulative driver coverage
+    reaches 223 of 223 (every registry row driver-checked at least
+    once).  The tail below the window stays sorted stalest-first —
+    r06 remainder (q_stream_attribution .. q_update) first, so the
+    r11 window is simply the next 50 rows — and the r09 window's 50
+    rows (freshest) moved to the very end.
     """
     return {
-        "q_dedup_bbit": q_dedup_bbit,
-        "q_sample_neyman": q_sample_neyman,
-        "q_kmeans_spherical": q_kmeans_spherical,
-        "q_text_dsir": q_text_dsir,
-        "q_ann_ivfpq": q_ann_ivfpq,
-        "q_sample_coreset": q_sample_coreset,
-        "q_events_first": q_events_first,
-        "q_dedup_fuzzy": q_dedup_fuzzy,
-        "q_rel_upsert": q_rel_upsert,
-        "q_text_drift": q_text_drift,
-        "q_graph_pagerank": q_graph_pagerank,
-        "q_multimodal_resize": q_multimodal_resize,
-        "q_stream_dedup_wm": q_stream_dedup_wm,
-        "q_text_heavyhitters": q_text_heavyhitters,
-        "q_events_runs": q_events_runs,
-        "q_events_pattern": q_events_pattern,
-        "q_events_bandjoin": q_events_bandjoin,
-        "q_sink_bucketed": q_sink_bucketed,
-        "q_text_chunk_udtf": q_text_chunk_udtf,
-        "q_events_approx_quantiles": q_events_approx_quantiles,
-        "q_events_sampled_quantiles": q_events_sampled_quantiles,
-        "q_rel_mincost": q_rel_mincost,
-        "q_rel_suppcnt": q_rel_suppcnt,
-        "q_rel_excess": q_rel_excess,
-        "q_rel_shipmodes": q_rel_shipmodes,
-        "q_rel_waiting": q_rel_waiting,
-        "q_sample_mixture": q_sample_mixture,
-        "q_dedup_gemm": q_dedup_gemm,
-        "q_dedup_embedding": q_dedup_embedding,
-        "q_events_approx_users": q_events_approx_users,
-        "q_events_kmv_users": q_events_kmv_users,
-        "q_kmeans_ml": q_kmeans_ml,
-        "q_kmeans_nd": q_kmeans_nd,
-        "q_ann_pq": q_ann_pq,
-        "q_dedup_contain": q_dedup_contain,
-        "q_profile": q_profile,
-        "q_ann_pq_trained": q_ann_pq_trained,
-        "q_ann_trained": q_ann_trained,
-        "q_embed_pca": q_embed_pca,
-        "q_dedup_keep": q_dedup_keep,
-        "q_stream_mview": q_stream_mview,
-        "q_text_novelty": q_text_novelty,
-        "q_text_seg_dedup": q_text_seg_dedup,
-        "q_text_redact": q_text_redact,
-        "q_sample_temperature": q_sample_temperature,
-        "q_embed_drift": q_embed_drift,
-        "q_ann_hamming": q_ann_hamming,
-        "q_text_bpe": q_text_bpe,
-        "q_sample_kcenter": q_sample_kcenter,
-        "q_sample_domain_cap": q_sample_domain_cap,
         "q_dedup_gear": q_dedup_gear,
-        # --- below: outside the driver's 50-row window this round,
-        # --- stalest-first (latest driver-check round ascending) so
-        # --- the r10 window is simply the next rows in order ---
+        "q_sample_doremi": q_sample_doremi,
+        "q_multimodal_agreement": q_multimodal_agreement,
+        "q_dedup_delta": q_dedup_delta,
         "q_text_lm_bigram": q_text_lm_bigram,
         "q_multimodal_audio": q_multimodal_audio,
         "q_dedup_soft": q_dedup_soft,
@@ -3661,6 +3653,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_paths": q_events_paths,
         "q_text_langid_eval": q_text_langid_eval,
         "q_sample_epochs": q_sample_epochs,
+        # --- below: outside the driver's 50-row window this round,
+        # --- stalest-first (latest driver-check round ascending) so
+        # --- the r11 window is simply the next rows in order ---
         "q_stream_attribution": q_stream_attribution,
         "q_embed_health": q_embed_health,
         "q_dedup_cc": q_dedup_cc,
@@ -3787,6 +3782,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kmeans_scalable": q_kmeans_scalable,
         "q_stream_kmeans": q_stream_kmeans,
         "q_rel_groupsets": q_rel_groupsets,
+        "q_dedup_bbit": q_dedup_bbit,
+        "q_sample_neyman": q_sample_neyman,
+        "q_kmeans_spherical": q_kmeans_spherical,
+        "q_text_dsir": q_text_dsir,
+        "q_ann_ivfpq": q_ann_ivfpq,
+        "q_sample_coreset": q_sample_coreset,
+        "q_events_first": q_events_first,
+        "q_dedup_fuzzy": q_dedup_fuzzy,
+        "q_rel_upsert": q_rel_upsert,
+        "q_text_drift": q_text_drift,
+        "q_graph_pagerank": q_graph_pagerank,
+        "q_multimodal_resize": q_multimodal_resize,
+        "q_stream_dedup_wm": q_stream_dedup_wm,
+        "q_text_heavyhitters": q_text_heavyhitters,
+        "q_events_runs": q_events_runs,
+        "q_events_pattern": q_events_pattern,
+        "q_events_bandjoin": q_events_bandjoin,
+        "q_sink_bucketed": q_sink_bucketed,
+        "q_text_chunk_udtf": q_text_chunk_udtf,
+        "q_events_approx_quantiles": q_events_approx_quantiles,
+        "q_events_sampled_quantiles": q_events_sampled_quantiles,
+        "q_rel_mincost": q_rel_mincost,
+        "q_rel_suppcnt": q_rel_suppcnt,
+        "q_rel_excess": q_rel_excess,
+        "q_rel_shipmodes": q_rel_shipmodes,
+        "q_rel_waiting": q_rel_waiting,
+        "q_sample_mixture": q_sample_mixture,
+        "q_dedup_gemm": q_dedup_gemm,
+        "q_dedup_embedding": q_dedup_embedding,
+        "q_events_approx_users": q_events_approx_users,
+        "q_events_kmv_users": q_events_kmv_users,
+        "q_kmeans_ml": q_kmeans_ml,
+        "q_kmeans_nd": q_kmeans_nd,
+        "q_ann_pq": q_ann_pq,
+        "q_dedup_contain": q_dedup_contain,
+        "q_profile": q_profile,
+        "q_ann_pq_trained": q_ann_pq_trained,
+        "q_ann_trained": q_ann_trained,
+        "q_embed_pca": q_embed_pca,
+        "q_dedup_keep": q_dedup_keep,
+        "q_stream_mview": q_stream_mview,
+        "q_text_novelty": q_text_novelty,
+        "q_text_seg_dedup": q_text_seg_dedup,
+        "q_text_redact": q_text_redact,
+        "q_sample_temperature": q_sample_temperature,
+        "q_embed_drift": q_embed_drift,
+        "q_ann_hamming": q_ann_hamming,
+        "q_text_bpe": q_text_bpe,
+        "q_sample_kcenter": q_sample_kcenter,
+        "q_sample_domain_cap": q_sample_domain_cap,
     }
 
 
@@ -4765,7 +4810,8 @@ ch AS (
          CAST(cuts[CAST(k AS INT)]
               - (CASE WHEN k = 1 THEN 1 ELSE cuts[CAST(k AS INT) - 1] + 1 END)
               + 1 AS BIGINT) AS _len
-  FROM cu, (SELECT unnest(range(1, 10000)) AS k) ks
+  FROM cu, (SELECT unnest(range(1,
+         (SELECT COALESCE(MAX(length(text)), 0) + 2 FROM documents))) AS k) ks
   WHERE k <= len(cuts)
 )
 SELECT digest,
@@ -4778,6 +4824,239 @@ GROUP BY digest
 HAVING COUNT(DISTINCT doc_id) >= 2
 ORDER BY n_docs DESC, n_occurrences DESC, digest
 LIMIT 20
+"""
+
+    from flink_kmeans_clustering_spark.operators.sampling import (
+        DOREMI_BUCKETS,
+        DOREMI_ETA,
+        DOREMI_ROUNDS,
+        DOREMI_SMOOTH,
+    )
+
+    # DoReMi: same tokenize/md5 buckets, same add-1 LMs, and the SAME
+    # fixed-point iteration discipline as the Spark driver loop (KL
+    # rounded half-up at 9dp before exp, alpha at 12dp after smoothing)
+    # replayed as a recursive CTE over (domain-list, per-domain LM-list)
+    # state.  All folds run in (bucket, then domain-name) order on both
+    # sides, so libm ulp noise cannot compound across rounds.
+    _dmB, _dmT = DOREMI_BUCKETS, DOREMI_ROUNDS
+    _dmE, _dmC = DOREMI_ETA, DOREMI_SMOOTH
+    sample_doremi_sql = f"""
+WITH RECURSIVE
+tok AS (
+  SELECT source AS d,
+         CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT) % {_dmB} AS b
+  FROM (SELECT source,
+               unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                  x -> x <> '')) AS g
+        FROM documents)
+),
+cnt AS (SELECT d, b, COUNT(*) AS c FROM tok GROUP BY d, b),
+spine AS (
+  SELECT s.d, bb.b
+  FROM (SELECT DISTINCT source AS d FROM documents) s,
+       (SELECT unnest(range(0, {_dmB})) AS b) bb
+),
+fc AS (
+  SELECT sp.d, sp.b, COALESCE(c, 0) AS c
+  FROM spine sp LEFT JOIN cnt ON cnt.d = sp.d AND cnt.b = sp.b
+),
+dom AS (SELECT d, SUM(c) AS cd FROM fc GROUP BY d),
+p AS (
+  SELECT fc.d, list((fc.c + 1.0) / (dom.cd + {_dmB}.0) ORDER BY fc.b) AS pv
+  FROM fc JOIN dom USING (d) GROUP BY fc.d
+),
+pm AS (
+  SELECT list(d ORDER BY d) AS ds, list(pv ORDER BY d) AS ps,
+         len(list(d ORDER BY d)) AS k
+  FROM p
+),
+it AS (
+  SELECT 0 AS t, list_transform(range(1, k + 1), d -> 1.0 / k) AS alpha FROM pm
+  UNION ALL
+  SELECT t + 1,
+         list_transform(range(1, k + 1), d ->
+           round((1.0 - {_dmC}) * raw[d] / z + {_dmC} / k, 12))
+  FROM (
+    SELECT t, k, raw, list_sum(raw) AS z
+    FROM (
+      SELECT t, k,
+             list_transform(range(1, k + 1), d -> alpha[d] * exp({_dmE} * kl[d])) AS raw
+      FROM (
+        SELECT t, k, alpha,
+               list_transform(range(1, k + 1), d ->
+                 round(list_sum(list_transform(range(1, {_dmB} + 1), b ->
+                   ps[d][b] * ln(ps[d][b] / q[b]))), 9)) AS kl
+        FROM (
+          SELECT it.t, pm.k, it.alpha, pm.ps,
+                 list_transform(range(1, {_dmB} + 1), b ->
+                   list_sum(list_transform(range(1, pm.k + 1), d ->
+                     it.alpha[d] * pm.ps[d][b]))) AS q
+          FROM it, pm WHERE it.t < {_dmT}
+        )
+      )
+    )
+  )
+),
+fin AS (SELECT alpha FROM it WHERE t = {_dmT}),
+klf AS (
+  SELECT list_transform(range(1, k + 1), d ->
+           round(list_sum(list_transform(range(1, {_dmB} + 1), b ->
+             ps[d][b] * ln(ps[d][b] / q[b]))), 9)) AS kl
+  FROM (
+    SELECT pm.k, pm.ps,
+           list_transform(range(1, {_dmB} + 1), b ->
+             list_sum(list_transform(range(1, pm.k + 1), d ->
+               fin.alpha[d] * pm.ps[d][b]))) AS q
+    FROM fin, pm
+  )
+),
+nd AS (SELECT source AS d, COUNT(*) AS n FROM documents GROUP BY source),
+tt AS (SELECT SUM(cd) AS total FROM dom)
+SELECT pm.ds[i] AS source,
+       CAST(nd.n AS BIGINT) AS n_docs,
+       CAST(dom.cd AS BIGINT) AS n_tokens,
+       round(dom.cd / tt.total, 6) AS token_share,
+       round(fin.alpha[i], 6) AS doremi_weight,
+       round(klf.kl[i], 6) AS kl
+FROM pm, fin, klf, tt,
+     (SELECT unnest(range(1, (SELECT k FROM pm) + 1)) AS i) ii
+JOIN nd ON nd.d = pm.ds[i]
+JOIN dom ON dom.d = pm.ds[i]
+ORDER BY source
+"""
+
+    from flink_kmeans_clustering_spark.operators.multimodal import (
+        CLIP_TAU,
+        clip_head_weights,
+    )
+
+    def _mat_lit(mat) -> str:
+        return (
+            "["
+            + ",".join(
+                "[" + ",".join(repr(v) for v in row) + "]" for row in mat
+            )
+            + "]"
+        )
+
+    _wi, _wt = _mat_lit(clip_head_weights("img")), _mat_lit(clip_head_weights("txt"))
+    multimodal_agreement_sql = f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+ipos AS (
+  SELECT doc_id, CAST(ascii(substring(text, CAST(i AS INT), 1)) // 16 AS INT) AS b
+  FROM (SELECT doc_id, text, unnest(range(1, length(text)+1)) AS i FROM d)
+),
+icnt AS (SELECT doc_id, b, COUNT(*) AS c FROM ipos GROUP BY 1, 2),
+igrid AS (
+  SELECT doc_id, length(text) AS n, CAST(p AS INT) AS b
+  FROM d, (SELECT unnest(range(0, 16)) AS p)
+),
+hi AS (
+  SELECT g.doc_id,
+         list(CASE WHEN g.n = 0 THEN 0.0
+                   ELSE ROUND(COALESCE(c, 0) * 1.0 / g.n, 6) END ORDER BY g.b) AS hi
+  FROM igrid g LEFT JOIN icnt ON icnt.doc_id = g.doc_id AND icnt.b = g.b
+  GROUP BY g.doc_id
+),
+tk AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT) % 16 AS b
+  FROM (SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                  x -> x <> '')) AS t
+        FROM d)
+),
+tnum AS (SELECT doc_id, COUNT(*) AS nt FROM tk GROUP BY doc_id),
+tcnt AS (SELECT doc_id, b, COUNT(*) AS c FROM tk GROUP BY 1, 2),
+tgrid AS (
+  SELECT d.doc_id, COALESCE(nt, 0) AS n, CAST(p AS INT) AS b
+  FROM d LEFT JOIN tnum USING (doc_id), (SELECT unnest(range(0, 16)) AS p)
+),
+ht AS (
+  SELECT g.doc_id,
+         list(CASE WHEN g.n = 0 THEN 0.0
+                   ELSE ROUND(COALESCE(c, 0) * 1.0 / g.n, 6) END ORDER BY g.b) AS ht
+  FROM tgrid g LEFT JOIN tcnt ON tcnt.doc_id = g.doc_id AND tcnt.b = g.b
+  GROUP BY g.doc_id
+),
+proj AS (
+  SELECT hi.doc_id,
+         list_transform(range(1, 9), j ->
+           list_sum(list_transform(range(1, 17), i -> {_wi}[j][i] * hi[i]))) AS zi,
+         list_transform(range(1, 9), j ->
+           list_sum(list_transform(range(1, 17), i -> {_wt}[j][i] * ht[i]))) AS zt
+  FROM hi JOIN ht USING (doc_id)
+),
+sc AS (
+  SELECT doc_id,
+         sqrt(list_sum(list_transform(zi, v -> v*v))) AS ni,
+         sqrt(list_sum(list_transform(zt, v -> v*v))) AS nt,
+         list_sum(list_transform(range(1, 9), j -> zi[j]*zt[j])) AS dot
+  FROM proj
+)
+SELECT doc_id,
+       CASE WHEN ni > 0 AND nt > 0 THEN ROUND(dot / (ni * nt), 6) END AS agreement,
+       COALESCE((CASE WHEN ni > 0 AND nt > 0
+                      THEN ROUND(dot / (ni * nt), 6) END) >= {CLIP_TAU}, FALSE) AS keep
+FROM sc ORDER BY doc_id
+"""
+
+    # Delta-dedup: the SAME gear cut kernel as dedup_gear_sql, kept
+    # column-parallel with snapshot/source tags, then the old-snapshot
+    # digest membership join.
+    dedup_delta_sql = f"""
+WITH d AS (
+  SELECT doc_id, source, text AS s,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) % 2 = 1 AS is_new
+  FROM documents WHERE length(text) > 0
+),
+cu AS (
+  SELECT doc_id, source, is_new, s,
+    CASE WHEN length(s) < {_gw} THEN [CAST(length(s) AS BIGINT)]
+         ELSE list_sort(list_distinct(list_concat(
+           list_filter(range({_gw}, CAST(length(s) AS BIGINT) + 1), i ->
+             list_sum(list_transform(range(0, {_gw}), j ->
+               {_gear_list}[(ascii(substring(s, CAST(i - j AS INT), 1)) % 256) + 1]
+               * (1 << ({_gw - 1} - j)))) % {_gm} = 0),
+           [CAST(length(s) AS BIGINT)]))) END AS cuts
+  FROM d
+),
+ch AS (
+  SELECT doc_id, source, is_new,
+         md5(substring(s,
+           CAST(CASE WHEN k = 1 THEN 1 ELSE cuts[CAST(k AS INT) - 1] + 1 END AS INT),
+           CAST(cuts[CAST(k AS INT)]
+                - (CASE WHEN k = 1 THEN 1 ELSE cuts[CAST(k AS INT) - 1] + 1 END)
+                + 1 AS INT))) AS digest,
+         CAST(cuts[CAST(k AS INT)]
+              - (CASE WHEN k = 1 THEN 1 ELSE cuts[CAST(k AS INT) - 1] + 1 END)
+              + 1 AS BIGINT) AS _len
+  FROM cu, (SELECT unnest(range(1,
+         (SELECT COALESCE(MAX(length(text)), 0) + 2 FROM documents))) AS k) ks
+  WHERE k <= len(cuts)
+),
+old_digests AS (SELECT DISTINCT digest FROM ch WHERE NOT is_new),
+dup AS (
+  SELECT source, SUM(_len) AS dup_bytes, COUNT(*) AS dup_chunks
+  FROM ch JOIN old_digests USING (digest) WHERE is_new GROUP BY source
+),
+totals AS (
+  SELECT source, COUNT(*) AS n_new_docs, SUM(length(text)) AS new_bytes
+  FROM documents
+  WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) % 2 = 1
+  GROUP BY source
+)
+SELECT t.source,
+       CAST(n_new_docs AS BIGINT) AS n_new_docs,
+       CAST(new_bytes AS BIGINT) AS new_bytes,
+       CAST(COALESCE(dup_bytes, 0) AS BIGINT) AS dup_bytes,
+       CAST(COALESCE(dup_chunks, 0) AS BIGINT) AS dup_chunks,
+       CASE WHEN new_bytes > 0
+            THEN ROUND(COALESCE(dup_bytes, 0) * 1.0 / new_bytes, 6)
+            ELSE 0.0 END AS dedup_ratio
+FROM totals t LEFT JOIN dup ON dup.source = t.source
+ORDER BY t.source
 """
 
     ann_ivf_sql = f"""
@@ -8700,6 +8979,9 @@ FROM c
         "q_text_tokenfreq_salted": text_tokenfreq_salted_sql,
         "q_text_repetition": text_repetition_sql,
         "q_dedup_gear": dedup_gear_sql,
+        "q_sample_doremi": sample_doremi_sql,
+        "q_multimodal_agreement": multimodal_agreement_sql,
+        "q_dedup_delta": dedup_delta_sql,
         "q_text_dsir": text_dsir_sql,
         "q_ann_ivfpq": ann_ivfpq_sql,
         "q_sample_coreset": sample_coreset_sql,

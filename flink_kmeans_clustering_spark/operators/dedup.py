@@ -2504,6 +2504,59 @@ def gear_table() -> list[int]:
     ]
 
 
+def gear_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = GEAR_WINDOW,
+    boundary_mod: int = GEAR_BOUNDARY_MOD,
+    extra_cols: tuple = (),
+) -> DataFrame:
+    """Content-defined chunk rows: (id, *extra_cols, digest, _len), one
+    row per gear-cut chunk of each non-empty document.  The shared
+    cut/slice/digest kernel of :func:`gear_chunk_stats` (see there for
+    the hash definition and determinism contract) — the whole per-doc
+    computation is ONE let-bound codegen'd expression, and ``spread``
+    rebalances single-file scans across the slots before the heavy
+    per-row work (the q_multimodal_phash lesson)."""
+    glit = "array(" + ",".join(f"{v}L" for v in gear_table()) + ")"
+    w, mod = int(window), int(boundary_mod)
+    chunk_expr = f"""
+element_at(transform(array({text_col}), s ->
+  element_at(transform(array(
+    CASE WHEN length(s) < {w} THEN array(bigint(length(s)))
+         ELSE array_sort(array_distinct(concat(
+           filter(sequence(bigint({w}), bigint(length(s))), i ->
+             aggregate(sequence(0, {w - 1}), 0L, (acc, j) ->
+               acc + element_at({glit},
+                       int(pmod(ascii(substring(s, int(i - j), 1)), 256)) + 1)
+                     * shiftleft(1L, {w - 1} - j)) % {mod} = 0),
+           array(bigint(length(s)))))) END
+  ), cuts -> transform(sequence(1, size(cuts)), k ->
+       substring(s,
+         int(CASE WHEN k = 1 THEN 1L ELSE element_at(cuts, k - 1) + 1 END),
+         int(element_at(cuts, k)
+             - CASE WHEN k = 1 THEN 1L ELSE element_at(cuts, k - 1) + 1 END
+             + 1))
+  )), 1)), 1)
+"""
+    from flink_kmeans_clustering_spark.operators.common import spread
+
+    extras = [F.col(c) for c in extra_cols]
+    return (
+        spread(df.filter(F.length(text_col) > 0), id_col)
+        .select(
+            F.col(id_col), *extras, F.explode(F.expr(chunk_expr)).alias("_chunk")
+        )
+        .select(
+            F.col(id_col),
+            *extras,
+            F.md5(F.col("_chunk")).alias("digest"),
+            F.length("_chunk").alias("_len"),
+        )
+    )
+
+
 def gear_chunk_stats(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -2543,38 +2596,7 @@ def gear_chunk_stats(
     (n_docs DESC, n_occurrences DESC, digest) with chunk length and
     the lowest containing doc id.
     """
-    glit = "array(" + ",".join(f"{v}L" for v in gear_table()) + ")"
-    w, mod = int(window), int(boundary_mod)
-    chunk_expr = f"""
-element_at(transform(array({text_col}), s ->
-  element_at(transform(array(
-    CASE WHEN length(s) < {w} THEN array(bigint(length(s)))
-         ELSE array_sort(array_distinct(concat(
-           filter(sequence(bigint({w}), bigint(length(s))), i ->
-             aggregate(sequence(0, {w - 1}), 0L, (acc, j) ->
-               acc + element_at({glit},
-                       int(pmod(ascii(substring(s, int(i - j), 1)), 256)) + 1)
-                     * shiftleft(1L, {w - 1} - j)) % {mod} = 0),
-           array(bigint(length(s)))))) END
-  ), cuts -> transform(sequence(1, size(cuts)), k ->
-       substring(s,
-         int(CASE WHEN k = 1 THEN 1L ELSE element_at(cuts, k - 1) + 1 END),
-         int(element_at(cuts, k)
-             - CASE WHEN k = 1 THEN 1L ELSE element_at(cuts, k - 1) + 1 END
-             + 1))
-  )), 1)), 1)
-"""
-    from flink_kmeans_clustering_spark.operators.common import spread
-
-    chunks = (
-        spread(df.filter(F.length(text_col) > 0), id_col)
-        .select(F.col(id_col), F.explode(F.expr(chunk_expr)).alias("_chunk"))
-        .select(
-            F.col(id_col),
-            F.md5(F.col("_chunk")).alias("digest"),
-            F.length("_chunk").alias("_len"),
-        )
-    )
+    chunks = gear_chunks(df, id_col, text_col, window, boundary_mod)
     stats = chunks.groupBy("digest").agg(
         F.countDistinct(id_col).alias("n_docs"),
         F.count(F.lit(1)).alias("n_occurrences"),
@@ -2585,4 +2607,90 @@ element_at(transform(array({text_col}), s ->
         stats.filter(F.col("n_docs") >= min_docs)
         .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "digest")
         .limit(top_n)
+    )
+
+
+def snapshot_delta_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    window: int = GEAR_WINDOW,
+    boundary_mod: int = GEAR_BOUNDARY_MOD,
+) -> DataFrame:
+    """Crawl-snapshot delta-dedup: how many bytes of TODAY's crawl are
+    already stored in YESTERDAY's, chunk-for-chunk?  The incremental-
+    ingest question every recrawling pipeline answers before paying to
+    re-process — composing :func:`gear_chunks` (content-defined cuts,
+    so a prefix edit doesn't cascade re-chunking) with the snapshot-
+    membership join of ``incremental_dedup``.
+
+    Snapshots here are a deterministic content-hash split (first md5
+    hex byte of the doc id: even = OLD, odd = NEW — a stand-in for a
+    crawl-date column that, unlike raw id parity, is uncorrelated with
+    the generator's id-derived source/modality columns).  Per NEW
+    document, a chunk's bytes are "already stored" iff its digest
+    appears ANYWHERE in the old snapshot.
+
+    Scale shape: one documents scan feeds the chunk kernel for both
+    snapshots (row-local, no shuffle); old-side digests distinct (one
+    exchange on digest — uniform md5 keys, skew-free) then a
+    digest-key inner join against the new-side chunks (the second
+    exchange; at 100 TB the old snapshot's digest index is a bucketed
+    table on digest, making the daily delta join exchange-free on the
+    stored side — the data-domain dedup of Venti/LBFS at crawl scale).
+    Group rollups are k-row aggregates.
+
+    Output: one row per ``group_col`` — (group, n_new_docs, new_bytes,
+    dup_bytes, dup_chunks, dedup_ratio) ordered by group; empty-text
+    docs carry zero chunk bytes but still count in n_new_docs.
+    """
+    def _is_new(c):
+        b = F.conv(F.substring(F.md5(c.cast("string")), 1, 2), 16, 10)
+        return b.cast("int") % 2 == 1
+
+    is_new = _is_new(F.col(id_col))
+    chunks = gear_chunks(
+        df, id_col, text_col, window, boundary_mod, extra_cols=(group_col,)
+    )
+    old_digests = (
+        chunks.filter(~_is_new(F.col(id_col))).select("digest").distinct()
+    )
+    new_chunks = chunks.filter(_is_new(F.col(id_col)))
+    dup = (
+        new_chunks.join(old_digests, "digest")
+        .groupBy(group_col)
+        .agg(
+            F.sum("_len").alias("dup_bytes"),
+            F.count(F.lit(1)).alias("dup_chunks"),
+        )
+    )
+    totals = (
+        df.filter(is_new)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_new_docs"),
+            F.sum(F.length(text_col)).alias("new_bytes"),
+        )
+    )
+    return (
+        totals.join(dup, group_col, "left")
+        .select(
+            F.col(group_col),
+            F.col("n_new_docs"),
+            F.col("new_bytes"),
+            F.coalesce(F.col("dup_bytes"), F.lit(0)).alias("dup_bytes"),
+            F.coalesce(F.col("dup_chunks"), F.lit(0)).alias("dup_chunks"),
+            F.when(
+                F.col("new_bytes") > 0,
+                F.round(
+                    F.coalesce(F.col("dup_bytes"), F.lit(0))
+                    / F.col("new_bytes").cast("double"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dedup_ratio"),
+        )
+        .orderBy(group_col)
     )

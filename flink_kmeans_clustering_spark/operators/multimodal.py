@@ -833,3 +833,155 @@ def phash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+CLIP_IN_DIM = FEATURE_DIM  # 16: histogram feature width of both towers
+CLIP_OUT_DIM = 8           # shared embedding space of the frozen head
+CLIP_TAU = -0.25           # keep threshold on cosine agreement (the md5
+#                            head is uncalibrated, so the operating point
+#                            is set where it splits the corpus ~3:1 —
+#                            exactly how LAION tuned its 0.28)
+
+
+def clip_head_weights(tag: str, out_dim: int = CLIP_OUT_DIM, in_dim: int = CLIP_IN_DIM) -> list:
+    """Frozen linear projection head: ``out_dim × in_dim`` weights in
+    (−1, 1), entry (j, i) derived from ``md5("clip:{tag}:{j}:{i}")`` —
+    the repo's portable-digest contract, so the "pretrained checkpoint"
+    regenerates bit-identically in any engine from a one-line recipe.
+    Entries are rounded to 6 decimals so the literal form is short and
+    parses to the same double everywhere.  In production these would be
+    the distilled weights of a real CLIP projection; the plumbing —
+    literal matrix, codegen'd matvec, no UDF in the hot path — is
+    identical.
+    """
+    import hashlib
+
+    def w(j: int, i: int) -> float:
+        h = int(hashlib.md5(f"clip:{tag}:{j}:{i}".encode()).hexdigest()[:8], 16)
+        import math
+
+        return math.floor((h / 4294967296.0 * 2.0 - 1.0) * 1e6 + 0.5) / 1e6
+
+    return [[w(j, i) for i in range(in_dim)] for j in range(out_dim)]
+
+
+def clip_agreement_filter(
+    docs: DataFrame,
+    tau: float = CLIP_TAU,
+    n_buckets: int = CLIP_IN_DIM,
+    out_dim: int = CLIP_OUT_DIM,
+) -> DataFrame:
+    """CLIP-style image–text agreement filter (the LAION curation
+    stage: drop pairs whose image and caption embeddings disagree),
+    re-expressed with frozen literal projection heads over this repo's
+    deterministic feature towers.
+
+    Towers: the IMAGE tower is the multimodal decode path —
+    ``byte_histogram_features`` over the synthesized image assets
+    (mapInPandas, Arrow-batched, the real decoder contract) rounded to
+    the oracle grid; the TEXT tower is a hashed-token histogram
+    (md5-bucketed unigrams, the DSIR trick at width 16) computed
+    row-locally inside ONE let-bound codegen expression — no explode,
+    no shuffle.  Each tower is projected by its frozen
+    ``out_dim × 16`` head (:func:`clip_head_weights` literals via
+    ``array_lit`` — zero py4j chatter), and agreement is the cosine of
+    the two projections.
+
+    Scale shape: modality pruning (``doc_id % 3 = 0`` — the image
+    slice) pushes to the scan; the only shuffle is the image-features
+    ⋈ captions join on doc id (both corpus-sized — at 100 TB both
+    sides would be bucketed by doc id so the encoder-output join is
+    exchange-free; here AQE picks the strategy).  Everything after the
+    join is whole-stage codegen.
+
+    Output: (doc_id, agreement, keep) per image doc, ordered by
+    doc_id; ``agreement`` NULL (keep=false) when either tower is a
+    zero vector (empty blob / no tokens) — degenerate pairs are
+    unfilterable, not spuriously aligned.
+    """
+    from flink_kmeans_clustering_spark.functions.text import tokenize
+    from flink_kmeans_clustering_spark.operators.common import array_lit
+
+    img_docs = docs.filter((F.col("doc_id") % 3) == 0)
+    feats = byte_histogram_features(synthesize_assets(img_docs))
+    h_img = F.transform(F.col("feat"), lambda v: F.round(v.cast("double"), 6))
+    img = feats.select(F.col("asset_id").alias("doc_id"), h_img.alias("hi"))
+
+    bks = tokenize(F.col("text"))
+    bucket_of = lambda t: (
+        F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+    # let-bind the token-bucket array (projection-collapse guard): the
+    # histogram reads it 16 times
+    hist = F.get(
+        F.transform(
+            F.array(F.transform(bks, bucket_of)),
+            lambda b: F.transform(
+                F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+                lambda i: F.when(
+                    F.size(b) == 0, F.lit(0.0)
+                ).otherwise(
+                    F.round(
+                        F.size(F.filter(b, lambda x: x == i.cast("long")))
+                        / F.size(b).cast("double"),
+                        6,
+                    )
+                ),
+            ),
+        ),
+        0,
+    )
+    txt = docs.filter((F.col("doc_id") % 3) == 0).select(
+        "doc_id", hist.alias("ht")
+    )
+
+    w_img = array_lit(clip_head_weights("img", out_dim, n_buckets))
+    w_txt = array_lit(clip_head_weights("txt", out_dim, n_buckets))
+
+    def project(w: "F.Column", h: "F.Column") -> "F.Column":
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(out_dim)),
+            lambda j: F.aggregate(
+                F.sequence(F.lit(1), F.lit(n_buckets)),
+                F.lit(0.0),
+                lambda acc, i: acc
+                + F.element_at(F.element_at(w, j.cast("int")), i.cast("int"))
+                * F.element_at(h, i.cast("int")),
+            ),
+        )
+
+    def l2(z: "F.Column") -> "F.Column":
+        return F.sqrt(
+            F.aggregate(z, F.lit(0.0), lambda acc, v: acc + v * v)
+        )
+
+    joined = img.join(txt, "doc_id")
+    zi, zt = project(w_img, F.col("hi")), project(w_txt, F.col("ht"))
+    # let-bind both projections so norms + dot don't recompute them
+    bound = joined.select(
+        "doc_id", zi.alias("_zi"), zt.alias("_zt")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_zi"), F.col("_zt"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    ni, nt = l2(F.col("_zi")), l2(F.col("_zt"))
+    agreement = F.when(
+        (ni > 0) & (nt > 0), F.round(dot / (ni * nt), 6)
+    )
+    return (
+        bound.select(
+            "doc_id",
+            agreement.alias("agreement"),
+        )
+        .select(
+            "doc_id",
+            "agreement",
+            F.coalesce(F.col("agreement") >= F.lit(float(tau)), F.lit(False)).alias(
+                "keep"
+            ),
+        )
+        .orderBy("doc_id")
+    )

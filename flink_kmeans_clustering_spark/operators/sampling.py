@@ -804,8 +804,13 @@ def coreset_sample(
     means, map-side combined), ONE pass for the distance mass and the
     weighted draw — then the expensive Lloyd loop runs on k rows.
 
-    Determinism: the corpus mean is exact (float32-origin components
-    sum exactly in doubles), per-row d² folds in index order, the
+    Determinism: the corpus mean uses a plain double ``avg`` — exact
+    only under the bounded-magnitude assumption that float32-origin
+    components accumulate within the 53-bit mantissa headroom (true
+    for unit-scale embeddings at the corpus sizes tested; a corpus
+    whose per-dim component sums exceed ~2^29 would need the DECIMAL
+    per-dim sums used elsewhere, e.g. ``relational._dsum_r6``, to stay
+    order-independent).  Per-row d² folds in index order, the
     distance mass Σd² is summed in DECIMAL space (d² is full-mantissa —
     a double sum would be partition-order dependent), and the draw is
     Efraimidis-Spirakis with md5-derived uniforms and rounded keys —
@@ -867,4 +872,162 @@ def coreset_sample(
         )
         .orderBy(F.desc("es_key"), F.col(id_col))
         .limit(k)
+    )
+
+
+DOREMI_BUCKETS = 64
+DOREMI_ROUNDS = 5
+DOREMI_ETA = 1.0
+DOREMI_SMOOTH = 0.01
+
+
+def doremi_domain_weights(
+    df: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    n_buckets: int = DOREMI_BUCKETS,
+    rounds: int = DOREMI_ROUNDS,
+    eta: float = DOREMI_ETA,
+    smooth: float = DOREMI_SMOOTH,
+) -> DataFrame:
+    """DoReMi-style domain-weight learning (Xie et al., NeurIPS 2023,
+    "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    Pretraining"): learn a training mixture over corpus domains by
+    multiplicative-weights updates on per-domain EXCESS loss.
+
+    The paper's excess loss is proxy-model loss minus reference-model
+    loss under the current mixture.  The deterministic, engine-
+    replayable analogue used here: the "model" at round t is the
+    hashed-unigram LM of the α_t-weighted corpus, q_t(b) = Σ_d
+    α_t(d)·p_d(b); domain d's loss is its cross-entropy H(p_d, q_t)
+    and its reference loss the best achievable H(p_d, p_d), so the
+    excess is EXACTLY the KL divergence KL(p_d ‖ q_t) ≥ 0 — domains
+    the current mixture underserves get upweighted, and the
+    paper's max(0, ·) clamp is a no-op by construction.  Update:
+    α'(d) ∝ α_t(d)·exp(η·KL_d), then uniform-smooth
+    α_{t+1} = (1−c)·α' + c/K (the paper's step).
+
+    Distributed shape — this is how the 100 TB run looks too: ONE
+    token explode → (domain, md5-bucket) count shuffle (value domain
+    capped at K·``n_buckets`` rows by hashing, the same trick as
+    DSIR), plus a narrow per-domain doc/token count.  The iteration
+    then runs on the collected K×B count matrix — k-row driver state,
+    exactly the K-Means bulk-iteration contract (KMeans.java:148-236's
+    loop state), NOT a per-row collect: K domains × 64 buckets is a
+    few KB regardless of corpus size.
+
+    Engine-replayable fixed-point discipline: p_d(b) is an exact
+    add-1-smoothed ratio of BIGINT counts; per-round KL_d is rounded
+    HALF-UP to 9 decimals BEFORE exp; updated α is rounded half-up to
+    12 decimals — both engines (Python driver here, recursive-CTE SQL
+    in the oracle) consume identical rounded state each round, so libm
+    ulp noise cannot compound across rounds.  All folds run in fixed
+    (bucket, then domain-name) order.
+
+    Output: one row per domain — (domain, n_docs, n_tokens,
+    token_share, doremi_weight, kl) ordered by domain, where kl is the
+    final-round KL(p_d ‖ q_T) and Σ doremi_weight = 1 (pre-rounding).
+    """
+    import math
+
+    from flink_kmeans_clustering_spark.functions.text import tokenize
+
+    spark = df.sparkSession
+    out_schema = (
+        f"{domain_col} string, n_docs long, n_tokens long, "
+        "token_share double, doremi_weight double, kl double"
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("_tok")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+    cnt_rows = (
+        df.select(F.col(domain_col).alias("_d"), F.explode(tokenize(F.col(text_col))).alias("_tok"))
+        .select("_d", bucket.alias("_b"))
+        .groupBy("_d", "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .collect()
+    )
+    doc_rows = (
+        df.groupBy(F.col(domain_col).alias("_d"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    if not doc_rows:
+        return spark.createDataFrame([], out_schema)
+
+    def _r(x: float, digits: int) -> float:
+        # HALF-UP (SQL ROUND); Python round() is half-even.
+        s = 10.0 ** digits
+        return math.floor(x * s + 0.5) / s
+
+    n_docs = {r["_d"]: r["_n"] for r in doc_rows}
+    domains = sorted(n_docs)
+    k = len(domains)
+    counts = {(r["_d"], r["_b"]): r["_c"] for r in cnt_rows}
+    c_d = {
+        d: sum(counts.get((d, b), 0) for b in range(n_buckets))
+        for d in domains
+    }
+    p = [
+        [
+            (counts.get((d, b), 0) + 1.0) / (c_d[d] + float(n_buckets))
+            for b in range(n_buckets)
+        ]
+        for d in domains
+    ]
+    alpha = [1.0 / k] * k
+
+    def _kl(al: list) -> list:
+        q = [
+            sum(al[d] * p[d][b] for d in range(k))
+            for b in range(n_buckets)
+        ]
+        return [
+            _r(
+                sum(
+                    p[d][b] * math.log(p[d][b] / q[b])
+                    for b in range(n_buckets)
+                ),
+                9,
+            )
+            for d in range(k)
+        ]
+
+    for _ in range(rounds):
+        kl = _kl(alpha)
+        raw = [alpha[d] * math.exp(eta * kl[d]) for d in range(k)]
+        z = sum(raw)
+        alpha = [
+            _r((1.0 - smooth) * raw[d] / z + smooth / k, 12)
+            for d in range(k)
+        ]
+    kl_final = _kl(alpha)
+    total_tokens = sum(c_d[d] for d in domains)
+    rows = [
+        (
+            d,
+            int(n_docs[d]),
+            int(c_d[d]),
+            _r(c_d[d] / total_tokens, 6) if total_tokens else 0.0,
+            _r(alpha[i], 6),
+            _r(kl_final[i], 6),
+        )
+        for i, d in enumerate(domains)
+    ]
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(
+            rows,
+            columns=[
+                domain_col,
+                "n_docs",
+                "n_tokens",
+                "token_share",
+                "doremi_weight",
+                "kl",
+            ],
+        ),
+        schema=out_schema,
     )

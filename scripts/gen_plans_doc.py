@@ -271,6 +271,19 @@ PICKS = [
         "codegen expression per row, a single linear digest-aggregate "
         "shuffle, join-free",
     ),
+    (
+        "q_multimodal_agreement",
+        "CLIP agreement filter — modality cut pushed to the scan, "
+        "frozen-head towers as parsed literals, ONE image-features ⋈ "
+        "captions join, histogram/projection/cosine all row-local "
+        "(no Generate)",
+    ),
+    (
+        "q_dedup_delta",
+        "Snapshot delta-dedup — row-local gear chunk kernel per side, "
+        "old-digest distinct + digest-key membership join (uniform md5 "
+        "keys, skew-free), k-row group rollups",
+    ),
 ]
 
 

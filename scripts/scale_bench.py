@@ -126,6 +126,24 @@ def synth_dir(mult: int, root: str = "/tmp/scale_bench") -> str:
         ),
         os.path.join(d, "embeddings.parquet"),
     )
+    # minimal lineitem (the 2 columns the graph family reads): ~4 parts
+    # per order from a pool growing WITH the corpus, so per-part
+    # co-occurrence degree stays constant and triangle work should be
+    # linear in orders
+    n_orders = 1_000 * mult
+    n_parts = 200 * mult
+    lrng = np.random.default_rng(20260817)
+    orderkeys = np.repeat(np.arange(n_orders, dtype=np.int64), 4)
+    partkeys = lrng.integers(0, n_parts, size=n_orders * 4).astype(np.int64)
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(orderkeys, pa.int64()),
+                "l_partkey": pa.array(partkeys, pa.int64()),
+            }
+        ),
+        os.path.join(d, "lineitem.parquet"),
+    )
     open(os.path.join(d, "_DONE"), "w").write("ok")
     return d
 

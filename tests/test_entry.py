@@ -38,35 +38,39 @@ def test_rows_only_set_is_exactly_the_adjudicated_four():
     assert qs - osql == ROWS_ONLY_BY_DESIGN
 
 
-def test_window_leads_with_round9_rotation():
-    """r09 window plan (VERDICT r08 items 2+5): the never-checked
-    late-r08 trio, the 3 new-in-r09 queries, the 20 r04-green
-    leftovers, the four rows-only+twin pairs ADJACENT, then the
-    r05-green family head."""
+def test_window_leads_with_round10_rotation():
+    """r10 window plan (VERDICT r09 item 2): q_dedup_gear leads (the
+    one registry row never driver-checked), then the 3 new-in-r10
+    queries, then the next 46 stalest rows — the 26 remaining
+    r05-green rows and the first 20 of the r06-green family.  With
+    this window cumulative driver coverage reaches 223/223; the r09
+    window's rows moved to the very end (freshest)."""
     order = list(entrymod.queries())
     first50 = order[:50]
-    assert first50[:6] == [
-        "q_dedup_bbit",
-        "q_sample_neyman",
-        "q_kmeans_spherical",
-        "q_text_dsir",
-        "q_ann_ivfpq",
-        "q_sample_coreset",
+    assert first50[:4] == [
+        "q_dedup_gear",
+        "q_sample_doremi",
+        "q_multimodal_agreement",
+        "q_dedup_delta",
     ]
+    # head and tail of the 26 remaining r05-green rows
+    assert first50[4] == "q_text_lm_bigram"
     for q in (
-        "q_events_first",
-        "q_sample_mixture",
-        "q_graph_pagerank",
-        "q_ann_pq_trained",
-        "q_sample_domain_cap",
+        "q_rel_small_qty",
+        "q_events_rfm",       # r06 head
+        "q_sample_epochs",    # last row of the window
+        "q_kmeans",
+        "q_assign",
     ):
         assert q in first50, q
-    # rows-only rows sit directly before their full-oracle twins
-    for rows_only, twin in (
-        ("q_events_approx_quantiles", "q_events_sampled_quantiles"),
-        ("q_dedup_gemm", "q_dedup_embedding"),
-        ("q_events_approx_users", "q_events_kmv_users"),
-        ("q_kmeans_ml", "q_kmeans_nd"),
-    ):
-        i = order.index(rows_only)
-        assert i < 50 and order[i + 1] == twin, (rows_only, twin)
+    assert first50[49] == "q_sample_epochs"
+    # the r06 remainder leads the r11 tail
+    assert order[50:54] == [
+        "q_stream_attribution",
+        "q_embed_health",
+        "q_dedup_cc",
+        "q_update",
+    ]
+    # the freshest rows (r09 window) sit at the very end
+    assert order[-50] == "q_dedup_bbit"
+    assert order[-1] == "q_sample_domain_cap"

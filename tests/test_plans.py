@@ -1272,3 +1272,83 @@ def test_gear_chunking_is_one_linear_shuffle(spark):
     assert "Join" not in plan, plan
     assert_max_shuffles(df, 3)  # spread + partial/final digest agg
     assert_has_node(df, "TakeOrderedAndProject")
+
+
+def test_doremi_single_count_shuffle_before_driver_state(spark):
+    """DoReMi's corpus work is ONE (domain, bucket) count aggregate
+    plus a narrow per-domain doc count — the iteration itself runs on
+    K×B driver state, so no join and no further exchange may appear in
+    the distributed part.  (The returned weights frame is literal
+    rows; the plan to audit is the count pass.)"""
+    import pyspark.sql.functions as F
+
+    from flink_kmeans_clustering_spark.functions.text import tokenize
+    from flink_kmeans_clustering_spark.operators.sampling import (
+        DOREMI_BUCKETS,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("_tok")), 1, 8), 16, 10).cast("long")
+        % DOREMI_BUCKETS
+    )
+    counts = (
+        docs.select(
+            F.col("source").alias("_d"),
+            F.explode(tokenize(F.col("text"))).alias("_tok"),
+        )
+        .select("_d", bucket.alias("_b"))
+        .groupBy("_d", "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    plan = explain_str(counts)
+    assert "Join" not in plan, plan
+    assert_max_shuffles(counts, 1)
+    # column pruning: the count pass reads only (source, text)
+    for s in read_schemas(counts):
+        assert "doc_id" not in s and "lang" not in s and "n_chars" not in s, s
+
+
+def test_clip_agreement_one_join_rest_codegen(spark):
+    """CLIP agreement plan shape: modality pruning reaches the scan,
+    the ONLY exchanges serve the single image-features ⋈ captions
+    join, and the scoring (towers, heads, cosine) is pure projection —
+    no Generate (explode) and no second join anywhere."""
+    from flink_kmeans_clustering_spark.operators.multimodal import (
+        clip_agreement_filter,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = clip_agreement_filter(docs)
+    import re
+
+    plan = explain_str(df)
+    # formatted mode prints each node in the tree AND the detail list —
+    # count detail entries only
+    n_joins = len(
+        re.findall(
+            r"\(\d+\) (?:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)",
+            plan,
+        )
+    )
+    assert n_joins == 1, plan  # exactly the features ⋈ captions join
+    assert "CartesianProduct" not in plan
+    assert "Generate" not in plan, plan  # histogram is row-local, no explode
+    assert_max_shuffles(df, 4)  # join exchanges + final order
+
+
+def test_delta_dedup_digest_join_linear(spark):
+    """Delta-dedup plan shape: chunk kernel is row-local (one Generate
+    per side, no pair blow-up), old-side digests aggregate once, and
+    the membership join is a digest-key hash join — never a
+    cartesian/nested-loop."""
+    from flink_kmeans_clustering_spark.operators.dedup import (
+        snapshot_delta_dedup,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = snapshot_delta_dedup(docs)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert_max_shuffles(df, 7)
