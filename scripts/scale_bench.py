@@ -126,15 +126,21 @@ def synth_dir(mult: int, root: str = "/tmp/scale_bench") -> str:
         ),
         os.path.join(d, "embeddings.parquet"),
     )
-    # minimal lineitem (the 2 columns the graph family reads): ~4 parts
-    # per order from a pool growing WITH the corpus, so per-part
-    # co-occurrence degree stays constant and triangle work should be
-    # linear in orders
+    # minimal lineitem (the 2 columns the graph family reads): 4 parts
+    # per order drawn from an 8-part LOCAL window around a random base —
+    # locality keeps pair-repeat probability (and so the ≥2-support
+    # edge density and per-part degree) CONSTANT as both orders and the
+    # part pool scale together; a uniform global draw would dilute
+    # co-occurrence below the support threshold at larger mults (pair
+    # space grows quadratically) and the graph would empty out instead
+    # of growing linearly.
     n_orders = 1_000 * mult
     n_parts = 200 * mult
     lrng = np.random.default_rng(20260817)
     orderkeys = np.repeat(np.arange(n_orders, dtype=np.int64), 4)
-    partkeys = lrng.integers(0, n_parts, size=n_orders * 4).astype(np.int64)
+    base = lrng.integers(0, n_parts, size=n_orders)
+    offsets = lrng.integers(0, 8, size=(n_orders, 4))
+    partkeys = ((base[:, None] + offsets) % n_parts).reshape(-1).astype(np.int64)
     pq.write_table(
         pa.table(
             {
