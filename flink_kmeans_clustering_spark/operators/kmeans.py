@@ -446,17 +446,62 @@ def lloyd(
         points = points.cache()
     current: list[Centroid] = [(int(i), float(px), float(py)) for i, px, py in init_centroids]
     iterations = 0
+    # Superstep plan construction cost (exchange mode): building
+    # assign_points_param + update_centroids Column-by-Column is ~40
+    # py4j round trips per superstep (~0.07 s at k=8 — a third of the
+    # whole superstep on the 100k fixture).  Instead the assignment is
+    # ONE selectExpr f-string (parsed JVM-side; codegen-value-
+    # independent like the param form — pinned by test) and the
+    # value-INdependent update aggregation Columns are hoisted out of
+    # the loop.  Same arithmetic term-for-term ((x−cx)²+(y−cy)², struct
+    # argmin with lowest-id ties, SUM/SUM/COUNT then Σ/n), so values
+    # are bit-identical — pinned by tests/test_kmeans_ops.py::
+    # test_lloyd_selectexpr_superstep_equals_column_form.  NOT a single
+    # spark.sql() with GROUP BY over the argmin alias: measured, the
+    # grouping key inlines the HOF into the aggregate (the projection-
+    # collapse trap) and each executed plan left the interpreted-eval
+    # path ~2× slower for the rest of the session.  The explicit
+    # selectExpr Project keeps the argmin in its own codegen stage.
+    def _assign_expr(cents: list) -> str:
+        ids = ",".join(str(int(c[0])) for c in cents)
+        xs = ",".join(repr(float(c[1])) + "D" for c in cents)
+        ys = ",".join(repr(float(c[2])) + "D" for c in cents)
+        k = len(cents)
+        return (
+            f"array_min(transform(sequence(0, {k - 1}), i -> named_struct("
+            f"'dist2', ({x} - get(array({xs}), i)) * ({x} - get(array({xs}), i))"
+            f" + ({y} - get(array({ys}), i)) * ({y} - get(array({ys}), i)),"
+            f"'cluster', get(array({ids}), i)))).cluster AS cluster"
+        )
+
+    _gid = F.col("cluster").alias("id")
+    _aggs = [
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.count(F.lit(1)).alias("_n"),
+    ]
+    _outs = [
+        F.col("id"),
+        (F.col("_sx") / F.col("_n")).alias(x),
+        (F.col("_sy") / F.col("_n")).alias(y),
+    ]
     try:
         conf.set("spark.sql.adaptive.enabled", "false")
         conf.set("spark.sql.shuffle.partitions", str(max(1, len(current))))
         for _ in range(max_iterations):
-            assigned = assign_points_param(points, current, x=x, y=y)
             if update == "observe":
+                assigned = assign_points_param(points, current, x=x, y=y)
                 new = update_centroids_observe(
                     assigned, [c[0] for c in current], x=x, y=y
                 )
             else:
-                new_rows = update_centroids(assigned, x=x, y=y).collect()
+                new_rows = (
+                    points.selectExpr(x, y, _assign_expr(current))
+                    .groupBy(_gid)
+                    .agg(*_aggs)
+                    .select(*_outs)
+                    .collect()
+                )
                 new = [(int(r["id"]), float(r[x]), float(r[y])) for r in new_rows]
                 new.sort(key=lambda c: c[0])
             iterations += 1

@@ -387,3 +387,80 @@ def test_assign_nd_empty_centroids_is_minus_one(spark):
     )
     [r] = assign_points_nd(df, []).collect()
     assert r["cluster"] == -1
+
+
+def test_lloyd_selectexpr_superstep_equals_column_form(spark):
+    """The loop's selectExpr-authored superstep must equal the
+    canonical assign_points_param + update_centroids composition
+    value-for-value (same arithmetic term order, same struct-argmin
+    tie-break) — the contract that lets the loop keep the cheap
+    JVM-parsed plan construction."""
+    from flink_kmeans_clustering_spark.operators.kmeans import (
+        assign_points_param,
+        lloyd,
+        update_centroids,
+    )
+    from flink_kmeans_clustering_spark.views import points_v
+    from tests.conftest import SF_CORRECTNESS
+
+    pts = points_v(spark, SF_CORRECTNESS).limit(500)
+    pts = pts.cache()
+    pts.count()
+    init = [(0, -5.0, -5.0), (1, 0.0, 0.0), (2, 5.0, 5.0)]
+    # drive the loop once; then replay the same supersteps with the
+    # canonical Column composition and compare the trajectories
+    res = lloyd(pts, init, max_iterations=3, cache=False)
+    cur = [(int(i), float(a), float(b)) for i, a, b in init]
+    for _ in range(3):
+        rows = update_centroids(assign_points_param(pts, cur)).collect()
+        cur = sorted(
+            (int(r["id"]), float(r["x"]), float(r["y"])) for r in rows
+        )
+    assert res.centroids == cur
+    pts.unpersist()
+
+
+def test_lloyd_superstep_codegen_is_value_independent(spark):
+    """Two different centroid sets entered through the loop's
+    selectExpr assignment must generate byte-identical stage code —
+    the Janino-cache property assign_points_param pioneered, now
+    pinned for the f-string form (inlined primitive literals would
+    recompile every superstep)."""
+    import contextlib
+    import io
+    import re
+
+    from flink_kmeans_clustering_spark.views import points_v
+    from tests.conftest import SF_CORRECTNESS
+
+    def body(df) -> str:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("codegen")
+        lines = []
+        for ln in buf.getvalue().splitlines():
+            s = ln.strip()
+            if s.startswith(("*", "+-", ":", "==")):
+                continue
+            code = re.sub(r"/\*.*?\*/", "", ln)
+            code = re.sub(r"//.*$", "", code).rstrip()
+            if code.strip():
+                lines.append(code)
+        return "\n".join(lines)
+
+    def expr_for(cents):
+        ids = ",".join(str(int(c[0])) for c in cents)
+        xs = ",".join(repr(float(c[1])) + "D" for c in cents)
+        ys = ",".join(repr(float(c[2])) + "D" for c in cents)
+        k = len(cents)
+        return (
+            f"array_min(transform(sequence(0, {k - 1}), i -> named_struct("
+            f"'dist2', (x - get(array({xs}), i)) * (x - get(array({xs}), i))"
+            f" + (y - get(array({ys}), i)) * (y - get(array({ys}), i)),"
+            f"'cluster', get(array({ids}), i)))).cluster AS cluster"
+        )
+
+    pts = points_v(spark, SF_CORRECTNESS)
+    b1 = body(pts.selectExpr("x", "y", expr_for([(0, 0.0, 0.0), (1, 10.0, 10.0)])))
+    b2 = body(pts.selectExpr("x", "y", expr_for([(0, 3.5, -2.0), (1, 7.25, 1.5)])))
+    assert b1 == b2
