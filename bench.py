@@ -208,47 +208,6 @@ def main() -> None:
         "load1_after_headline": load_after_headline,
     }
     here = os.path.dirname(os.path.abspath(__file__))
-    # Container-speed adjudication (round 10 lesson): the loadavg
-    # fields catch ambient load but NOT a slower host — round 10's
-    # machine ran identical code uniformly ~1.28× slower than round
-    # 9's.  The mechanical tell is the MEDIAN per-query ratio against
-    # the newest committed per-round sidecar: ~1.0 means same-speed
-    # host (any big individual ratio is a genuine per-query change);
-    # a uniform shift means the container, not the code.  Median, not
-    # mean: individual queries legitimately move ±2× round-to-round.
-    try:
-        import re as _re2
-
-        prior = sorted(
-            f
-            for f in os.listdir(here)
-            if _re2.fullmatch(r"bench_queries_r(\d+)\.json", f)
-        )
-        if prior:
-            with open(os.path.join(here, prior[-1])) as fh:
-                prev_full = json.load(fh)
-            prev = (
-                prev_full.get("queries", {})
-                if prev_full.get("sf") == sf  # same-scale runs only
-                else {}
-            )
-            ratios = sorted(
-                timings[k] / prev[k]
-                for k in timings
-                if k in prev
-                and not k.startswith("kmeans_ref")
-                and k != "total_all_queries"
-                and prev[k] > 0
-            )
-            if len(ratios) >= 20:
-                full["sweep_median_ratio_vs_prev"] = round(
-                    ratios[len(ratios) // 2], 3
-                )
-                full["prev_sidecar"] = prior[-1]
-    except Exception:
-        pass  # adjudication aid only — never fail the bench over it
-    with open(os.path.join(here, "bench_queries.json"), "w") as fh:
-        json.dump(full, fh, indent=1)
     # Round number for the per-round sidecar: explicit env var first
     # (SPARK_GRAFT_ROUND), so a re-run after the driver has already
     # recorded this round's BENCH artifact cannot write a misnumbered
@@ -265,6 +224,88 @@ def main() -> None:
             if (m := _re.fullmatch(r"BENCH_r(\d+)\.json", f))
         ]
         rn = (max(rounds) if rounds else 0) + 1
+    # Container-speed adjudication (round 10 lesson): the loadavg
+    # fields catch ambient load but NOT a slower host — round 10's
+    # machine ran identical code uniformly ~1.28× slower than round
+    # 9's.  The mechanical tell is the MEDIAN per-query ratio against
+    # the newest committed per-round sidecar: ~1.0 means same-speed
+    # host (any big individual ratio is a genuine per-query change);
+    # a uniform shift means the container, not the code.  Median, not
+    # mean: individual queries legitimately move ±2× round-to-round.
+    try:
+        import re as _re2
+
+        def _median_ratio_vs(prev_full: dict) -> "float | None":
+            prev = (
+                prev_full.get("queries", {})
+                if prev_full.get("sf") == sf  # same-scale runs only
+                else {}
+            )
+            ratios = sorted(
+                timings[k] / prev[k]
+                for k in timings
+                if k in prev
+                and not k.startswith("kmeans_ref")
+                and k != "total_all_queries"
+                and prev[k] > 0
+            )
+            if len(ratios) >= 20:
+                return round(ratios[len(ratios) // 2], 3)
+            return None
+
+        # Numeric sort by the captured round number, NOT lexicographic:
+        # zero-padding only saves the lexicographic sort through r99,
+        # and any unpadded legacy file would break it sooner (ADVICE r10).
+        prior = [
+            (int(m.group(1)), f)
+            for f in os.listdir(here)
+            if (m := _re2.fullmatch(r"bench_queries_r(\d+)\.json", f))
+        ]
+        if prior:
+            newest = max(prior)[1]
+            with open(os.path.join(here, newest)) as fh:
+                r = _median_ratio_vs(json.load(fh))
+            if r is not None:
+                full["sweep_median_ratio_vs_prev"] = r
+                full["prev_sidecar"] = newest
+        # Container-factor, mechanized (VERDICT r10 item 6): the same
+        # median ratio, but against the prior round's sidecar AS
+        # COMMITTED (git HEAD) — the working-tree copy of the current
+        # round may be the driver's own under-load overwrite, so the
+        # on-disk comparison above can self-compare; the committed
+        # prior-round file cannot.  A uniform shift here is the host,
+        # not the code.
+        import subprocess as _sp
+
+        committed = [
+            (int(m.group(1)), f)
+            for f in _sp.run(
+                ["git", "ls-tree", "--name-only", "HEAD"],
+                cwd=here,
+                capture_output=True,
+                text=True,
+                timeout=30,
+            ).stdout.splitlines()
+            if (m := _re2.fullmatch(r"bench_queries_r(\d+)\.json", f))
+        ]
+        cand = [(n, f) for (n, f) in committed if n < rn]
+        if cand:
+            n_prev, f_prev = max(cand)
+            blob = _sp.run(
+                ["git", "show", f"HEAD:{f_prev}"],
+                cwd=here,
+                capture_output=True,
+                text=True,
+                timeout=30,
+            ).stdout
+            r = _median_ratio_vs(json.loads(blob))
+            if r is not None:
+                full["container_factor_vs_prev"] = r
+                full["container_factor_baseline"] = f"HEAD:{f_prev}"
+    except Exception:
+        pass  # adjudication aid only — never fail the bench over it
+    with open(os.path.join(here, "bench_queries.json"), "w") as fh:
+        json.dump(full, fh, indent=1)
     with open(os.path.join(here, f"bench_queries_r{rn:02d}.json"), "w") as fh:
         json.dump(full, fh, indent=1)
     sys.stdout.flush()

@@ -463,14 +463,25 @@ def lloyd(
     # path ~2× slower for the rest of the session.  The explicit
     # selectExpr Project keeps the argmin in its own codegen stage.
     def _assign_expr(cents: list) -> str:
+        # Same literal-safety contract as common.array_lit (ADVICE r10):
+        # a NaN/inf coordinate would render as unparseable SQL ('nanD'),
+        # so reject it eagerly with the same error shape; and the x/y
+        # identifiers are backtick-quoted so column names that need
+        # quoting parse instead of breaking the f-string plan.
+        for c in cents:
+            for v in (float(c[1]), float(c[2])):
+                if not math.isfinite(v):
+                    raise ValueError(f"non-finite literal {v!r}")
+        qx = "`" + x.replace("`", "``") + "`"
+        qy = "`" + y.replace("`", "``") + "`"
         ids = ",".join(str(int(c[0])) for c in cents)
         xs = ",".join(repr(float(c[1])) + "D" for c in cents)
         ys = ",".join(repr(float(c[2])) + "D" for c in cents)
         k = len(cents)
         return (
             f"array_min(transform(sequence(0, {k - 1}), i -> named_struct("
-            f"'dist2', ({x} - get(array({xs}), i)) * ({x} - get(array({xs}), i))"
-            f" + ({y} - get(array({ys}), i)) * ({y} - get(array({ys}), i)),"
+            f"'dist2', ({qx} - get(array({xs}), i)) * ({qx} - get(array({xs}), i))"
+            f" + ({qy} - get(array({ys}), i)) * ({qy} - get(array({ys}), i)),"
             f"'cluster', get(array({ids}), i)))).cluster AS cluster"
         )
 
@@ -496,7 +507,11 @@ def lloyd(
                 )
             else:
                 new_rows = (
-                    points.selectExpr(x, y, _assign_expr(current))
+                    points.selectExpr(
+                        "`" + x.replace("`", "``") + "`",
+                        "`" + y.replace("`", "``") + "`",
+                        _assign_expr(current),
+                    )
                     .groupBy(_gid)
                     .agg(*_aggs)
                     .select(*_outs)

@@ -464,3 +464,34 @@ def test_lloyd_superstep_codegen_is_value_independent(spark):
     b1 = body(pts.selectExpr("x", "y", expr_for([(0, 0.0, 0.0), (1, 10.0, 10.0)])))
     b2 = body(pts.selectExpr("x", "y", expr_for([(0, 3.5, -2.0), (1, 7.25, 1.5)])))
     assert b1 == b2
+
+
+def test_lloyd_assign_expr_rejects_nonfinite_and_quotes_columns(spark):
+    """ADVICE r10: the f-string assignment must fail eagerly (clear
+    ValueError, same shape as common.array_lit) on a NaN/inf centroid
+    coordinate instead of emitting unparseable 'nanD' SQL, and must
+    backtick-quote the coordinate column names so quoting-needing
+    identifiers parse."""
+    import math
+
+    import pytest
+
+    from flink_kmeans_clustering_spark.operators.kmeans import lloyd
+    from flink_kmeans_clustering_spark.views import points_v
+    from tests.conftest import SF_CORRECTNESS
+
+    pts = points_v(spark, SF_CORRECTNESS).limit(50)
+    with pytest.raises(ValueError, match="non-finite"):
+        lloyd(pts, [(0, float("nan"), 0.0), (1, 1.0, 1.0)],
+              max_iterations=1, cache=False)
+    with pytest.raises(ValueError, match="non-finite"):
+        lloyd(pts, [(0, 0.0, math.inf), (1, 1.0, 1.0)],
+              max_iterations=1, cache=False)
+    # quoting: run the loop on columns whose names need backticks and
+    # cross-check against the same data under plain names
+    odd = pts.selectExpr("x AS `the x`", "y AS `the y`")
+    init = [(0, -5.0, -5.0), (1, 5.0, 5.0)]
+    r_odd = lloyd(odd, init, max_iterations=2, x="the x", y="the y",
+                  cache=False)
+    r_ref = lloyd(pts, init, max_iterations=2, cache=False)
+    assert r_odd.centroids == r_ref.centroids
