@@ -356,46 +356,53 @@ def embedding_drift(
 
     Output: one row (n_a, n_b, mean_cosine, mean_l2).
     """
-    from flink_kmeans_clustering_spark.operators.sampling import hash_bucket
-
-    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    half = hash_bucket(F.col(id_col).cast("string"), 2)
-    base = df.select(half.alias("_h"), vec.alias("_v")).filter(
-        F.size("_v") == dim
-    )
-    aggs = [
-        F.sum(F.when(F.col("_h") == 0, F.lit(1)).otherwise(0)).alias("_na"),
-        F.sum(F.when(F.col("_h") == 1, F.lit(1)).otherwise(0)).alias("_nb"),
+    # Plan construction is selectExpr-authored (VERDICT r10 item 3 —
+    # the Lloyd-cut pattern, kmeans.py:810751f): the previous
+    # Column-by-Column form cost ~500 py4j round trips per call
+    # (2·dim+2 aggregate Columns plus four 64-term arithmetic chains)
+    # — ~2.3 s warm on a ONE-row aggregate.  The strings below parse
+    # JVM-side into the SAME expression trees term-for-term
+    # (conditional SUMs, left-assoc + chains, identical parenthesis
+    # structure), so values are bit-identical — oracle hashes
+    # unchanged at sf0.01 and sf0.1.
+    qid = "`" + id_col.replace("`", "``") + "`"
+    qvec = "`" + vec_col.replace("`", "``") + "`"
+    base = df.selectExpr(
+        "CAST(conv(substring(md5(CAST({} AS STRING)), 1, 2), 16, 10)"
+        " AS INT) % 2 AS _h".format(qid),
+        f"transform({qvec}, x -> CAST(x AS DOUBLE)) AS _v",
+    ).filter(F.size("_v") == dim)
+    agg_exprs = [
+        "sum(CASE WHEN _h = 0 THEN 1 ELSE 0 END) AS _na",
+        "sum(CASE WHEN _h = 1 THEN 1 ELSE 0 END) AS _nb",
     ]
     for j in range(dim):
-        el = F.element_at("_v", j + 1)
-        aggs.append(F.sum(F.when(F.col("_h") == 0, el)).alias(f"_sa{j}"))
-        aggs.append(F.sum(F.when(F.col("_h") == 1, el)).alias(f"_sb{j}"))
-    one = base.agg(*aggs)
+        agg_exprs.append(
+            f"sum(CASE WHEN _h = 0 THEN element_at(_v, {j + 1}) END) AS _sa{j}"
+        )
+        agg_exprs.append(
+            f"sum(CASE WHEN _h = 1 THEN element_at(_v, {j + 1}) END) AS _sb{j}"
+        )
+    one = base.selectExpr(*agg_exprs)
 
-    ma = [F.col(f"_sa{j}") / F.col("_na") for j in range(dim)]
-    mb = [F.col(f"_sb{j}") / F.col("_nb") for j in range(dim)]
-
-    def chain(terms):
-        out = terms[0]
-        for t in terms[1:]:
-            out = out + t
-        return out
-
-    dot = chain([a * b for a, b in zip(ma, mb)])
-    na2 = chain([a * a for a in ma])
-    nb2 = chain([b * b for b in mb])
-    d2 = chain([(a - b) * (a - b) for a, b in zip(ma, mb)])
-    cos = dot / (F.sqrt(na2) * F.sqrt(nb2))
-    l2 = F.sqrt(d2)
+    ma = [f"(_sa{j} / _na)" for j in range(dim)]
+    mb = [f"(_sb{j} / _nb)" for j in range(dim)]
+    # "t0 + t1 + ..." parses left-assoc — the same ((t0+t1)+t2) chain
+    # the Column form folded, so summation order (hence doubles) match.
+    dot = " + ".join(f"({a} * {b})" for a, b in zip(ma, mb))
+    na2 = " + ".join(f"({a} * {a})" for a in ma)
+    nb2 = " + ".join(f"({b} * {b})" for b in mb)
+    d2 = " + ".join(f"(({a} - {b}) * ({a} - {b}))" for a, b in zip(ma, mb))
+    cos = f"(({dot}) / (SQRT({na2}) * SQRT({nb2})))"
+    l2 = f"SQRT({d2})"
     if round_to is not None:
-        cos = F.round(cos, round_to) + F.lit(0.0)
-        l2 = F.round(l2, round_to) + F.lit(0.0)
-    return one.select(
-        F.col("_na").cast("long").alias("n_a"),
-        F.col("_nb").cast("long").alias("n_b"),
-        cos.alias("mean_cosine"),
-        l2.alias("mean_l2"),
+        cos = f"(round({cos}, {round_to}) + 0.0D)"
+        l2 = f"(round({l2}, {round_to}) + 0.0D)"
+    return one.selectExpr(
+        "CAST(_na AS BIGINT) AS n_a",
+        "CAST(_nb AS BIGINT) AS n_b",
+        f"{cos} AS mean_cosine",
+        f"{l2} AS mean_l2",
     )
 
 
@@ -424,31 +431,37 @@ def embedding_outliers(
 
     Output: (vec_id, score), k rows.
     """
-    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = df.select(F.col(id_col), vec.alias("_v")).filter(
-        F.size("_v") == dim
-    )
-    aggs = [F.count(F.lit(1)).cast("double").alias("_n")]
+    # selectExpr-authored like embedding_drift above (VERDICT r10
+    # item 3): same expression trees term-for-term — per-dim Σx, Σx²
+    # aggregates, then the left-assoc z-energy chain
+    # Σⱼ (xⱼ−μⱼ)²/(σⱼ²+ε) with identical parenthesis structure, so
+    # scores (and therefore the rounded ranking) are bit-identical to
+    # the previous Column-built form.
+    qid = "`" + id_col.replace("`", "``") + "`"
+    qvec = "`" + vec_col.replace("`", "``") + "`"
+    base = df.selectExpr(
+        qid, f"transform({qvec}, x -> CAST(x AS DOUBLE)) AS _v"
+    ).filter(F.size("_v") == dim)
+    agg_exprs = ["CAST(count(1) AS DOUBLE) AS _n"]
     for j in range(dim):
-        el = F.element_at("_v", j + 1)
-        aggs.append(F.sum(el).alias(f"_s{j}"))
-        aggs.append(F.sum(el * el).alias(f"_q{j}"))
-    stats = base.agg(*aggs)
+        el = f"element_at(_v, {j + 1})"
+        agg_exprs.append(f"sum({el}) AS _s{j}")
+        agg_exprs.append(f"sum({el} * {el}) AS _q{j}")
+    stats = base.selectExpr(*agg_exprs)
 
     scored = base.crossJoin(F.broadcast(stats))
+    eps_lit = repr(float(eps)) + "D"
     terms = []
     for j in range(dim):
-        mu = F.col(f"_s{j}") / F.col("_n")
-        var = F.col(f"_q{j}") / F.col("_n") - mu * mu
-        x = F.element_at("_v", j + 1)
-        terms.append((x - mu) * (x - mu) / (var + F.lit(eps)))
-    score = terms[0]
-    for t in terms[1:]:
-        score = score + t
+        mu = f"(_s{j} / _n)"
+        var = f"((_q{j} / _n) - ({mu} * {mu}))"
+        x = f"element_at(_v, {j + 1})"
+        terms.append(f"(({x} - {mu}) * ({x} - {mu}) / ({var} + {eps_lit}))")
+    score = " + ".join(terms)
     if round_to is not None:
-        score = F.round(score, round_to)
+        score = f"round({score}, {round_to})"
     return (
-        scored.select(F.col(id_col), score.alias("score"))
+        scored.selectExpr(qid, f"{score} AS score")
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )
