@@ -40,6 +40,15 @@ def array_lit(nested, kind: str = "double"):
     rejected — they have no portable SQL literal form and no operator
     here ships them.
     """
+    return F.expr(array_lit_sql(nested, kind=kind))
+
+
+def array_lit_sql(nested, kind: str = "double") -> str:
+    """The SQL-text form of :func:`array_lit`, for callers that author
+    whole expressions as f-strings (the selectExpr plan-construction
+    pattern — see docs/TUNING.md): embedding the literal INSIDE a
+    larger string keeps the entire projection at ONE py4j call instead
+    of composing Columns around a parsed literal."""
     import math
 
     def render(x) -> str:
@@ -54,4 +63,4 @@ def array_lit(nested, kind: str = "double"):
             return str(int(x)) + "L"
         return str(int(x))
 
-    return F.expr(render(nested))
+    return render(nested)

@@ -465,3 +465,35 @@ def test_filtered_knn_join_prefilters(spark):
     assert sorted((r["neighbor_id"], r["rnk"]) for r in got) == sorted(
         (r["neighbor_id"], r["rnk"]) for r in want
     )
+
+
+def test_pq_codes_sql_equals_column_form(spark):
+    """_pq_codes_sql (the selectExpr-authored twin) must produce the
+    same codes as the Column-built _pq_codes for a ragged codebook —
+    the contract that let ann_pq move to one-py4j-call plan
+    construction (VERDICT r10 item 4)."""
+    from pyspark.sql import functions as F
+
+    from flink_kmeans_clustering_spark.operators.similarity import (
+        _pq_codes,
+        _pq_codes_sql,
+    )
+
+    books = [
+        [[0.0, 0.0], [1.0, 1.0], [2.5, -1.0]],
+        [[5.0, 5.0], [-3.25, 0.5]],  # ragged: 3 vs 2 codewords
+    ]
+    df = spark.createDataFrame(
+        [([0.1, 0.2, 4.9, 5.2],), ([2.4, -0.8, -3.0, 0.0],),
+         ([1.0, 1.0, 5.0, 5.0],), ([9.0, -9.0, 9.0, -9.0],)],
+        "embedding array<double>",
+    )
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    col_form = df.select(_pq_codes(vec, books).alias("codes")).collect()
+    sql_form = df.selectExpr(
+        _pq_codes_sql(
+            "transform(embedding, x -> CAST(x AS DOUBLE))", books
+        )
+        + " AS codes"
+    ).collect()
+    assert [r["codes"] for r in col_form] == [r["codes"] for r in sql_form]
