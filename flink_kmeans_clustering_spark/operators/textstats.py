@@ -1592,3 +1592,101 @@ def dsir_weights(
         )
     )
     return weights.orderBy(F.desc("dsir_weight"), F.col(id_col)).limit(top_n)
+
+
+def bpe_learn_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    rounds: int = 4,
+) -> DataFrame:
+    """BPE merge-table LEARNING (Sennrich et al., ACL 2016 — the full
+    tokenizer-training loop, not just one round of pair statistics):
+    repeatedly count adjacent symbol pairs over the current
+    segmentation, merge the argmax pair corpus-wide, and emit the
+    learned merge table in order.
+
+    Scale shape — the two-level sufficient-statistics contract:
+
+    1. The corpus collapses to its WORD-FREQUENCY table once
+       (``groupBy(word)`` — the only corpus-scale shuffle; BPE trainers
+       operate on (word, count), never the raw corpus).
+    2. Each round is ONE vocabulary-sized job: re-segment by replaying
+       the merges learned so far (a chain of ``aggregate`` folds, one
+       narrow projection per merge, all JVM-side), pair-count weighted
+       by word frequency (the shuffle is the pair alphabet, ≤|Σ′|²
+       keys), and collect the single argmax row — bounded driver state
+       exactly like the K-Means centroid loop (reference
+       KMeans.java:148-236).
+
+    The greedy merge fold is leftmost-first non-overlapping: scanning
+    left to right, merge when (last(acc) = x AND next = y).  A freshly
+    merged symbol x‖y can never equal x (y is non-empty), so the fold
+    needs no just-merged flag — "aaa" under merge (a,a) segments to
+    [aa, a], the canonical greedy result.  Everything is integer
+    counts and exact strings (tokens are [a-z0-9]+), so the recursive-
+    CTE oracle matches bit-for-bit with no rounding discipline needed;
+    ties break (freq DESC, pair ASC) in both engines.
+
+    Output: one row per learned merge —
+    (merge_round, lhs, rhs, merged, freq), ordered by merge_round.
+    """
+    spark = df.sparkSession
+    out_schema = (
+        "merge_round int, lhs string, rhs string, "
+        "merged string, freq long"
+    )
+    vocab = (
+        df.select(F.explode(tokenize(F.col(text_col))).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .cache()
+    )
+
+    def _fold(x: str, y: str) -> str:
+        xl, yl, ml = f"'{x}'", f"'{y}'", f"'{x + y}'"
+        return (
+            "aggregate(slice(seg, 2, size(seg) - 1),"
+            " array(element_at(seg, 1)),"
+            f" (acc, s) -> IF(element_at(acc, -1) = {xl} AND s = {yl},"
+            f" concat(slice(acc, 1, size(acc) - 1), array({ml})),"
+            " concat(acc, array(s)))) AS seg"
+        )
+
+    pairs_expr = (
+        "transform(sequence(1, size(seg) - 1),"
+        " i -> concat(element_at(seg, i), ' ', element_at(seg, i + 1)))"
+    )
+    merges: list[tuple[str, str, int]] = []
+    try:
+        for _ in range(rounds):
+            seg = vocab.selectExpr("split(w, '') AS seg", "cnt")
+            for x, y, _f in merges:
+                seg = seg.selectExpr(_fold(x, y), "cnt")
+            top = (
+                seg.filter(F.size("seg") >= 2)
+                .selectExpr(f"explode({pairs_expr}) AS pair", "cnt")
+                .groupBy("pair")
+                .agg(F.sum("cnt").alias("freq"))
+                .orderBy(F.desc("freq"), F.col("pair"))
+                .head(1)
+            )
+            if not top:
+                break
+            x, y = top[0]["pair"].split(" ")
+            merges.append((x, y, int(top[0]["freq"])))
+    finally:
+        vocab.unpersist()
+    rows = [
+        (r + 1, x, y, x + y, f) for r, (x, y, f) in enumerate(merges)
+    ]
+    if not rows:
+        return spark.createDataFrame([], out_schema)
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(
+            rows, columns=["merge_round", "lhs", "rhs", "merged", "freq"]
+        ),
+        schema=out_schema,
+    )

@@ -1352,3 +1352,43 @@ def test_delta_dedup_digest_join_linear(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert_max_shuffles(df, 7)
+
+
+def test_bpe_train_vocab_pass_single_shuffle_no_join(spark):
+    """BPE merge learning's corpus-scale work is ONE word-frequency
+    aggregate; every round after that is vocabulary-sized (re-segment
+    projection + pair-alphabet aggregate) with the argmax as 1-row
+    driver state.  The corpus pass must stay join-free, one exchange,
+    and read only the text column."""
+    import pyspark.sql.functions as F
+
+    from flink_kmeans_clustering_spark.functions.text import tokenize
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    vocab = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    plan = explain_str(vocab)
+    assert "Join" not in plan, plan
+    assert_max_shuffles(vocab, 1)
+    for s in read_schemas(vocab):
+        assert "doc_id" not in s and "source" not in s, s
+    # a round job on top of the vocab: merge-fold projection + pair
+    # aggregate adds exactly one more (pair-alphabet) exchange
+    seg = vocab.selectExpr("split(w, '') AS seg", "cnt")
+    pairs = (
+        seg.filter(F.size("seg") >= 2)
+        .selectExpr(
+            "explode(transform(sequence(1, size(seg) - 1),"
+            " i -> concat(element_at(seg, i), ' ',"
+            " element_at(seg, i + 1)))) AS pair",
+            "cnt",
+        )
+        .groupBy("pair")
+        .agg(F.sum("cnt").alias("freq"))
+    )
+    assert "Join" not in explain_str(pairs)
+    assert_max_shuffles(pairs, 2)
