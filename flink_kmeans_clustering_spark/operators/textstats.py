@@ -1690,3 +1690,149 @@ def bpe_learn_merges(
         ),
         schema=out_schema,
     )
+
+
+QUALITY_TRAIN_FEATURES = (
+    "bias",
+    "stop_ratio",
+    "len_norm",
+    "punct_ratio",
+    "digit_ratio",
+    "upper_ratio",
+    "mwl_norm",
+)
+QUALITY_TRAIN_LR = 0.5
+QUALITY_TRAIN_ROUNDS = 5
+
+
+def quality_classifier_train(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+    label_value: str = "en",
+    lr: float = QUALITY_TRAIN_LR,
+    rounds: int = QUALITY_TRAIN_ROUNDS,
+) -> DataFrame:
+    """TRAIN the quality classifier IN-ENGINE (the stage
+    :func:`quality_classifier` freezes): batch-gradient logistic
+    regression over the same six surface features, distilling a weak
+    label (``label_col = label_value`` — here "is this English", the
+    CCNet-style reference-corpus signal) into a pure-codegen scoring
+    head.
+
+    Distributed shape — the K-Means bulk-iteration contract
+    (KMeans.java:148-236) yet again: the corpus collapses ONCE into a
+    cached (x₁..x₇, y) feature frame (one scan, zero shuffles beyond
+    it); each round is ONE job aggregating the 7-component gradient
+    gⱼ = Σᵢ xᵢⱼ·(σ(w·xᵢ) − yᵢ); the weight update runs on the
+    collected 1-row state.
+
+    Engine-replayable fixed-point discipline (the DoReMi pattern):
+    each per-doc gradient term is rounded HALF-UP to 12 decimals and
+    accumulated in DECIMAL(32,12) — an order-independent exact sum, so
+    partitioning cannot perturb it and libm's exp only has to agree to
+    12 dp per doc; weights are rounded half-up to 12 decimals each
+    round.  The DuckDB oracle replays the identical iteration as a
+    recursive CTE and matches bit-for-bit.
+
+    Output: one row per feature — (feature, weight, n_docs,
+    train_acc), ordered by the fixed feature index; empty corpus →
+    empty frame (no model can be fit).
+    """
+    import math
+
+    spark = df.sparkSession
+    out_schema = "feature string, weight double, n_docs long, train_acc double"
+
+    def _r(x: float, digits: int) -> float:
+        s = 10.0 ** digits
+        return math.floor(x * s + 0.5) / s
+
+    toks = F.col("_toks")
+    base = (
+        df.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+        .withColumn("_toks", tokenize(F.col(text_col)))
+        .select(
+            F.size(toks).alias("n_words"),
+            _stopword_hits(toks, ENGLISH_STOPWORDS).alias("stop_hits"),
+            F.regexp_count(F.col(text_col), F.lit(r"[^a-zA-Z0-9\s]")).alias(
+                "n_punct"
+            ),
+            F.regexp_count(F.col(text_col), F.lit(r"[0-9]")).alias("n_digit"),
+            F.regexp_count(F.col(text_col), F.lit(r"[A-Z]")).alias("n_upper"),
+            F.aggregate(
+                F.transform(toks, lambda t: F.length(t)),
+                F.lit(0),
+                lambda a, b: a + b,
+            ).alias("tok_chars"),
+            F.length(F.col(text_col)).alias("n_chars"),
+            (F.col(label_col) == label_value).cast("int").alias("y"),
+        )
+    )
+    # feature projection (all IEEE double arithmetic — the oracle
+    # mirrors these fragments with explicit double casts)
+    fv = base.selectExpr(
+        "CAST(1.0 AS DOUBLE) AS x1",
+        "CASE WHEN n_words > 0 THEN CAST(stop_hits AS DOUBLE) / n_words"
+        " ELSE CAST(0.0 AS DOUBLE) END AS x2",
+        "least(CAST(n_words AS DOUBLE) / CAST(500.0 AS DOUBLE),"
+        " CAST(1.0 AS DOUBLE)) AS x3",
+        "CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars"
+        " ELSE CAST(0.0 AS DOUBLE) END AS x4",
+        "CASE WHEN n_chars > 0 THEN CAST(n_digit AS DOUBLE) / n_chars"
+        " ELSE CAST(0.0 AS DOUBLE) END AS x5",
+        "CASE WHEN n_chars > 0 THEN CAST(n_upper AS DOUBLE) / n_chars"
+        " ELSE CAST(0.0 AS DOUBLE) END AS x6",
+        "(CASE WHEN n_words > 0 THEN CAST(tok_chars AS DOUBLE) / n_words"
+        " ELSE CAST(0.0 AS DOUBLE) END) / CAST(10.0 AS DOUBLE) AS x7",
+        "y",
+    ).cache()
+    k = len(QUALITY_TRAIN_FEATURES)
+
+    def _z(w: list[float]) -> str:
+        # left-assoc chain == list_sum's fold in the oracle
+        return " + ".join(
+            f"({w[j]!r}D * x{j + 1})" for j in range(k)
+        )
+
+    def _p(w: list[float]) -> str:
+        return f"(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-({_z(w)}))))"
+
+    try:
+        w = [0.0] * k
+        n = None
+        for _ in range(rounds):
+            p = _p(w)
+            aggs = [
+                f"sum(CAST(round(x{j + 1} * ({p} - y), 12)"
+                f" AS DECIMAL(32,12))) AS g{j}"
+                for j in range(k)
+            ] + ["count(1) AS n"]
+            row = fv.selectExpr(*aggs).head()
+            n = int(row["n"])
+            if n == 0:
+                return spark.createDataFrame([], out_schema)
+            w = [
+                _r(w[j] - lr * float(row[f"g{j}"]) / n, 12) for j in range(k)
+            ]
+        mrow = fv.selectExpr(
+            "count(1) AS n",
+            f"sum(CAST((round({_p(w)}, 6) >= CAST(0.5 AS DOUBLE))"
+            " = (y = 1) AS INT)) AS n_correct",
+        ).head()
+        n = int(mrow["n"])
+        if n == 0:
+            return spark.createDataFrame([], out_schema)
+        acc = _r(int(mrow["n_correct"]) / n, 6)
+    finally:
+        fv.unpersist()
+    import pandas as pd
+
+    rows = [
+        (QUALITY_TRAIN_FEATURES[j], w[j], n, acc) for j in range(k)
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["feature", "weight", "n_docs", "train_acc"]),
+        schema=out_schema,
+    )

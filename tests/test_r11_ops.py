@@ -72,3 +72,73 @@ def test_bpe_learn_merges_empty_input(spark):
     out = bpe_learn_merges(empty, rounds=3)
     assert out.count() == 0
     assert out.columns == ["merge_round", "lhs", "rhs", "merged", "freq"]
+
+
+# --- quality_classifier_train --------------------------------------------------
+
+
+def test_quality_train_learns_separating_weights(spark):
+    """On a corpus where English docs are stopword-rich and the rest
+    stopword-free, gradient descent must push the stop_ratio weight
+    positive and reach high training accuracy — the distillation
+    actually learns, not just replays the prior."""
+    from flink_kmeans_clustering_spark.operators.textstats import (
+        quality_classifier_train,
+    )
+
+    en = "the and of to in is that with " * 6
+    xx = "zork blap qux vemb trill " * 8
+    rows = [(i, en, "en", "web") for i in range(12)] + [
+        (100 + i, xx, "xx", "web") for i in range(12)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = {r["feature"]: r for r in quality_classifier_train(docs).collect()}
+    assert set(out) == {
+        "bias",
+        "stop_ratio",
+        "len_norm",
+        "punct_ratio",
+        "digit_ratio",
+        "upper_ratio",
+        "mwl_norm",
+    }
+    assert out["stop_ratio"]["weight"] > 0.0
+    assert out["bias"]["n_docs"] == 24
+    assert out["bias"]["train_acc"] >= 0.9
+    # scalar metrics are identical on every feature row
+    accs = {r["train_acc"] for r in out.values()}
+    assert len(accs) == 1
+
+
+def test_quality_train_balanced_uninformative_stays_at_prior(spark):
+    """Identical texts with a 50/50 label split: no feature separates
+    the classes, so weights stay (numerically) near zero and accuracy
+    is the 0.5 coin-flip — the learner must not hallucinate signal."""
+    from flink_kmeans_clustering_spark.operators.textstats import (
+        quality_classifier_train,
+    )
+
+    text = "alpha beta gamma delta epsilon"
+    rows = [(i, text, "en" if i % 2 == 0 else "xx", "web") for i in range(16)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = {r["feature"]: r for r in quality_classifier_train(docs).collect()}
+    # p = 0.5 for every doc each round -> gradient components cancel
+    assert abs(out["bias"]["weight"]) < 1e-9
+    assert out["bias"]["train_acc"] == 0.5
+
+
+def test_quality_train_empty_input(spark):
+    from flink_kmeans_clustering_spark.operators.textstats import (
+        quality_classifier_train,
+    )
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string"
+    )
+    out = quality_classifier_train(empty)
+    assert out.count() == 0
+    assert out.columns == ["feature", "weight", "n_docs", "train_acc"]
