@@ -2694,3 +2694,93 @@ def snapshot_delta_dedup(
         )
         .orderBy(group_col)
     )
+
+
+def crossmodal_dedup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    max_block: int | None = 200,
+    max_caption_group: int = 200,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-modal JOINT dedup (new r11): catch asset reuse that a
+    single-modality pass misses — an image re-posted under a rewritten
+    caption (``recaptioned``) and a caption re-used over a re-encoded
+    image (``reencoded``) — plus true re-posts where both match
+    (``both``).  This is the LAION-style curation step after the
+    agreement filter: per-modality near-dup keys, joined on the PAIR.
+
+    Composition of two existing bucketed passes — nothing all-pairs:
+
+    * image side: :func:`~flink_kmeans_clustering_spark.operators.
+      multimodal.phash_pairs` over the synthesized asset corpus —
+      aHash pigeonhole blocking, Hamming ≤ ``max_hamming`` verify,
+      hot-block cap ``max_block``.
+    * caption side: exact token-SET fingerprint (md5 of the sorted
+      distinct token list — word order and repetition invariant, the
+      cheap "same caption content" key), self-joined within
+      fingerprint groups under the ``max_caption_group`` hot-group cap
+      (boilerplate captions are template noise, not reuse — the same
+      documented trade as every blocking cap in this module).
+
+    The two bounded pair lists meet in ONE full-outer join on the
+    (id_a, id_b) key — pair-list-sized, never corpus-sized.  At 100 TB
+    both sides stay linear-plus-candidates exactly like their parent
+    operators; the join key is an md5-uniform pair, skew-free.
+
+    Output: (id_a, id_b, kind, hamming) with id_a < id_b; ``hamming``
+    is NULL for caption-only (``reencoded``) pairs.
+    """
+    from flink_kmeans_clustering_spark.operators.multimodal import (
+        phash_pairs,
+        synthesize_assets,
+    )
+
+    ipairs = phash_pairs(
+        synthesize_assets(docs),
+        max_hamming=max_hamming,
+        max_block=max_block,
+    )
+    caps = docs.select(
+        F.col(id_col).alias("cid"),
+        F.md5(
+            F.concat_ws(
+                " ", F.array_sort(F.array_distinct(tokenize(F.col(text_col))))
+            )
+        ).alias("fp"),
+        F.size(tokenize(F.col(text_col))).alias("_nt"),
+    ).filter(F.col("_nt") > 0)
+    gcnt = caps.groupBy("fp").agg(F.count(F.lit(1)).alias("_gn"))
+    caps = (
+        caps.join(F.broadcast(gcnt), "fp")
+        .filter(F.col("_gn") <= max_caption_group)
+        .select("cid", "fp")
+    )
+    x, y = caps.alias("x"), caps.alias("y")
+    cpairs = x.join(
+        y,
+        (F.col("x.fp") == F.col("y.fp"))
+        & (F.col("x.cid") < F.col("y.cid")),
+    ).select(
+        F.col("x.cid").alias("cid_a"), F.col("y.cid").alias("cid_b")
+    )
+    joined = ipairs.join(
+        cpairs,
+        (F.col("id_a") == F.col("cid_a")) & (F.col("id_b") == F.col("cid_b")),
+        "full_outer",
+    )
+    kind = (
+        F.when(
+            F.col("id_a").isNotNull() & F.col("cid_a").isNotNull(),
+            F.lit("both"),
+        )
+        .when(F.col("id_a").isNotNull(), F.lit("recaptioned"))
+        .otherwise(F.lit("reencoded"))
+    )
+    return joined.select(
+        F.coalesce(F.col("id_a"), F.col("cid_a")).alias("id_a"),
+        F.coalesce(F.col("id_b"), F.col("cid_b")).alias("id_b"),
+        kind.alias("kind"),
+        F.col("hamming"),
+    )

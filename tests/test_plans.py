@@ -1392,3 +1392,20 @@ def test_bpe_train_vocab_pass_single_shuffle_no_join(spark):
     )
     assert "Join" not in explain_str(pairs)
     assert_max_shuffles(pairs, 2)
+
+
+def test_crossmodal_dedup_no_cartesian_caption_cap_broadcast(spark):
+    """Cross-modal joint dedup composes two bounded blocking passes
+    and ONE pair-key outer join: no cartesian product anywhere, the
+    caption hot-group count joins broadcast-side, and every join is
+    an equi-join (chunk key, fingerprint, pair key)."""
+    from flink_kmeans_clustering_spark.operators.dedup import (
+        crossmodal_dedup_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = crossmodal_dedup_pairs(docs)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan  # the caption group-count cap

@@ -142,3 +142,79 @@ def test_quality_train_empty_input(spark):
     out = quality_classifier_train(empty)
     assert out.count() == 0
     assert out.columns == ["feature", "weight", "n_docs", "train_acc"]
+
+
+# --- crossmodal_dedup_pairs ----------------------------------------------------
+
+
+def _docs_with_nchars(spark, rows):
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    return df.withColumn("n_chars", F.length("text").cast("long"))
+
+
+def test_crossmodal_classifies_all_three_kinds(spark):
+    """An exact re-post pairs as 'both'; a small in-place word swap
+    keeps the byte grid (aHash) but changes the token set →
+    'recaptioned'; the same token set rendered as a very different
+    byte stream keeps the caption fingerprint but breaks the image
+    hash → 'reencoded'.  An unrelated doc pairs with nothing."""
+    from flink_kmeans_clustering_spark.operators.dedup import (
+        crossmodal_dedup_pairs,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "today " * 4
+    )
+    recap = base.replace("dog", "cat")
+    reenc = " ".join(sorted(set(base.split())) * 9)
+    docs = _docs_with_nchars(
+        spark,
+        [
+            (1, base, "en", "web"),
+            (2, base, "en", "web"),
+            (3, recap, "en", "web"),
+            (4, reenc, "en", "web"),
+            (5, "zebra unrelated words entirely different content here",
+             "en", "web"),
+        ],
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["kind"], r["hamming"])
+        for r in crossmodal_dedup_pairs(docs).collect()
+    }
+    assert got[(1, 2)] == ("both", 0)
+    assert got[(1, 3)][0] == "recaptioned"
+    assert got[(2, 3)][0] == "recaptioned"
+    assert got[(1, 4)] == ("reencoded", None)
+    assert got[(2, 4)] == ("reencoded", None)
+    assert not any(5 in k for k in got)
+    assert (3, 4) not in got  # different token sets, different grids
+
+
+def test_crossmodal_hot_caption_group_capped(spark):
+    """A caption shared by more docs than max_caption_group is template
+    boilerplate: it must produce NO caption pairs (the blocking-cap
+    contract every dedup family op carries)."""
+    from flink_kmeans_clustering_spark.operators.dedup import (
+        crossmodal_dedup_pairs,
+    )
+
+    rows = [(i, "boiler plate navigation footer", "en", "web")
+            for i in range(6)]
+    docs = _docs_with_nchars(spark, rows)
+    out = crossmodal_dedup_pairs(docs, max_caption_group=5).collect()
+    assert all(r["kind"] != "reencoded" for r in out)
+
+
+def test_crossmodal_empty_input(spark):
+    from flink_kmeans_clustering_spark.operators.dedup import (
+        crossmodal_dedup_pairs,
+    )
+
+    empty = _docs_with_nchars(spark, [])
+    out = crossmodal_dedup_pairs(empty)
+    assert out.count() == 0
+    assert out.columns == ["id_a", "id_b", "kind", "hamming"]
