@@ -399,6 +399,24 @@ def q_text_mlquality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_classifier(docs)
 
 
+def q_text_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine TRAINED quality classifier (new r11): batch-gradient
+    logistic regression over q_text_mlquality's six surface features,
+    distilling the lang='en' weak label — the corpus collapses once
+    into a cached feature frame, each round is ONE 7-component
+    gradient aggregate (per-doc terms rounded at 12 dp into an exact
+    DECIMAL sum, so the state is partition- and engine-independent),
+    weights update on collected 1-row driver state (the K-Means
+    bulk-iteration contract).  The oracle replays the iteration as a
+    recursive CTE."""
+    from flink_kmeans_clustering_spark.operators.textstats import (
+        quality_classifier_train,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_classifier_train(docs)
+
+
 def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document n-gram novelty: fraction of a doc's distinct
     shingles appearing in no other document — computed from the
@@ -2886,6 +2904,32 @@ def q_text_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_frequencies(docs, top_n=BPE_TOP_PAIRS)
 
 
+BPE_TRAIN_ROUNDS = 4
+
+from flink_kmeans_clustering_spark.operators.textstats import (  # noqa: E402
+    QUALITY_TRAIN_LR as _QT_LR,
+    QUALITY_TRAIN_ROUNDS as _QT_ROUNDS,
+)
+
+
+def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-table LEARNING (new r11): the full tokenizer-training
+    loop over q_text_bpe's pair statistics — corpus collapses to its
+    word-frequency table ONCE (the only corpus-scale shuffle), then
+    each round re-segments by the merges learned so far (JVM-side
+    aggregate folds), pair-counts the vocabulary, and merges the
+    corpus-wide argmax — bounded driver state (the K-Means
+    bulk-iteration contract, KMeans.java:148-236).  Integer counts +
+    exact strings, so the unrolled recursive-CTE oracle matches
+    bit-for-bit."""
+    from flink_kmeans_clustering_spark.operators.textstats import (
+        bpe_learn_merges,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_learn_merges(docs, rounds=BPE_TRAIN_ROUNDS)
+
+
 KCENTER_K = 8
 
 
@@ -3572,10 +3616,33 @@ def q_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_delta_dedup(docs)
 
 
+CROSSMODAL_MAX_CAPTION_GROUP = 200
+
+
+def q_dedup_crossmodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal JOINT dedup (new r11): image aHash near-dup pairs ×
+    caption token-set fingerprint pairs, full-outer joined on the
+    (id_a, id_b) pair key and classified — 'both' (true re-post),
+    'recaptioned' (same image, rewritten caption), 'reencoded' (same
+    caption, re-encoded image).  Both sides are the existing bounded
+    blocking passes; the join is pair-list-sized."""
+    from flink_kmeans_clustering_spark.operators.dedup import (
+        crossmodal_dedup_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return crossmodal_dedup_pairs(
+        docs,
+        max_hamming=PHASH_MAX_HAMMING,
+        max_block=PHASH_MAX_BLOCK,
+        max_caption_group=CROSSMODAL_MAX_CAPTION_GROUP,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    226 queries; 222 carry DuckDB oracles, 4 are rows-only by design
+    229 queries; 225 carry DuckDB oracles, 4 are rows-only by design
     (MLlib placement RNG, HLL/GK sketch internals, GEMM ulp twin —
     each has a DETERMINISTIC full-oracle twin registered beside it:
     lloyd_nd/kmv/sampled-quantiles/expression-cosine, plus an sf0.1
@@ -3584,78 +3651,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     header cannot go stale again (ADVICE r06).
 
     Registry ORDER is load-bearing: the driver's correctness artifact
-    records the first 50 entries only.  Round 10 window (VERDICT r09
-    item 2, exactly as docs/STATUS.md planned): q_dedup_gear LEADS
-    (the one registry row never driver-checked — landed after the r09
-    window froze), then the THREE queries new this round
-    (q_sample_doremi — DoReMi domain-weight learning,
-    q_multimodal_agreement — CLIP-style image-text agreement filter,
-    q_dedup_delta — crawl-snapshot delta-dedup over gear chunks;
-    new-query count capped at 3 so the stale tail keeps draining),
-    then the next 46 stalest rows in tail order: the 26 remaining
-    r05-green rows (q_text_lm_bigram .. q_rel_small_qty) and the
-    first 20 of the r06-green family (q_events_rfm ..
-    q_sample_epochs).  With this window, cumulative driver coverage
-    reaches 223 of 223 (every registry row driver-checked at least
-    once).  The tail below the window stays sorted stalest-first —
-    r06 remainder (q_stream_attribution .. q_update) first, so the
-    r11 window is simply the next 50 rows — and the r09 window's 50
-    rows (freshest) moved to the very end.
+    records the first 50 entries only.  Round 11 window (VERDICT r10
+    item 1, exactly as docs/STATUS.md planned): the THREE queries new
+    this round lead (q_text_bpe_train — BPE merge-table learning,
+    q_text_quality_train — in-engine trained quality classifier,
+    q_dedup_crossmodal — cross-modal joint dedup; new-query count
+    capped at 3 so the stale tail keeps draining), then the next 47
+    stalest rows in tail order: the r06 remainder
+    (q_stream_attribution, q_embed_health, q_dedup_cc, q_update),
+    then q_assign_join, q_dedup_exact, q_dedup_ngram_exact,
+    q_rel_shipping, the window-function family, the
+    multimodal/events blocks … ending at q_rel_forecast.  Cumulative
+    driver coverage entering this round was 226 of 226 (the ledger
+    closed in r10 — every pre-r11 registry row driver-checked at
+    least once); with this window it reaches 229 of 229.  The tail
+    below the window stays sorted stalest-first — it resumes at
+    q_rel_topsupplier / q_rel_profit / q_rel_bigorders (the three
+    r06-green rows the 47-row budget displaced), so the r12 window is
+    simply the next 50 rows — and the r10 window's 50 rows (freshest)
+    moved to the very end.
     """
     return {
-        "q_dedup_gear": q_dedup_gear,
-        "q_sample_doremi": q_sample_doremi,
-        "q_multimodal_agreement": q_multimodal_agreement,
-        "q_dedup_delta": q_dedup_delta,
-        "q_text_lm_bigram": q_text_lm_bigram,
-        "q_multimodal_audio": q_multimodal_audio,
-        "q_dedup_soft": q_dedup_soft,
-        "q_text_ppl_buckets": q_text_ppl_buckets,
-        "q_embed_outliers": q_embed_outliers,
-        "q_events_cdc": q_events_cdc,
-        "q_stream_cdc": q_stream_cdc,
-        "q_dedup_minhash": q_dedup_minhash,
-        "q_dedup_simhash": q_dedup_simhash,
-        "q_rel_pricing": q_rel_pricing,
-        "q_dedup_ngram": q_dedup_ngram,
-        "q_dedup_twostage": q_dedup_twostage,
-        "q_assign": q_assign,
-        "q_text_chunk": q_text_chunk,
-        "q_objfun": q_objfun,
-        "q_convergence": q_convergence,
-        "q_kmeans": q_kmeans,
-        "q_events_cube": q_events_cube,
-        "q_events_asof": q_events_asof,
-        "q_events_running": q_events_running,
-        "q_events_quantiles": q_events_quantiles,
-        "q_sample_docs": q_sample_docs,
-        "q_sample_stratified": q_sample_stratified,
-        "q_text_gate": q_text_gate,
-        "q_text_packing": q_text_packing,
-        "q_rel_small_qty": q_rel_small_qty,
-        "q_events_rfm": q_events_rfm,
-        "q_dedup_incremental": q_dedup_incremental,
-        "q_dedup_url": q_dedup_url,
-        "q_ann_recall": q_ann_recall,
-        "q_text_mlquality": q_text_mlquality,
-        "q_rel_expectations": q_rel_expectations,
-        "q_dedup_spans": q_dedup_spans,
-        "q_sample_token_budget": q_sample_token_budget,
-        "q_ann_negatives": q_ann_negatives,
-        "q_text_datacard": q_text_datacard,
-        "q_events_markov": q_events_markov,
-        "q_dedup_threshold_hist": q_dedup_threshold_hist,
-        "q_events_cooccur": q_events_cooccur,
-        "q_sample_group_split": q_sample_group_split,
-        "q_ann_filtered": q_ann_filtered,
-        "q_events_attribution": q_events_attribution,
-        "q_events_cohorts": q_events_cohorts,
-        "q_events_paths": q_events_paths,
-        "q_text_langid_eval": q_text_langid_eval,
-        "q_sample_epochs": q_sample_epochs,
-        # --- below: outside the driver's 50-row window this round,
-        # --- stalest-first (latest driver-check round ascending) so
-        # --- the r11 window is simply the next rows in order ---
+        "q_text_bpe_train": q_text_bpe_train,
+        "q_text_quality_train": q_text_quality_train,
+        "q_dedup_crossmodal": q_dedup_crossmodal,
         "q_stream_attribution": q_stream_attribution,
         "q_embed_health": q_embed_health,
         "q_dedup_cc": q_dedup_cc,
@@ -3703,6 +3722,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rel_late_orders": q_rel_late_orders,
         "q_rel_anti_parts": q_rel_anti_parts,
         "q_rel_forecast": q_rel_forecast,
+        # --- below: outside the driver's 50-row window this round,
+        # --- stalest-first (latest driver-check round ascending) so
+        # --- the r12 window is simply the next rows in order ---
         "q_rel_topsupplier": q_rel_topsupplier,
         "q_rel_profit": q_rel_profit,
         "q_rel_bigorders": q_rel_bigorders,
@@ -3832,6 +3854,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_bpe": q_text_bpe,
         "q_sample_kcenter": q_sample_kcenter,
         "q_sample_domain_cap": q_sample_domain_cap,
+        "q_dedup_gear": q_dedup_gear,
+        "q_sample_doremi": q_sample_doremi,
+        "q_multimodal_agreement": q_multimodal_agreement,
+        "q_dedup_delta": q_dedup_delta,
+        "q_text_lm_bigram": q_text_lm_bigram,
+        "q_multimodal_audio": q_multimodal_audio,
+        "q_dedup_soft": q_dedup_soft,
+        "q_text_ppl_buckets": q_text_ppl_buckets,
+        "q_embed_outliers": q_embed_outliers,
+        "q_events_cdc": q_events_cdc,
+        "q_stream_cdc": q_stream_cdc,
+        "q_dedup_minhash": q_dedup_minhash,
+        "q_dedup_simhash": q_dedup_simhash,
+        "q_rel_pricing": q_rel_pricing,
+        "q_dedup_ngram": q_dedup_ngram,
+        "q_dedup_twostage": q_dedup_twostage,
+        "q_assign": q_assign,
+        "q_text_chunk": q_text_chunk,
+        "q_objfun": q_objfun,
+        "q_convergence": q_convergence,
+        "q_kmeans": q_kmeans,
+        "q_events_cube": q_events_cube,
+        "q_events_asof": q_events_asof,
+        "q_events_running": q_events_running,
+        "q_events_quantiles": q_events_quantiles,
+        "q_sample_docs": q_sample_docs,
+        "q_sample_stratified": q_sample_stratified,
+        "q_text_gate": q_text_gate,
+        "q_text_packing": q_text_packing,
+        "q_rel_small_qty": q_rel_small_qty,
+        "q_events_rfm": q_events_rfm,
+        "q_dedup_incremental": q_dedup_incremental,
+        "q_dedup_url": q_dedup_url,
+        "q_ann_recall": q_ann_recall,
+        "q_text_mlquality": q_text_mlquality,
+        "q_rel_expectations": q_rel_expectations,
+        "q_dedup_spans": q_dedup_spans,
+        "q_sample_token_budget": q_sample_token_budget,
+        "q_ann_negatives": q_ann_negatives,
+        "q_text_datacard": q_text_datacard,
+        "q_events_markov": q_events_markov,
+        "q_dedup_threshold_hist": q_dedup_threshold_hist,
+        "q_events_cooccur": q_events_cooccur,
+        "q_sample_group_split": q_sample_group_split,
+        "q_ann_filtered": q_ann_filtered,
+        "q_events_attribution": q_events_attribution,
+        "q_events_cohorts": q_events_cohorts,
+        "q_events_paths": q_events_paths,
+        "q_text_langid_eval": q_text_langid_eval,
+        "q_sample_epochs": q_sample_epochs,
     }
 
 
@@ -3853,6 +3925,240 @@ def _stopword_hits_sql(lst: tuple[str, ...]) -> str:
 # ---------------------------------------------------------------------------
 # oracle_sql(): DuckDB-runnable ANSI SQL equivalents
 # ---------------------------------------------------------------------------
+
+
+def _bpe_train_oracle_sql(rounds: int) -> str:
+    """Unrolled BPE merge-learning replay: per round, pair-count the
+    current segmentation (weighted by word frequency), take the
+    (freq DESC, pair ASC) argmax, and re-segment every word with a
+    recursive position-fold applying that merge leftmost-first —
+    the exact greedy fold ``bpe_learn_merges`` runs engine-side.
+    All-integer state, so the match is bit-exact."""
+    sql = f"""WITH RECURSIVE {_TOKS_CTE},
+vocab AS (
+  SELECT w, COUNT(*) AS cnt
+  FROM (SELECT unnest(t) AS w FROM toks)
+  WHERE length(w) >= 2 GROUP BY w
+),
+seg0 AS (
+  SELECT w, cnt,
+         [substring(w, CAST(i AS INT), 1) FOR i IN range(1, length(w)+1)]
+           AS seg
+  FROM vocab
+)"""
+    for r in range(1, rounds + 1):
+        p = r - 1
+        sql += f""",
+p{r} AS (
+  SELECT seg[CAST(i AS INT)] || ' ' || seg[CAST(i+1 AS INT)] AS pair,
+         SUM(cnt) AS freq
+  FROM (SELECT seg, cnt, unnest(range(1, len(seg))) AS i FROM seg{p})
+  GROUP BY pair
+),
+b{r} AS (
+  SELECT string_split(pair, ' ')[1] AS x, string_split(pair, ' ')[2] AS y,
+         freq
+  FROM p{r} ORDER BY freq DESC, pair LIMIT 1
+),
+m{r} AS (
+  SELECT w, cnt, 1 AS pos, [seg[1]] AS acc, seg FROM seg{p}
+  UNION ALL
+  SELECT m.w, m.cnt, m.pos + 1,
+         CASE WHEN m.acc[-1] = b.x AND m.seg[m.pos + 1] = b.y
+              THEN list_append(m.acc[1:len(m.acc)-1], b.x || b.y)
+              ELSE list_append(m.acc, m.seg[m.pos + 1]) END,
+         m.seg
+  FROM m{r} m, b{r} b WHERE m.pos < len(m.seg)
+),
+seg{r} AS (SELECT w, cnt, acc AS seg FROM m{r} WHERE pos = len(seg))"""
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {r} AS merge_round, x AS lhs, y AS rhs, x || y AS merged,"
+        f" CAST(freq AS BIGINT) AS freq FROM b{r}"
+        for r in range(1, rounds + 1)
+    )
+    sql += f"\n{unions}\nORDER BY merge_round"
+    return sql
+
+
+def _phash_pairs_cte() -> str:
+    """Shared WITH-body: the aHash pigeonhole pair pipeline (byte-grid
+    downsample → integer mean-threshold → 16-bit chunks → hot-block cap
+    → chunk-equality candidates → Hamming score) ending in ``scored``.
+    Used by the q_multimodal_phash oracle and the cross-modal joint
+    dedup oracle."""
+    return f"""a AS (
+  SELECT doc_id AS asset_id, text FROM documents WHERE length(text) > 0
+),
+bytes AS (
+  SELECT asset_id,
+         list_transform(range(0, 64), i ->
+           ascii(substr(text, CAST((i * length(text)) // 64 AS INT) + 1, 1)))
+           AS b
+  FROM a
+),
+hb AS (SELECT asset_id, b, list_sum(b) AS sm FROM bytes),
+chunks AS (
+  SELECT asset_id,
+         list_transform(range(0, 4), j ->
+           list_sum(list_transform(range(0, 16), m ->
+             CASE WHEN b[CAST(j * 16 + m AS INT) + 1] * 64 > sm
+                  THEN (1 << CAST(m AS INT)) ELSE 0 END))) AS c
+  FROM hb
+),
+ex AS (
+  SELECT asset_id, CAST(unnest(range(0, 4)) AS INT) AS ci, unnest(c) AS cv, c
+  FROM chunks
+),
+keep AS (SELECT ci, cv FROM ex GROUP BY ci, cv
+         HAVING COUNT(*) <= {PHASH_MAX_BLOCK}),
+exk AS (SELECT ex.* FROM ex JOIN keep USING (ci, cv)),
+cand AS (
+  SELECT DISTINCT x.asset_id AS id_a, y.asset_id AS id_b, x.c AS ca, y.c AS cb
+  FROM exk x JOIN exk y
+    ON x.ci = y.ci AND x.cv = y.cv AND x.asset_id < y.asset_id
+),
+scored AS (
+  SELECT id_a, id_b,
+         CAST(list_sum(list_transform(range(1, 5), j ->
+           bit_count(CAST(xor(ca[CAST(j AS INT)], cb[CAST(j AS INT)])
+                          AS BIGINT)))) AS BIGINT) AS hamming
+  FROM cand
+)"""
+
+
+def _crossmodal_oracle_sql() -> str:
+    """Cross-modal joint dedup replay: the shared aHash pair pipeline
+    UNIONed on the pair key with exact caption token-set fingerprint
+    pairs (md5 of the sorted distinct token list, hot-group capped),
+    classified both/recaptioned/reencoded."""
+    return f"""WITH {_phash_pairs_cte()},
+ipairs AS (
+  SELECT id_a, id_b, hamming FROM scored WHERE hamming <= {PHASH_MAX_HAMMING}
+),
+ctoks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+caps AS (
+  SELECT doc_id AS cid,
+         md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fp
+  FROM ctoks WHERE len(t) > 0
+),
+gcnt AS (SELECT fp, COUNT(*) AS gn FROM caps GROUP BY fp),
+capk AS (
+  SELECT cid, caps.fp FROM caps JOIN gcnt ON caps.fp = gcnt.fp
+  WHERE gn <= {CROSSMODAL_MAX_CAPTION_GROUP}
+),
+cpairs AS (
+  SELECT x.cid AS cid_a, y.cid AS cid_b
+  FROM capk x JOIN capk y ON x.fp = y.fp AND x.cid < y.cid
+)
+SELECT COALESCE(i.id_a, c.cid_a) AS id_a,
+       COALESCE(i.id_b, c.cid_b) AS id_b,
+       CASE WHEN i.id_a IS NOT NULL AND c.cid_a IS NOT NULL THEN 'both'
+            WHEN i.id_a IS NOT NULL THEN 'recaptioned'
+            ELSE 'reencoded' END AS kind,
+       i.hamming
+FROM ipairs i FULL OUTER JOIN cpairs c
+  ON i.id_a = c.cid_a AND i.id_b = c.cid_b"""
+
+
+def _quality_train_oracle_sql(lr: float, rounds: int) -> str:
+    """Recursive-CTE replay of quality_classifier_train: identical
+    feature doubles, identical 12-dp-rounded DECIMAL-exact gradient
+    sums, identical half-up weight rounding per round — bit-exact."""
+    from flink_kmeans_clustering_spark.operators.textstats import (
+        ENGLISH_STOPWORDS,
+        QUALITY_TRAIN_FEATURES,
+    )
+
+    k = len(QUALITY_TRAIN_FEATURES)
+    names = ", ".join(
+        f"({j + 1}, '{QUALITY_TRAIN_FEATURES[j]}')" for j in range(k)
+    )
+    dot_w = (
+        f"list_sum(list_transform(range(1, {k + 1}),"
+        " kk -> it.w[kk] * fv.x[kk]))"
+    )
+    dot_fin = (
+        f"list_sum(list_transform(range(1, {k + 1}),"
+        " kk -> fin.w[kk] * fv.x[kk]))"
+    )
+    one = "CAST(1.0 AS DOUBLE)"
+    zero = "CAST(0.0 AS DOUBLE)"
+    return f"""WITH RECURSIVE
+qt_docs AS (SELECT doc_id, COALESCE(text, '') AS text, lang FROM documents),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM qt_docs
+),
+feat AS (
+  SELECT d.doc_id,
+         len(t) AS n_words,
+         {_stopword_hits_sql(ENGLISH_STOPWORDS)} AS stop_hits,
+         len(regexp_extract_all(d.text, '[^a-zA-Z0-9\\s]')) AS n_punct,
+         len(regexp_extract_all(d.text, '[0-9]')) AS n_digit,
+         len(regexp_extract_all(d.text, '[A-Z]')) AS n_upper,
+         list_sum(list_transform(t, x -> length(x))) AS tok_chars,
+         length(d.text) AS n_chars,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM qt_docs d JOIN toks ON d.doc_id = toks.doc_id
+),
+fv AS (
+  SELECT [{one},
+          CASE WHEN n_words > 0 THEN CAST(stop_hits AS DOUBLE) / n_words
+               ELSE {zero} END,
+          least(CAST(n_words AS DOUBLE) / CAST(500.0 AS DOUBLE), {one}),
+          CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars
+               ELSE {zero} END,
+          CASE WHEN n_chars > 0 THEN CAST(n_digit AS DOUBLE) / n_chars
+               ELSE {zero} END,
+          CASE WHEN n_chars > 0 THEN CAST(n_upper AS DOUBLE) / n_chars
+               ELSE {zero} END,
+          (CASE WHEN n_words > 0 THEN CAST(tok_chars AS DOUBLE) / n_words
+                ELSE {zero} END) / CAST(10.0 AS DOUBLE)
+         ] AS x, y
+  FROM feat
+),
+cnt AS (SELECT COUNT(*) AS n FROM fv),
+it AS (
+  SELECT 0 AS t, list_transform(range(1, {k + 1}), j -> {zero}) AS w
+  UNION ALL
+  SELECT t + 1,
+         list_transform(range(1, {k + 1}),
+                        j -> round(w[j] - {lr!r} * g[j] / nn, 12))
+  FROM (
+    SELECT t, ANY_VALUE(w) AS w, list(gj ORDER BY j) AS g,
+           ANY_VALUE(nn) AS nn
+    FROM (
+      SELECT it.t AS t, it.w AS w, jj.j AS j,
+             CAST(SUM(CAST(round(fv.x[jj.j] *
+                   (({one} / ({one} + exp(-({dot_w})))) - fv.y), 12)
+                 AS DECIMAL(32,12))) AS DOUBLE) AS gj,
+             MAX(cnt.n) AS nn
+      FROM it, fv, cnt, (SELECT unnest(range(1, {k + 1})) AS j) jj
+      WHERE it.t < {rounds}
+      GROUP BY it.t, it.w, jj.j
+    ) GROUP BY t
+  )
+),
+fin AS (SELECT w FROM it WHERE t = {rounds}),
+metrics AS (
+  SELECT COUNT(*) AS n_docs,
+         SUM(CAST((round({one} / ({one} + exp(-({dot_fin}))), 6)
+                   >= CAST(0.5 AS DOUBLE)) = (fv.y = 1) AS INT))
+           AS n_correct
+  FROM fv, fin
+)
+SELECT nm.name AS feature, fin.w[nm.j] AS weight,
+       CAST(m.n_docs AS BIGINT) AS n_docs,
+       round(CAST(m.n_correct AS DOUBLE) / m.n_docs, 6) AS train_acc
+FROM fin, metrics m, (VALUES {names}) nm(j, name)
+ORDER BY nm.j"""
 
 
 def _kmeans_loop_cte(iters: int) -> str:
@@ -7181,44 +7487,7 @@ SELECT est_jaccard,
 FROM scored GROUP BY est_jaccard
 """
     multimodal_phash_sql = f"""
-WITH a AS (
-  SELECT doc_id AS asset_id, text FROM documents WHERE length(text) > 0
-),
-bytes AS (
-  SELECT asset_id,
-         list_transform(range(0, 64), i ->
-           ascii(substr(text, CAST((i * length(text)) // 64 AS INT) + 1, 1)))
-           AS b
-  FROM a
-),
-hb AS (SELECT asset_id, b, list_sum(b) AS sm FROM bytes),
-chunks AS (
-  SELECT asset_id,
-         list_transform(range(0, 4), j ->
-           list_sum(list_transform(range(0, 16), m ->
-             CASE WHEN b[CAST(j * 16 + m AS INT) + 1] * 64 > sm
-                  THEN (1 << CAST(m AS INT)) ELSE 0 END))) AS c
-  FROM hb
-),
-ex AS (
-  SELECT asset_id, CAST(unnest(range(0, 4)) AS INT) AS ci, unnest(c) AS cv, c
-  FROM chunks
-),
-keep AS (SELECT ci, cv FROM ex GROUP BY ci, cv
-         HAVING COUNT(*) <= {PHASH_MAX_BLOCK}),
-exk AS (SELECT ex.* FROM ex JOIN keep USING (ci, cv)),
-cand AS (
-  SELECT DISTINCT x.asset_id AS id_a, y.asset_id AS id_b, x.c AS ca, y.c AS cb
-  FROM exk x JOIN exk y
-    ON x.ci = y.ci AND x.cv = y.cv AND x.asset_id < y.asset_id
-),
-scored AS (
-  SELECT id_a, id_b,
-         CAST(list_sum(list_transform(range(1, 5), j ->
-           bit_count(CAST(xor(ca[CAST(j AS INT)], cb[CAST(j AS INT)])
-                          AS BIGINT)))) AS BIGINT) AS hamming
-  FROM cand
-)
+WITH {_phash_pairs_cte()}
 SELECT id_a, id_b, hamming FROM scored WHERE hamming <= {PHASH_MAX_HAMMING}
 """
     multimodal_wav_sql = """
@@ -8598,6 +8867,11 @@ SELECT event_type, event_id, ROUND(value, 6) AS value FROM (
         "q_embed_drift": embed_drift_sql,
         "q_ann_hamming": ann_hamming_sql,
         "q_text_bpe": text_bpe_sql,
+        "q_text_bpe_train": _bpe_train_oracle_sql(rounds=BPE_TRAIN_ROUNDS),
+        "q_text_quality_train": _quality_train_oracle_sql(
+            lr=_QT_LR, rounds=_QT_ROUNDS
+        ),
+        "q_dedup_crossmodal": _crossmodal_oracle_sql(),
         "q_sample_kcenter": _kcenter_oracle_sql(k=KCENTER_K, dim=GRAM_DIM),
         "q_sample_domain_cap": sample_domain_cap_sql,
         "q_sample_token_budget": sample_token_budget_sql,

@@ -284,6 +284,15 @@ PICKS = [
         "old-digest distinct + digest-key membership join (uniform md5 "
         "keys, skew-free), k-row group rollups",
     ),
+    (
+        "q_dedup_crossmodal",
+        "Cross-modal joint dedup — aHash pigeonhole pairs x caption "
+        "token-set fingerprint pairs (hot caps on both blocks), ONE "
+        "pair-key full-outer join, no cartesian anywhere "
+        "(the two trainer queries new this round return k-row driver "
+        "state — their distributed passes are plan-pinned in "
+        "tests/test_plans.py instead)",
+    ),
 ]
 
 

@@ -38,39 +38,43 @@ def test_rows_only_set_is_exactly_the_adjudicated_four():
     assert qs - osql == ROWS_ONLY_BY_DESIGN
 
 
-def test_window_leads_with_round10_rotation():
-    """r10 window plan (VERDICT r09 item 2): q_dedup_gear leads (the
-    one registry row never driver-checked), then the 3 new-in-r10
-    queries, then the next 46 stalest rows — the 26 remaining
-    r05-green rows and the first 20 of the r06-green family.  With
-    this window cumulative driver coverage reaches 223/223; the r09
-    window's rows moved to the very end (freshest)."""
+def test_window_leads_with_round11_rotation():
+    """r11 window plan (VERDICT r10 item 1): the 3 new-in-r11 queries
+    lead, then the next 47 stalest tail rows — the r06 remainder
+    (q_stream_attribution .. q_update) first, ending at
+    q_rel_forecast.  With this window cumulative driver coverage
+    reaches 229/229; the r10 window's rows moved to the very end
+    (freshest), and the r12 window resumes at q_rel_topsupplier."""
     order = list(entrymod.queries())
     first50 = order[:50]
-    assert first50[:4] == [
-        "q_dedup_gear",
-        "q_sample_doremi",
-        "q_multimodal_agreement",
-        "q_dedup_delta",
+    assert first50[:3] == [
+        "q_text_bpe_train",
+        "q_text_quality_train",
+        "q_dedup_crossmodal",
     ]
-    # head and tail of the 26 remaining r05-green rows
-    assert first50[4] == "q_text_lm_bigram"
-    for q in (
-        "q_rel_small_qty",
-        "q_events_rfm",       # r06 head
-        "q_sample_epochs",    # last row of the window
-        "q_kmeans",
-        "q_assign",
-    ):
-        assert q in first50, q
-    assert first50[49] == "q_sample_epochs"
-    # the r06 remainder leads the r11 tail
-    assert order[50:54] == [
+    # the r06 remainder heads the stale block
+    assert first50[3:7] == [
         "q_stream_attribution",
         "q_embed_health",
         "q_dedup_cc",
         "q_update",
     ]
-    # the freshest rows (r09 window) sit at the very end
-    assert order[-50] == "q_dedup_bbit"
-    assert order[-1] == "q_sample_domain_cap"
+    for q in (
+        "q_assign_join",
+        "q_dedup_exact",
+        "q_rel_shipping",
+        "q_window_ranks",
+        "q_multimodal_meta",
+        "q_events_topk",
+    ):
+        assert q in first50, q
+    assert first50[49] == "q_rel_forecast"
+    # the r12 window resumes with the three displaced r06-green rows
+    assert order[50:53] == [
+        "q_rel_topsupplier",
+        "q_rel_profit",
+        "q_rel_bigorders",
+    ]
+    # the freshest rows (r10 window) sit at the very end
+    assert order[-50] == "q_dedup_gear"
+    assert order[-1] == "q_sample_epochs"

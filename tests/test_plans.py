@@ -1409,3 +1409,40 @@ def test_crossmodal_dedup_no_cartesian_caption_cap_broadcast(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan  # the caption group-count cap
+
+
+def test_quality_train_gradient_pass_single_row_aggregate(spark):
+    """The trained-quality-classifier round job is ONE global aggregate
+    over the cached feature projection: no join, a single exchange
+    (the 1-row final-aggregate pass), and the corpus scan reads only
+    (text, lang)."""
+    import pyspark.sql.functions as F
+
+    from flink_kmeans_clustering_spark.functions.text import tokenize
+    from flink_kmeans_clustering_spark.operators.textstats import (
+        ENGLISH_STOPWORDS,
+        _stopword_hits,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    toks = F.col("_toks")
+    base = (
+        docs.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
+        .withColumn("_toks", tokenize(F.col("text")))
+        .select(
+            F.size(toks).alias("n_words"),
+            _stopword_hits(toks, ENGLISH_STOPWORDS).alias("stop_hits"),
+            F.length("text").alias("n_chars"),
+            (F.col("lang") == "en").cast("int").alias("y"),
+        )
+    )
+    grad = base.selectExpr(
+        "sum(CAST(round((CAST(stop_hits AS DOUBLE) / n_words) * "
+        "(0.5 - y), 12) AS DECIMAL(32,12))) AS g",
+        "count(1) AS n",
+    )
+    plan = explain_str(grad)
+    assert "Join" not in plan, plan
+    assert_max_shuffles(grad, 1)
+    for s in read_schemas(grad):
+        assert "doc_id" not in s and "source" not in s, s
