@@ -157,6 +157,16 @@ def main() -> None:
     # and re-times taken in that state measured HIGHER than the sweep
     # itself (6.9 vs 4.1 s on the same query; fresh-process truth 2.4 s)
     spark.stop()
+    # Cool-down before the retime pass (r11 lesson): the sweep's own
+    # load tail inflates retimes taken immediately after it
+    # (q_dedup_simhash read 5.0 in-artifact vs 2.44 fresh-process at
+    # true idle).  Wait until the 1-min loadavg clears 0.5 — bounded,
+    # so a busy shared box can't hang the bench.
+    for _ in range(24):
+        if os.getloadavg()[0] < 0.5:
+            break
+        time.sleep(5)
+    load_before_retimes = round(os.getloadavg()[0], 2)
     spark = get_spark(app_name="bench-retime")
     spark.range(2).mapInPandas(_warm, schema="id long").count()
     warm_retimes: dict[str, float] = {}
@@ -206,6 +216,7 @@ def main() -> None:
         "sf": sf,
         "load1_start": load_start,
         "load1_after_headline": load_after_headline,
+        "load1_before_retimes": load_before_retimes,
     }
     here = os.path.dirname(os.path.abspath(__file__))
     # Round number for the per-round sidecar: explicit env var first
