@@ -2696,6 +2696,34 @@ def snapshot_delta_dedup(
     )
 
 
+def caption_fingerprints(
+    docs: DataFrame,
+    max_caption_group: int = 200,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(cid, fp) — the exact token-SET caption fingerprint (md5 of the
+    sorted distinct token list: word order and repetition invariant),
+    hot-group capped at ``max_caption_group`` (boilerplate captions
+    are template noise, not reuse).  The caption side of both the
+    full and the incremental cross-modal joint dedup."""
+    caps = docs.select(
+        F.col(id_col).alias("cid"),
+        F.md5(
+            F.concat_ws(
+                " ", F.array_sort(F.array_distinct(tokenize(F.col(text_col))))
+            )
+        ).alias("fp"),
+        F.size(tokenize(F.col(text_col))).alias("_nt"),
+    ).filter(F.col("_nt") > 0)
+    gcnt = caps.groupBy("fp").agg(F.count(F.lit(1)).alias("_gn"))
+    return (
+        caps.join(F.broadcast(gcnt), "fp")
+        .filter(F.col("_gn") <= max_caption_group)
+        .select("cid", "fp")
+    )
+
+
 def crossmodal_dedup_pairs(
     docs: DataFrame,
     max_hamming: int = 3,
@@ -2742,21 +2770,7 @@ def crossmodal_dedup_pairs(
         max_hamming=max_hamming,
         max_block=max_block,
     )
-    caps = docs.select(
-        F.col(id_col).alias("cid"),
-        F.md5(
-            F.concat_ws(
-                " ", F.array_sort(F.array_distinct(tokenize(F.col(text_col))))
-            )
-        ).alias("fp"),
-        F.size(tokenize(F.col(text_col))).alias("_nt"),
-    ).filter(F.col("_nt") > 0)
-    gcnt = caps.groupBy("fp").agg(F.count(F.lit(1)).alias("_gn"))
-    caps = (
-        caps.join(F.broadcast(gcnt), "fp")
-        .filter(F.col("_gn") <= max_caption_group)
-        .select("cid", "fp")
-    )
+    caps = caption_fingerprints(docs, max_caption_group, id_col, text_col)
     x, y = caps.alias("x"), caps.alias("y")
     cpairs = x.join(
         y,
@@ -2783,4 +2797,87 @@ def crossmodal_dedup_pairs(
         F.coalesce(F.col("id_b"), F.col("cid_b")).alias("id_b"),
         kind.alias("kind"),
         F.col("hamming"),
+    )
+
+
+def crossmodal_delta_pairs(
+    docs: DataFrame,
+    lane_mod: int = 10,
+    lane: int = 7,
+    max_hamming: int = 3,
+    max_block: int | None = 200,
+    max_caption_group: int = 200,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """INCREMENTAL cross-modal joint dedup (new r12) — the
+    daily-ingest shape of :func:`crossmodal_dedup_pairs`, composed the
+    same way :func:`incremental_exact_dedup` reshapes the exact pass:
+    the stored index (OLD snapshot) was already deduped; today's drop
+    (``doc_id % lane_mod == lane``) is the only thing that needs
+    pairing — against the index AND within itself.
+
+    Scale physics vs the full pass: candidate generation on BOTH
+    modality sides is new × all instead of all × all —
+    |new|·block-sized, the increment's cost, not the corpus's.  Block/
+    group statistics (and their hot caps) still come from the FULL
+    corpus, so a boilerplate chunk or template caption stays capped no
+    matter which snapshot its members arrived in; the index side is
+    scanned but never pair-joined against itself.  The two bounded
+    pair lists meet in the same ONE full-outer join on the md5-uniform
+    (id_a, id_b) pair key.
+
+    Output: (id_a, id_b, kind, hamming, against_index) with
+    id_a < id_b — ``kind`` as in the full pass (both / recaptioned /
+    reencoded), ``against_index`` TRUE when the pair hits the stored
+    index (one side old: a re-ingest of known content) and FALSE for
+    within-batch duplicates (the drop repeating itself).
+    """
+    from flink_kmeans_clustering_spark.operators.multimodal import (
+        phash_pairs,
+        synthesize_assets,
+    )
+
+    def _is_new(c):
+        return c % lane_mod == lane
+
+    ipairs = phash_pairs(
+        synthesize_assets(docs),
+        max_hamming=max_hamming,
+        max_block=max_block,
+        new_pred=_is_new,
+    )
+    caps = caption_fingerprints(docs, max_caption_group, id_col, text_col)
+    x, y = caps.alias("x"), caps.alias("y")
+    cx, cy = F.col("x.cid"), F.col("y.cid")
+    cpairs = x.join(
+        y,
+        (F.col("x.fp") == F.col("y.fp"))
+        & _is_new(cx)
+        & (~_is_new(cy) | (cx < cy))
+        & (cx != cy),
+    ).select(
+        F.least(cx, cy).alias("cid_a"), F.greatest(cx, cy).alias("cid_b")
+    )
+    joined = ipairs.join(
+        cpairs,
+        (F.col("id_a") == F.col("cid_a")) & (F.col("id_b") == F.col("cid_b")),
+        "full_outer",
+    )
+    kind = (
+        F.when(
+            F.col("id_a").isNotNull() & F.col("cid_a").isNotNull(),
+            F.lit("both"),
+        )
+        .when(F.col("id_a").isNotNull(), F.lit("recaptioned"))
+        .otherwise(F.lit("reencoded"))
+    )
+    out_a = F.coalesce(F.col("id_a"), F.col("cid_a"))
+    out_b = F.coalesce(F.col("id_b"), F.col("cid_b"))
+    return joined.select(
+        out_a.alias("id_a"),
+        out_b.alias("id_b"),
+        kind.alias("kind"),
+        F.col("hamming"),
+        (~(_is_new(out_a) & _is_new(out_b))).alias("against_index"),
     )

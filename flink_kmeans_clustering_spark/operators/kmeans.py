@@ -540,6 +540,10 @@ def lloyd(
         conf.set("spark.sql.adaptive.enabled", prev_aqe)
         if prev_sp is not None:
             conf.set("spark.sql.shuffle.partitions", prev_sp)
+        else:
+            # never explicitly set before this call: unset instead of
+            # leaking the loop-local k-row value session-wide
+            conf.unset("spark.sql.shuffle.partitions")
     return LloydResult(centroids=current, iterations=iterations, assignments=assignments, wcss=wcss)
 
 

@@ -770,6 +770,7 @@ def phash_pairs(
     bits: int = 64,
     chunks: int = 4,
     max_block: int | None = 200,
+    new_pred=None,
 ) -> DataFrame:
     """Perceptual near-duplicate pairs by aHash Hamming distance —
     multimodal dedup for image-like binary columns (the "same picture,
@@ -787,6 +788,17 @@ def phash_pairs(
     all-pairs.  Same documented trade as the n-gram cap: a pair whose
     every shared chunk is hot is dropped.  ``max_block=None`` restores
     exact pigeonhole completeness for small corpora.
+
+    ``new_pred`` (Column → boolean Column over the id, new r12) turns
+    the pass INCREMENTAL: only pairs touching a "new" asset are
+    generated — one join side is restricted to the new increment
+    (new × all instead of all × all), the daily-ingest shape:
+    candidates are |new|·block-sized, not corpus²-sized, while the
+    block statistics (and the hot-block cap) still come from the FULL
+    corpus so a boilerplate chunk stays capped no matter which
+    snapshot its members arrived in.  Within-increment pairs are kept
+    once via the id order; new×old pairs are kept regardless of id
+    order and normalized to id_a < id_b.
 
     Output: (id_a, id_b, hamming), id_a < id_b.
     """
@@ -818,16 +830,29 @@ def phash_pairs(
         )
         for j in range(chunks)
     )
+    ida, idb = F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+    if new_pred is None:
+        pair_cond = ida < idb
+        out_a, out_b = ida, idb
+    else:
+        # a ranges over the NEW increment only; keep new×old pairs in
+        # whichever id order they come, within-new pairs once (a < b)
+        pair_cond = (
+            new_pred(ida)
+            & (~new_pred(idb) | (ida < idb))
+            & (ida != idb)
+        )
+        out_a, out_b = F.least(ida, idb), F.greatest(ida, idb)
     return (
         a.join(
             bb,
             (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
             & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & pair_cond,
         )
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+            out_a.alias("id_a"),
+            out_b.alias("id_b"),
             ham.cast("long").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)

@@ -634,6 +634,10 @@ def pq_codebooks_trained_grouped(
         conf.set("spark.sql.adaptive.enabled", prev_aqe)
         if prev_sp is not None:
             conf.set("spark.sql.shuffle.partitions", prev_sp)
+        else:
+            # never explicitly set before this call: unset instead of
+            # leaking the loop-local max(1, m) value session-wide
+            conf.unset("spark.sql.shuffle.partitions")
         sub.unpersist()
     return books
 

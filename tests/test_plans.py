@@ -1359,34 +1359,33 @@ def test_bpe_train_vocab_pass_single_shuffle_no_join(spark):
     aggregate; every round after that is vocabulary-sized (re-segment
     projection + pair-alphabet aggregate) with the argmax as 1-row
     driver state.  The corpus pass must stay join-free, one exchange,
-    and read only the text column."""
+    and read only the text column.  Derived from the SHIPPED operator
+    helpers (ADVICE r11: an inline rebuild would not catch a
+    regression in the real code path)."""
     import pyspark.sql.functions as F
 
-    from flink_kmeans_clustering_spark.functions.text import tokenize
+    from flink_kmeans_clustering_spark.operators.textstats import (
+        BPE_PAIRS_SQL,
+        bpe_fold_sql,
+        bpe_word_vocab,
+    )
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    vocab = (
-        docs.select(F.explode(tokenize(F.col("text"))).alias("w"))
-        .filter(F.length("w") >= 2)
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    vocab = bpe_word_vocab(docs, "text", min_len=2)
     plan = explain_str(vocab)
     assert "Join" not in plan, plan
     assert_max_shuffles(vocab, 1)
     for s in read_schemas(vocab):
         assert "doc_id" not in s and "source" not in s, s
-    # a round job on top of the vocab: merge-fold projection + pair
-    # aggregate adds exactly one more (pair-alphabet) exchange
-    seg = vocab.selectExpr("split(w, '') AS seg", "cnt")
+    # a round job on top of the vocab — the exact fold + pair exprs
+    # bpe_fit_merges runs: merge-fold projection + pair aggregate adds
+    # exactly one more (pair-alphabet) exchange
+    seg = vocab.selectExpr("split(w, '') AS seg", "cnt").selectExpr(
+        bpe_fold_sql("t", "h"), "cnt"
+    )
     pairs = (
         seg.filter(F.size("seg") >= 2)
-        .selectExpr(
-            "explode(transform(sequence(1, size(seg) - 1),"
-            " i -> concat(element_at(seg, i), ' ',"
-            " element_at(seg, i + 1)))) AS pair",
-            "cnt",
-        )
+        .selectExpr(f"explode({BPE_PAIRS_SQL}) AS pair", "cnt")
         .groupBy("pair")
         .agg(F.sum("cnt").alias("freq"))
     )
@@ -1415,30 +1414,26 @@ def test_quality_train_gradient_pass_single_row_aggregate(spark):
     """The trained-quality-classifier round job is ONE global aggregate
     over the cached feature projection: no join, a single exchange
     (the 1-row final-aggregate pass), and the corpus scan reads only
-    (text, lang)."""
-    import pyspark.sql.functions as F
-
-    from flink_kmeans_clustering_spark.functions.text import tokenize
+    (text, lang).  Derived from the SHIPPED feature frame + sigmoid
+    fragment (ADVICE r11: an inline rebuild would not catch a
+    regression in the real code path)."""
     from flink_kmeans_clustering_spark.operators.textstats import (
-        ENGLISH_STOPWORDS,
-        _stopword_hits,
+        QUALITY_TRAIN_FEATURES,
+        quality_feature_frame,
+        quality_p_sql,
     )
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    toks = F.col("_toks")
-    base = (
-        docs.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
-        .withColumn("_toks", tokenize(F.col("text")))
-        .select(
-            F.size(toks).alias("n_words"),
-            _stopword_hits(toks, ENGLISH_STOPWORDS).alias("stop_hits"),
-            F.length("text").alias("n_chars"),
-            (F.col("lang") == "en").cast("int").alias("y"),
-        )
-    )
-    grad = base.selectExpr(
-        "sum(CAST(round((CAST(stop_hits AS DOUBLE) / n_words) * "
-        "(0.5 - y), 12) AS DECIMAL(32,12))) AS g",
+    fv = quality_feature_frame(docs)
+    # the exact round-0 gradient job quality_fit_weights issues
+    k = len(QUALITY_TRAIN_FEATURES)
+    p = quality_p_sql([0.0] * k)
+    grad = fv.selectExpr(
+        *[
+            f"sum(CAST(round(x{j + 1} * ({p} - y), 12)"
+            f" AS DECIMAL(32,12))) AS g{j}"
+            for j in range(k)
+        ],
         "count(1) AS n",
     )
     plan = explain_str(grad)
