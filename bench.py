@@ -37,10 +37,24 @@ def main() -> None:
     # the next such delta carries its own evidence, and warn loudly on
     # stderr when the machine is already busy before Spark starts.
     load_start = round(os.getloadavg()[0], 2)
-    if load_start > 0.5:
+    # Idle gate (VERDICT r11 item 3): the r11 driver's headline ran at
+    # load1 3.11 and recorded 1.687 s where the true-idle number was
+    # 1.455 s — the artifact under-reported the engine.  Wait (bounded,
+    # ≤3 min) for the 1-min loadavg to clear 0.5 BEFORE Spark starts,
+    # and record both the wait and the post-wait load so the artifact
+    # carries its own evidence either way.
+    idle_wait_s = 0
+    while load_start > 0.5 and idle_wait_s < 180:
+        time.sleep(5)
+        idle_wait_s += 5
+        if os.getloadavg()[0] < 0.5:
+            break
+    load_at_bench = round(os.getloadavg()[0], 2)
+    if load_at_bench > 0.5:
         print(
-            f"WARNING: 1-min loadavg {load_start} > 0.5 at bench start; "
-            "headline timings will be inflated by ambient load",
+            f"WARNING: 1-min loadavg {load_at_bench} > 0.5 after a "
+            f"{idle_wait_s}s idle wait; headline timings will be "
+            "inflated by ambient load",
             file=sys.stderr,
         )
     spark = get_spark(app_name="bench")
@@ -215,6 +229,8 @@ def main() -> None:
         "warm_retimes": warm_retimes,
         "sf": sf,
         "load1_start": load_start,
+        "idle_wait_s": idle_wait_s,
+        "load1_at_bench": load_at_bench,
         "load1_after_headline": load_after_headline,
         "load1_before_retimes": load_before_retimes,
     }
@@ -336,6 +352,8 @@ def main() -> None:
         "sf": sf,
         "queries": compact_queries,
         "load1_start": load_start,
+        "idle_wait_s": idle_wait_s,
+        "load1_at_bench": load_at_bench,
         "load1_after_headline": load_after_headline,
     }
     print(json.dumps(out))

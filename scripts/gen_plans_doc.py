@@ -289,9 +289,19 @@ PICKS = [
         "Cross-modal joint dedup — aHash pigeonhole pairs x caption "
         "token-set fingerprint pairs (hot caps on both blocks), ONE "
         "pair-key full-outer join, no cartesian anywhere "
-        "(the two trainer queries new this round return k-row driver "
+        "(the two trainer queries new in r11 return k-row driver "
         "state — their distributed passes are plan-pinned in "
         "tests/test_plans.py instead)",
+    ),
+    (
+        "q_dedup_crossmodal_delta",
+        "Incremental cross-modal dedup (r12) — the daily-ingest shape: "
+        "new-lane x all candidates on BOTH modality sides (increment-"
+        "sized, never corpus-squared), full-corpus hot caps, the same "
+        "ONE pair-key full-outer join + against_index classification "
+        "(the two r12 trainer-evaluation queries — BPE encode, "
+        "classifier calibration — return vocabulary-/bin-sized frames; "
+        "their distributed passes are plan-pinned in tests/test_plans.py)",
     ),
 ]
 

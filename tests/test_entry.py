@@ -38,43 +38,46 @@ def test_rows_only_set_is_exactly_the_adjudicated_four():
     assert qs - osql == ROWS_ONLY_BY_DESIGN
 
 
-def test_window_leads_with_round11_rotation():
-    """r11 window plan (VERDICT r10 item 1): the 3 new-in-r11 queries
-    lead, then the next 47 stalest tail rows — the r06 remainder
-    (q_stream_attribution .. q_update) first, ending at
-    q_rel_forecast.  With this window cumulative driver coverage
-    reaches 229/229; the r10 window's rows moved to the very end
-    (freshest), and the r12 window resumes at q_rel_topsupplier."""
+def test_window_leads_with_round12_rotation():
+    """r12 window plan (VERDICT r11 item 1): the 3 new-in-r12 queries
+    lead, then the next 47 stalest tail rows — the three r06-green
+    rows r11's budget displaced (q_rel_topsupplier / q_rel_profit /
+    q_rel_bigorders) first, ending at q_text_clean.  With this window
+    cumulative driver coverage stays 232/232 (the ledger closed in
+    r10; freshness is the only moving part); the r11 window's rows
+    moved to the very end (freshest), and the r13 window resumes at
+    q_text_tokenfreq_salted."""
     order = list(entrymod.queries())
     first50 = order[:50]
     assert first50[:3] == [
-        "q_text_bpe_train",
-        "q_text_quality_train",
-        "q_dedup_crossmodal",
+        "q_text_bpe_encode",
+        "q_text_quality_calib",
+        "q_dedup_crossmodal_delta",
     ]
-    # the r06 remainder heads the stale block
-    assert first50[3:7] == [
-        "q_stream_attribution",
-        "q_embed_health",
-        "q_dedup_cc",
-        "q_update",
-    ]
-    for q in (
-        "q_assign_join",
-        "q_dedup_exact",
-        "q_rel_shipping",
-        "q_window_ranks",
-        "q_multimodal_meta",
-        "q_events_topk",
-    ):
-        assert q in first50, q
-    assert first50[49] == "q_rel_forecast"
-    # the r12 window resumes with the three displaced r06-green rows
-    assert order[50:53] == [
+    # the three rows the r11 47-row budget displaced head the block
+    assert first50[3:6] == [
         "q_rel_topsupplier",
         "q_rel_profit",
         "q_rel_bigorders",
     ]
-    # the freshest rows (r10 window) sit at the very end
-    assert order[-50] == "q_dedup_gear"
-    assert order[-1] == "q_sample_epochs"
+    for q in (
+        "q_rel_mktshare",
+        "q_dedup_semantic",
+        "q_ann_ivf",
+        "q_stream_enrich",
+        "q_dedup_minhash_calib",
+        "q_sink_roundtrip",
+    ):
+        assert q in first50, q
+    assert first50[49] == "q_text_clean"
+    # the r13 window resumes with the three displaced rows, then the
+    # r11-note resume row
+    assert order[50:54] == [
+        "q_text_tokenfreq_salted",
+        "q_text_quality",
+        "q_text_fingerprint",
+        "q_text_tokenfreq",
+    ]
+    # the freshest rows (r11 window) sit at the very end
+    assert order[-50] == "q_text_bpe_train"
+    assert order[-1] == "q_rel_forecast"

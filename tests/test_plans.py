@@ -1441,3 +1441,59 @@ def test_quality_train_gradient_pass_single_row_aggregate(spark):
     assert_max_shuffles(grad, 1)
     for s in read_schemas(grad):
         assert "doc_id" not in s and "source" not in s, s
+
+
+def test_bpe_encode_pass_two_shuffles_no_join(spark):
+    """BPE application (r12): the encode plan — returned by the
+    SHIPPED operator, merges already fitted — is the one corpus-scale
+    word-frequency exchange plus the token-frequency exchange, with
+    every merge replayed as a narrow fold projection: join-free, ≤3
+    exchanges total (vocab agg, token agg, top-n order), text-only
+    corpus scan."""
+    from flink_kmeans_clustering_spark.operators.textstats import (
+        bpe_encode,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = bpe_encode(docs, rounds=2, top_n=10)
+    plan = explain_str(df)
+    assert "Join" not in plan, plan
+    assert_max_shuffles(df, 3)
+    for s in read_schemas(df):
+        assert "doc_id" not in s and "source" not in s, s
+
+
+def test_quality_calib_one_bin_aggregate_no_join(spark):
+    """Calibration (r12): the evaluation plan — returned by the
+    SHIPPED operator after training — is score + bin + ONE ≤n_bins-row
+    aggregate + the global-window total: join-free, ≤3 exchanges,
+    corpus scan reads only (text, lang)."""
+    from flink_kmeans_clustering_spark.operators.textstats import (
+        quality_classifier_calibration,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = quality_classifier_calibration(docs, rounds=1)
+    plan = explain_str(df)
+    assert "Join" not in plan, plan
+    assert_max_shuffles(df, 3)
+    for s in read_schemas(df):
+        assert "doc_id" not in s and "source" not in s, s
+
+
+def test_crossmodal_delta_no_cartesian_lane_predicates_pushed(spark):
+    """Incremental cross-modal dedup (r12): same physics as the full
+    pass — no cartesian/nested-loop anywhere, the caption hot-group
+    cap joins broadcast-side — with the new-lane restriction living in
+    the equi-join conditions (pair generation is new × all), never a
+    post-join filter over an all-pairs product."""
+    from flink_kmeans_clustering_spark.operators.dedup import (
+        crossmodal_delta_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = crossmodal_delta_pairs(docs)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan  # the caption group-count cap
