@@ -1611,14 +1611,22 @@ def bpe_word_vocab(
 def bpe_fold_sql(x: str, y: str) -> str:
     """selectExpr fragment applying ONE learned merge (x, y) to the
     ``seg`` array, greedy leftmost-first non-overlapping (see
-    :func:`bpe_learn_merges` for why no just-merged flag is needed)."""
+    :func:`bpe_learn_merges` for why no just-merged flag is needed).
+
+    The fold body references its input THROUGH a let-binding
+    (``transform(array(seg), g -> …)``) so ``seg`` appears exactly
+    once: CollapseProject inlines chained fold projections into each
+    other per REFERENCE, and the raw 3-reference form blew up
+    exponentially in the merge count (the TUNING.md HOF rule; measured
+    48 s -> sub-second for the 4-merge encode plan at sf0.1)."""
     xl, yl, ml = f"'{x}'", f"'{y}'", f"'{x + y}'"
     return (
-        "aggregate(slice(seg, 2, size(seg) - 1),"
-        " array(element_at(seg, 1)),"
+        "element_at(transform(array(seg), g ->"
+        " aggregate(slice(g, 2, size(g) - 1),"
+        " array(element_at(g, 1)),"
         f" (acc, s) -> IF(element_at(acc, -1) = {xl} AND s = {yl},"
         f" concat(slice(acc, 1, size(acc) - 1), array({ml})),"
-        " concat(acc, array(s)))) AS seg"
+        " concat(acc, array(s))))), 1) AS seg"
     )
 
 
@@ -1697,7 +1705,12 @@ def bpe_learn_merges(
         "merge_round int, lhs string, rhs string, "
         "merged string, freq long"
     )
-    vocab = bpe_word_vocab(df, text_col, min_len=2).cache()
+    from flink_kmeans_clustering_spark.operators.common import spread
+
+    # spread before the tokenize+explode vocab pass: a single-file
+    # corpus otherwise runs it as ONE task (measured 4.3 s serial vs
+    # 1.1 s spread at sf0.1; no-op at 100 TB where inputs have splits)
+    vocab = bpe_word_vocab(spread(df, text_col), text_col, min_len=2).cache()
     try:
         merges = bpe_fit_merges(vocab, rounds)
     finally:
@@ -1750,12 +1763,19 @@ def bpe_encode(
     present in the learned merge table (vs single chars / whole short
     words the merges never touched).
     """
-    tv = bpe_word_vocab(df, text_col, min_len=2).cache()
+    from flink_kmeans_clustering_spark.operators.common import spread
+
+    tv = bpe_word_vocab(spread(df, text_col), text_col, min_len=2).cache()
     try:
         merges = bpe_fit_merges(tv, rounds)
     finally:
         tv.unpersist()
-    seg = bpe_word_vocab(df, text_col, min_len=1).selectExpr(
+
+    # the per-row heavy step is the corpus tokenize+explode feeding the
+    # word count, and a single-file corpus scans as ONE task — spread
+    # the docs first (the ahash lesson; measured 4.3 s -> 1.1 s for the
+    # vocab pass at sf0.1, no-op at 100 TB where inputs have splits)
+    seg = bpe_word_vocab(spread(df, text_col), text_col, min_len=1).selectExpr(
         "split(w, '') AS seg", "cnt"
     )
     for x, y, _f in merges:
