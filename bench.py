@@ -175,8 +175,10 @@ def main() -> None:
     # load tail inflates retimes taken immediately after it
     # (q_dedup_simhash read 5.0 in-artifact vs 2.44 fresh-process at
     # true idle).  Wait until the 1-min loadavg clears 0.5 — bounded,
-    # so a busy shared box can't hang the bench.
-    for _ in range(24):
+    # so a busy shared box can't hang the bench.  r12: the 120 s bound
+    # expired at load 0.67 and the retime block still carried tail
+    # (q_ann_pq_trained 4.2 in-artifact vs 3.5 fresh) — 240 s bound.
+    for _ in range(48):
         if os.getloadavg()[0] < 0.5:
             break
         time.sleep(5)
@@ -197,6 +199,49 @@ def main() -> None:
         warm_retimes[name] = round(time.perf_counter() - t0, 3)
         gc.collect()
         spark.catalog.clearCache()
+
+    # Fresh-process retimes for the top-3 slowest warm retimes (r12):
+    # even the fresh-SESSION retime pass accumulates broadcast/
+    # checkpoint residue from the entries before it — q_ann_pq_trained
+    # read 5.03-5.34 s there vs 3.57 s in a genuinely fresh process on
+    # the SAME box state.  A subprocess per query is the only clean
+    # room; cap at 3 so the bench stays bounded.  These are the
+    # adjudication numbers the sidecar used to lack.
+    fresh_retimes: dict[str, float] = {}
+    import subprocess
+
+    here_dir = os.path.dirname(os.path.abspath(__file__))
+    for name in sorted(warm_retimes, key=warm_retimes.get, reverse=True)[:3]:
+        code = (
+            "import sys, time\n"
+            f"sys.path.insert(0, {here_dir!r})\n"
+            "import __spark_entry__ as em\n"
+            "from flink_kmeans_clustering_spark.session import get_spark\n"
+            "spark = get_spark(app_name='bench-fresh')\n"
+            "def _w(b):\n"
+            "    for x in b:\n"
+            "        yield x\n"
+            "spark.range(2).mapInPandas(_w, schema='id long').count()\n"
+            f"q = em.queries()[{name!r}]\n"
+            f"q(spark, {sf_dir!r}).write.format('noop')"
+            ".mode('overwrite').save()\n"
+            "t0 = time.perf_counter()\n"
+            f"q(spark, {sf_dir!r}).write.format('noop')"
+            ".mode('overwrite').save()\n"
+            "print('FRESH', time.perf_counter() - t0)\n"
+        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True,
+                text=True,
+                timeout=420,
+            )
+            for line in proc.stdout.splitlines():
+                if line.startswith("FRESH "):
+                    fresh_retimes[name] = round(float(line.split()[1]), 3)
+        except Exception:
+            pass  # adjudication aid only
 
     # Headline metric: the reference-comparable workload (same fixture,
     # same k/iterations as BASELINE.md's 2263 ms p=1 / 4021 ms p=4 rows)
@@ -227,6 +272,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "warm_retimes": warm_retimes,
+        "fresh_retimes": fresh_retimes,
         "sf": sf,
         "load1_start": load_start,
         "idle_wait_s": idle_wait_s,
