@@ -1765,19 +1765,24 @@ def bpe_encode(
     """
     from flink_kmeans_clustering_spark.operators.common import spread
 
-    tv = bpe_word_vocab(spread(df, text_col), text_col, min_len=2).cache()
-    try:
-        merges = bpe_fit_merges(tv, rounds)
-    finally:
-        tv.unpersist()
+    # ONE corpus-scale word-frequency shuffle (ADVICE r12: the
+    # min_len=2 training vocab and the min_len=1 encode vocab each ran
+    # their own tokenize+explode+groupBy over the corpus — two corpus
+    # scans where the docstring promised one): compute the min_len=1
+    # vocab once, materialize it eagerly (localCheckpoint — the vocab
+    # is |V|-sized, not corpus-sized, and checkpointing severs the
+    # corpus lineage so neither the training loop nor the encode pass
+    # below can rescan the documents), and derive the training view
+    # with a length(w) >= 2 filter (a 1-char word has no pair to
+    # count).  spread() first: a single-file corpus otherwise runs the
+    # tokenize+explode as ONE task (measured 4.3 s -> 1.1 s at sf0.1;
+    # no-op at 100 TB where inputs have splits).
+    v1 = bpe_word_vocab(
+        spread(df, text_col), text_col, min_len=1
+    ).localCheckpoint(eager=True)
+    merges = bpe_fit_merges(v1.filter(F.length("w") >= 2), rounds)
 
-    # the per-row heavy step is the corpus tokenize+explode feeding the
-    # word count, and a single-file corpus scans as ONE task — spread
-    # the docs first (the ahash lesson; measured 4.3 s -> 1.1 s for the
-    # vocab pass at sf0.1, no-op at 100 TB where inputs have splits)
-    seg = bpe_word_vocab(spread(df, text_col), text_col, min_len=1).selectExpr(
-        "split(w, '') AS seg", "cnt"
-    )
+    seg = v1.selectExpr("split(w, '') AS seg", "cnt")
     for x, y, _f in merges:
         seg = seg.selectExpr(bpe_fold_sql(x, y), "cnt")
     merged = sorted({x + y for x, y, _f in merges})
@@ -2016,6 +2021,7 @@ def quality_classifier_calibration(
     lr: float = QUALITY_TRAIN_LR,
     rounds: int = QUALITY_TRAIN_ROUNDS,
     n_bins: int = QUALITY_CALIB_BINS,
+    materialize: bool = True,
 ) -> DataFrame:
     """Reliability curve + ECE terms for the trained quality
     classifier (new r12) — the evaluation stage every trained filter
@@ -2073,7 +2079,7 @@ def quality_classifier_calibration(
             "abs(CAST(_sp AS DOUBLE) / n_docs"
             " - CAST(_sy AS DOUBLE) / n_docs)"
         )
-        return (
+        curve = (
             binned.withColumn(
                 "_N", F.sum("n_docs").over(Window.partitionBy())
             )
@@ -2089,5 +2095,14 @@ def quality_classifier_calibration(
             )
             .orderBy("bin")
         )
+        # Materialize the ≤n_bins-row curve WHILE fv is still cached
+        # (ADVICE r12: returning the lazy frame and unpersisting in the
+        # finally block meant the evaluation pass ran uncached later —
+        # the "one aggregate over the cached frame" claim didn't hold).
+        # localCheckpoint is eager, row-count-bounded, and keeps the
+        # engine-computed doubles bit-identical.  ``materialize=False``
+        # returns the lazy plan so tests/test_plans.py can pin the real
+        # evaluation plan shape instead of an RDD scan.
+        return curve.localCheckpoint(eager=True) if materialize else curve
     finally:
         fv.unpersist()

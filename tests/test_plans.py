@@ -1444,28 +1444,41 @@ def test_quality_train_gradient_pass_single_row_aggregate(spark):
 
 
 def test_bpe_encode_pass_two_shuffles_no_join(spark):
-    """BPE application (r12): the encode plan — returned by the
-    SHIPPED operator, merges already fitted — is the one corpus-scale
-    word-frequency exchange plus the token-frequency exchange, with
-    every merge replayed as a narrow fold projection: join-free, ≤3
-    exchanges total (vocab agg, token agg, top-n order), text-only
-    corpus scan."""
+    """BPE application (r12; ADVICE r12 single-scan rewrite): the
+    corpus touches the plan exactly once — the shared min_len=1
+    word-frequency vocab (one exchange, text-only scan), which the
+    operator localCheckpoints so BOTH the training loop and the encode
+    replay read the |V|-sized table, never the corpus.  The returned
+    encode plan over it is join-free, ≤2 exchanges (token agg, top-n
+    order), every merge a narrow fold projection, and scans the
+    checkpoint — no parquet source anywhere."""
+    from flink_kmeans_clustering_spark.operators.common import spread
     from flink_kmeans_clustering_spark.operators.textstats import (
         bpe_encode,
+        bpe_word_vocab,
     )
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # the one corpus pass: vocab agg only, text-only read schema
+    vocab = bpe_word_vocab(spread(docs, "text"), "text", min_len=1)
+    vplan = explain_str(vocab)
+    assert "Join" not in vplan, vplan
+    assert_max_shuffles(vocab, 2)  # spread round-robin + vocab agg
+    for s in read_schemas(vocab):
+        assert "doc_id" not in s and "source" not in s, s
+    # the shipped encode plan: reads the checkpointed vocab, not parquet
     df = bpe_encode(docs, rounds=2, top_n=10)
     plan = explain_str(df)
     assert "Join" not in plan, plan
-    assert_max_shuffles(df, 3)
-    for s in read_schemas(df):
-        assert "doc_id" not in s and "source" not in s, s
+    assert "Scan parquet" not in plan, plan
+    assert_max_shuffles(df, 2)
 
 
 def test_quality_calib_one_bin_aggregate_no_join(spark):
-    """Calibration (r12): the evaluation plan — returned by the
-    SHIPPED operator after training — is score + bin + ONE ≤n_bins-row
+    """Calibration (r12): the evaluation plan — the lazy curve the
+    SHIPPED operator localCheckpoints after training (ADVICE r12:
+    materialized while the feature frame is cached; materialize=False
+    exposes the plan to pin) — is score + bin + ONE ≤n_bins-row
     aggregate + the global-window total: join-free, ≤3 exchanges,
     corpus scan reads only (text, lang)."""
     from flink_kmeans_clustering_spark.operators.textstats import (
@@ -1473,7 +1486,7 @@ def test_quality_calib_one_bin_aggregate_no_join(spark):
     )
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    df = quality_classifier_calibration(docs, rounds=1)
+    df = quality_classifier_calibration(docs, rounds=1, materialize=False)
     plan = explain_str(df)
     assert "Join" not in plan, plan
     assert_max_shuffles(df, 3)
