@@ -2881,3 +2881,124 @@ def crossmodal_delta_pairs(
         F.col("hamming"),
         (~(_is_new(out_a) & _is_new(out_b))).alias("against_index"),
     )
+
+
+def crossmodal_keepset(
+    docs: DataFrame,
+    lane_mod: int = 10,
+    lane: int = 7,
+    max_hamming: int = 3,
+    max_block: int | None = 200,
+    max_caption_group: int = 200,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Ingest keep-set / write-side report of the incremental
+    cross-modal pass (new r13): :func:`crossmodal_delta_pairs` says
+    which pairs collide; this says what to DO with each document in
+    today's drop — the decision a daily ingest job actually writes.
+
+    Decision rules, deterministic and one-hop (the standard greedy
+    min-id representative; full transitive closure is the offline
+    compaction job's business, not the ingest report's):
+
+    * ``drop_known`` — the doc pairs against the stored index
+      (``against_index``): its content is already stored;
+      ``canonical_id`` is the smallest index doc it matched.
+    * ``drop_in_batch`` — no index hit, but a within-batch pair with a
+      SMALLER new doc exists: the drop repeats itself and the smaller
+      id is the representative; ``canonical_id`` is the smallest such
+      partner.
+    * ``keep_canonical`` — within-batch pairs exist but only with
+      larger ids: this doc IS the representative its group keeps;
+      ``canonical_id`` is itself.
+    * ``keep_new`` — no pairs at all: genuinely new content;
+      ``canonical_id`` is itself.
+
+    Scale shape: the pair list is increment-sized (the delta
+    contract), so everything derived from it — the two-direction
+    touch explode, the per-doc min/count aggregate — is pair-sized;
+    the only corpus-lane-sized steps are the new-lane scan (token
+    counts for the economics) and its equi-join to the per-doc
+    aggregate on the md5-uniform id.  Old x old is never generated,
+    the index is never shuffled.
+
+    Output: one row per new-lane doc — (doc_id, source, n_tokens,
+    decision, canonical_id, kinds, n_index_pairs, n_batch_pairs) where
+    ``kinds`` is the sorted distinct pair-kind evidence ('' when
+    unpaired), ordered by doc_id.
+    """
+    from flink_kmeans_clustering_spark.functions.text import tokenize
+
+    pairs = crossmodal_delta_pairs(
+        docs,
+        lane_mod=lane_mod,
+        lane=lane,
+        max_hamming=max_hamming,
+        max_block=max_block,
+        max_caption_group=max_caption_group,
+        id_col=id_col,
+        text_col=text_col,
+    )
+    touch = pairs.select(
+        F.col("id_a").alias("doc"),
+        F.col("id_b").alias("partner"),
+        "kind",
+        "against_index",
+    ).unionAll(
+        pairs.select(
+            F.col("id_b").alias("doc"),
+            F.col("id_a").alias("partner"),
+            "kind",
+            "against_index",
+        )
+    ).filter(F.col("doc") % lane_mod == lane)
+    agg = touch.groupBy("doc").agg(
+        F.min(F.when(F.col("against_index"), F.col("partner"))).alias(
+            "_idx_min"
+        ),
+        F.sum(F.when(F.col("against_index"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_index_pairs"),
+        F.min(
+            F.when(
+                ~F.col("against_index") & (F.col("partner") < F.col("doc")),
+                F.col("partner"),
+            )
+        ).alias("_batch_min"),
+        F.sum(F.when(~F.col("against_index"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_batch_pairs"),
+        F.array_join(F.array_sort(F.collect_set("kind")), ",").alias(
+            "_kinds"
+        ),
+    )
+    nd = docs.filter(F.col(id_col) % lane_mod == lane).select(
+        F.col(id_col).alias("doc"),
+        F.col(source_col).alias("source"),
+        F.size(tokenize(F.coalesce(F.col(text_col), F.lit("")))).alias(
+            "n_tokens"
+        ),
+    )
+    j = nd.join(agg, "doc", "left")
+    decision = (
+        F.when(F.col("_idx_min").isNotNull(), F.lit("drop_known"))
+        .when(F.col("_batch_min").isNotNull(), F.lit("drop_in_batch"))
+        .when(F.coalesce("n_batch_pairs", F.lit(0)) > 0, F.lit("keep_canonical"))
+        .otherwise(F.lit("keep_new"))
+    )
+    return j.select(
+        F.col("doc").alias("doc_id"),
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        decision.alias("decision"),
+        F.coalesce(
+            F.col("_idx_min"),
+            F.col("_batch_min"),
+            F.col("doc"),
+        ).alias("canonical_id"),
+        F.coalesce(F.col("_kinds"), F.lit("")).alias("kinds"),
+        F.coalesce("n_index_pairs", F.lit(0)).alias("n_index_pairs"),
+        F.coalesce("n_batch_pairs", F.lit(0)).alias("n_batch_pairs"),
+    ).orderBy("doc_id")

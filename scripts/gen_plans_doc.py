@@ -303,6 +303,16 @@ PICKS = [
         "classifier calibration — return vocabulary-/bin-sized frames; "
         "their distributed passes are plan-pinned in tests/test_plans.py)",
     ),
+    (
+        "q_dedup_crossmodal_keepset",
+        "Ingest keep-set report (r13) — the write-side of the delta "
+        "pass: the same no-cartesian pair physics, then pair-sized "
+        "two-direction touch aggregate and a lane-scan equi-join; the "
+        "per-doc decision CASE is a narrow projection (the two r13 "
+        "trainer/eval queries — tokenizer fertility, calibrated gate — "
+        "return |sources|-row frames; their distributed passes are "
+        "plan-pinned in tests/test_plans.py)",
+    ),
 ]
 
 

@@ -38,46 +38,52 @@ def test_rows_only_set_is_exactly_the_adjudicated_four():
     assert qs - osql == ROWS_ONLY_BY_DESIGN
 
 
-def test_window_leads_with_round12_rotation():
-    """r12 window plan (VERDICT r11 item 1): the 3 new-in-r12 queries
-    lead, then the next 47 stalest tail rows — the three r06-green
-    rows r11's budget displaced (q_rel_topsupplier / q_rel_profit /
-    q_rel_bigorders) first, ending at q_text_clean.  With this window
-    cumulative driver coverage stays 232/232 (the ledger closed in
-    r10; freshness is the only moving part); the r11 window's rows
-    moved to the very end (freshest), and the r13 window resumes at
-    q_text_tokenfreq_salted."""
+def test_window_leads_with_round13_rotation():
+    """r13 window plan (VERDICT r12 item 1, plus the item-4
+    exception): the 3 new-in-r13 queries lead, then
+    q_text_quality_calib jumps the staleness queue because its
+    semantics changed this round (the known-signal probe slice —
+    "multi-bin rows in the next CORRECTNESS window"), then the next
+    46 stalest tail rows — the three rows r12's budget displaced
+    (q_text_tokenfreq_salted / q_text_quality / q_text_fingerprint)
+    first, ending at q_text_heavyhitters.  With this window cumulative
+    driver coverage reaches 235/235; the r12 window's remaining rows
+    moved to the very end (freshest), and the r14 window resumes at
+    q_events_runs."""
     order = list(entrymod.queries())
     first50 = order[:50]
-    assert first50[:3] == [
-        "q_text_bpe_encode",
+    assert first50[:4] == [
+        "q_text_bpe_fertility",
+        "q_text_quality_gate",
+        "q_dedup_crossmodal_keepset",
         "q_text_quality_calib",
-        "q_dedup_crossmodal_delta",
     ]
-    # the three rows the r11 47-row budget displaced head the block
-    assert first50[3:6] == [
-        "q_rel_topsupplier",
-        "q_rel_profit",
-        "q_rel_bigorders",
-    ]
-    for q in (
-        "q_rel_mktshare",
-        "q_dedup_semantic",
-        "q_ann_ivf",
-        "q_stream_enrich",
-        "q_dedup_minhash_calib",
-        "q_sink_roundtrip",
-    ):
-        assert q in first50, q
-    assert first50[49] == "q_text_clean"
-    # the r13 window resumes with the three displaced rows, then the
-    # r11-note resume row
-    assert order[50:54] == [
+    # the three rows the r12 46-row budget displaced head the block
+    assert first50[4:7] == [
         "q_text_tokenfreq_salted",
         "q_text_quality",
         "q_text_fingerprint",
-        "q_text_tokenfreq",
     ]
-    # the freshest rows (r11 window) sit at the very end
-    assert order[-50] == "q_text_bpe_train"
-    assert order[-1] == "q_rel_forecast"
+    for q in (
+        "q_text_tokenfreq",
+        "q_dedup_decontam",
+        "q_knn_join",
+        "q_kmeans_scalable",
+        "q_dedup_fuzzy",
+        "q_graph_pagerank",
+    ):
+        assert q in first50, q
+    assert first50[49] == "q_text_heavyhitters"
+    # the r14 window resumes with the four displaced rows, then the
+    # old tail order
+    assert order[50:55] == [
+        "q_events_runs",
+        "q_events_pattern",
+        "q_events_bandjoin",
+        "q_sink_bucketed",
+        "q_text_chunk_udtf",
+    ]
+    # the freshest rows (r12 window minus the re-graded calib) sit at
+    # the very end
+    assert order[-49] == "q_text_bpe_encode"
+    assert order[-1] == "q_text_clean"

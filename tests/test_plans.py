@@ -1510,3 +1510,65 @@ def test_crossmodal_delta_no_cartesian_lane_predicates_pushed(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan  # the caption group-count cap
+
+
+def test_bpe_fertility_plan_vocab_sized_no_corpus_rescan(spark):
+    """Fertility (r13): the corpus collapses to the checkpointed
+    per-(source, word) table once — the returned join+aggregate plan
+    scans only the two checkpoints (no parquet source anywhere), the
+    per-word token-count join is an equi-join (no cartesian), and the
+    exchange budget is the join + the |sources|-row aggregate + the
+    final order."""
+    from flink_kmeans_clustering_spark.operators.textstats import (
+        bpe_fertility,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = bpe_fertility(docs, rounds=2)
+    plan = explain_str(df)
+    assert "Scan parquet" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert_max_shuffles(df, 5)
+
+
+def test_quality_gate_plan_one_row_broadcast_and_source_agg(spark):
+    """Calibrated gate (r13): the lazy plan (materialize=False — the
+    shipped operator localCheckpoints the |sources|-row report) gates
+    the scored corpus with a ONE-ROW broadcast (the threshold frame),
+    never a cartesian over data; the corpus scan reads only
+    (text, lang, source) — doc_id is pruned with the rest of the
+    documents schema."""
+    from flink_kmeans_clustering_spark.operators.textstats import (
+        quality_gate_report,
+        quality_probe_frame,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = quality_gate_report(
+        quality_probe_frame(docs), rounds=1, materialize=False
+    )
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan, plan
+    # exactly ONE one-row threshold broadcast (formatted explain names
+    # each node twice: tree + detail section), nothing data-sized
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+    for s in read_schemas(df):
+        assert "doc_id" not in s and "n_chars" not in s, s
+
+
+def test_crossmodal_keepset_plan_same_physics_as_delta(spark):
+    """Keep-set (r13): inherits the delta pass's physics — no
+    cartesian/nested-loop pair generation anywhere, the caption
+    hot-group cap joins broadcast-side — and adds only pair-sized
+    aggregates plus the lane-scan equi-join."""
+    from flink_kmeans_clustering_spark.operators.dedup import (
+        crossmodal_keepset,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = crossmodal_keepset(docs)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan  # the caption group-count cap
