@@ -318,3 +318,52 @@ def test_keepset_empty_input(spark):
         [], "doc_id long, text string, source string, n_chars long"
     )
     assert crossmodal_keepset(empty).collect() == []
+
+
+# --- cross-cutting invariants ---------------------------------------------------
+
+
+def test_gate_monotone_in_target_precision(spark):
+    """Raising the precision target can only raise the threshold and
+    shrink the kept set — checked on a mixed corpus where the head
+    actually separates (per-source kept counts non-increasing as the
+    target sweeps up)."""
+    from flink_kmeans_clustering_spark.operators.textstats import (
+        quality_gate_report,
+    )
+
+    en = "the and of to in is that with " * 6
+    xx = "zork blap qux vemb trill " * 8
+    mixed = "the and zork blap of to qux " * 6
+    rows = (
+        [(i, en, "en", "web") for i in range(8)]
+        + [(100 + i, xx, "xx", "web") for i in range(8)]
+        + [(200 + i, mixed, "en" if i % 2 else "xx", "web") for i in range(8)]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    prev_kept, prev_thr = None, None
+    for tp in (0.5, 0.7, 0.9, 1.0):
+        r = quality_gate_report(docs, target_precision=tp).collect()[0]
+        if prev_kept is not None:
+            assert r["n_kept"] <= prev_kept
+            assert r["threshold"] >= prev_thr
+        prev_kept, prev_thr = r["n_kept"], r["threshold"]
+
+
+def test_fertility_ratio_bounds_on_testdata(spark):
+    """On the sf0.001 corpus: every word is ≥1 token and every token
+    ≥1 char, so n_words ≤ n_tokens ≤ n_chars per source and both
+    ratios are ≥ 1."""
+    from flink_kmeans_clustering_spark.operators.textstats import (
+        bpe_fertility,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = bpe_fertility(docs, rounds=4).collect()
+    assert len(rows) > 1
+    for r in rows:
+        assert 1 <= r["n_words"] <= r["n_tokens"] <= r["n_chars"]
+        assert r["tokens_per_word"] >= 1.0
+        assert r["chars_per_token"] >= 1.0
