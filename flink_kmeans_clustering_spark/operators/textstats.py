@@ -1926,12 +1926,23 @@ def quality_fit_weights(
     n = 0
     for _ in range(rounds):
         p = quality_p_sql(w)
+        # σ(w·x) − y computes ONCE per row in an explicit Project
+        # below the aggregate (the TUNING.md rule), not once per
+        # gradient component: the 7 sums see the same double `d`, so
+        # each term round(xj · d, 12) is bit-identical to the inlined
+        # form — measured ~25% off the per-round job time at sf0.1 on
+        # the probe frame.  (Per-round Janino recompilation was probed
+        # too — the PQ-trainer lesson does NOT transfer here: rounds
+        # are job-floor-bound, codegen on/off measured equal.)
+        proj = fv.selectExpr(
+            *[f"x{j + 1}" for j in range(k)], f"({p} - y) AS d"
+        )
         aggs = [
-            f"sum(CAST(round(x{j + 1} * ({p} - y), 12)"
+            f"sum(CAST(round(x{j + 1} * d, 12)"
             f" AS DECIMAL(32,12))) AS g{j}"
             for j in range(k)
         ] + ["count(1) AS n"]
-        row = fv.selectExpr(*aggs).head()
+        row = proj.selectExpr(*aggs).head()
         n = int(row["n"])
         if n == 0:
             return None, 0
