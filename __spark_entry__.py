@@ -476,6 +476,28 @@ def q_text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_gate_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate threshold sensitivity / PR curve (new r14) — the report
+    that justifies q_text_quality_gate's 0.9 operating point: for
+    EVERY populated reliability-bin edge, the kept-fraction, realized
+    precision, recall, and kept token mass of gating there.  Same
+    trained head and probe slice as the gate; marginal cost over
+    calibration is one descending cumulative window over the
+    ≤n_bins-row table — integer counts, three double ratios on
+    identical integers."""
+    from flink_kmeans_clustering_spark.operators.textstats import (
+        quality_gate_pr_curve,
+        quality_probe_frame,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_gate_pr_curve(
+        quality_probe_frame(docs),
+        lr=QUALITY_CALIB_LR,
+        rounds=QUALITY_CALIB_ROUNDS,
+    )
+
+
 def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document n-gram novelty: fraction of a doc's distinct
     shingles appearing in no other document — computed from the
@@ -3033,6 +3055,28 @@ def q_text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_fertility(docs, rounds=BPE_TRAIN_ROUNDS)
 
 
+BPE_SWEEP_ROUNDS = (2, 4, 8)
+
+
+def q_text_bpe_vocab_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary-size sweep (new r14) — the "how many
+    merges do we need" curve: per-source fertility and compression at
+    merge budgets 2/4/8 from ONE training pass (greedy BPE merge lists
+    are prefix-closed, so the largest budget's chain serves every
+    point).  One corpus-scale (source, word) shuffle — the
+    q_text_bpe_fertility contract — then everything is
+    vocabulary-sized: one segmentation walk with a token-count
+    snapshot per budget, one |V|-sized equi-join, a |sources|-row
+    aggregate unpivoted by stack().  The oracle materializes the merge
+    chain once and unions the per-budget aggregates."""
+    from flink_kmeans_clustering_spark.operators.textstats import (
+        bpe_vocab_sweep,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_vocab_sweep(docs, rounds_list=BPE_SWEEP_ROUNDS)
+
+
 KCENTER_K = 8
 
 
@@ -3793,10 +3837,33 @@ def q_dedup_crossmodal_keepset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_keepset_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-set compaction delta (new r14) — the final write-side
+    step: apply q_dedup_crossmodal_keepset's decisions and report the
+    per-source index state after the ingest commits (docs/tokens
+    before and after, per-decision additions, kept fraction).  The
+    keep-set is already lane-sized; this adds ONE index-lane scan
+    collapsing to a |sources|-row aggregate (the index is counted,
+    never shuffled) and a |sources|-row full-outer join."""
+    from flink_kmeans_clustering_spark.operators.dedup import (
+        crossmodal_keepset_compaction,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return crossmodal_keepset_compaction(
+        docs,
+        lane_mod=10,
+        lane=INCR_BATCH_LANE,
+        max_hamming=PHASH_MAX_HAMMING,
+        max_block=PHASH_MAX_BLOCK,
+        max_caption_group=CROSSMODAL_MAX_CAPTION_GROUP,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    235 queries; 231 carry DuckDB oracles, 4 are rows-only by design
+    238 queries; 234 carry DuckDB oracles, 4 are rows-only by design
     (MLlib placement RNG, HLL/GK sketch internals, GEMM ulp twin —
     each has a DETERMINISTIC full-oracle twin registered beside it:
     lloyd_nd/kmv/sampled-quantiles/expression-cosine, plus an sf0.1
@@ -3805,79 +3872,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     header cannot go stale again (ADVICE r06).
 
     Registry ORDER is load-bearing: the driver's correctness artifact
-    records the first 50 entries only.  Round 13 window (VERDICT r12
-    item 1, as docs/STATUS.md planned, plus the item-4 exception):
-    the THREE queries new this round lead (q_text_bpe_fertility —
-    tokenizer fertility/compression eval, q_text_quality_gate —
-    calibrated corpus gate, q_dedup_crossmodal_keepset — ingest
-    keep-set report; cap 3 held), then q_text_quality_calib jumps the
-    staleness queue because its semantics changed this round (the
-    known-signal probe slice, VERDICT r12 item 4 — "multi-bin rows in
-    the next CORRECTNESS window"), then the next 46 stalest rows in
-    tail order: q_text_tokenfreq_salted, q_text_quality,
-    q_text_fingerprint (the three rows r12's budget displaced), then
-    q_text_tokenfreq … ending at q_text_heavyhitters.  Cumulative
-    driver coverage entering this round was 232 of 232 (the ledger
-    closed in r10; freshness is the only moving part); with this
-    window it reaches 235 of 235.  The tail below the window stays
-    sorted stalest-first — it resumes at q_events_runs /
-    q_events_pattern / q_events_bandjoin / q_sink_bucketed (the four
-    rows this round's 46-row budget displaced), then
-    q_text_chunk_udtf, so the r14 window is simply the next 50 rows —
-    and the r12 window's 49 remaining rows (freshest) moved to the
-    very end.
+    records the first 50 entries only.  Round 14 window (VERDICT r13
+    item 1, exactly as docs/STATUS.md planned): the THREE queries new
+    this round lead (q_text_bpe_vocab_sweep — tokenizer
+    vocabulary-size sweep, q_text_gate_pr_curve — gate threshold
+    sensitivity / PR curve, q_dedup_keepset_compaction — keep-set
+    compaction delta; cap 3 held), then the next 47 stalest tail rows
+    in tail order: q_events_runs, q_events_pattern, q_events_bandjoin,
+    q_sink_bucketed (the four rows r13's budget displaced), then
+    q_text_chunk_udtf … ending at q_stream_cdc (position 50).
+    Cumulative driver coverage entering this round was 235 of 235
+    (the ledger closed in r10; freshness is the only moving part);
+    with this window it reaches 238 of 238.  The tail below the
+    window stays sorted stalest-first — it resumes at q_dedup_minhash
+    / q_dedup_simhash / q_rel_pricing (the three rows this round's
+    47-row budget displaced), then q_dedup_ngram / q_dedup_twostage,
+    so the r15 window is simply the next 50 rows — and the r13
+    window's 50 rows (freshest, ending q_text_heavyhitters) moved to
+    the very end.
     """
     return {
-        "q_text_bpe_fertility": q_text_bpe_fertility,
-        "q_text_quality_gate": q_text_quality_gate,
-        "q_dedup_crossmodal_keepset": q_dedup_crossmodal_keepset,
-        "q_text_quality_calib": q_text_quality_calib,
-        "q_text_tokenfreq_salted": q_text_tokenfreq_salted,
-        "q_text_quality": q_text_quality,
-        "q_text_fingerprint": q_text_fingerprint,
-        "q_text_tokenfreq": q_text_tokenfreq,
-        "q_text_repetition": q_text_repetition,
-        "q_text_tfidf": q_text_tfidf,
-        "q_dedup_decontam": q_dedup_decontam,
-        "q_knn_join": q_knn_join,
-        "q_embed_cov": q_embed_cov,
-        "q_sample_weighted": q_sample_weighted,
-        "q_graph_triangles": q_graph_triangles,
-        "q_text_bm25": q_text_bm25,
-        "q_stream_outer_join": q_stream_outer_join,
-        "q_sink_compact": q_sink_compact,
-        "q_text_entropy": q_text_entropy,
-        "q_sink_evolve": q_sink_evolve,
-        "q_source_jsonl": q_source_jsonl,
-        "q_events_ewma": q_events_ewma,
-        "q_sink_zorder": q_sink_zorder,
-        "q_text_packed_seqs": q_text_packed_seqs,
-        "q_stream_session_native": q_stream_session_native,
-        "q_events_ohlc": q_events_ohlc,
-        "q_dedup_prefix": q_dedup_prefix,
-        "q_events_variant": q_events_variant,
-        "q_source_custom": q_source_custom,
-        "q_rel_dpp": q_rel_dpp,
-        "q_sql_pipe": q_sql_pipe,
-        "q_rel_lateral": q_rel_lateral,
-        "q_rel_stats": q_rel_stats,
-        "q_kmeans_scalable": q_kmeans_scalable,
-        "q_stream_kmeans": q_stream_kmeans,
-        "q_rel_groupsets": q_rel_groupsets,
-        "q_dedup_bbit": q_dedup_bbit,
-        "q_sample_neyman": q_sample_neyman,
-        "q_kmeans_spherical": q_kmeans_spherical,
-        "q_text_dsir": q_text_dsir,
-        "q_ann_ivfpq": q_ann_ivfpq,
-        "q_sample_coreset": q_sample_coreset,
-        "q_events_first": q_events_first,
-        "q_dedup_fuzzy": q_dedup_fuzzy,
-        "q_rel_upsert": q_rel_upsert,
-        "q_text_drift": q_text_drift,
-        "q_graph_pagerank": q_graph_pagerank,
-        "q_multimodal_resize": q_multimodal_resize,
-        "q_stream_dedup_wm": q_stream_dedup_wm,
-        "q_text_heavyhitters": q_text_heavyhitters,
+        "q_text_bpe_vocab_sweep": q_text_bpe_vocab_sweep,
+        "q_text_gate_pr_curve": q_text_gate_pr_curve,
+        "q_dedup_keepset_compaction": q_dedup_keepset_compaction,
         "q_events_runs": q_events_runs,
         "q_events_pattern": q_events_pattern,
         "q_events_bandjoin": q_events_bandjoin,
@@ -4063,6 +4080,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sample_split": q_sample_split,
         "q_sink_roundtrip": q_sink_roundtrip,
         "q_text_clean": q_text_clean,
+        "q_text_bpe_fertility": q_text_bpe_fertility,
+        "q_text_quality_gate": q_text_quality_gate,
+        "q_dedup_crossmodal_keepset": q_dedup_crossmodal_keepset,
+        "q_text_quality_calib": q_text_quality_calib,
+        "q_text_tokenfreq_salted": q_text_tokenfreq_salted,
+        "q_text_quality": q_text_quality,
+        "q_text_fingerprint": q_text_fingerprint,
+        "q_text_tokenfreq": q_text_tokenfreq,
+        "q_text_repetition": q_text_repetition,
+        "q_text_tfidf": q_text_tfidf,
+        "q_dedup_decontam": q_dedup_decontam,
+        "q_knn_join": q_knn_join,
+        "q_embed_cov": q_embed_cov,
+        "q_sample_weighted": q_sample_weighted,
+        "q_graph_triangles": q_graph_triangles,
+        "q_text_bm25": q_text_bm25,
+        "q_stream_outer_join": q_stream_outer_join,
+        "q_sink_compact": q_sink_compact,
+        "q_text_entropy": q_text_entropy,
+        "q_sink_evolve": q_sink_evolve,
+        "q_source_jsonl": q_source_jsonl,
+        "q_events_ewma": q_events_ewma,
+        "q_sink_zorder": q_sink_zorder,
+        "q_text_packed_seqs": q_text_packed_seqs,
+        "q_stream_session_native": q_stream_session_native,
+        "q_events_ohlc": q_events_ohlc,
+        "q_dedup_prefix": q_dedup_prefix,
+        "q_events_variant": q_events_variant,
+        "q_source_custom": q_source_custom,
+        "q_rel_dpp": q_rel_dpp,
+        "q_sql_pipe": q_sql_pipe,
+        "q_rel_lateral": q_rel_lateral,
+        "q_rel_stats": q_rel_stats,
+        "q_kmeans_scalable": q_kmeans_scalable,
+        "q_stream_kmeans": q_stream_kmeans,
+        "q_rel_groupsets": q_rel_groupsets,
+        "q_dedup_bbit": q_dedup_bbit,
+        "q_sample_neyman": q_sample_neyman,
+        "q_kmeans_spherical": q_kmeans_spherical,
+        "q_text_dsir": q_text_dsir,
+        "q_ann_ivfpq": q_ann_ivfpq,
+        "q_sample_coreset": q_sample_coreset,
+        "q_events_first": q_events_first,
+        "q_dedup_fuzzy": q_dedup_fuzzy,
+        "q_rel_upsert": q_rel_upsert,
+        "q_text_drift": q_text_drift,
+        "q_graph_pagerank": q_graph_pagerank,
+        "q_multimodal_resize": q_multimodal_resize,
+        "q_stream_dedup_wm": q_stream_dedup_wm,
+        "q_text_heavyhitters": q_text_heavyhitters,
     }
 
 
@@ -4188,23 +4255,28 @@ ORDER BY freq DESC, token
 LIMIT {top_n}"""
 
 
-def _phash_pairs_cte(delta_lane: int | None = None) -> str:
+def _phash_pairs_cte(
+    delta_lane: int | None = None, lane_mod: int = 10
+) -> str:
     """Shared WITH-body: the aHash pigeonhole pair pipeline (byte-grid
     downsample → integer mean-threshold → 16-bit chunks → hot-block cap
     → chunk-equality candidates → Hamming score) ending in ``scored``.
     Used by the q_multimodal_phash oracle and the cross-modal joint
     dedup oracles.  With ``delta_lane`` the candidate join is the
     INCREMENTAL shape: the x side is restricted to the new lane
-    (doc_id % 10 = lane), new×old pairs keep either id order and are
-    normalized LEAST/GREATEST, within-new pairs are kept once — block
-    stats (and the hot cap) still come from the full corpus."""
+    (doc_id % lane_mod = lane), new×old pairs keep either id order and
+    are normalized LEAST/GREATEST, within-new pairs are kept once —
+    block stats (and the hot cap) still come from the full corpus.
+    ``lane_mod`` is threaded like ``delta_lane`` (ADVICE r13: a
+    hardcoded modulus diverges silently if the engine call ever
+    changes lane_mod)."""
     if delta_lane is None:
         cand_on = "x.asset_id < y.asset_id"
         sel = "x.asset_id AS id_a, y.asset_id AS id_b"
     else:
         cand_on = (
-            f"x.asset_id % 10 = {delta_lane}"
-            f" AND (y.asset_id % 10 <> {delta_lane}"
+            f"x.asset_id % {lane_mod} = {delta_lane}"
+            f" AND (y.asset_id % {lane_mod} <> {delta_lane}"
             " OR x.asset_id < y.asset_id)"
             " AND x.asset_id <> y.asset_id"
         )
@@ -4291,16 +4363,20 @@ FROM ipairs i FULL OUTER JOIN cpairs c
   ON i.id_a = c.cid_a AND i.id_b = c.cid_b"""
 
 
-def _crossmodal_delta_oracle_sql(lane: int | None = None) -> str:
+def _crossmodal_delta_oracle_sql(
+    lane: int | None = None, lane_mod: int = 10
+) -> str:
     """Incremental cross-modal replay: the shared aHash pipeline in
     its delta shape (new lane × all, LEAST/GREATEST-normalized) UNIONed
     on the pair key with lane-restricted caption fingerprint pairs,
-    classified both/recaptioned/reencoded + against_index."""
+    classified both/recaptioned/reencoded + against_index.
+    ``lane_mod`` threads through every modulus exactly as the engine's
+    ``crossmodal_delta_pairs`` takes it (ADVICE r13)."""
     if lane is None:
         lane = INCR_BATCH_LANE
     pa = "COALESCE(i.id_a, c.cid_a)"
     pb = "COALESCE(i.id_b, c.cid_b)"
-    return f"""WITH {_phash_pairs_cte(delta_lane=lane)},
+    return f"""WITH {_phash_pairs_cte(delta_lane=lane, lane_mod=lane_mod)},
 ipairs AS (
   SELECT id_a, id_b, hamming FROM scored WHERE hamming <= {PHASH_MAX_HAMMING}
 ),
@@ -4324,8 +4400,8 @@ cpairs AS (
   SELECT LEAST(x.cid, y.cid) AS cid_a, GREATEST(x.cid, y.cid) AS cid_b
   FROM capk x JOIN capk y
     ON x.fp = y.fp
-   AND x.cid % 10 = {lane}
-   AND (y.cid % 10 <> {lane} OR x.cid < y.cid)
+   AND x.cid % {lane_mod} = {lane}
+   AND (y.cid % {lane_mod} <> {lane} OR x.cid < y.cid)
    AND x.cid <> y.cid
 )
 SELECT {pa} AS id_a,
@@ -4334,7 +4410,8 @@ SELECT {pa} AS id_a,
             WHEN i.id_a IS NOT NULL THEN 'recaptioned'
             ELSE 'reencoded' END AS kind,
        i.hamming,
-       NOT ({pa} % 10 = {lane} AND {pb} % 10 = {lane}) AS against_index
+       NOT ({pa} % {lane_mod} = {lane} AND {pb} % {lane_mod} = {lane})
+         AS against_index
 FROM ipairs i FULL OUTER JOIN cpairs c
   ON i.id_a = c.cid_a AND i.id_b = c.cid_b"""
 
@@ -4591,6 +4668,62 @@ GROUP BY scored.source
 ORDER BY scored.source"""
 
 
+def _quality_gate_pr_oracle_sql(lr: float, rounds: int, n_bins: int) -> str:
+    """PR-curve replay (new r14): the shared training prefix over the
+    probe slice (n_words carried through the feature frame), score +
+    6-dp DECIMAL bin floor, ONE per-bin aggregate (counts, positives,
+    token mass), then a descending cumulative window and the three
+    ratios on identical integers.  ``recall`` is NULL when the corpus
+    carries no positive labels (0/0), same CASE in both engines."""
+    from flink_kmeans_clustering_spark.operators.textstats import (
+        QUALITY_TRAIN_FEATURES,
+    )
+
+    k = len(QUALITY_TRAIN_FEATURES)
+    dot_fin = (
+        f"list_sum(list_transform(range(1, {k + 1}),"
+        " kk -> fin.w[kk] * fv.x[kk]))"
+    )
+    one = "CAST(1.0 AS DOUBLE)"
+    fit = _quality_fit_cte(
+        lr, rounds, _quality_probe_docs_sql(), carry_source=True
+    )
+    return f"""WITH RECURSIVE {fit},
+scored AS (
+  SELECT fv.n_words,
+         CAST(least(floor(CAST(round({one} / ({one} + exp(-({dot_fin}))), 6)
+              AS DECIMAL(18,6)) * {n_bins}), {n_bins - 1}) AS INT) AS bin,
+         fv.y AS y
+  FROM fv, fin
+),
+binned AS (
+  SELECT bin, COUNT(*) AS n_docs, SUM(y) AS n_pos, SUM(n_words) AS tw
+  FROM scored GROUP BY bin
+),
+cum AS (
+  SELECT bin, n_docs, n_pos,
+         SUM(n_docs) OVER (ORDER BY bin DESC) AS cum_docs,
+         SUM(n_pos) OVER (ORDER BY bin DESC) AS cum_pos,
+         SUM(tw) OVER (ORDER BY bin DESC) AS cum_tokens,
+         SUM(n_docs) OVER () AS nn,
+         SUM(n_pos) OVER () AS pp
+  FROM binned
+)
+SELECT bin,
+       round(CAST(bin AS DOUBLE) / {n_bins}, 6) AS threshold,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(cum_docs AS BIGINT) AS cum_docs,
+       CAST(cum_pos AS BIGINT) AS cum_pos,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       round(CAST(cum_pos AS DOUBLE) / cum_docs, 6) AS precision,
+       CASE WHEN pp > 0
+            THEN round(CAST(cum_pos AS DOUBLE) / pp, 6) END AS recall,
+       round(CAST(cum_docs AS DOUBLE) / nn, 6) AS kept_frac
+FROM cum
+ORDER BY bin"""
+
+
 def _bpe_fertility_oracle_sql(rounds: int) -> str:
     """Fertility replay: the MATERIALIZED merge-chain's final
     segmentation gives per-word token counts (1-char pass-throughs
@@ -4628,17 +4761,69 @@ GROUP BY sw.source
 ORDER BY sw.source"""
 
 
-def _crossmodal_keepset_oracle_sql(lane: int | None = None) -> str:
-    """Keep-set replay: the full delta-pair oracle as ONE MATERIALIZED
-    CTE (it is referenced twice by the two-direction touch union — the
+def _bpe_vocab_sweep_oracle_sql(rounds_list: tuple[int, ...]) -> str:
+    """Vocabulary-size-sweep replay (new r14): ONE materialized merge
+    chain at the largest budget (greedy BPE merge lists are
+    prefix-closed, so seg{{r}} IS the r-round segmentation), a per-word
+    token-count table per requested budget (1-char pass-throughs count
+    1), the shared (source, word) count table, and a UNION of the
+    per-budget per-source aggregates — integers everywhere, the two
+    ratios in double on identical integers."""
+    rl = sorted(set(rounds_list))
+    wts = ",\n".join(
+        f"""wt{r} AS MATERIALIZED (
+  SELECT w, len(seg) AS n_tok FROM seg{r}
+  UNION ALL
+  SELECT w, 1 AS n_tok
+  FROM (SELECT unnest(t) AS w FROM toks)
+  WHERE length(w) = 1 GROUP BY w
+)"""
+        for r in rl
+    )
+    legs = "\n  UNION ALL\n".join(
+        f"""  SELECT {r} AS n_merges, sw.source,
+         CAST(SUM(sw.cnt) AS BIGINT) AS n_words,
+         CAST(SUM(sw.cnt * wt{r}.n_tok) AS BIGINT) AS n_tokens,
+         CAST(SUM(sw.cnt * length(sw.w)) AS BIGINT) AS n_chars,
+         round(CAST(SUM(sw.cnt * wt{r}.n_tok) AS DOUBLE) / SUM(sw.cnt), 6)
+           AS tokens_per_word,
+         round(CAST(SUM(sw.cnt * length(sw.w)) AS DOUBLE)
+               / SUM(sw.cnt * wt{r}.n_tok), 6) AS chars_per_token
+  FROM sw JOIN wt{r} ON sw.w = wt{r}.w
+  GROUP BY sw.source"""
+        for r in rl
+    )
+    return f"""WITH RECURSIVE {_bpe_chain_cte(rl[-1])},
+{wts},
+sw AS MATERIALIZED (
+  SELECT source, w, COUNT(*) AS cnt
+  FROM (
+    SELECT d.source,
+           unnest(list_filter(regexp_split_to_array(lower(d.text),
+                  '[^a-z0-9]+'), x -> x <> '')) AS w
+    FROM documents d
+  )
+  GROUP BY source, w
+)
+SELECT * FROM (
+{legs}
+)
+ORDER BY n_merges, source"""
+
+
+def _crossmodal_keepset_cte(lane: int, lane_mod: int) -> str:
+    """Shared WITH-body of the keep-set replays (keepset + the r14
+    compaction): the full delta-pair oracle as ONE MATERIALIZED CTE
+    (it is referenced twice by the two-direction touch union — the
     inline form would re-run the whole aHash chain per reference),
     then the per-doc min/count aggregate, the one-hop decision CASE,
-    and a left join from the new-lane docs so unpaired documents
-    report keep_new."""
-    if lane is None:
-        lane = INCR_BATCH_LANE
-    return f"""WITH dpairs AS MATERIALIZED (
-{_crossmodal_delta_oracle_sql(lane)}
+    and a left join from the new-lane docs, ending in ``ks`` (one row
+    per new-lane doc).  ``lane_mod`` threads through every modulus
+    exactly as the engine's ``crossmodal_keepset`` takes it
+    (ADVICE r13 — the hardcoded ``% 10`` would diverge silently if
+    the registered call ever changed lane_mod)."""
+    return f"""dpairs AS MATERIALIZED (
+{_crossmodal_delta_oracle_sql(lane, lane_mod)}
 ),
 touch AS (
   SELECT id_a AS doc, id_b AS partner, kind, against_index FROM dpairs
@@ -4654,26 +4839,94 @@ tagg AS (
          SUM(CASE WHEN NOT against_index THEN 1 ELSE 0 END)
            AS n_batch_pairs,
          array_to_string(list_sort(list(DISTINCT kind)), ',') AS kinds
-  FROM touch WHERE doc % 10 = {lane} GROUP BY doc
+  FROM touch WHERE doc % {lane_mod} = {lane} GROUP BY doc
 ),
 nd AS (
   SELECT doc_id, source,
          len(list_filter(regexp_split_to_array(lower(COALESCE(text, '')),
              '[^a-z0-9]+'), x -> x <> '')) AS n_tokens
-  FROM documents WHERE doc_id % 10 = {lane}
+  FROM documents WHERE doc_id % {lane_mod} = {lane}
+),
+ks AS (
+  SELECT nd.doc_id, nd.source,
+         CAST(nd.n_tokens AS BIGINT) AS n_tokens,
+         CASE WHEN t.idx_min IS NOT NULL THEN 'drop_known'
+              WHEN t.batch_min IS NOT NULL THEN 'drop_in_batch'
+              WHEN COALESCE(t.n_batch_pairs, 0) > 0 THEN 'keep_canonical'
+              ELSE 'keep_new' END AS decision,
+         COALESCE(t.idx_min, t.batch_min, nd.doc_id) AS canonical_id,
+         COALESCE(t.kinds, '') AS kinds,
+         CAST(COALESCE(t.n_index_pairs, 0) AS BIGINT) AS n_index_pairs,
+         CAST(COALESCE(t.n_batch_pairs, 0) AS BIGINT) AS n_batch_pairs
+  FROM nd LEFT JOIN tagg t ON nd.doc_id = t.doc
+)"""
+
+
+def _crossmodal_keepset_oracle_sql(
+    lane: int | None = None, lane_mod: int = 10
+) -> str:
+    """Keep-set replay: the shared keep-set chain, emitted per doc."""
+    if lane is None:
+        lane = INCR_BATCH_LANE
+    return f"""WITH {_crossmodal_keepset_cte(lane, lane_mod)}
+SELECT * FROM ks ORDER BY doc_id"""
+
+
+def _crossmodal_keepset_compaction_oracle_sql(
+    lane: int | None = None, lane_mod: int = 10
+) -> str:
+    """Compaction replay (new r14): the shared keep-set chain, then a
+    per-source decision rollup of ``ks``, an index-lane (docs, tokens)
+    aggregate, and a full-outer join of the two tiny per-source
+    frames with zero-filled counts — index-after = before + kept."""
+    if lane is None:
+        lane = INCR_BATCH_LANE
+    return f"""WITH {_crossmodal_keepset_cte(lane, lane_mod)},
+ka AS (
+  SELECT source,
+         COUNT(*) AS n_ingested,
+         SUM(CASE WHEN decision = 'drop_known' THEN 1 ELSE 0 END)
+           AS n_dropped_known,
+         SUM(CASE WHEN decision = 'drop_in_batch' THEN 1 ELSE 0 END)
+           AS n_dropped_in_batch,
+         SUM(CASE WHEN decision = 'keep_canonical' THEN 1 ELSE 0 END)
+           AS n_kept_canonical,
+         SUM(CASE WHEN decision = 'keep_new' THEN 1 ELSE 0 END)
+           AS n_kept_new,
+         SUM(CASE WHEN decision IN ('keep_canonical', 'keep_new')
+                  THEN n_tokens ELSE 0 END) AS added_tokens
+  FROM ks GROUP BY source
+),
+old AS (
+  SELECT source, COUNT(*) AS idx_docs_before,
+         SUM(len(list_filter(regexp_split_to_array(lower(COALESCE(text, '')),
+             '[^a-z0-9]+'), x -> x <> ''))) AS idx_tokens_before
+  FROM documents WHERE doc_id % {lane_mod} <> {lane}
+  GROUP BY source
 )
-SELECT nd.doc_id, nd.source,
-       CAST(nd.n_tokens AS BIGINT) AS n_tokens,
-       CASE WHEN t.idx_min IS NOT NULL THEN 'drop_known'
-            WHEN t.batch_min IS NOT NULL THEN 'drop_in_batch'
-            WHEN COALESCE(t.n_batch_pairs, 0) > 0 THEN 'keep_canonical'
-            ELSE 'keep_new' END AS decision,
-       COALESCE(t.idx_min, t.batch_min, nd.doc_id) AS canonical_id,
-       COALESCE(t.kinds, '') AS kinds,
-       CAST(COALESCE(t.n_index_pairs, 0) AS BIGINT) AS n_index_pairs,
-       CAST(COALESCE(t.n_batch_pairs, 0) AS BIGINT) AS n_batch_pairs
-FROM nd LEFT JOIN tagg t ON nd.doc_id = t.doc
-ORDER BY nd.doc_id"""
+SELECT COALESCE(o.source, k.source) AS source,
+       CAST(COALESCE(o.idx_docs_before, 0) AS BIGINT) AS idx_docs_before,
+       CAST(COALESCE(o.idx_tokens_before, 0) AS BIGINT)
+         AS idx_tokens_before,
+       CAST(COALESCE(k.n_ingested, 0) AS BIGINT) AS n_ingested,
+       CAST(COALESCE(k.n_dropped_known, 0) AS BIGINT) AS n_dropped_known,
+       CAST(COALESCE(k.n_dropped_in_batch, 0) AS BIGINT)
+         AS n_dropped_in_batch,
+       CAST(COALESCE(k.n_kept_canonical, 0) AS BIGINT) AS n_kept_canonical,
+       CAST(COALESCE(k.n_kept_new, 0) AS BIGINT) AS n_kept_new,
+       CAST(COALESCE(k.n_kept_canonical, 0) + COALESCE(k.n_kept_new, 0)
+            AS BIGINT) AS added_docs,
+       CAST(COALESCE(k.added_tokens, 0) AS BIGINT) AS added_tokens,
+       CAST(COALESCE(o.idx_docs_before, 0) + COALESCE(k.n_kept_canonical, 0)
+            + COALESCE(k.n_kept_new, 0) AS BIGINT) AS idx_docs_after,
+       CAST(COALESCE(o.idx_tokens_before, 0) + COALESCE(k.added_tokens, 0)
+            AS BIGINT) AS idx_tokens_after,
+       CASE WHEN COALESCE(k.n_ingested, 0) > 0 THEN
+         round(CAST(COALESCE(k.n_kept_canonical, 0)
+                    + COALESCE(k.n_kept_new, 0) AS DOUBLE)
+               / k.n_ingested, 6) END AS ingest_kept_frac
+FROM old o FULL OUTER JOIN ka k ON o.source = k.source
+ORDER BY source"""
 
 
 def _kmeans_loop_cte(iters: int) -> str:
@@ -9404,9 +9657,20 @@ SELECT event_type, event_id, ROUND(value, 6) AS value FROM (
         "q_text_bpe_fertility": _bpe_fertility_oracle_sql(
             rounds=BPE_TRAIN_ROUNDS
         ),
+        "q_text_bpe_vocab_sweep": _bpe_vocab_sweep_oracle_sql(
+            rounds_list=BPE_SWEEP_ROUNDS
+        ),
+        "q_text_gate_pr_curve": _quality_gate_pr_oracle_sql(
+            lr=QUALITY_CALIB_LR,
+            rounds=QUALITY_CALIB_ROUNDS,
+            n_bins=QUALITY_CALIB_N_BINS,
+        ),
         "q_dedup_crossmodal": _crossmodal_oracle_sql(),
         "q_dedup_crossmodal_delta": _crossmodal_delta_oracle_sql(),
         "q_dedup_crossmodal_keepset": _crossmodal_keepset_oracle_sql(),
+        "q_dedup_keepset_compaction": (
+            _crossmodal_keepset_compaction_oracle_sql()
+        ),
         "q_sample_kcenter": _kcenter_oracle_sql(k=KCENTER_K, dim=GRAM_DIM),
         "q_sample_domain_cap": sample_domain_cap_sql,
         "q_sample_token_budget": sample_token_budget_sql,

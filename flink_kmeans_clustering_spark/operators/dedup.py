@@ -3002,3 +3002,114 @@ def crossmodal_keepset(
         F.coalesce("n_index_pairs", F.lit(0)).alias("n_index_pairs"),
         F.coalesce("n_batch_pairs", F.lit(0)).alias("n_batch_pairs"),
     ).orderBy("doc_id")
+
+
+def crossmodal_keepset_compaction(
+    docs: DataFrame,
+    lane_mod: int = 10,
+    lane: int = 7,
+    max_hamming: int = 3,
+    max_block: int | None = 200,
+    max_caption_group: int = 200,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Keep-set compaction delta (new r14) — the final write-side step
+    of the incremental cross-modal pass: APPLY
+    :func:`crossmodal_keepset`'s per-doc decisions and report what the
+    stored index looks like AFTER the ingest — size before/after and
+    the per-decision additions, per source.  This is the ledger row a
+    daily ingest job writes when it commits the batch: how much the
+    index grew, how much the dedup gate saved.
+
+    Derivation: the keep-set report is already lane-sized (pair-sized
+    aggregates + one lane scan — the r13 contract); this pass adds ONE
+    index-lane scan collapsing straight to a |sources|-row
+    (docs, tokens) aggregate — the index is counted, never shuffled
+    and never pair-joined — and a |sources|-row full-outer join of the
+    two tiny aggregates (a source can exist only in the index or only
+    in today's drop; both sides survive with zero-filled counts).
+    Index-after = index-before + kept rows (keep_canonical + keep_new)
+    by construction — the compaction applies exactly the decisions the
+    keep-set published, so the two reports cannot drift apart.
+
+    All counts and token sums are exact integers on both engines; the
+    one ratio (``ingest_kept_frac``, NULL for sources with no ingested
+    docs) divides identical integers.
+
+    Output: one row per source — (source, idx_docs_before,
+    idx_tokens_before, n_ingested, n_dropped_known, n_dropped_in_batch,
+    n_kept_canonical, n_kept_new, added_docs, added_tokens,
+    idx_docs_after, idx_tokens_after, ingest_kept_frac), ordered by
+    source.
+    """
+    from flink_kmeans_clustering_spark.functions.text import tokenize
+
+    ks = crossmodal_keepset(
+        docs,
+        lane_mod=lane_mod,
+        lane=lane,
+        max_hamming=max_hamming,
+        max_block=max_block,
+        max_caption_group=max_caption_group,
+        id_col=id_col,
+        text_col=text_col,
+        source_col=source_col,
+    )
+    kept = F.col("decision").isin("keep_canonical", "keep_new")
+    ka = ks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_ingested"),
+        F.sum((F.col("decision") == "drop_known").cast("long")).alias(
+            "n_dropped_known"
+        ),
+        F.sum((F.col("decision") == "drop_in_batch").cast("long")).alias(
+            "n_dropped_in_batch"
+        ),
+        F.sum((F.col("decision") == "keep_canonical").cast("long")).alias(
+            "n_kept_canonical"
+        ),
+        F.sum((F.col("decision") == "keep_new").cast("long")).alias(
+            "n_kept_new"
+        ),
+        F.sum(F.when(kept, F.col("n_tokens")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("added_tokens"),
+    )
+    old = (
+        docs.filter(F.col(id_col) % lane_mod != lane)
+        .select(
+            F.col(source_col).alias("source"),
+            F.size(tokenize(F.coalesce(F.col(text_col), F.lit("")))).alias(
+                "n_tokens"
+            ),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("idx_docs_before"),
+            F.sum("n_tokens").cast("long").alias("idx_tokens_before"),
+        )
+    )
+    j = old.join(ka, "source", "full_outer")
+    return j.selectExpr(
+        "source",
+        "CAST(coalesce(idx_docs_before, 0) AS BIGINT) AS idx_docs_before",
+        "CAST(coalesce(idx_tokens_before, 0) AS BIGINT)"
+        " AS idx_tokens_before",
+        "CAST(coalesce(n_ingested, 0) AS BIGINT) AS n_ingested",
+        "CAST(coalesce(n_dropped_known, 0) AS BIGINT) AS n_dropped_known",
+        "CAST(coalesce(n_dropped_in_batch, 0) AS BIGINT)"
+        " AS n_dropped_in_batch",
+        "CAST(coalesce(n_kept_canonical, 0) AS BIGINT) AS n_kept_canonical",
+        "CAST(coalesce(n_kept_new, 0) AS BIGINT) AS n_kept_new",
+        "CAST(coalesce(n_kept_canonical, 0) + coalesce(n_kept_new, 0)"
+        " AS BIGINT) AS added_docs",
+        "CAST(coalesce(added_tokens, 0) AS BIGINT) AS added_tokens",
+        "CAST(coalesce(idx_docs_before, 0) + coalesce(n_kept_canonical, 0)"
+        " + coalesce(n_kept_new, 0) AS BIGINT) AS idx_docs_after",
+        "CAST(coalesce(idx_tokens_before, 0) + coalesce(added_tokens, 0)"
+        " AS BIGINT) AS idx_tokens_after",
+        "CASE WHEN coalesce(n_ingested, 0) > 0 THEN"
+        " round(CAST(coalesce(n_kept_canonical, 0) + coalesce(n_kept_new, 0)"
+        " AS DOUBLE) / n_ingested, 6) END AS ingest_kept_frac",
+    ).orderBy("source")

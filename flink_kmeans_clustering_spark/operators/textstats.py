@@ -2162,12 +2162,36 @@ def quality_probe_frame(
     Everything is a narrow per-row projection — the slice is a UNION
     of two corpus scans, no shuffle, no Python; probe doc_ids are
     offset by ``QUALITY_PROBE_ID_OFFSET`` so both lanes coexist.
+
+    Id-collision guard (ADVICE r13): the offset trick assumes every
+    real ``id_col`` is below ``QUALITY_PROBE_ID_OFFSET`` — a corpus
+    past that bound would alias probe rows onto real rows and the
+    oracle's per-doc joins would silently fan out.  The probe-lane id
+    projection therefore RAISES on any violating row (a per-row CASE
+    piggybacked on the scan the lane already pays — no extra job, no
+    extra pass), so a too-large corpus fails loudly in the engine
+    instead of diverging quietly against the replay.
     """
     base = df.withColumn(
         text_col, F.coalesce(F.col(text_col), F.lit(""))
     ).select(id_col, text_col, label_col, source_col)
+    checked_id = F.when(
+        F.col(id_col) < F.lit(QUALITY_PROBE_ID_OFFSET),
+        F.col(id_col) + F.lit(QUALITY_PROBE_ID_OFFSET),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "quality_probe_frame: doc_id >= "
+                    f"QUALITY_PROBE_ID_OFFSET ({QUALITY_PROBE_ID_OFFSET})"
+                    " would collide with probe-lane ids: "
+                ),
+                F.col(id_col).cast("string"),
+            )
+        ).cast("long")
+    )
     lane1 = base.select(
-        (F.col(id_col) + F.lit(QUALITY_PROBE_ID_OFFSET)).alias(id_col),
+        checked_id.alias(id_col),
         F.when(
             F.col(label_col) == label_value,
             F.repeat(
@@ -2317,6 +2341,107 @@ def quality_gate_report(
         fv.unpersist()
 
 
+def quality_gate_pr_curve(
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    label_value: str = "en",
+    lr: float = QUALITY_TRAIN_LR,
+    rounds: int = QUALITY_TRAIN_ROUNDS,
+    n_bins: int = QUALITY_CALIB_BINS,
+    materialize: bool = True,
+) -> DataFrame:
+    """Gate threshold sensitivity / precision-recall curve (new r14) —
+    the report that justifies :func:`quality_gate_report`'s fixed
+    precision target: for EVERY candidate threshold (each populated
+    reliability-bin lower edge), what would gating there keep and at
+    what realized precision/recall?  This is the PR curve every
+    trained filter ships next to its chosen operating point.
+
+    Derivation is the gate's own machinery, evaluated at all edges
+    instead of one: train the head (bulk-iteration loop, k-row driver
+    state), score + bin the corpus once (6-dp DECIMAL floor — the
+    calibration contract), aggregate per bin (ONE <=``n_bins``-row
+    shuffle, now also carrying the integer token mass), then a
+    descending cumulative window over the <=``n_bins``-row table gives
+    each edge's kept-docs / kept-positives / kept-tokens.  All counts
+    are exact integers; only the three final ratios run in double, on
+    identical integers in both engines.  Marginal cost over
+    calibration itself is a <=``n_bins``-row window — nothing
+    corpus-sized moves after the single feature scan.
+
+    Output: one row per populated bin — (bin, threshold, n_docs,
+    n_pos, cum_docs, cum_pos, cum_tokens, precision, recall,
+    kept_frac), ordered by bin; ``threshold`` is the bin lower edge,
+    the cum_* columns and ratios describe gating AT that edge
+    (keep bins >= bin).  ``recall`` is NULL when the corpus has no
+    positive labels (0/0).  Empty corpus -> empty frame.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    out_schema = (
+        "bin int, threshold double, n_docs long, n_pos long, "
+        "cum_docs long, cum_pos long, cum_tokens long, "
+        "precision double, recall double, kept_frac double"
+    )
+    fv = quality_feature_frame(
+        df, text_col, label_col, label_value, with_counts=True
+    ).cache()
+    try:
+        w, _n = quality_fit_weights(fv, lr, rounds)
+        if w is None:
+            return spark.createDataFrame([], out_schema)
+        p = quality_p_sql(w)
+        scored = fv.selectExpr(
+            "n_words",
+            f"CAST(least(floor(CAST(round({p}, 6) AS DECIMAL(18,6))"
+            f" * {n_bins}), {n_bins - 1}) AS INT) AS bin",
+            "y",
+        )
+        binned = scored.groupBy("bin").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("y").cast("long").alias("n_pos"),
+            F.sum("n_words").cast("long").alias("_tw"),
+        )
+        wdesc = Window.orderBy(F.desc("bin")).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        wall = Window.partitionBy()
+        curve = (
+            binned.select(
+                "bin",
+                "n_docs",
+                "n_pos",
+                F.sum("n_docs").over(wdesc).alias("cum_docs"),
+                F.sum("n_pos").over(wdesc).alias("cum_pos"),
+                F.sum("_tw").over(wdesc).alias("cum_tokens"),
+                F.sum("n_docs").over(wall).alias("_N"),
+                F.sum("n_pos").over(wall).alias("_P"),
+            )
+            .selectExpr(
+                "bin",
+                f"round(CAST(bin AS DOUBLE) / {n_bins}, 6) AS threshold",
+                "n_docs",
+                "n_pos",
+                "cum_docs",
+                "cum_pos",
+                "cum_tokens",
+                "round(CAST(cum_pos AS DOUBLE) / cum_docs, 6) AS precision",
+                "CASE WHEN _P > 0"
+                " THEN round(CAST(cum_pos AS DOUBLE) / _P, 6) END AS recall",
+                "round(CAST(cum_docs AS DOUBLE) / _N, 6) AS kept_frac",
+            )
+            .orderBy("bin")
+        )
+        # materialize the <=n_bins-row curve while fv is cached (the
+        # ADVICE r12 calibration lesson); materialize=False exposes
+        # the lazy plan for the plan-shape pin
+        return curve.localCheckpoint(eager=True) if materialize else curve
+    finally:
+        fv.unpersist()
+
+
 def bpe_fertility(
     df: DataFrame,
     text_col: str = "text",
@@ -2383,4 +2508,105 @@ def bpe_fertility(
             " AS chars_per_token",
         )
         .orderBy("source")
+    )
+
+
+def bpe_vocab_sweep(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    rounds_list: tuple[int, ...] = (2, 4, 8),
+) -> DataFrame:
+    """Tokenizer vocabulary-size sweep (new r14) — the "how many
+    merges do we need" curve every tokenizer ships: per-source
+    fertility (tokens-per-word) and compression (chars-per-token) at
+    SEVERAL merge budgets in ONE query, so the report shows where the
+    curve flattens and the vocabulary stops paying for itself.
+
+    The sweep is nearly free given :func:`bpe_fertility`'s shape,
+    because greedy BPE merge lists are PREFIX-CLOSED: the first k
+    merges of a ``max(rounds_list)``-round fit ARE the k-round fit
+    (each round's argmax depends only on the merges before it), so one
+    training pass at the largest budget serves every point on the
+    curve.  ONE corpus-scale (source, word) shuffle (localCheckpointed
+    — the :func:`bpe_fertility` contract), the global vocab
+    re-aggregates from it (exact integer sums ⇒ merges identical to
+    q_text_bpe_train's at every prefix), distinct words segment
+    through the merge chain ONCE with the intermediate token count
+    captured after each requested budget (a ``size(seg)`` column
+    snapshot per point — no re-segmentation), and the per-word counts
+    join back in a single |V|-sized equi-join feeding a
+    |sources|-row aggregate that a ``stack`` unpivots into the curve.
+    Budgets past the corpus's merge supply (training exhausted early)
+    report the fully-merged segmentation — the oracle's identity-pass
+    rounds mirror exactly.  All-integer numerators and denominators;
+    the two ratios run in double on identical integers in both
+    engines.
+
+    Output: one row per (n_merges, source) — (n_merges, source,
+    n_words, n_tokens, n_chars, tokens_per_word, chars_per_token),
+    ordered by (n_merges, source).
+    """
+    from flink_kmeans_clustering_spark.operators.common import spread
+
+    rl = sorted(set(rounds_list))
+    if not rl or rl[0] < 1:
+        raise ValueError("rounds_list must be positive merge budgets")
+    sv = (
+        spread(df, text_col)
+        .select(
+            F.col(source_col).alias("source"),
+            F.explode(tokenize(F.col(text_col))).alias("w"),
+        )
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    vocab = sv.groupBy("w").agg(F.sum("cnt").alias("cnt")).localCheckpoint(
+        eager=True
+    )
+    merges = bpe_fit_merges(vocab.filter(F.length("w") >= 2), rl[-1])
+    wt = vocab.selectExpr("w", "split(w, '') AS seg")
+    carried: list[str] = []
+    for r in range(1, rl[-1] + 1):
+        if r <= len(merges):
+            x, y, _f = merges[r - 1]
+            wt = wt.selectExpr("w", *carried, bpe_fold_sql(x, y))
+        if r in rl:
+            col = f"nt_{r}"
+            wt = wt.selectExpr("w", *carried, "seg", f"size(seg) AS {col}")
+            carried.append(col)
+    wt = wt.select("w", *carried)
+    agg = (
+        sv.join(wt, "w")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("cnt") * F.length("w")).alias("n_chars"),
+            *[
+                F.sum(F.col("cnt") * F.col(f"nt_{r}")).alias(f"ntok_{r}")
+                for r in rl
+            ],
+        )
+    )
+    stack = ", ".join(f"{r}, ntok_{r}" for r in rl)
+    return (
+        agg.selectExpr(
+            "source",
+            "CAST(n_words AS BIGINT) AS n_words",
+            "CAST(n_chars AS BIGINT) AS n_chars",
+            f"stack({len(rl)}, {stack}) AS (n_merges, n_tokens)",
+        )
+        .selectExpr(
+            "CAST(n_merges AS INT) AS n_merges",
+            "source",
+            "n_words",
+            "CAST(n_tokens AS BIGINT) AS n_tokens",
+            "n_chars",
+            "round(CAST(n_tokens AS DOUBLE) / n_words, 6)"
+            " AS tokens_per_word",
+            "round(CAST(n_chars AS DOUBLE) / n_tokens, 6)"
+            " AS chars_per_token",
+        )
+        .orderBy("n_merges", "source")
     )

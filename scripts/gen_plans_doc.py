@@ -313,6 +313,15 @@ PICKS = [
         "return |sources|-row frames; their distributed passes are "
         "plan-pinned in tests/test_plans.py)",
     ),
+    (
+        "q_dedup_keepset_compaction",
+        "Keep-set compaction delta (r14) — the keep-set chain plus ONE "
+        "index-lane scan collapsing straight to a |sources|-row "
+        "(docs, tokens) aggregate and a |sources|-row full-outer join: "
+        "the index is counted, never shuffled and never pair-joined "
+        "(the two r14 trainer/eval queries — vocabulary-size sweep, "
+        "gate PR curve — are plan-pinned in tests/test_plans.py)",
+    ),
 ]
 
 

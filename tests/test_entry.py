@@ -38,52 +38,51 @@ def test_rows_only_set_is_exactly_the_adjudicated_four():
     assert qs - osql == ROWS_ONLY_BY_DESIGN
 
 
-def test_window_leads_with_round13_rotation():
-    """r13 window plan (VERDICT r12 item 1, plus the item-4
-    exception): the 3 new-in-r13 queries lead, then
-    q_text_quality_calib jumps the staleness queue because its
-    semantics changed this round (the known-signal probe slice —
-    "multi-bin rows in the next CORRECTNESS window"), then the next
-    46 stalest tail rows — the three rows r12's budget displaced
-    (q_text_tokenfreq_salted / q_text_quality / q_text_fingerprint)
-    first, ending at q_text_heavyhitters.  With this window cumulative
-    driver coverage reaches 235/235; the r12 window's remaining rows
-    moved to the very end (freshest), and the r14 window resumes at
-    q_events_runs."""
+def test_window_leads_with_round14_rotation():
+    """r14 window plan (VERDICT r13 item 1, exactly as docs/STATUS.md
+    planned): the 3 new-in-r14 queries lead, then the next 47 stalest
+    tail rows — the four rows r13's budget displaced (q_events_runs /
+    q_events_pattern / q_events_bandjoin / q_sink_bucketed) first,
+    then q_text_chunk_udtf, ending at q_stream_cdc.  With this window
+    cumulative driver coverage reaches 238/238; the r13 window's 50
+    rows moved to the very end (freshest), and the r15 window resumes
+    at q_dedup_minhash."""
     order = list(entrymod.queries())
     first50 = order[:50]
-    assert first50[:4] == [
-        "q_text_bpe_fertility",
-        "q_text_quality_gate",
-        "q_dedup_crossmodal_keepset",
-        "q_text_quality_calib",
+    assert first50[:3] == [
+        "q_text_bpe_vocab_sweep",
+        "q_text_gate_pr_curve",
+        "q_dedup_keepset_compaction",
     ]
-    # the three rows the r12 46-row budget displaced head the block
-    assert first50[4:7] == [
-        "q_text_tokenfreq_salted",
-        "q_text_quality",
-        "q_text_fingerprint",
-    ]
-    for q in (
-        "q_text_tokenfreq",
-        "q_dedup_decontam",
-        "q_knn_join",
-        "q_kmeans_scalable",
-        "q_dedup_fuzzy",
-        "q_graph_pagerank",
-    ):
-        assert q in first50, q
-    assert first50[49] == "q_text_heavyhitters"
-    # the r14 window resumes with the four displaced rows, then the
-    # old tail order
-    assert order[50:55] == [
+    # the four rows the r13 46-row budget displaced head the block
+    assert first50[3:8] == [
         "q_events_runs",
         "q_events_pattern",
         "q_events_bandjoin",
         "q_sink_bucketed",
         "q_text_chunk_udtf",
     ]
-    # the freshest rows (r12 window minus the re-graded calib) sit at
-    # the very end
-    assert order[-49] == "q_text_bpe_encode"
-    assert order[-1] == "q_text_clean"
+    for q in (
+        "q_events_approx_quantiles",
+        "q_rel_mincost",
+        "q_dedup_gemm",
+        "q_kmeans_ml",
+        "q_ann_pq_trained",
+        "q_text_bpe",
+        "q_dedup_soft",
+        "q_events_cdc",
+    ):
+        assert q in first50, q
+    assert first50[49] == "q_stream_cdc"
+    # the r15 window resumes with the three displaced rows, then the
+    # old tail order
+    assert order[50:55] == [
+        "q_dedup_minhash",
+        "q_dedup_simhash",
+        "q_rel_pricing",
+        "q_dedup_ngram",
+        "q_dedup_twostage",
+    ]
+    # the freshest rows (the r13 window) sit at the very end
+    assert order[-50] == "q_text_bpe_fertility"
+    assert order[-1] == "q_text_heavyhitters"

@@ -1572,3 +1572,63 @@ def test_crossmodal_keepset_plan_same_physics_as_delta(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan  # the caption group-count cap
+
+
+def test_bpe_vocab_sweep_plan_one_walk_no_corpus_rescan(spark):
+    """Vocabulary-size sweep (r14): one segmentation walk serves every
+    budget — the returned plan scans only the two checkpoints (no
+    parquet source), joins the per-word snapshot columns back in ONE
+    equi-join (no cartesian), and stays within the fertility exchange
+    budget + the stack unpivot (which is a projection, not a shuffle).
+    Two budgets must cost the same exchanges as one."""
+    from flink_kmeans_clustering_spark.operators.textstats import (
+        bpe_vocab_sweep,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = bpe_vocab_sweep(docs, rounds_list=(1, 2))
+    plan = explain_str(df)
+    assert "Scan parquet" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # one equi-join feeding one aggregate: same budget as fertility
+    assert_max_shuffles(df, 5)
+
+
+def test_gate_pr_curve_plan_one_bin_aggregate_no_join(spark):
+    """PR curve (r14): the lazy plan (materialize=False — the shipped
+    operator localCheckpoints the ≤n_bins-row curve) is score + bin +
+    ONE ≤n_bins-row aggregate + the two windows over it: join-free,
+    nothing corpus-sized after the feature scan, and the corpus scan
+    reads only (text, lang) — doc_id/source pruned."""
+    from flink_kmeans_clustering_spark.operators.textstats import (
+        quality_gate_pr_curve,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = quality_gate_pr_curve(docs, rounds=1, materialize=False)
+    plan = explain_str(df)
+    assert "Join" not in plan, plan
+    assert_max_shuffles(df, 3)
+    for s in read_schemas(df):
+        assert "doc_id" not in s and "source" not in s, s
+
+
+def test_keepset_compaction_plan_index_counted_never_pair_joined(spark):
+    """Compaction (r14): inherits the keep-set physics (no cartesian /
+    nested-loop pair generation; caption cap broadcast-side) and adds
+    only two |sources|-row aggregates and their tiny full-outer join —
+    the index lane is counted (one extra parquet scan reading only
+    (doc_id, text, source)), never pair-joined or exploded."""
+    from flink_kmeans_clustering_spark.operators.dedup import (
+        crossmodal_keepset_compaction,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = crossmodal_keepset_compaction(docs)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan  # the caption group-count cap
+    for s in read_schemas(df):
+        assert "n_chars" not in s, s
