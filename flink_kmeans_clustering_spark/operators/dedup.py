@@ -2707,15 +2707,37 @@ def caption_fingerprints(
     hot-group capped at ``max_caption_group`` (boilerplate captions
     are template noise, not reuse).  The caption side of both the
     full and the incremental cross-modal joint dedup."""
-    caps = docs.select(
-        F.col(id_col).alias("cid"),
-        F.md5(
-            F.concat_ws(
-                " ", F.array_sort(F.array_distinct(tokenize(F.col(text_col))))
-            )
-        ).alias("fp"),
-        F.size(tokenize(F.col(text_col))).alias("_nt"),
-    ).filter(F.col("_nt") > 0)
+    # r14 optimization notes, all hash-verified at 3 scales:
+    # * the has-a-token filter is `lower(text) rlike '[a-z0-9]'` — a
+    #   non-empty token exists iff the lowered text contains an
+    #   alphanumeric char (split segments ARE the [a-z0-9] runs), so
+    #   the projection runs tokenize ONCE instead of twice per row
+    #   (NULL text: rlike(NULL) is NULL → dropped, exactly like the
+    #   old size(tokenize(NULL)) = -1);
+    # * _spread before the tokenize+md5 projection — a single-file
+    #   corpus otherwise fingerprints on ONE task (measured ~1.1 s
+    #   serial at sf0.1); no-op at 100 TB where inputs have splits;
+    # * the (cid, fp) projection localCheckpoints: every consumer
+    #   self-joins it (x × y) AND derives the group counts from it, so
+    #   un-checkpointed the tokenize+md5 subtree executed 3× per pass
+    #   (6× through the keepset chain's double pair reference) — the
+    #   TUNING.md DAG-re-evaluation rule; one narrow row per doc, the
+    #   same disk-backed O(corpus rows) trade as the prefix-join sets.
+    caps = (
+        _spread(
+            docs.filter(F.lower(F.col(text_col)).rlike("[a-z0-9]")), id_col
+        )
+        .select(
+            F.col(id_col).alias("cid"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.array_sort(F.array_distinct(tokenize(F.col(text_col)))),
+                )
+            ).alias("fp"),
+        )
+        .localCheckpoint()
+    )
     gcnt = caps.groupBy("fp").agg(F.count(F.lit(1)).alias("_gn"))
     return (
         caps.join(F.broadcast(gcnt), "fp")
@@ -2893,6 +2915,7 @@ def crossmodal_keepset(
     id_col: str = "doc_id",
     text_col: str = "text",
     source_col: str = "source",
+    checkpoint_pairs: bool = True,
 ) -> DataFrame:
     """Ingest keep-set / write-side report of the incremental
     cross-modal pass (new r13): :func:`crossmodal_delta_pairs` says
@@ -2941,6 +2964,17 @@ def crossmodal_keepset(
         id_col=id_col,
         text_col=text_col,
     )
+    # the touch union references the pair list TWICE — un-checkpointed,
+    # the whole delta DAG (both modality joins + the full-outer merge)
+    # executed once per branch (the TUNING.md DAG-re-evaluation rule,
+    # measured ~1.4 s/extra pass + a ~1.5 s Catalyst gap from the
+    # doubled plan at sf0.1).  The list is increment-sized by the delta
+    # contract, so materializing it is pair-sized state, never corpus-
+    # sized.  ``checkpoint_pairs=False`` exposes the full lazy plan for
+    # the plan-shape pins (r14; the gate/calib materialize-flag
+    # precedent).
+    if checkpoint_pairs:
+        pairs = pairs.localCheckpoint()
     touch = pairs.select(
         F.col("id_a").alias("doc"),
         F.col("id_b").alias("partner"),
@@ -2974,7 +3008,10 @@ def crossmodal_keepset(
             "_kinds"
         ),
     )
-    nd = docs.filter(F.col(id_col) % lane_mod == lane).select(
+    # _spread before the lane's tokenize projection (r14): the new-lane
+    # scan of a single-file corpus otherwise counts tokens on ONE task;
+    # no-op at 100 TB where inputs have splits
+    nd = _spread(docs.filter(F.col(id_col) % lane_mod == lane), id_col).select(
         F.col(id_col).alias("doc"),
         F.col(source_col).alias("source"),
         F.size(tokenize(F.coalesce(F.col(text_col), F.lit("")))).alias(
@@ -3014,6 +3051,7 @@ def crossmodal_keepset_compaction(
     id_col: str = "doc_id",
     text_col: str = "text",
     source_col: str = "source",
+    checkpoint_pairs: bool = True,
 ) -> DataFrame:
     """Keep-set compaction delta (new r14) — the final write-side step
     of the incremental cross-modal pass: APPLY
@@ -3056,6 +3094,7 @@ def crossmodal_keepset_compaction(
         id_col=id_col,
         text_col=text_col,
         source_col=source_col,
+        checkpoint_pairs=checkpoint_pairs,
     )
     kept = F.col("decision").isin("keep_canonical", "keep_new")
     ka = ks.groupBy("source").agg(
@@ -3076,8 +3115,11 @@ def crossmodal_keepset_compaction(
         .cast("long")
         .alias("added_tokens"),
     )
+    # _spread before the index-lane tokenize (r14): ~90% of a
+    # single-file corpus otherwise token-counts on ONE task (measured
+    # a 1.9 s single-task stage at sf0.1); no-op at scale
     old = (
-        docs.filter(F.col(id_col) % lane_mod != lane)
+        _spread(docs.filter(F.col(id_col) % lane_mod != lane), id_col)
         .select(
             F.col(source_col).alias("source"),
             F.size(tokenize(F.coalesce(F.col(text_col), F.lit("")))).alias(

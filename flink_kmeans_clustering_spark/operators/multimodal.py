@@ -735,16 +735,35 @@ def ahash_chunks(
     # sub-second).  The threshold compare is PURE INTEGER
     # (b_i * bits > Σb — equivalent to b_i > mean, no division), so the
     # hash is integer-exact in any engine.
-    chunks_expr = (
+    # The blocking rows come out of the SAME let-binding as the hash
+    # (r14 optimization): the old two-step form (alias the chunk array
+    # `c`, then posexplode(c) + chunks× element_at(c, j)) referenced
+    # the alias chunks+1 times, and projection collapse re-inlined the
+    # whole interpreted decode+hash HOF into every reference — the
+    # monster evaluated 5× per row (measured 2.3 s → 0.5 s at sf0.1
+    # for the chunk table).  Binding the chunk array `c` in one more
+    # single-element-array transform and emitting the final
+    # (chunk_idx, chunk_val, c0..c{chunks-1}) structs INSIDE that
+    # lambda evaluates the hash once per row; `inline` explodes the
+    # struct array with no reference back to the input expression.
+    # Values are unchanged field-for-field: chunk_idx = j is exactly
+    # posexplode's pos, chunk_val/cj are the same element_at reads.
+    row_struct = ", ".join(
+        ["'chunk_idx', j", "'chunk_val', element_at(c, j + 1)"]
+        + [f"'c{j}', element_at(c, {j + 1})" for j in range(chunks)]
+    )
+    rows_expr = (
         f"element_at(transform(array(decode({content_col}, 'ISO-8859-1')), "
         f"s -> element_at(transform(array("
         f"transform(sequence(0, {bits - 1}), i -> "
         f"ascii(substr(s, int(i * length(s) / {bits}) + 1, 1)))"
-        f"), b -> transform(sequence(0, {chunks - 1}), j -> "
+        f"), b -> element_at(transform(array("
+        f"transform(sequence(0, {chunks - 1}), j -> "
         f"aggregate(sequence(0, {per - 1}), 0, (acc, m) -> acc + "
         f"if(element_at(b, j * {per} + m + 1) * {bits} > "
         f"aggregate(b, 0, (a2, e) -> a2 + e), shiftleft(1, m), 0)))"
-        f"), 1)), 1)"
+        f"), c -> transform(sequence(0, {chunks - 1}), j -> "
+        f"named_struct({row_struct}))), 1)), 1)), 1)"
     )
     from flink_kmeans_clustering_spark.operators.common import spread
 
@@ -752,14 +771,9 @@ def ahash_chunks(
     # single-file corpus otherwise runs it in ONE task (measured 2.1 s
     # serial at sf0.1, ~0.4 s spread across the slots; no-op at 100 TB
     # where inputs have splits)
-    hashed = spread(
+    return spread(
         assets.filter(F.octet_length(content_col) > 0), id_col
-    ).select(F.col(id_col), F.expr(chunks_expr).alias("c"))
-    return hashed.select(
-        id_col,
-        F.posexplode("c").alias("chunk_idx", "chunk_val"),
-        *[F.element_at("c", j + 1).alias(f"c{j}") for j in range(chunks)],
-    )
+    ).select(F.col(id_col), F.expr(f"inline({rows_expr})"))
 
 
 def phash_pairs(

@@ -567,9 +567,17 @@ def pq_codebooks_trained_grouped(
     ]
     ids: list[list[int]] = [list(range(len(b))) for b in books]
 
+    from flink_kmeans_clustering_spark.operators.common import spread
+
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # _spread before the explode+cache (r14): a single-file corpus
+    # otherwise leaves the cached subvector table on ONE partition and
+    # every iteration's interpreted argmin runs serially (measured
+    # 1.7 s single-task assignment stages at sf0.1); pass-through at
+    # scale, and the trained books are partition-independent (grouped
+    # sums) — re-hash-verified at 3 scales.
     sub = (
-        df.select(
+        spread(df, id_col).select(
             F.explode(
                 F.transform(
                     F.sequence(F.lit(0), F.lit(m - 1)),
@@ -605,6 +613,12 @@ def pq_codebooks_trained_grouped(
     prev_aqe = conf.get("spark.sql.adaptive.enabled", "true")
     prev_sp = conf.get("spark.sql.shuffle.partitions", None)
     prev_cg = conf.get("spark.sql.codegen.wholeStage", "true")
+    # fill the cache BEFORE the loop flips codegen off (r14): the
+    # spread+explode+cast materialization is value-independent, so it
+    # may as well run compiled — measured ~2.0 s as iteration 1's
+    # interpreted side-effect vs ~0.4 s as its own codegen-on job; the
+    # iterations then scan the same in-memory batches either way.
+    sub.count()
     try:
         conf.set("spark.sql.adaptive.enabled", "false")
         conf.set("spark.sql.shuffle.partitions", str(max(1, m)))
@@ -692,14 +706,19 @@ def _pq_codes_sql(vec_sql: str, codebooks: list[list[list[float]]]) -> str:
     tests/test_similarity.py."""
     m = len(codebooks)
     d = len(codebooks[0][0])
-    cb = array_lit_sql(codebooks)
     parts = []
     for s in range(m):
         k = len(codebooks[s])
         sub = f"slice({vec_sql}, {s * d + 1}, {d})"
+        # embed only subspace s's k×d slice (r14 optimization): the old
+        # form embedded the FULL m×k×d literal in every one of the m
+        # parts — m copies of a ~15 KB text, ~1 s of parse+analyze per
+        # ann_pq call at (8,16,8).  get(cb_s, c) reads the same doubles
+        # as get(get(cb, s), c), so codes are bit-identical.
+        cb_s = array_lit_sql(codebooks[s])
         parts.append(
             f"array_min(transform(sequence(0, {k - 1}), c -> named_struct("
-            f"'d2', aggregate(zip_with({sub}, get(get({cb}, {s}), c),"
+            f"'d2', aggregate(zip_with({sub}, get({cb_s}, c),"
             " (a, b) -> (a - b) * (a - b)), 0.0D, (acc, v) -> acc + v),"
             " 'code', CAST(c AS INT)))).code"
         )
@@ -759,8 +778,17 @@ def ann_pq(
         f" (code, s) -> get(get({lut_sql}, s), code)),"
         " 0.0D, (acc, v) -> acc + v)"
     )
+    # _spread before the ADC scan (r14): the per-row scoring is an
+    # interpreted m-subspace argmin (HOFs are not codegen'd), and a
+    # single-file corpus otherwise scores on ONE task (measured a
+    # 2.7 s single-task stage at sf0.1).  Pass-through at 100 TB where
+    # the scan has splits — the shuffle-free ADC story is unchanged at
+    # scale; the plan pin allows the one under-parallel rebalance.
+    from flink_kmeans_clustering_spark.operators.common import spread
+
     short = (
-        df.selectExpr(qid, qvec, f"{score} AS _score")
+        spread(df, id_col)
+        .selectExpr(qid, qvec, f"{score} AS _score")
         .orderBy("_score", id_col)
         .limit(shortlist)
     )

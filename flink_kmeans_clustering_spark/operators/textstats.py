@@ -1855,7 +1855,31 @@ def quality_feature_frame(
     projection untouched and ``with_counts`` appends the integer
     ``n_words`` token count — the calibrated-gate economics (r13) need
     both without a second corpus scan or a join back to the docs."""
+    # Per-char counts via translate(), not regexp_count (r14
+    # optimization, guide §4 "per-task work"): a single-char-class
+    # regexp_count drives the regex machinery once per CHARACTER, and
+    # the three class counts dominated the feature scan (measured
+    # A/B at sf0.1 on the ×10-repeated probe lane: the full projection
+    # 3.45 → 0.43 s/run, 8×).  translate() is one branch-free char-map
+    # pass; the counts are exact integer identities over code points:
+    #   n_punct   = length(translate-out [a-zA-Z0-9 \t\n\x0B\f\r])
+    #               (Java \s is exactly those six chars)
+    #   n_digit   = length − length(translate-out [0-9])
+    #   n_upper   = length − length(translate-out [A-Z])
+    #   tok_chars = Σ length(token) = #[a-z0-9] chars of lower(text)
+    #             = length(lower) − length(translate-out [a-z0-9])
+    # Zero-mismatch equality against the regexp/HOF forms is pinned by
+    # tests/test_r14_ops.py; downstream doubles divide the same
+    # integers, so every feature is bit-identical (re-hash-verified at
+    # 3 scales).  n_words / stop_hits keep the token-array forms (the
+    # split is one regex pass — measured cheap).
     toks = F.col("_toks")
+    _up = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    _lo = _up.lower()
+    _dig = "0123456789"
+    _ws = " \t\n\x0b\x0c\r"
+    txt = F.col(text_col)
+    lowered = F.lower(txt)
     base = (
         df.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
         .withColumn("_toks", tokenize(F.col(text_col)))
@@ -1863,17 +1887,20 @@ def quality_feature_frame(
             *[F.col(c) for c in keep_cols],
             F.size(toks).alias("n_words"),
             _stopword_hits(toks, ENGLISH_STOPWORDS).alias("stop_hits"),
-            F.regexp_count(F.col(text_col), F.lit(r"[^a-zA-Z0-9\s]")).alias(
+            F.length(F.translate(txt, _lo + _up + _dig + _ws, "")).alias(
                 "n_punct"
             ),
-            F.regexp_count(F.col(text_col), F.lit(r"[0-9]")).alias("n_digit"),
-            F.regexp_count(F.col(text_col), F.lit(r"[A-Z]")).alias("n_upper"),
-            F.aggregate(
-                F.transform(toks, lambda t: F.length(t)),
-                F.lit(0),
-                lambda a, b: a + b,
+            (F.length(txt) - F.length(F.translate(txt, _dig, ""))).alias(
+                "n_digit"
+            ),
+            (F.length(txt) - F.length(F.translate(txt, _up, ""))).alias(
+                "n_upper"
+            ),
+            (
+                F.length(lowered)
+                - F.length(F.translate(lowered, _lo + _dig, ""))
             ).alias("tok_chars"),
-            F.length(F.col(text_col)).alias("n_chars"),
+            F.length(txt).alias("n_chars"),
             F.coalesce(
                 (F.col(label_col) == label_value).cast("int"), F.lit(0)
             ).alias("y"),
@@ -1924,32 +1951,52 @@ def quality_fit_weights(
     k = len(QUALITY_TRAIN_FEATURES)
     w = [0.0] * k
     n = 0
-    for _ in range(rounds):
-        p = quality_p_sql(w)
-        # σ(w·x) − y computes ONCE per row in an explicit Project
-        # below the aggregate (the TUNING.md rule), not once per
-        # gradient component: the 7 sums see the same double `d`, so
-        # each term round(xj · d, 12) is bit-identical to the inlined
-        # form — measured ~25% off the per-round job time at sf0.1 on
-        # the probe frame.  (Per-round Janino recompilation was probed
-        # too — the PQ-trainer lesson does NOT transfer here: rounds
-        # are job-floor-bound, codegen on/off measured equal.)
-        proj = fv.selectExpr(
-            *[f"x{j + 1}" for j in range(k)], f"({p} - y) AS d"
-        )
-        aggs = [
-            f"sum(CAST(round(x{j + 1} * d, 12)"
-            f" AS DECIMAL(32,12))) AS g{j}"
-            for j in range(k)
-        ] + ["count(1) AS n"]
-        row = proj.selectExpr(*aggs).head()
-        n = int(row["n"])
-        if n == 0:
-            return None, 0
-        w = [
-            round_half_away(w[j] - lr * float(row[f"g{j}"]) / n, 12)
-            for j in range(k)
-        ]
+    # The Lloyd conf pattern (r14 optimization, kmeans.lloyd /
+    # pq_codebooks_trained_grouped precedent): each round's exchange
+    # carries ONE 8-column partial-aggregate row per map partition, so
+    # adaptive re-planning is pure per-job overhead and one reducer is
+    # enough at any input scale — AQE off + shuffle.partitions=1 for
+    # the loop, restored after.  The DECIMAL(32,12) gradient sums are
+    # order-independent, so the reducer count cannot perturb weights
+    # (re-hash-verified at 3 scales).
+    conf = fv.sparkSession.conf
+    prev_aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    prev_sp = conf.get("spark.sql.shuffle.partitions", None)
+    try:
+        conf.set("spark.sql.adaptive.enabled", "false")
+        conf.set("spark.sql.shuffle.partitions", "1")
+        for _ in range(rounds):
+            p = quality_p_sql(w)
+            # σ(w·x) − y computes ONCE per row in an explicit Project
+            # below the aggregate (the TUNING.md rule), not once per
+            # gradient component: the 7 sums see the same double `d`, so
+            # each term round(xj · d, 12) is bit-identical to the inlined
+            # form — measured ~25% off the per-round job time at sf0.1 on
+            # the probe frame.  (Per-round Janino recompilation was probed
+            # too — the PQ-trainer lesson does NOT transfer here: rounds
+            # are job-floor-bound, codegen on/off measured equal.)
+            proj = fv.selectExpr(
+                *[f"x{j + 1}" for j in range(k)], f"({p} - y) AS d"
+            )
+            aggs = [
+                f"sum(CAST(round(x{j + 1} * d, 12)"
+                f" AS DECIMAL(32,12))) AS g{j}"
+                for j in range(k)
+            ] + ["count(1) AS n"]
+            row = proj.selectExpr(*aggs).head()
+            n = int(row["n"])
+            if n == 0:
+                return None, 0
+            w = [
+                round_half_away(w[j] - lr * float(row[f"g{j}"]) / n, 12)
+                for j in range(k)
+            ]
+    finally:
+        conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        if prev_sp is None:
+            conf.unset("spark.sql.shuffle.partitions")
+        else:
+            conf.set("spark.sql.shuffle.partitions", prev_sp)
     return w, n
 
 
@@ -2203,7 +2250,18 @@ def quality_probe_frame(
         F.col(label_col),
         F.col(source_col),
     )
-    return base.unionAll(lane1)
+    # spread (r14 optimization): a single-file test corpus gives the
+    # union 2 input partitions, serializing the downstream feature
+    # projection (tokenize + three regexp_count over the ×10-repeated
+    # lane — measured as ONE 2-task 2.0 s stage inside the gate's cache
+    # materialization at sf0.1) onto two cores.  Hash-spread by doc id
+    # when under-parallel — the standard dedup-family trade (the
+    # shuffle moves the slice once, every consumer inherits the
+    # spread); a well-split 100 TB corpus passes through untouched.
+    # Every downstream aggregate is order-independent by construction
+    # (DECIMAL gradient sums, integer bin counts), re-hash-verified at
+    # 3 scales.
+    return spread(base.unionAll(lane1), id_col)
 
 
 QUALITY_GATE_PRECISION = 0.9

@@ -954,7 +954,11 @@ def test_pq_scoring_is_narrow_takeordered(spark):
     plan = explain_str(df)
     assert "Join" not in plan, plan
     assert plan.count("TakeOrderedAndProject") >= 2, plan
-    assert shuffle_count(df) == 0, plan
+    # ≤1 exchange since r14: the under-parallel spread rebalance fires
+    # on the single-file test corpus (pass-through at scale, where the
+    # scan has splits — the shuffle-free ADC story is a 100 TB claim);
+    # scoring itself must stay narrow: no aggregation exchange, no sort
+    assert shuffle_count(df) <= 1, plan
 
 
 def test_measured_shuffle_budget_gate(spark):
@@ -1553,8 +1557,11 @@ def test_quality_gate_plan_one_row_broadcast_and_source_agg(spark):
     # exactly ONE one-row threshold broadcast (formatted explain names
     # each node twice: tree + detail section), nothing data-sized
     assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+    # doc_id is read since r14: the probe frame hash-spreads by it
+    # before the feature scan (the under-parallel-corpus fix); n_chars
+    # stays pruned with the rest of the documents schema
     for s in read_schemas(df):
-        assert "doc_id" not in s and "n_chars" not in s, s
+        assert "n_chars" not in s, s
 
 
 def test_crossmodal_keepset_plan_same_physics_as_delta(spark):
@@ -1567,7 +1574,10 @@ def test_crossmodal_keepset_plan_same_physics_as_delta(spark):
     )
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    df = crossmodal_keepset(docs)
+    # checkpoint_pairs=False exposes the full lazy plan (r14: the
+    # shipped operator localCheckpoints the increment-sized pair list
+    # so the touch union's two branches don't re-run the delta DAG)
+    df = crossmodal_keepset(docs, checkpoint_pairs=False)
     plan = explain_str(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
@@ -1625,7 +1635,9 @@ def test_keepset_compaction_plan_index_counted_never_pair_joined(spark):
     )
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    df = crossmodal_keepset_compaction(docs)
+    # checkpoint_pairs=False exposes the full lazy plan (r14 — see the
+    # keepset pin above)
+    df = crossmodal_keepset_compaction(docs, checkpoint_pairs=False)
     plan = explain_str(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
