@@ -7,6 +7,8 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+SF = "/root/testdata/sf0.01"
+
 # --- bpe_vocab_sweep ----------------------------------------------------------
 
 
@@ -402,3 +404,133 @@ def test_probe_frame_ok_below_offset(spark):
         QUALITY_PROBE_ID_OFFSET - 1,
         2 * QUALITY_PROBE_ID_OFFSET - 1,
     }
+
+
+# --- r14 optimization equivalences --------------------------------------------
+#
+# The optimization round rewrote several per-row expressions into
+# cheaper codegen forms.  Results must be BIT-identical — these pins
+# re-derive each rewritten count/row from the original (slower) form
+# over real testdata plus adversarial edge rows and assert equality.
+
+EDGE_TEXTS = [
+    "",
+    " ",
+    "\t\n\x0b\x0c\r",
+    "abc",
+    "ABC abc 123",
+    "the and of to in is that with",
+    "THE theater other,and;of",
+    "a,,b  c!!d",
+    "héllo wörld Ünïcode ß",
+    "100% of $5.99!",
+    "the" * 50,
+    ("The quick brown fox 42! " * 40),
+    None,
+]
+
+
+def test_quality_features_translate_equals_regexp_forms(spark):
+    """quality_feature_frame's translate()-based counts (r14) equal the
+    original regexp_count / HOF-fold forms row-for-row, on testdata and
+    on edge rows (empty, whitespace-only, unicode, NULL)."""
+    from pyspark.sql import functions as F
+
+    from flink_kmeans_clustering_spark.functions.text import tokenize
+
+    UP = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    LO = UP.lower()
+    DIG = "0123456789"
+    WS = " \t\n\x0b\x0c\r"
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("text")
+    edge = spark.createDataFrame([(t,) for t in EDGE_TEXTS], "text string")
+    frame = docs.unionAll(edge).select(
+        F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    t = F.col("text")
+    lowered = F.lower(t)
+    toks = tokenize(t)
+    bad = frame.select(
+        (
+            F.regexp_count(t, F.lit(r"[^a-zA-Z0-9\s]"))
+            == F.length(F.translate(t, LO + UP + DIG + WS, ""))
+        ).alias("punct"),
+        (
+            F.regexp_count(t, F.lit(r"[0-9]"))
+            == (F.length(t) - F.length(F.translate(t, DIG, "")))
+        ).alias("digit"),
+        (
+            F.regexp_count(t, F.lit(r"[A-Z]"))
+            == (F.length(t) - F.length(F.translate(t, UP, "")))
+        ).alias("upper"),
+        (
+            F.aggregate(
+                F.transform(toks, lambda x: F.length(x)),
+                F.lit(0),
+                lambda a, b: a + b,
+            )
+            == (
+                F.length(lowered)
+                - F.length(F.translate(lowered, LO + DIG, ""))
+            )
+        ).alias("tokchars"),
+    ).selectExpr(
+        "sum(CAST(NOT punct AS INT)) AS p",
+        "sum(CAST(NOT digit AS INT)) AS d",
+        "sum(CAST(NOT upper AS INT)) AS u",
+        "sum(CAST(NOT tokchars AS INT)) AS tc",
+    ).head()
+    assert (bad["p"], bad["d"], bad["u"], bad["tc"]) == (0, 0, 0, 0), bad
+
+
+def test_caption_rlike_filter_equals_tokenize_nonempty(spark):
+    """caption_fingerprints' has-a-token predicate (r14:
+    lower(text) rlike '[a-z0-9]') keeps exactly the rows the original
+    size(tokenize(text)) > 0 filter kept — including NULL text, which
+    both forms drop."""
+    from pyspark.sql import functions as F
+
+    from flink_kmeans_clustering_spark.functions.text import tokenize
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("text")
+    edge = spark.createDataFrame([(t,) for t in EDGE_TEXTS], "text string")
+    frame = docs.unionAll(edge)
+    mism = frame.select(
+        (
+            F.coalesce(F.lower(F.col("text")).rlike("[a-z0-9]"), F.lit(False))
+            == F.coalesce(
+                F.size(tokenize(F.col("text"))) > 0, F.lit(False)
+            )
+        ).alias("same")
+    ).selectExpr("sum(CAST(NOT same AS INT)) AS bad").head()
+    assert mism["bad"] == 0
+
+
+def test_ahash_inline_rows_equal_two_step_form(spark):
+    """ahash_chunks' single-inline row emission (r14) produces exactly
+    the rows of the original two-step form (alias the chunk array, then
+    posexplode + element_at) — re-derived here from the shipped chunk
+    table itself: within each asset the 4 (chunk_idx, chunk_val) rows
+    must agree with the carried c0..c3 columns, and chunk_val at index
+    j must equal cj."""
+    from pyspark.sql import functions as F
+
+    from flink_kmeans_clustering_spark.operators.multimodal import (
+        ahash_chunks,
+        synthesize_assets,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    h = ahash_chunks(synthesize_assets(docs))
+    rows = h.collect()
+    assert rows, "chunk table must not be empty"
+    per_asset = {}
+    for r in rows:
+        per_asset.setdefault(r["asset_id"], []).append(r)
+    for aid, rs in per_asset.items():
+        assert sorted(x["chunk_idx"] for x in rs) == [0, 1, 2, 3], aid
+        carried = {(x["c0"], x["c1"], x["c2"], x["c3"]) for x in rs}
+        assert len(carried) == 1, aid  # c0..c3 identical across the 4 rows
+        cvec = carried.pop()
+        for x in rs:
+            assert x["chunk_val"] == cvec[x["chunk_idx"]], (aid, x)
