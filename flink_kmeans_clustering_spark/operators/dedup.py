@@ -366,9 +366,17 @@ def _minhash_lsh_sig_pairs(
             "id", F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig")
         )
     )
+    # materialize the (id, sig, band, digest) banding table once (r14):
+    # the LSH self-join references it on BOTH sides — un-checkpointed,
+    # the whole signature subtree (shingle stream + num_hashes/2 md5
+    # digests + the per-lane MIN aggregate) was analyzed and executed
+    # twice (two measured ~0.9 s 32-task stages at sf0.1 inside the
+    # bbit report); bands·rows narrow state, the prefix-set precedent
     banded = sig.select(
         "id", "sig", F.explode(band_hashes(F.col("sig"), bands, r)).alias("bh")
-    ).select("id", "sig", F.col("bh.band").alias("band"), F.col("bh.digest").alias("digest"))
+    ).select(
+        "id", "sig", F.col("bh.band").alias("band"), F.col("bh.digest").alias("digest")
+    ).localCheckpoint()
 
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -434,6 +442,15 @@ def simhash_pairs(
     # outcome as the previous filter(size > 0).
     base = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col)), "id")
     tok = base.select("id", F.explode(tokenize(F.col(text_col))).alias("t"))
+    # The 64 per-lane vote aggregates and the 64-term sign fold are
+    # authored as SQL text (r14 optimization — the TUNING.md >50-Columns
+    # rule): the Column-by-Column build was ~400 py4j round trips and,
+    # with the whole vote subtree duplicated under the banding
+    # self-join, analysis alone cost a measured ~5.6 s driver gap at
+    # sf0.1.  Same expression trees term-for-term (shiftright & 1,
+    # ×2−1 int votes, left-assoc CASE fold, the b=63 negative-weight
+    # two's-complement term), so hashes are unchanged — re-verified at
+    # 3 scales.
     if hash_fn == "md5":
         # materialize the digest once, then slice both 32-bit halves
         ex = tok.select("id", F.md5(F.col("t")).alias("_m")).select(
@@ -441,38 +458,41 @@ def simhash_pairs(
             F.conv(F.substring("_m", 1, 8), 16, 10).cast("long").alias("h0"),
             F.conv(F.substring("_m", 9, 8), 16, 10).cast("long").alias("h1"),
         )
-
-        def _bit(b: int) -> Column:
-            h = F.col("h0") if b < 32 else F.col("h1")
-            return F.shiftright(h, b % 32).bitwiseAND(F.lit(1))
-
         votes = [
-            F.sum(_bit(b).cast("int") * 2 - 1).alias(f"_v{b}") for b in range(64)
+            f"sum((CAST((shiftright({'h0' if b < 32 else 'h1'}, {b % 32})"
+            f" & 1) AS INT) * 2 - 1)) AS _v{b}"
+            for b in range(64)
         ]
     else:
         ex = tok.select("id", F.xxhash64(F.col("t")).alias("h"))
         votes = [
-            F.sum(
-                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)).cast("int") * 2 - 1
-            ).alias(f"_v{b}")
+            f"sum((CAST((shiftright(h, {b}) & 1) AS INT) * 2 - 1)) AS _v{b}"
             for b in range(64)
         ]
     bit_terms = [
-        F.when(F.col(f"_v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        f"(CASE WHEN _v{b} > 0 THEN CAST({1 << b} AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END)"
         for b in range(63)
+    ] + [
+        f"(CASE WHEN _v63 > 0 THEN CAST({-(1 << 63)} AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END)"
     ]
-    bit_terms.append(
-        F.when(F.col("_v63") > 0, F.lit(-(1 << 63)).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+    sim_sql = "(" + " + ".join(bit_terms) + ")"
+    hs = (
+        ex.groupBy("id")
+        .agg(*[F.expr(v) for v in votes])
+        .selectExpr("id", f"{sim_sql} AS sim")
     )
-    sim_col = bit_terms[0]
-    for t in bit_terms[1:]:
-        sim_col = sim_col + t
-    hs = ex.groupBy("id").agg(*votes).select("id", sim_col.alias("sim"))
+    # materialize the (id, sim, chunk, bits) banding table once (r14):
+    # the banding self-join references it on BOTH sides — without the
+    # checkpoint the 64-aggregate subtree is analyzed (and, absent
+    # exchange reuse, executed) twice; chunks·rows narrow state, the
+    # prefix-set precedent
     chunked = hs.select(
         "id", "sim", F.explode(simhash_chunks(F.col("sim"), chunks)).alias("ck")
-    ).select("id", "sim", F.col("ck.chunk").alias("chunk"), F.col("ck.bits").alias("bits"))
+    ).select(
+        "id", "sim", F.col("ck.chunk").alias("chunk"), F.col("ck.bits").alias("bits")
+    ).localCheckpoint()
     a, b = chunked.alias("a"), chunked.alias("b")
     cand = (
         a.join(
@@ -1121,8 +1141,11 @@ def bbit_minhash_report(
     # already ride on cand).  Broadcast onto the pair rows twice — the
     # shingle table is candidate-sized by construction, and the two
     # broadcast builds are cheaper than the eager checkpoint they
-    # replace.
-    sh = needed.select(
+    # replace.  _spread first (r14): the semi-join output inherits the
+    # corpus scan's partitioning, so a single-file corpus otherwise
+    # re-shingles on ONE task per broadcast build (measured 0.65 s
+    # single-task stages at sf0.1); no-op at scale.
+    sh = _spread(needed, id_col).select(
         F.col(id_col).alias("_id"),
         ngram_shingles(tokenize(F.col(text_col)), n).alias("_sh"),
     )
@@ -1629,7 +1652,11 @@ def two_stage_dedup_pairs(
     needed = docs.join(
         F.broadcast(cand_ids), docs[id_col] == F.col("_cid"), "left_semi"
     )
-    sh = needed.select(
+    # _spread first (r14): the semi-join output inherits the corpus
+    # scan's partitioning, so a single-file corpus otherwise shingles
+    # on ONE task (measured a 1.9 s single-task checkpoint stage at
+    # sf0.1); no-op at scale
+    sh = _spread(needed, id_col).select(
         F.col(id_col).alias("_id"),
         ngram_shingles(tokenize(F.col(text_col)), n).alias("_sh"),
     )

@@ -975,7 +975,12 @@ def test_measured_shuffle_budget_gate(spark):
 
     budgets = {  # bytes; measured r05 values in comments
         "q_knn_join": 64 << 10,        # 589
-        "q_ann_pq": 64 << 10,          # 0
+        # 0 through r13; since r14 ann_pq spreads the single-file test
+        # corpus before the interpreted ADC scan (243 191 measured —
+        # the raw vector column moved ONCE, linear in corpus, absent at
+        # scale where the scan has splits).  The gate still trips on a
+        # broadcast-join regression, which lands in the tens of MB.
+        "q_ann_pq": 1 << 20,
         "q_rel_pricing": 64 << 10,     # 903
         "q_dedup_minhash": 512 << 10,  # 86 083
         "q_dedup_twostage": 512 << 10, # 137 827
