@@ -693,6 +693,8 @@ def _cc_label_prop(
         "id", F.col("id").alias("comp")
     )
     labels = labels.localCheckpoint()
+    from pyspark.sql import Observation
+
     prev_sum = None
     rounds = 0
     converged = False
@@ -702,6 +704,11 @@ def _cc_label_prop(
             .groupBy("dst")
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        # the Σlabel convergence probe rides the checkpoint job as an
+        # observed metric (r14 optimization): a separate agg+collect
+        # per round doubled the loop's job count for a value the
+        # checkpoint pass computes for free
+        obs = Observation()
         labels = (
             labels.join(nbr, labels["id"] == nbr["dst"], "left")
             .select(
@@ -710,11 +717,11 @@ def _cc_label_prop(
                     "comp"
                 ),
             )
+            .observe(obs, F.sum("comp").alias("s"))
             .localCheckpoint()
         )
         rounds += 1
-        row = labels.agg(F.sum("comp").alias("s")).collect()[0]
-        cur_sum = row["s"]
+        cur_sum = obs.get["s"]
         if cur_sum is None or cur_sum == prev_sum:
             converged = True
             break
@@ -772,21 +779,28 @@ def _cc_star(
             .filter(F.col("v") != F.col("m"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
+        # the fixpoint signature rides the checkpoint job as observed
+        # metrics (r14, same move as _cc_label_prop): a separate
+        # agg+collect per round doubled the loop's job count
+        from pyspark.sql import Observation
+
+        obs = Observation()
         edges = (
             attach.union(sm.select(F.col("u"), F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum("u").alias("su"),
+                F.sum("v").alias("sv"),
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("sh"),
+            )
             .localCheckpoint()
         )
         rounds += 1
-        sig = tuple(
-            edges.agg(
-                F.count(F.lit(1)),
-                F.sum("u"),
-                F.sum("v"),
-                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
-            ).collect()[0]
-        )
+        g = obs.get
+        sig = (g["n"], g["su"], g["sv"], g["sh"])
         if sig == prev_sig:
             converged = True
             break
@@ -994,7 +1008,10 @@ def bloom_prefilter(
     blob = F.lit(bytes(bits))
     pow2_8 = F.array(*[F.lit(1 << i) for i in range(8)])
 
-    doc_sh = docs.select(
+    # _spread first (r14): a single-file corpus otherwise shingles and
+    # bit-tests on ONE task (measured a 1.7 s single-task stage at
+    # sf0.1); no-op at scale
+    doc_sh = _spread(docs, id_col).select(
         F.col(id_col), F.col(group_col), tokenize(F.col(text_col)).alias("_t")
     ).select(
         id_col,
@@ -1432,7 +1449,10 @@ def semantic_dedup_pairs(
             f"sqrt(aggregate({v_sql}, CAST(0 AS DOUBLE),"
             " (acc, x) -> acc + x * x))"
         )
-        wide = df.selectExpr(
+        # _spread first (r14): a single-file corpus otherwise
+        # normalizes and seed-assigns on ONE task (measured ~1.0 s and
+        # ~0.35 s single-task stages at sf0.1); no-op at scale
+        wide = _spread(df, id_col).selectExpr(
             f"{id_col} AS id",
             *[
                 f"element_at({v_sql}, {i + 1}) / {nrm_sql} AS _c{i}"
@@ -1459,6 +1479,17 @@ def semantic_dedup_pairs(
             "id",
             F.expr(f"CAST(-(array_max({cand_sql}).neg) AS INT)").alias("blk"),
             *[F.col(f"_c{i}") for i in range(dim)],
+        )
+        # Pin the pair join's partitioning explicitly (r14): the join
+        # shuffles on blk either way, but AQE's byte-based coalescing
+        # sees a tiny exchange and merges the quadratic per-block pair
+        # work onto ONE task (measured a 1.1 s single-task stage at
+        # sf0.1) — compute-heavy, byte-light.  An explicit
+        # repartition-by-key is exempt from AQE coalescing and both
+        # sides share it, so the join adds no new exchange; parallelism
+        # = the block count, the honest maximum.
+        blocks = blocks.repartition(
+            df.sparkSession.sparkContext.defaultParallelism, F.col("blk")
         )
         a, b = blocks.alias("a"), blocks.alias("b")
         cos = F.expr(

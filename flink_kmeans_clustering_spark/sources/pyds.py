@@ -61,13 +61,33 @@ def make_synthetic_readings_datasource():
             return [InputPartition(i) for i in range(self.n_parts)]
 
         def read(self, partition):
-            # contiguous id ranges per partition; the last takes the tail
+            # contiguous id ranges per partition; the last takes the
+            # tail.  Yield pyarrow RecordBatches, not per-row tuples
+            # (r14 optimization, guide §4): a tuple-yielding reader
+            # pickles every row across the Python→JVM boundary, and the
+            # whole batch is vectorized numpy anyway.  Values are
+            # bit-identical to the scalar form: (id·K) mod 2³² computed
+            # in uint64 wraps mod 2⁶⁴, and 2³² | 2⁶⁴ makes the final
+            # mod exact for ANY id; ids < 2³² are exact in float64 and
+            # the division is correctly rounded in both paths.
+            # Chunked at 1M rows so one batch never holds a huge range.
+            import numpy as np
+            import pyarrow as pa
+
             per = self.rows // self.n_parts
             i = partition.value
             start = i * per
             end = self.rows if i == self.n_parts - 1 else (i + 1) * per
-            for row_id in range(start, end):
-                yield (row_id, ((row_id * knuth) % m32) / m32)
+            for lo in range(start, end, 1 << 20):
+                hi = min(lo + (1 << 20), end)
+                ids = np.arange(lo, hi, dtype=np.int64)
+                modded = (ids.astype(np.uint64) * np.uint64(knuth)) % np.uint64(m32)
+                readings = modded.astype(np.float64) / np.float64(m32)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(ids, type=pa.int64()),
+                     pa.array(readings, type=pa.float64())],
+                    names=["id", "reading"],
+                )
 
     class SyntheticReadingsDataSource(DataSource):
         """``spark.read.format("synthetic_readings")`` — options:
