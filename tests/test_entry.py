@@ -38,51 +38,37 @@ def test_rows_only_set_is_exactly_the_adjudicated_four():
     assert qs - osql == ROWS_ONLY_BY_DESIGN
 
 
-def test_window_leads_with_round14_rotation():
-    """r14 window plan (VERDICT r13 item 1, exactly as docs/STATUS.md
-    planned): the 3 new-in-r14 queries lead, then the next 47 stalest
-    tail rows — the four rows r13's budget displaced (q_events_runs /
-    q_events_pattern / q_events_bandjoin / q_sink_bucketed) first,
-    then q_text_chunk_udtf, ending at q_stream_cdc.  With this window
-    cumulative driver coverage reaches 238/238; the r13 window's 50
-    rows moved to the very end (freshest), and the r15 window resumes
-    at q_dedup_minhash."""
+def test_window_leads_with_round15_rotation():
+    """r15 window plan (VERDICT r14 item 10, exactly as the r14
+    docstring planned): no new queries this optimization round, so the
+    window is the next 50 stalest rows — q_dedup_minhash /
+    q_dedup_simhash / q_rel_pricing (the three rows r14's budget
+    displaced) lead, then q_dedup_ngram / q_dedup_twostage, ending at
+    q_rel_shipping.  The r14 window's 50 rows moved to the very end
+    (freshest), so the r16 window would resume at q_window_ranks."""
     order = list(entrymod.queries())
     first50 = order[:50]
-    assert first50[:3] == [
-        "q_text_bpe_vocab_sweep",
-        "q_text_gate_pr_curve",
-        "q_dedup_keepset_compaction",
-    ]
-    # the four rows the r13 46-row budget displaced head the block
-    assert first50[3:8] == [
-        "q_events_runs",
-        "q_events_pattern",
-        "q_events_bandjoin",
-        "q_sink_bucketed",
-        "q_text_chunk_udtf",
-    ]
-    for q in (
-        "q_events_approx_quantiles",
-        "q_rel_mincost",
-        "q_dedup_gemm",
-        "q_kmeans_ml",
-        "q_ann_pq_trained",
-        "q_text_bpe",
-        "q_dedup_soft",
-        "q_events_cdc",
-    ):
-        assert q in first50, q
-    assert first50[49] == "q_stream_cdc"
-    # the r15 window resumes with the three displaced rows, then the
-    # old tail order
-    assert order[50:55] == [
+    assert first50[:5] == [
         "q_dedup_minhash",
         "q_dedup_simhash",
         "q_rel_pricing",
         "q_dedup_ngram",
         "q_dedup_twostage",
     ]
-    # the freshest rows (the r13 window) sit at the very end
-    assert order[-50] == "q_text_bpe_fertility"
-    assert order[-1] == "q_text_heavyhitters"
+    for q in (
+        "q_assign",
+        "q_kmeans",
+        "q_dedup_threshold_hist",
+        "q_dedup_crossmodal",
+        "q_dedup_cc",
+        "q_stream_attribution",
+        "q_text_quality_train",
+        "q_dedup_exact",
+    ):
+        assert q in first50, q
+    assert first50[49] == "q_rel_shipping"
+    # the tail resumes in the old stalest-first order
+    assert order[50] == "q_window_ranks"
+    # the freshest rows (the r14 window) sit at the very end
+    assert order[-50] == "q_text_bpe_vocab_sweep"
+    assert order[-1] == "q_stream_cdc"
