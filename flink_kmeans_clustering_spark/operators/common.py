@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -17,26 +19,92 @@ def spread(df: DataFrame, key: str) -> DataFrame:
     every later stage keyed on it reuses the partitioning.  Inputs that
     already have enough splits (the 100 TB case) pass through untouched.
 
-    Parallelism probe (r14 optimization): ``df.rdd.getNumPartitions()``
-    converts the plan to an RDD — a full analyze+physical-plan pass per
-    call (~0.1-0.4 s of driver time on the bigger lineages, paid by
-    EVERY spread site in a query).  ``inputFiles()`` answers the same
-    under-parallel question from the scan's file listing (the lloyd
-    file-count proxy): at 100 TB any multi-file input passes through on
-    the cheap path; the exact RDD probe only runs for single-file or
-    non-file frames, where the plan is small and the answer matters.
-    Either branch is performance-only — results are partition-
-    independent by operator contract.
+    Parallelism probe (r14 optimization, gate tightened per ADVICE
+    r14): ``df.rdd.getNumPartitions()`` converts the plan to an RDD —
+    a full analyze+physical-plan pass per call (~0.1-0.4 s of driver
+    time on the bigger lineages, paid by EVERY spread site in a
+    query).  ``inputFiles()`` answers the same under-parallel question
+    from the scan's file listing, but a raw file count over-estimates
+    scan parallelism: Spark PACKS small files into splits (each split
+    holds up to ``maxPartitionBytes``, every file charged at least
+    ``openCostInBytes``), so a many-tiny-files corpus — the classic
+    under-parallel case this helper exists for — can have
+    ``len(inputFiles()) >= target`` yet plan far fewer partitions.
+    The cheap skip therefore requires ``files >= target * (files per
+    split cap)``: a split can hold at most
+    ``floor(maxPartitionBytes / openCostInBytes) + 1`` files no matter
+    how small they are, so that many files GUARANTEES >= target scan
+    partitions with zero size lookups.  Anything between falls through
+    to the exact RDD probe (plan-sized cost, correct answer).  Either
+    branch is performance-only — results are partition-independent by
+    operator contract.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
     try:
-        if len(df.inputFiles()) >= target:
+        files = df.inputFiles()
+        n_files = len(files)
+        max_pb = _bytes_conf(
+            spark, "spark.sql.files.maxPartitionBytes", 128 * 1024 * 1024
+        )
+        open_cost = _bytes_conf(
+            spark, "spark.sql.files.openCostInBytes", 4 * 1024 * 1024
+        )
+        # a split holds at most floor(maxPB/openCost)+1 files however
+        # small they are — this many files guarantees >= target splits
+        # with zero size lookups (the 100 TB fast path)
+        per_split_cap = max_pb // max(open_cost, 1) + 1
+        if n_files >= target * per_split_cap:
             return df
+        # local files: a conservative packed-split LOWER bound from the
+        # real sizes (every split's cost is <= maxPB + openCost, so
+        # total_cost / (maxPB + openCost) never over-counts) — catches
+        # the few-big-files case without the plan-to-RDD conversion
+        if 0 < n_files <= 8192 and all(
+            f.startswith("file:") or f.startswith("/") for f in files
+        ):
+            from urllib.parse import urlparse as _urlparse
+            from urllib.request import url2pathname as _url2path
+
+            total = sum(
+                os.path.getsize(
+                    _url2path(_urlparse(f).path) if ":" in f else f
+                )
+                for f in files
+            )
+            lower_splits = (total + n_files * open_cost) // (
+                max_pb + open_cost
+            )
+            if lower_splits >= target:
+                return df
     except Exception:
         pass
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target, F.col(key))
+
+
+def _bytes_conf(spark, key: str, default: int) -> int:
+    """A byte-size conf value as int bytes (handles '134217728b',
+    '128m', '1g' spellings); ``default`` when unset/unparseable."""
+    try:
+        raw = str(spark.conf.get(key)).strip().lower()
+    except Exception:
+        return default
+    mult = 1
+    for suffix, m in (
+        ("kb", 1024), ("mb", 1024**2), ("gb", 1024**3), ("tb", 1024**4),
+        ("b", 1), ("k", 1024), ("m", 1024**2), ("g", 1024**3),
+        ("t", 1024**4),
+    ):
+        if raw.endswith(suffix):
+            raw = raw[: -len(suffix)]
+            mult = m
+            break
+    try:
+        return int(raw) * mult
+    except ValueError:
+        return default
 
 
 def array_lit(nested, kind: str = "double"):

@@ -676,6 +676,30 @@ def connected_components(
     return labels.select(F.col("id").alias(node_col), F.col("comp").alias(comp_col))
 
 
+def _observed_or_agg(obs, fallback, timeout_s: float = 30.0) -> dict:
+    """``obs.get`` with a bounded wait (ADVICE r14): the observed-
+    metrics event is delivered via the async listener bus, which can
+    drop events under backlog — ``obs.get`` would then block forever,
+    whereas the agg+collect it replaced had no hang mode.  The action
+    that computes the metric (the checkpoint job) has already finished
+    by the time callers get here, so the event normally arrives within
+    milliseconds; after ``timeout_s`` we fall back to the explicit
+    aggregate (one extra job — exactly the pre-r14 cost, correctness
+    identical).  A daemon thread so a lost event can never wedge
+    interpreter exit."""
+    import queue as _queue
+    import threading as _threading
+
+    q: "_queue.Queue" = _queue.Queue()
+    _threading.Thread(
+        target=lambda: q.put(obs.get), daemon=True
+    ).start()
+    try:
+        return q.get(timeout=timeout_s)
+    except _queue.Empty:
+        return fallback()
+
+
 def _cc_label_prop(
     p: DataFrame, max_iterations: int
 ) -> tuple[DataFrame, int, bool]:
@@ -721,7 +745,11 @@ def _cc_label_prop(
             .localCheckpoint()
         )
         rounds += 1
-        cur_sum = obs.get["s"]
+        lbl = labels
+        cur_sum = _observed_or_agg(
+            obs,
+            lambda: lbl.agg(F.sum("comp").alias("s")).collect()[0].asDict(),
+        )["s"]
         if cur_sum is None or cur_sum == prev_sum:
             converged = True
             break
@@ -799,7 +827,20 @@ def _cc_star(
             .localCheckpoint()
         )
         rounds += 1
-        g = obs.get
+        ed = edges
+        g = _observed_or_agg(
+            obs,
+            lambda: ed.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("u").alias("su"),
+                F.sum("v").alias("sv"),
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias(
+                    "sh"
+                ),
+            )
+            .collect()[0]
+            .asDict(),
+        )
         sig = (g["n"], g["su"], g["sv"], g["sh"])
         if sig == prev_sig:
             converged = True
@@ -2759,6 +2800,7 @@ def caption_fingerprints(
     max_caption_group: int = 200,
     id_col: str = "doc_id",
     text_col: str = "text",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """(cid, fp) — the exact token-SET caption fingerprint (md5 of the
     sorted distinct token list: word order and repetition invariant),
@@ -2781,21 +2823,22 @@ def caption_fingerprints(
     #   (6× through the keepset chain's double pair reference) — the
     #   TUNING.md DAG-re-evaluation rule; one narrow row per doc, the
     #   same disk-backed O(corpus rows) trade as the prefix-join sets.
-    caps = (
-        _spread(
-            docs.filter(F.lower(F.col(text_col)).rlike("[a-z0-9]")), id_col
-        )
-        .select(
-            F.col(id_col).alias("cid"),
-            F.md5(
-                F.concat_ws(
-                    " ",
-                    F.array_sort(F.array_distinct(tokenize(F.col(text_col)))),
-                )
-            ).alias("fp"),
-        )
-        .localCheckpoint()
+    caps = _spread(
+        docs.filter(F.lower(F.col(text_col)).rlike("[a-z0-9]")), id_col
+    ).select(
+        F.col(id_col).alias("cid"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.array_sort(F.array_distinct(tokenize(F.col(text_col)))),
+            )
+        ).alias("fp"),
     )
+    # ``checkpoint=False`` (ADVICE r14) keeps the caption subtree lazy
+    # for the plan-shape pins — the same escape checkpoint_pairs gives
+    # the pair list; True (the default) is the r13/r14 perf trade.
+    if checkpoint:
+        caps = caps.localCheckpoint()
     gcnt = caps.groupBy("fp").agg(F.count(F.lit(1)).alias("_gn"))
     return (
         caps.join(F.broadcast(gcnt), "fp")
@@ -2811,6 +2854,7 @@ def crossmodal_dedup_pairs(
     max_caption_group: int = 200,
     id_col: str = "doc_id",
     text_col: str = "text",
+    checkpoint_captions: bool = True,
 ) -> DataFrame:
     """Cross-modal JOINT dedup (new r11): catch asset reuse that a
     single-modality pass misses — an image re-posted under a rewritten
@@ -2850,7 +2894,10 @@ def crossmodal_dedup_pairs(
         max_hamming=max_hamming,
         max_block=max_block,
     )
-    caps = caption_fingerprints(docs, max_caption_group, id_col, text_col)
+    caps = caption_fingerprints(
+        docs, max_caption_group, id_col, text_col,
+        checkpoint=checkpoint_captions,
+    )
     x, y = caps.alias("x"), caps.alias("y")
     cpairs = x.join(
         y,
@@ -2889,6 +2936,7 @@ def crossmodal_delta_pairs(
     max_caption_group: int = 200,
     id_col: str = "doc_id",
     text_col: str = "text",
+    checkpoint_captions: bool = True,
 ) -> DataFrame:
     """INCREMENTAL cross-modal joint dedup (new r12) — the
     daily-ingest shape of :func:`crossmodal_dedup_pairs`, composed the
@@ -2927,7 +2975,10 @@ def crossmodal_delta_pairs(
         max_block=max_block,
         new_pred=_is_new,
     )
-    caps = caption_fingerprints(docs, max_caption_group, id_col, text_col)
+    caps = caption_fingerprints(
+        docs, max_caption_group, id_col, text_col,
+        checkpoint=checkpoint_captions,
+    )
     x, y = caps.alias("x"), caps.alias("y")
     cx, cy = F.col("x.cid"), F.col("y.cid")
     cpairs = x.join(
@@ -3021,6 +3072,11 @@ def crossmodal_keepset(
         max_caption_group=max_caption_group,
         id_col=id_col,
         text_col=text_col,
+        # checkpoint_pairs=False means "show me the WHOLE lazy plan"
+        # (the plan-shape pins) — the caption checkpoint must lift too
+        # (ADVICE r14: it truncated the caption subtree to a LogicalRDD
+        # and ran real jobs at plan-construction time)
+        checkpoint_captions=checkpoint_pairs,
     )
     # the touch union references the pair list TWICE — un-checkpointed,
     # the whole delta DAG (both modality joins + the full-outer merge)

@@ -23,11 +23,36 @@ import tempfile
 _ROOT: str | None = None
 
 
+def _default_scratch_parent() -> str:
+    """Prefer a RAM-backed tmpfs for throwaway scratch (r15, guide §6).
+
+    Everything under the scratch root is BY CONTRACT non-durable (the
+    module docstring: real deployments point checkpoints/sinks at
+    persistent storage), but streaming checkpoint commits, state-store
+    delta files and sink part-files fsync on every write — on a
+    disk-backed /tmp those fsyncs are a measured fixed cost per
+    micro-batch (q_stream_totals 2.46 → 1.75 s at sf0.1 from this
+    change alone).  /dev/shm is used only when it exists, is writable,
+    and has ≥ 8 GiB free so a small tmpfs can never be filled by test
+    artifacts; any doubt falls back to the regular temp dir."""
+    cand = "/dev/shm"
+    try:
+        if os.path.isdir(cand) and os.access(cand, os.W_OK):
+            st = os.statvfs(cand)
+            if st.f_bavail * st.f_frsize >= 8 * 1024**3:
+                return cand
+    except Exception:
+        pass
+    return tempfile.gettempdir()
+
+
 def scratch_root() -> str:
     """The per-process scratch root (created lazily, removed atexit)."""
     global _ROOT
     if _ROOT is None:
-        parent = os.environ.get("SPARK_GRAFT_SCRATCH", tempfile.gettempdir())
+        parent = os.environ.get(
+            "SPARK_GRAFT_SCRATCH", _default_scratch_parent()
+        )
         os.makedirs(parent, exist_ok=True)
         _ROOT = tempfile.mkdtemp(prefix=f"spark_graft_{os.getpid()}_", dir=parent)
         atexit.register(shutil.rmtree, _ROOT, ignore_errors=True)

@@ -47,6 +47,24 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
+    # Shuffle/spill scratch on the fastest local volume (guide §6 /
+    # §2.1: shuffle files are written to and served from spark.local.dir
+    # — on a disk-backed /tmp every map task pays write+fsync latency).
+    # Parameterized for clusters: $SPARK_GRAFT_LOCAL_DIR overrides (a
+    # real deployment points this at its NVMe array); the local default
+    # prefers the RAM-backed tmpfs when it is present with headroom,
+    # matching the scratch-dir policy in scratch.py.  Only applied when
+    # this builder actually creates the context (getOrCreate reuses an
+    # existing session's setting otherwise — spark.local.dir is
+    # immutable after context start).
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None:
+        from flink_kmeans_clustering_spark.scratch import (
+            _default_scratch_parent,
+        )
+
+        local_dir = _default_scratch_parent()
+    builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -28,6 +28,13 @@ _STAGE_ROOT: str | None = None
 # and reused by every subsequent flush-on-drain query in the process.
 _MAX_US_CACHE: dict[str, int] = {}
 _SENTINEL_DIR_CACHE: dict[tuple[str, int], str] = {}
+# Schema memoization (r15): the streaming reader needs an explicit
+# schema, taken from the parquet footer via a batch handle — a
+# metadata-only read, but still a fresh relation resolution per call,
+# and queries like the stream-stream joins build FOUR readers each.
+# Testdata tables are immutable per process, so one footer read per
+# path suffices.
+_SCHEMA_CACHE: dict[str, "object"] = {}
 
 
 def _as_stream_dir(path: str) -> str:
@@ -66,8 +73,9 @@ def stream_table(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = _as_stream_dir(os.path.join(sf_dir, f"{name}.parquet"))
-    schema = spark.read.parquet(path).schema
-    reader = spark.readStream.schema(schema)
+    if path not in _SCHEMA_CACHE:
+        _SCHEMA_CACHE[path] = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(_SCHEMA_CACHE[path])
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(path)

@@ -41,6 +41,8 @@ def main(argv: list[str] | None = None) -> int:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": f"file://{evdir}",
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
 
@@ -75,10 +77,22 @@ def main(argv: list[str] | None = None) -> int:
     print(json.dumps(results))
 
     if args.jobs:
-        path = os.path.join(evdir, app_id)
+        import glob as _glob
+
+        cands = _glob.glob(os.path.join(evdir, f"*{app_id}*"))
+        if not cands:
+            cands = _glob.glob(os.path.join(evdir, "*"))
+        path = cands[0]
+        if os.path.isdir(path):  # Spark 4 rolling event log layout
+            parts = sorted(_glob.glob(os.path.join(path, "events_*")))
+            lines = [ln for p in parts for ln in open(p)]
+        else:
+            lines = list(open(path))
+        print(f"eventlog: {path} ({len(lines)} lines)")
         jobs = {}  # id -> dict
-        with open(path) as fh:
-            for line in fh:
+        stage_owner = {}  # stage id -> job id
+        if True:
+            for line in lines:
                 try:
                     ev = json.loads(line)
                 except json.JSONDecodeError:
@@ -91,20 +105,41 @@ def main(argv: list[str] | None = None) -> int:
                         "group": props.get("spark.jobGroup.id", ""),
                         "desc": (props.get("spark.job.description") or "")[:60],
                         "stages": len(ev.get("Stage IDs", [])),
+                        "stage_info": [],
                     }
+                    for sid in ev.get("Stage IDs", []):
+                        stage_owner[sid] = ev["Job ID"]
                 elif e == "SparkListenerJobEnd":
                     if ev["Job ID"] in jobs:
                         jobs[ev["Job ID"]]["t1"] = ev["Completion Time"]
+                elif e == "SparkListenerStageCompleted":
+                    si = ev.get("Stage Info", {})
+                    sid = si.get("Stage ID")
+                    jid = stage_owner.get(sid)
+                    if jid in jobs and si.get("Completion Time"):
+                        jobs[jid]["stage_info"].append(
+                            (
+                                sid,
+                                si.get("Number of Tasks"),
+                                (si["Completion Time"]
+                                 - si.get("Submission Time",
+                                          si["Completion Time"])) / 1000,
+                            )
+                        )
         prev_end = None
         for jid in sorted(jobs):
             j = jobs[jid]
             if "t1" not in j:
                 continue
             gap = (j["t0"] - prev_end) if prev_end is not None else 0
+            stag = " ".join(
+                f"s{sid}:{n}t/{w:.2f}s"
+                for sid, n, w in sorted(j["stage_info"])
+            )
             print(
                 f"job {jid:4d} {j['group']:<40} "
                 f"wall={(j['t1']-j['t0'])/1000:7.3f}s gap={gap/1000:7.3f}s "
-                f"stages={j['stages']}"
+                f"[{stag}]"
             )
             prev_end = j["t1"]
     return 0
