@@ -691,13 +691,23 @@ def _observed_or_agg(obs, fallback, timeout_s: float = 30.0) -> dict:
     import threading as _threading
 
     q: "_queue.Queue" = _queue.Queue()
-    _threading.Thread(
-        target=lambda: q.put(obs.get), daemon=True
-    ).start()
+    _fail = object()
+
+    def _getter() -> None:
+        try:
+            q.put(obs.get)
+        except Exception:
+            # e.g. a metrics row the py4j bridge cannot convert (seen
+            # on the empty-input plan) — signal immediately so the
+            # fallback aggregate runs without eating the full timeout
+            q.put(_fail)
+
+    _threading.Thread(target=_getter, daemon=True).start()
     try:
-        return q.get(timeout=timeout_s)
+        got = q.get(timeout=timeout_s)
     except _queue.Empty:
         return fallback()
+    return fallback() if got is _fail else got
 
 
 def _cc_label_prop(

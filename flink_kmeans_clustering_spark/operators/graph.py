@@ -154,12 +154,34 @@ def pagerank(
         p.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).cache()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # contribution edge list: (src, dst, 1/deg) — deg is static, join once
-    contrib = edges.join(deg, "src").select(
+    # contribution edge list: (src, dst, 1/deg) — deg is static, join once.
+    # The node count rides the checkpoint job as an observed metric
+    # (r15, the _cc_label_prop move): contrib has exactly one row per
+    # edge, so count_distinct(src) over it IS |nodes| — the separate
+    # deg.count() job (a second scan + aggregate, ~0.4 s at sf0.1) goes
+    # away.  Same bounded-wait fallback discipline as the CC probes.
+    from pyspark.sql import Observation
+
+    from flink_kmeans_clustering_spark.operators.dedup import (
+        _observed_or_agg,
+    )
+
+    obs = Observation()
+    # the metric sits ON deg (one row per node flows through it inside
+    # the contrib job) — DISTINCT aggregates are rejected in observed
+    # metrics, a plain count here needs none
+    deg_obs = deg.observe(obs, F.count(F.lit(1)).alias("n"))
+    contrib = edges.join(deg_obs, "src").select(
         "src", "dst", (F.lit(1.0) / F.col("deg")).alias("inv_deg")
     )
     contrib = contrib.localCheckpoint()
-    n = deg.count()
+    dg = deg
+    n = int(
+        _observed_or_agg(
+            obs, lambda: {"n": dg.count()}
+        )["n"]
+        or 0
+    )
     if n == 0:
         edges.unpersist()
         return pairs.sparkSession.createDataFrame(

@@ -1002,6 +1002,42 @@ def assign_points_nd(
     return vectors.select(*cols)
 
 
+def assign_points_nd_sql(
+    centroids: Sequence[Sequence[float]],
+    vec_col: str = "embedding",
+    centroid_ids: Sequence[int] | None = None,
+) -> str:
+    """SQL-text twin of :func:`assign_points_nd`'s argmin struct — the
+    whole (dist², cluster) expression as ONE string, for iterative
+    callers that author their per-iteration job as a single
+    ``spark.sql`` parse (the r14 SimHash treatment: composing the same
+    tree from Column objects costs ~0.25 s of py4j round-trips per
+    iteration at k=8, d=64; the parse is ~2 ms and bit-identical —
+    same zip_with/aggregate fold order, same strict-< struct argmin,
+    1-based ``element_at`` in place of 0-based ``get`` on the same
+    positions).  Equality with the Column form is pinned in
+    tests/test_r15_ops.py.  Field access: ``(expr).cluster`` /
+    ``(expr).dist2``."""
+    from flink_kmeans_clustering_spark.operators.common import (
+        array_lit_sql,
+    )
+
+    if centroid_ids is None:
+        centroid_ids = range(len(centroids))
+    mat = array_lit_sql([[float(v) for v in c] for c in centroids])
+    ids = array_lit_sql([int(i) for i in centroid_ids], kind="int")
+    k = len(centroids)
+    return (
+        f"element_at(transform(array(transform({vec_col}, "
+        "x -> CAST(x AS DOUBLE))), "
+        f"v -> array_min(transform(sequence(0, {k - 1}), "
+        "i -> named_struct("
+        f"'dist2', aggregate(zip_with(v, element_at({mat}, i + 1), "
+        "(a, b) -> (a - b) * (a - b)), 0.0D, (acc, x) -> acc + x), "
+        f"'cluster', CAST(element_at({ids}, i + 1) AS INT))))), 1)"
+    )
+
+
 def update_centroids_nd(
     assigned: DataFrame,
     dim: int,
@@ -1062,12 +1098,22 @@ def lloyd_nd(
     DuckDB oracle's id-carrying CTE chain."""
     if cache:
         vectors = vectors.cache()
+    spark = vectors.sparkSession
     dim = len(init_centroids[0])
     current = [list(map(float, c)) for c in init_centroids]
     ids = list(range(len(current)))
-    conf = vectors.sparkSession.conf
+    conf = spark.conf
     prev_aqe = conf.get("spark.sql.adaptive.enabled", "true")
     prev_sp = conf.get("spark.sql.shuffle.partitions", "200")
+    # one temp view for the whole training call: each iteration is then
+    # ONE spark.sql parse instead of ~0.25 s of py4j Column composition
+    # (r15, the SimHash SQL-text treatment; equality pinned in
+    # tests/test_r15_ops.py).  The view resolves to the same analyzed
+    # plan every round, so the cache() above still serves every scan.
+    import uuid as _uuid
+
+    view = f"_lloyd_nd_{_uuid.uuid4().hex[:12]}"
+    vectors.createOrReplaceTempView(view)
     try:
         conf.set("spark.sql.adaptive.enabled", "false")
         # the per-iteration exchange carries ≤k rows — scheduling 32
@@ -1076,31 +1122,41 @@ def lloyd_nd(
         conf.set(
             "spark.sql.shuffle.partitions", str(max(1, len(current)))
         )
-        # hoist the update aggregate's Column objects out of the loop —
-        # see _nd_update_exprs (py4j construction is the iteration floor)
-        sums, centroid = _nd_update_exprs(dim, vec_col)
-        cnt = F.count(F.lit(1)).alias("n")
+        # per-dim mean-update SUMs, authored once as SQL text: raw
+        # double sums of float32-exact values — identical to the
+        # hoisted Column form (_nd_update_exprs) they replace
+        sum_sql = ", ".join(
+            f"sum(CAST(element_at({vec_col}, {j + 1}) AS DOUBLE))"
+            f" AS _s{j}"
+            for j in range(dim)
+        )
         for _ in range(max_iterations):
-            a = assign_points_nd(
-                vectors, current, vec_col=vec_col, centroid_ids=ids
+            assign = assign_points_nd_sql(
+                current, vec_col=vec_col, centroid_ids=ids
             )
-            rows = (
-                a.groupBy(F.col("cluster").alias("id"))
-                .agg(*sums, cnt)
-                .select("id", centroid.alias("centroid"), "n")
-                .collect()
-            )
+            rows = spark.sql(
+                f"SELECT cluster AS id, {sum_sql}, count(1) AS n "
+                f"FROM (SELECT ({assign}).cluster AS cluster, {vec_col} "
+                f"FROM {view}) GROUP BY cluster"
+            ).collect()
             rows.sort(key=lambda r: r["id"])
             ids = [int(r["id"]) for r in rows]
-            current = [[float(v) for v in r["centroid"]] for r in rows]
-        a = assign_points_nd(
-            vectors, current, vec_col=vec_col, dist2_col="_d2",
-            centroid_ids=ids,
+            # driver-side mean: float(_sj) / n is the same IEEE double
+            # division the engine-side array(_s0/n, ...) performed
+            current = [
+                [float(r[f"_s{j}"]) / r["n"] for j in range(dim)]
+                for r in rows
+            ]
+        assign = assign_points_nd_sql(
+            current, vec_col=vec_col, centroid_ids=ids
         )
-        [row] = a.agg(F.sum("_d2").alias("wcss")).collect()
+        [row] = spark.sql(
+            f"SELECT sum(({assign}).dist2) AS wcss FROM {view}"
+        ).collect()
     finally:
         conf.set("spark.sql.adaptive.enabled", prev_aqe)
         conf.set("spark.sql.shuffle.partitions", prev_sp)
+        spark.catalog.dropTempView(view)
         if cache:
             vectors.unpersist()
     return current, float(row["wcss"] or 0.0), ids
@@ -1188,9 +1244,16 @@ def spherical_kmeans_nd(
 
     current = [u for u in (_unitize(c) for c in init_centroids) if u]
     ids = list(range(len(current)))
-    conf = vectors.sparkSession.conf
+    spark = vectors.sparkSession
+    conf = spark.conf
     prev_aqe = conf.get("spark.sql.adaptive.enabled", "true")
     prev_sp = conf.get("spark.sql.shuffle.partitions", "200")
+    # one temp view + one spark.sql parse per iteration — see lloyd_nd
+    # (r15; equality pinned in tests/test_r15_ops.py)
+    import uuid as _uuid
+
+    view = f"_spherical_{_uuid.uuid4().hex[:12]}"
+    unit.createOrReplaceTempView(view)
     try:
         conf.set("spark.sql.adaptive.enabled", "false")
         # k-row exchanges — see lloyd_nd
@@ -1201,26 +1264,21 @@ def spherical_kmeans_nd(
         # would be re-inlined into all dim aggregate inputs (see
         # update_centroids_nd); vec_col is already array<double> after
         # normalize_unit_nd, so the double cast is a no-op and the
-        # decimal cast sees identical values.  Hoisted out of the loop
-        # — see _nd_update_exprs (py4j construction is the floor).
-        sums = [
-            F.sum(
-                F.element_at(F.col(vec_col), j + 1)
-                .cast("double")
-                .cast("decimal(25,8)")
-            ).alias(f"_s{j}")
+        # decimal cast sees identical values.
+        sum_sql = ", ".join(
+            f"sum(CAST(CAST(element_at({vec_col}, {j + 1}) AS DOUBLE)"
+            f" AS DECIMAL(25,8))) AS _s{j}"
             for j in range(dim)
-        ]
-        cnt = F.count(F.lit(1)).alias("n")
+        )
         for _ in range(max_iterations):
-            a = assign_points_nd(
-                unit, current, vec_col=vec_col, centroid_ids=ids
+            assign = assign_points_nd_sql(
+                current, vec_col=vec_col, centroid_ids=ids
             )
-            rows = (
-                a.groupBy(F.col("cluster").alias("id"))
-                .agg(*sums, cnt)
-                .collect()
-            )
+            rows = spark.sql(
+                f"SELECT cluster AS id, {sum_sql}, count(1) AS n "
+                f"FROM (SELECT ({assign}).cluster AS cluster, {vec_col} "
+                f"FROM {view}) GROUP BY cluster"
+            ).collect()
             rows.sort(key=lambda r: r["id"])
             nxt_ids, nxt = [], []
             for r in rows:
@@ -1233,6 +1291,7 @@ def spherical_kmeans_nd(
     finally:
         conf.set("spark.sql.adaptive.enabled", prev_aqe)
         conf.set("spark.sql.shuffle.partitions", prev_sp)
+        spark.catalog.dropTempView(view)
         if cache:
             unit.unpersist()
     return current, ids

@@ -1552,6 +1552,12 @@ def dsir_weights(
         F.conv(F.substring(F.md5(F.col("_ng")), 1, 8), 16, 10).cast("long")
         % n_buckets
     )
+    # spread before the tokenize+bigram explode (r15, guide §2.5): the
+    # plan references per_doc_bucket twice (LM-build broadcast subtree
+    # + the fact side), and on a single-file corpus each reference
+    # tokenized the whole corpus on ONE task (two measured 1.1-1.5 s
+    # single-task stages at sf0.1); pass-through at scale
+    df = spread(df, id_col)
     per_doc_bucket = (
         df.select(
             F.col(id_col),
